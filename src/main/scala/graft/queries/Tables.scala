@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Canonical scans over the driver testdata (S5 in SURVEY.md §2.1).
   *
@@ -20,7 +21,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = tbl(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = tbl(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = tbl(s, d, "events")
+  /** events.ts is parquet timestamp[ns], which Spark's reader rejects; with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a long we truncate
+    * to microseconds (integer div — the DuckDB oracle's `cast(ts AS
+    * TIMESTAMP)` truncates identically). Set here too so any caller works
+    * regardless of builder config.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 }
