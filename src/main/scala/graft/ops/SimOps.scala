@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Similarity / embedding operators (SURVEY.md §2.9 extension surface).
+  *
+  * Vectors are plain `ArrayType(FloatType)` columns; all math runs through
+  * higher-order functions (sequential left-to-right folds — deterministic
+  * and identical across engines for a given element order), no UDFs, no
+  * MLlib VectorUDT. Per-row projections: embarrassingly parallel at any
+  * scale.
+  */
+object SimOps {
+
+  /** Sequential-fold sum of an array<double> expression. */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Squared L2 norm. */
+  def norm2(a: Column): Column =
+    fsum(transform(a, x => x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Character-shingle rolling fingerprint: murmur3 hash of each k-gram of
+    * the lowercased text — the document-fingerprinting primitive under
+    * MinHash (SURVEY §2.9). Returns array<int>.
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(0))),
+      i => hash(text.substr(i, lit(k))))
+
+  /** MinHash signature: for each of `perms` permutations, the minimum of
+    * `xxhash64(seed, shingle)` over the shingle set. Band-grouping over
+    * signature slices gives LSH buckets — candidate pairs come from a
+    * bucket equi-join (groupBy/join on band hash), NEVER an all-pairs
+    * cross join; that is the property that keeps near-dup detection
+    * shuffle-bounded at 100 TB.
+    */
+  def minhashSignature(shingles: Column, perms: Int): Column =
+    array((0 until perms).map { seed =>
+      array_min(transform(shingles, sh => xxhash64(lit(seed), sh)))
+    }: _*)
+
+  /** LSH band keys: the signature split into `bands` slices, each hashed;
+    * docs sharing any band key are near-dup candidates.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      hash(lit(b), slice(sig, lit(b * rows + 1), lit(rows)))
+    }: _*)
+}

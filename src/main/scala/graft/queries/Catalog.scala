@@ -48,7 +48,8 @@ object Catalog {
   val flagship: Q = q01
 
   val all: Seq[Q] =
-    Seq(q01) ++ PackFilter.all ++ PackScalar.all
+    Seq(q01) ++ PackFilter.all ++ PackScalar.all ++ PackAgg.all ++
+      PackJoin.all ++ PackWindow.all ++ PackTime.all ++ PackText.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

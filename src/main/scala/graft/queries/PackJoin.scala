@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Join pack — q13, q17, q18, q19 (SURVEY.md §2.5).
+  *
+  * J1's 1:1 left-outer enrichment shape (extract.py:197-215) plus the
+  * engine-declared join strategies: broadcast hash (tiny dims — Catalyst
+  * auto-broadcasts under the threshold), forced sort-merge for the
+  * large-large case (at 100 TB orders⋈lineitem can never broadcast; the
+  * `merge` hint makes the bench measure that plan at every SF), semi/anti,
+  * and a band-limited range join against a broadcast boundary table (never
+  * a full cartesian).
+  */
+object PackJoin {
+
+  /** q13 — J1 left-outer enrich through the dim chain + A6 distinct agg.
+    * nation/region are tiny at every SF → Catalyst broadcasts them; the
+    * only shuffle is the final groupBy on 5 regions.
+    */
+  private val q13 = Q(
+    "q13_join_enrich",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"), "left")
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          countDistinct(col("n_name")).as("n_nations"),
+          Det.dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name")
+    },
+    Some("""
+      SELECT r_name, count(*) AS n_cust,
+             count(DISTINCT n_name) AS n_nations,
+             cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name
+    """),
+    doc = "J1/A6: broadcast dim enrich + count distinct")
+
+  /** q17 — large-large sort-merge join, orders⋈lineitem on orderkey.
+    * Explicit `merge` hints: at bench SFs Catalyst would broadcast orders,
+    * hiding the plan that actually runs at scale.
+    */
+  private val q17 = Q(
+    "q17_smj",
+    (s, d) => {
+      Tables.lineitem(s, d).hint("merge")
+        .join(Tables.orders(s, d).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_items"),
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, count(*) AS n_items,
+             cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderstatus
+      ORDER BY o_orderkey
+    """),
+    doc = "sort-merge join large-large (hinted; broadcast impossible at scale)")
+
+  /** q18 — left semi / left anti: customers with vs without orders,
+    * counted per nation, tagged and unioned.
+    */
+  private val q18 = Q(
+    "q18_semi_anti",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("with"))
+      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("without"))
+      withO.unionByName(withoutO)
+        .select(col("tag"), col("c_nationkey"), col("n"))
+        .orderBy("tag", "c_nationkey")
+    },
+    Some("""
+      SELECT 'with' AS tag, c_nationkey, count(*) AS n
+      FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey
+      UNION ALL
+      SELECT 'without' AS tag, c_nationkey, count(*) AS n
+      FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey
+      ORDER BY tag, c_nationkey
+    """),
+    doc = "left semi + left anti, tagged union")
+
+  /** q19 — range (theta) join: orders against a 5-row price-band boundary
+    * table, explicitly broadcast — the scale path for banded range joins
+    * (band table stays driver-small; never an all-pairs cartesian).
+    */
+  private val q19 = Q(
+    "q19_range_join",
+    (s, d) => {
+      val bands = Tables.region(s, d).select(
+        col("r_regionkey").as("band_id"),
+        (col("r_regionkey") * lit(100000.0)).as("lo"),
+        ((col("r_regionkey") + 1) * lit(100000.0)).as("hi"))
+      Tables.orders(s, d)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band_id")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("band_id")
+    },
+    Some("""
+      WITH bands AS (
+        SELECT r_regionkey AS band_id,
+               r_regionkey * 100000.0 AS lo,
+               (r_regionkey + 1) * 100000.0 AS hi
+        FROM region)
+      SELECT band_id, count(*) AS n_orders,
+             cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band_id ORDER BY band_id
+    """),
+    doc = "band range join vs broadcast boundary table")
+
+  val all: Seq[Q] = Seq(q13, q17, q18, q19)
+}
