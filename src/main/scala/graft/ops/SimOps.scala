@@ -17,6 +17,9 @@ object SimOps {
   private def fsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, v) => acc + v)
 
+  /** Public alias of [[fsum]] for composed expressions (e.g. distances). */
+  def fsumPublic(arr: Column): Column = fsum(arr)
+
   /** Dot product of two float-array columns, accumulated in double. */
   def dot(a: Column, b: Column): Column =
     fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
@@ -34,9 +37,13 @@ object SimOps {
     * MinHash (SURVEY §2.9). Returns array<int>.
     */
   def shingleHashes(text: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(0))),
-      i => hash(text.substr(i, lit(k))))
+    // guard: sequence(1, n) DESCENDS when n < 1, so short texts must map to
+    // an empty shingle set, not a bogus [1, 0] index walk
+    when(length(text) >= k,
+      transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => hash(text.substr(i, lit(k)))))
+      .otherwise(array().cast("array<int>"))
 
   /** MinHash signature: for each of `perms` permutations, the minimum of
     * `xxhash64(seed, shingle)` over the shingle set. Band-grouping over

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.SimOps
+
+/** Extended LLM-data-pipeline pack — q27–q31 (north-star surface beyond
+  * SURVEY.md §2.9's declared minimum): near-dup detection (MinHash-LSH and
+  * n-gram Jaccard), language-ID heuristic, document quality scoring, and
+  * vector math over embeddings.
+  *
+  * Scale posture: q27 is the 100 TB near-dup shape — candidates come from
+  * an LSH band-bucket equi-join (shuffle on band keys), with exact Jaccard
+  * verification only WITHIN candidate buckets; the corpus is never
+  * all-pairs joined. q28's pairwise Jaccard is deliberately band-limited
+  * (adjacent ids) for the oracle. Everything else is per-row projection.
+  */
+object PackText2 {
+
+  private def grams3(text: org.apache.spark.sql.Column) =
+    when(length(text) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** q27 — MinHash-LSH near-dup candidates (⊘ oracle: hash functions are
+    * engine-specific; driver records the rows-only check, the unit suite
+    * covers signature/band semantics). A variant corpus with planted
+    * near-duplicates guarantees recall is observable.
+    */
+  private val q27 = Q(
+    "q27_minhash_lsh",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lower(col("text")), lit(" near duplicate tail")).as("t"))
+      val corpus = base.unionByName(planted)
+        .withColumn("sh", array_distinct(SimOps.shingleHashes(col("t"), 5)))
+      val banded = corpus.withColumn("band",
+        explode(SimOps.lshBands(
+          SimOps.minhashSignature(col("sh"), 16), 4, 4)))
+      val pairs = banded.select(col("doc_id"), col("band"))
+        .join(banded.select(col("doc_id").as("doc_id2"), col("band")), "band")
+        .filter(col("doc_id") < col("doc_id2"))
+        .select("doc_id", "doc_id2").distinct()
+      pairs
+        .join(corpus.select(col("doc_id"), col("sh").as("sh1")), "doc_id")
+        .join(corpus.select(col("doc_id").as("doc_id2"), col("sh").as("sh2")),
+          "doc_id2")
+        .withColumn("jaccard",
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_id"), col("doc_id2"), col("jaccard"))
+        .orderBy("doc_id", "doc_id2")
+    },
+    None,
+    doc = "MinHash-LSH band-bucket near-dup candidates + in-bucket verify")
+
+  /** q28 — n-gram (3-char shingle) Jaccard similarity for adjacent doc
+    * pairs, fully DuckDB-expressible.
+    */
+  private val q28 = Q(
+    "q28_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val g = docs.select(col("doc_id"), grams3(col("text")).as("g"))
+      g.join(
+        g.select((col("doc_id") - 1).as("doc_id"), col("g").as("g2")),
+        "doc_id")
+        .select(
+          col("doc_id"),
+          size(array_intersect(col("g"), col("g2"))).as("n_common"),
+          size(array_union(col("g"), col("g2"))).as("n_total"),
+          // basis points via integer division: rounding a double ratio can
+          // land on exact .xxxx5 ties (dyadic rationals) where engines'
+          // rounding algorithms disagree — integers are bit-exact
+          expr("(size(array_intersect(g, g2)) * 10000) div size(array_union(g, g2))")
+            .cast("int").as("jaccard_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+          CASE WHEN length(text) >= 3
+               THEN list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3)))
+               ELSE cast([] AS VARCHAR[]) END AS gr
+        FROM documents)
+      SELECT a.doc_id,
+        cast(len(list_intersect(a.gr, b.gr)) AS INTEGER) AS n_common,
+        cast(len(list_distinct(list_concat(a.gr, b.gr))) AS INTEGER) AS n_total,
+        cast((len(list_intersect(a.gr, b.gr)) * 10000) // len(list_distinct(list_concat(a.gr, b.gr))) AS INTEGER) AS jaccard_bp
+      FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+      ORDER BY a.doc_id
+    """),
+    doc = "char-3-gram Jaccard for adjacent doc pairs")
+
+  /** q29 — language-ID heuristic: marker-token voting (the n-gram
+    * heuristic shape over the synthetic vocabulary; real corpora swap in
+    * per-language stopword lists).
+    */
+  private val q29 = Q(
+    "q29_lang_id",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = array_distinct(split(lower(col("text")), "\\W+"))
+      def score(words: Seq[String]) =
+        size(array_intersect(toks, array(words.map(lit): _*)))
+      val s1 = score(Seq("the", "a", "fast", "slow"))
+      val s2 = score(Seq("spark", "join", "merge", "sort"))
+      val s3 = score(Seq("customer", "order", "line", "part"))
+      docs.select(
+        col("doc_id"),
+        s1.as("s_common"), s2.as("s_query"), s3.as("s_biz"),
+        when(s1 + s2 + s3 === 0, lit("und"))
+          .when(s1 >= s2 && s1 >= s3, lit("common"))
+          .when(s2 >= s3, lit("query"))
+          .otherwise(lit("biz")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          cast(len(list_intersect(list_distinct(string_split_regex(lower(text), '\W+')), ['the', 'a', 'fast', 'slow'])) AS INTEGER) AS s_common,
+          cast(len(list_intersect(list_distinct(string_split_regex(lower(text), '\W+')), ['spark', 'join', 'merge', 'sort'])) AS INTEGER) AS s_query,
+          cast(len(list_intersect(list_distinct(string_split_regex(lower(text), '\W+')), ['customer', 'order', 'line', 'part'])) AS INTEGER) AS s_biz
+        FROM documents)
+      SELECT doc_id, s_common, s_query, s_biz,
+        CASE WHEN s_common + s_query + s_biz = 0 THEN 'und'
+             WHEN s_common >= s_query AND s_common >= s_biz THEN 'common'
+             WHEN s_query >= s_biz THEN 'query'
+             ELSE 'biz' END AS lang_pred
+      FROM t ORDER BY doc_id
+    """),
+    doc = "language-ID heuristic via marker-token voting")
+
+  /** q30 — document quality scoring: token count, average token length,
+    * stopword ratio, composite score (training-data filtering shape).
+    */
+  private val q30 = Q(
+    "q30_quality_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = filter(split(lower(col("text")), "\\W+"), t => length(t) > 0)
+      // ratio outputs as integer basis points (integer division): double
+      // ratios like n_chars/n_tokens can be exact dyadic .xxxx5 rounding
+      // ties where Spark's and DuckDB's round() disagree
+      docs
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_stop", size(array_intersect(array_distinct(toks),
+          array(Seq("the", "a", "of", "and").map(lit): _*))))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          expr("(length(text) * 10000) div n_tokens").cast("int")
+            .as("avg_len_bp"),
+          expr("(n_stop * 10000) div n_tokens").cast("int").as("stop_bp"),
+          expr("least(n_tokens, 100) * 50 + (n_stop * 5000) div n_tokens")
+            .cast("int").as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, length(text) AS n_chars_t,
+          cast(len(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) AS INTEGER) AS n_tokens,
+          cast(len(list_intersect(list_distinct(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)), ['the', 'a', 'of', 'and'])) AS INTEGER) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_tokens,
+        cast((n_chars_t * 10000) // n_tokens AS INTEGER) AS avg_len_bp,
+        cast((n_stop * 10000) // n_tokens AS INTEGER) AS stop_bp,
+        cast(least(n_tokens, 100) * 50 + (n_stop * 5000) // n_tokens AS INTEGER) AS quality
+      FROM t ORDER BY doc_id
+    """),
+    doc = "quality scoring: token stats + stopword ratio + composite")
+
+  /** q31 — vector math over embeddings: L2 norm, Euclidean distance and
+    * cosine to the next vector (adjacent-id pairs; rounded before compare).
+    */
+  private val q31 = Q(
+    "q31_vector_ops",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+      val dist = sqrt(SimOps.fsumPublic(
+        zip_with(col("e"), col("e2"),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double")))))
+      emb.join(
+        emb.select((col("vec_id") - 1).as("vec_id"), col("e").as("e2")),
+        "vec_id")
+        .select(
+          col("vec_id"),
+          round(sqrt(SimOps.norm2(col("e"))), 4).as("norm_a"),
+          round(dist, 4).as("l2_next"),
+          round(SimOps.cosine(col("e"), col("e2")), 4).as("cos_next"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS e FROM embeddings)
+      SELECT a.vec_id,
+        round(sqrt(list_inner_product(a.e, a.e)), 4) AS norm_a,
+        round(list_distance(a.e, b.e), 4) AS l2_next,
+        round(list_cosine_similarity(a.e, b.e), 4) AS cos_next
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      ORDER BY a.vec_id
+    """),
+    doc = "embedding vector math: norms, L2 distance, cosine")
+
+  val all: Seq[Q] = Seq(q27, q28, q29, q30, q31)
+}
