@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.8 — north-star requirement,
+  * absent in the reference which is strictly batch, run.py:37-156).
+  *
+  * The window shapes are `DataFrame => DataFrame` functions, so the SAME
+  * logical plans back both the batch oracle queries (q21–q23) and the
+  * streaming wrappers here — identical semantics by construction; only the
+  * source/sink and state management differ. Stateful pieces (watermark,
+  * dedup-within-watermark, session merge) are streaming-only and covered
+  * by MemoryStream tests, not the DuckDB oracle.
+  *
+  * Scale posture: all aggregations are keyed by (window, key) — state is
+  * bounded by watermark eviction; dedup state is bounded likewise. No
+  * flatMapGroupsWithState needed: session_window covers the
+  * reference-shaped need.
+  */
+object StreamOps {
+
+  /** q21's shape: tumbling 1-hour counts+sums per event type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Tumbling with event-time watermark: late rows beyond `delay` are
+    * dropped once the watermark passes their window's end (append mode
+    * emits each window exactly once, finalized).
+    */
+  def tumblingWithWatermark(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** q22's shape: sliding 1-hour window, 15-minute slide. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** q23's shape: 30-minute-gap session windows per user. */
+  def session(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"),
+        col("n"), col("sum_value"))
+
+  /** Stateful streaming dedup: first occurrence of `keys` wins; state for
+    * a key is dropped once the watermark passes it (bounded state — the
+    * streaming form of F4's seen-set, extract.py:87-97).
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String,
+      keys: String*): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** The events table's on-disk schema under nanosAsLong (ts arrives as
+    * long nanos — see graft.queries.Tables.events).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source streaming read of an events directory — the streaming
+    * twin of Tables.events; new parquet files appearing under `dir` are
+    * incrementally processed.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

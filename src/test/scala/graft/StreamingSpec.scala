@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamOps
+
+/** Semantics tests for the streaming surface (SURVEY.md §5.2.5): windows
+  * aggregate correctly over a stream, watermarks drop late rows, session
+  * windows merge within the gap, and stateful dedup keeps first-wins.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window aggregates a stream (complete mode)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.tumbling(ms.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("t_tumb")
+      .outputMode("complete").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 00:05:00"), "click", 1.0),
+        (ts("2024-01-01 00:55:00"), "click", 2.0),
+        (ts("2024-01-01 01:05:00"), "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("t_tumb")
+        .select("w_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().sortBy(_._1.getTime)
+      assert(got.toSeq === Seq(
+        (ts("2024-01-01 00:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 01:00:00"), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows past the delay (append mode)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps
+      .tumblingWithWatermark(ms.toDF.toDF("ts", "event_type", "value"),
+        "10 minutes")
+      .writeStream.format("memory").queryName("t_wm")
+      .outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 00:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past hour-0's end → finalizes that window
+      ms.addData((ts("2024-01-01 02:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      // this row is > 10 min behind the watermark (02:20) → dropped
+      ms.addData((ts("2024-01-01 00:45:00"), "click", 99.0))
+      q.processAllAvailable()
+      val hour0 = spark.table("t_wm")
+        .filter($"w_start" === ts("2024-01-01 00:00:00"))
+        .select("n").as[Long].collect()
+      assert(hour0.toSeq === Seq(1L), "late row must not be counted")
+    } finally q.stop()
+  }
+
+  test("session windows merge within gap, split beyond it") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamOps.session(
+      ms.toDF.toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("t_sess")
+      .outputMode("complete").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 00:00:00"), 1L, 1.0),
+        (ts("2024-01-01 00:10:00"), 1L, 1.0), // merges (10 min < 30)
+        (ts("2024-01-01 01:00:00"), 1L, 1.0), // new session (50 min gap)
+        (ts("2024-01-01 00:00:00"), 2L, 5.0))
+      q.processAllAvailable()
+      val got = spark.table("t_sess")
+        .select("s_start", "s_end", "user_id", "n")
+        .as[(Timestamp, Timestamp, Long, Long)].collect()
+        .sortBy(r => (r._3, r._1.getTime))
+      assert(got.toSeq === Seq(
+        (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:40:00"), 1L, 2L),
+        (ts("2024-01-01 01:00:00"), ts("2024-01-01 01:30:00"), 1L, 1L),
+        (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00"), 2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark keeps first occurrence per key") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.dedupWithinWatermark(
+      ms.toDF.toDF("ts", "event_id", "event_type"), "10 minutes", "event_id")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "a"),
+        (ts("2024-01-01 00:01:00"), 1L, "b"), // dup id within watermark
+        (ts("2024-01-01 00:02:00"), 2L, "c"))
+      q.processAllAvailable()
+      val got = spark.table("t_dedup").select("event_id", "event_type")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(got.toSeq === Seq((1L, "a"), (2L, "c")))
+    } finally q.stop()
+  }
+
+  test("file-source streaming twin of Tables.events reads the testdata") {
+    val dir = "/root/testdata/sf0.001"
+    // copy events.parquet into an isolated stream dir so the file source
+    // sees exactly one input file
+    val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/events.parquet"))
+    val q = StreamOps.tumbling(
+      StreamOps.eventsStream(spark, tmp))
+      .writeStream.format("memory").queryName("t_file")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("t_file").count()
+      assert(n > 0, "stream must produce windows from the parquet file")
+    } finally q.stop()
+  }
+}
