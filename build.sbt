@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sun.jnu.encoding (file-name encoding) follows the native locale and
+// ignores -D overrides; a UTF-8 locale is required for the K1 sink's
+// non-ASCII file names under the container's POSIX default.
+Test / envVars += "LC_ALL" -> "C.UTF-8"
+run / envVars += "LC_ALL" -> "C.UTF-8"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // non-ASCII file names (K1 sink contract) need UTF-8 path encoding even
+  // under a POSIX locale
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
