@@ -1,0 +1,146 @@
+package graft.sink
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** K2 — PDF report sink (reference render_pdf.py:324-471).
+  *
+  * A deliberately minimal hand-rolled PDF writer: the environment ships no
+  * PDF library, and the reference's own CJK strategy — reportlab's
+  * UnicodeCIDFont("HeiseiMin-W3") — emits a NON-embedded CID font
+  * reference with a predefined CMap, which is exactly what this writer
+  * does (Type0 / UniJIS-UCS2-H, text as UTF-16BE hex strings, no font
+  * program). Layout is a structural subset: A4 pages, title, labeled
+  * sections with paragraph lines, page breaks. The diagonal-diagram
+  * geometry (render_pdf.py:141-321) is intentionally out of scope — its
+  * numbering/boundary math lives in the window operators (q15) where it is
+  * oracle-tested.
+  *
+  * Pure sink: rendering runs per row inside foreachPartition, nothing is
+  * collected; structure (not bytes) is the asserted contract (SURVEY
+  * §5.2.4).
+  */
+object PdfSink {
+
+  private def utf16Hex(s: String): String =
+    s.getBytes(StandardCharsets.UTF_16BE).map("%02X".format(_)).mkString
+
+  /** Render one case document to PDF bytes. `sections` are
+    * (label, multi-line text) in display order; empty-valued sections are
+    * skipped (the reference's emit-if-non-empty predicates,
+    * render_pdf.py:362-465).
+    */
+  def pdfBytes(title: String, sections: Seq[(String, String)]): Array[Byte] = {
+    val lines: Seq[(String, Boolean)] =
+      (title, true) +: ("", false) +: sections.filter(_._2.nonEmpty).flatMap {
+        case (label, value) =>
+          (s"$label", true) +:
+            value.split("\n").toSeq.map(l => (l, false)) :+ ("", false)
+      }
+    val perPage = 40
+    val pages = {
+      val gs = lines.grouped(perPage).toSeq
+      if (gs.isEmpty) Seq(Seq(("", false))) else gs
+    }
+    val n = pages.size
+    val pageNums = (0 until n).map(3 + _)
+    val contentNums = (0 until n).map(3 + n + _)
+    val (f0, f1, f2) = (3 + 2 * n, 4 + 2 * n, 5 + 2 * n)
+
+    def contentStream(pg: Seq[(String, Boolean)]): String = {
+      val sb = new StringBuilder("BT\n/F1 10 Tf\n14 TL\n50 780 Td\n")
+      pg.foreach { case (txt, head) =>
+        if (head) sb.append("/F1 13 Tf\n")
+        sb.append(s"<${utf16Hex(txt)}> Tj T*\n")
+        if (head) sb.append("/F1 10 Tf\n")
+      }
+      sb.append("ET").toString
+    }
+
+    val bodies = scala.collection.mutable.LinkedHashMap[Int, String]()
+    bodies(1) = "<< /Type /Catalog /Pages 2 0 R >>"
+    bodies(2) = s"<< /Type /Pages /Count $n /Kids [${pageNums.map(p => s"$p 0 R").mkString(" ")}] >>"
+    pages.indices.foreach { i =>
+      bodies(pageNums(i)) =
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] " +
+          s"/Resources << /Font << /F1 $f0 0 R >> >> /Contents ${contentNums(i)} 0 R >>"
+      val cs = contentStream(pages(i))
+      bodies(contentNums(i)) =
+        s"<< /Length ${cs.getBytes(StandardCharsets.US_ASCII).length} >>\nstream\n$cs\nendstream"
+    }
+    bodies(f0) = s"<< /Type /Font /Subtype /Type0 /BaseFont /HeiseiMin-W3-UniJIS-UCS2-H " +
+      s"/Encoding /UniJIS-UCS2-H /DescendantFonts [$f1 0 R] >>"
+    bodies(f1) = s"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /HeiseiMin-W3 " +
+      s"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) /Supplement 2 >> " +
+      s"/FontDescriptor $f2 0 R /DW 1000 >>"
+    bodies(f2) = "<< /Type /FontDescriptor /FontName /HeiseiMin-W3 /Flags 6 " +
+      "/FontBBox [-123 -257 1001 910] /ItalicAngle 0 /Ascent 859 /Descent -141 " +
+      "/CapHeight 769 /StemV 69 >>"
+
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.US_ASCII))
+    w("%PDF-1.4\n")
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    bodies.toSeq.sortBy(_._1).foreach { case (num, body) =>
+      offsets(num) = out.size()
+      w(s"$num 0 obj\n$body\nendobj\n")
+    }
+    val xrefPos = out.size()
+    val maxObj = bodies.keys.max
+    w(s"xref\n0 ${maxObj + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to maxObj).foreach { i =>
+      w(f"${offsets.getOrElse(i, 0)}%010d 00000 n \n")
+    }
+    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The reference's section order (render_pdf.py:354-460), emit-if-non-
+    * empty, pulled from a routed case Row.
+    */
+  def sectionsOf(r: Row): Seq[(String, String)] = {
+    def s(name: String) = r.getAs[String](name)
+    val casualties = r.getAs[Row]("casualties")
+    val knowledge = r.getAs[scala.collection.Seq[String]]("knowledge")
+    val sources = r.getAs[scala.collection.Seq[String]]("sources")
+    val authors = r.getAs[scala.collection.Seq[String]]("authors")
+    Seq(
+      "事例発生日付" -> s("date"),
+      "事例発生地" -> s("location"),
+      "事例発生場所" -> s("facility"),
+      "事例概要" -> s("summary"),
+      "事象" -> s("phenomenon"),
+      "経過" -> s("process"),
+      "原因" -> s("cause"),
+      "対処" -> s("response"),
+      "対策" -> s("countermeasure"),
+      "知識化" -> knowledge.map("・" + _).mkString("\n"),
+      "背景" -> s("background"),
+      "情報源" -> sources.mkString("\n"),
+      "死者数" -> casualties.getAs[Int]("deaths").toString,
+      "負傷者数" -> casualties.getAs[Int]("injuries").toString,
+      "被害金額" -> s("financial_damage"),
+      "社会への影響" -> s("social_impact"),
+      "備考" -> s("notes"),
+      "分野" -> s("field"),
+      "データ作成者" -> authors.mkString("\n"))
+  }
+
+  /** Write `{case_id}_{case_name}.pdf` per successful case under `dir`. */
+  def writePdfs(cases: DataFrame, dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    cases.filter(col("status") === "success").foreachPartition {
+      (it: Iterator[Row]) =>
+        it.foreach { r =>
+          val bytes = pdfBytes(r.getAs[String]("case_name"), sectionsOf(r))
+          val name =
+            s"${r.getAs[String]("case_id")}_${r.getAs[String]("case_name")}.pdf"
+          Files.write(Paths.get(dir, name), bytes)
+        }
+    }
+  }
+}
