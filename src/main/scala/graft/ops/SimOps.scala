@@ -36,6 +36,21 @@ object SimOps {
     * the lowercased text — the document-fingerprinting primitive under
     * MinHash (SURVEY §2.9). Returns array<int>.
     */
+  /** Word-level k-gram shingle hashes: one murmur3 per k-word window.
+    * Far more discriminative than character shingles on natural text
+    * (char k-grams recur across unrelated documents sharing vocabulary,
+    * which floods LSH buckets with false candidates), and linear in text
+    * length. Preferred fingerprint for near-dup detection.
+    */
+  def wordShingleHashes(text: Column, k: Int): Column = {
+    val words = split(text, "\\s+")
+    when(size(words) >= k,
+      transform(
+        sequence(lit(1), size(words) - (k - 1)),
+        i => hash(concat_ws(" ", slice(words, i, lit(k))))))
+      .otherwise(array().cast("array<int>"))
+  }
+
   def shingleHashes(text: Column, k: Int): Column =
     // guard: sequence(1, n) DESCENDS when n < 1, so short texts must map to
     // an empty shingle set, not a bogus [1, 0] index walk

@@ -36,12 +36,16 @@ object TextOps {
     */
   def dateNorm(c: Column): Column = {
     val pat = "^(\\d{4})年(\\d{1,2})月(\\d{1,2})日"
+    // one match test + one extract-all pass (instead of three per-group
+    // extracts — the pattern anchors at the start, so the first three
+    // digit runs are y/m/d); halves per-row regex cost on large scans
+    val digits = regexp_extract_all(c, lit("(\\d+)"), lit(1))
     when(
       c.rlike(pat),
       concat(
-        regexp_extract(c, pat, 1), lit("-"),
-        lpad(regexp_extract(c, pat, 2), 2, "0"), lit("-"),
-        lpad(regexp_extract(c, pat, 3), 2, "0")))
+        element_at(digits, 1), lit("-"),
+        lpad(element_at(digits, 2), 2, "0"), lit("-"),
+        lpad(element_at(digits, 3), 2, "0")))
       .otherwise(c)
   }
 
