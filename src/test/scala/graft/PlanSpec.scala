@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Catalog
+
+/** Physical-plan assertions — the scale properties the engine is designed
+  * around, pinned as tests so a regression in plan shape fails loudly
+  * (SURVEY.md §4, §6 "100 TB design posture").
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    Catalog.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter reaches the parquet scan (pushdown)") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("q01: scan reads only the projected columns (pruning)") {
+    val p = plan("q01_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_tax") && !read.contains("l_quantity"),
+      s"unpruned scan: $read")
+  }
+
+  test("q13: dimension joins broadcast, never sort-merge") {
+    val p = plan("q13_join_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q14: top-k plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("q14_limit_topn").contains("TakeOrderedAndProject"))
+  }
+
+  test("q17: large-large join is sort-merge as hinted") {
+    assert(plan("q17_smj").contains("SortMergeJoin"))
+  }
+
+  test("q19: range join builds a broadcast nested loop on the tiny side") {
+    assert(plan("q19_range_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q25: per-query top-k uses rank pushdown (WindowGroupLimit)") {
+    assert(plan("q25_cosine_topk").contains("WindowGroupLimit"))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle at all") {
+    val orders = queries.Tables.orders(spark, sf)
+    val lineitem = queries.Tables.lineitem(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    val j = spark.table("lineitem_b")
+      .join(spark.table("orders_b").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_orderkey", "l_linenumber", "o_totalprice")
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not shuffle:\n$p")
+    assert(j.count() > 0)
+  }
+}
