@@ -78,29 +78,26 @@ object PackText2 {
   private val q28 = Q(
     "q28_ngram_jaccard",
     (s, d) => {
+      graft.expr.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
-      val g = docs.select(col("doc_id"), grams3(col("text")).as("g"))
-      g.join(
-        g.select((col("doc_id") - 1).as("doc_id"), col("g").as("g2")),
+      // join the raw (capped) texts and count grams in ONE native
+      // expression per pair: the composable array form materialized and
+      // shuffled ~200-element string arrays per side (~1 ms/row); this
+      // ships 200-char strings and emits two ints (graft.expr
+      // .GramJaccardCounts).
+      val t = docs.select(col("doc_id"),
+        substring(col("text"), 1, 200).as("t1"))
+      t.join(
+        t.select((col("doc_id") - 1).as("doc_id"), col("t1").as("t2")),
         "doc_id")
-        // two projections so the set ops evaluate ONCE each per row
-        // (CollapseProject keeps the boundary for non-cheap exprs used
-        // more than once; inlining them tripled the per-row cost)
+        .select(col("doc_id"),
+          expr("gram3_jaccard_counts(t1, t2)").as("c"))
         .select(
           col("doc_id"),
-          size(array_intersect(col("g"), col("g2"))).as("n_common"),
-          // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: one hash-set op
-          // per row instead of two (the sets dominate this query's cost)
-          (size(col("g")) + size(col("g2"))).as("n_both"))
-        .select(
-          col("doc_id"), col("n_common"),
-          (col("n_both") - col("n_common")).as("n_total"))
-        .select(
-          col("doc_id"), col("n_common"), col("n_total"),
-          // basis points via integer division: rounding a double ratio can
-          // land on exact .xxxx5 ties (dyadic rationals) where engines'
-          // rounding algorithms disagree — integers are bit-exact
-          expr("(n_common * 10000) div n_total").cast("int").as("jaccard_bp"))
+          col("c.n_common").as("n_common"),
+          col("c.n_total").as("n_total"),
+          expr("(c.n_common * 10000) div c.n_total").cast("int")
+            .as("jaccard_bp"))
         .orderBy("doc_id")
     },
     Some("""

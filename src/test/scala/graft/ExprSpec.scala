@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expr.GraftFunctions
+
+/** Specs for the engine-native Catalyst expressions. */
+class ExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("array_intersect_count matches size(array_intersect) incl. dups/nulls") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a")),          // dups count once
+      (Seq.empty[String], Seq("a")),
+      (Seq("x"), Seq.empty[String])
+    ).toDF("a", "b")
+    val got = df.select(
+      expr("array_intersect_count(a, b)"),
+      size(array_intersect(col("a"), col("b"))))
+      .as[(Int, Int)].collect()
+    got.foreach { case (custom, builtin) => assert(custom === builtin) }
+  }
+
+  test("array_intersect_count is null-safe and type-checked") {
+    val n = Seq((Seq("a"), Option.empty[Seq[String]])).toDF("a", "b")
+      .selectExpr("array_intersect_count(a, b)").collect()
+    assert(n.head.isNullAt(0))
+    val e = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b").selectExpr("array_intersect_count(a, b)")
+        .collect()
+    }
+    assert(e.getMessage.contains("array<string>"))
+  }
+
+  test("gram3_jaccard_counts matches the composable array form") {
+    val df = Seq(
+      ("abcdef", "abcxyz"),
+      ("aaaa", "aaaa"),     // dup grams collapse: {aaa} vs {aaa}
+      ("ab", "abc"),        // left too short → 0 grams
+      ("", "")
+    ).toDF("t1", "t2")
+    def grams(c: org.apache.spark.sql.Column) =
+      when(length(c) >= 3,
+        array_distinct(transform(sequence(lit(1), length(c) - 2),
+          i => c.substr(i, lit(3)))))
+        .otherwise(array().cast("array<string>"))
+    val got = df.select(
+      expr("gram3_jaccard_counts(t1, t2)").as("c"),
+      size(array_intersect(grams(col("t1")), grams(col("t2")))).as("bi"),
+      size(array_union(grams(col("t1")), grams(col("t2")))).as("bu"))
+      .select(col("c.n_common"), col("bi"), col("c.n_total"), col("bu"))
+      .as[(Int, Int, Int, Int)].collect()
+    got.foreach { case (nc, bi, nt, bu) =>
+      assert(nc === bi); assert(nt === bu)
+    }
+  }
+
+  test("native expressions stay inside whole-stage codegen (no fence)") {
+    // non-foldable input (range), else the projection constant-folds into
+    // a LocalTableScan before any codegen happens
+    val df = spark.range(10).select(
+      expr("gram3_jaccard_counts(concat('abcde', cast(id AS string)), 'abcdef')")
+        .as("c"),
+      expr("array_intersect_count(array(cast(id AS string), 'x'), array('x'))")
+        .as("n"))
+    val p = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the WholeStageCodegen marker in treeString
+    assert(p.contains("*(1) Project"), s"plan lost codegen:\n$p")
+    assert(df.count() === 10)
+  }
+}
