@@ -1,0 +1,68 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's primary entry point (run.py:37-156) as one composed
+  * Spark pipeline: list pages → case URLs (limit) → fetch → parse →
+  * scenario enrich → validate/route → per-case JSON + PDF + numbered run
+  * manifest.
+  *
+  * Boundary layout at scale (SURVEY §3.1): the only executor⇄driver
+  * crossings are the seed URL frame and the 1-row manifest; fetches run
+  * per-partition on executors; the routed frame is cached before fanning
+  * out to the three sinks so pages parse exactly once (the reference's
+  * shared in-memory dict, §4.1).
+  */
+object Pipeline {
+
+  final case class Result(
+      outDir: String, manifestFile: String,
+      total: Long, success: Long, excluded: Long, error: Long)
+
+  /** Run end-to-end from list-page URLs. `fetch` resolves any URL to HTML
+    * (an HTTP client in deployment; a fixture reader in tests).
+    */
+  def run(
+      spark: SparkSession,
+      listUrls: Seq[String],
+      limit: Int,
+      outDir: String,
+      writePdf: Boolean = true)(fetch: String => String): Result = {
+    import spark.implicits._
+
+    // S1+S2: crawl list pages, collect bounded case URLs (the limit is the
+    // reference's early stop; the collected seed is tiny by contract)
+    val listPages = Fetch.fetchPages(listUrls.toDS())(fetch)
+    val caseUrls = CaseParse
+      .caseUrlsFromLists(listPages.filter(col("fetch_error") === ""), limit)
+      .as[String].collect().toSeq
+
+    val casePages = Fetch.fetchPages(caseUrls.toDS())(fetch)
+      .filter(col("fetch_error") === "")
+
+    // parse case pages, then fetch+parse each DISTINCT scenario page once
+    val cases = CaseParse.parseMainPages(casePages)
+    val scenUrls = cases.select(col("scenario_url")).distinct()
+      .filter(col("scenario_url") =!= "").as[String]
+    val scenPages = Fetch.fetchPages(scenUrls)(fetch)
+      .filter(col("fetch_error") === "")
+
+    val routed = CaseParse.enrichAndRoute(cases, scenPages).cache()
+
+    Sinks.writePerCaseJson(routed.filter(col("status") === "success"), outDir)
+    if (writePdf) graft.sink.PdfSink.writePdfs(routed, outDir)
+    val manifest = Sinks.writeManifest(routed, outDir)
+
+    val counts = routed.groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    val res = Result(
+      outDir, manifest,
+      counts.values.sum,
+      counts.getOrElse("success", 0L),
+      counts.getOrElse("excluded", 0L),
+      counts.getOrElse("error", 0L))
+    routed.unpersist()
+    res
+  }
+}

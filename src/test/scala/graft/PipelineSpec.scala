@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import graft.ingest.Pipeline
+
+/** Full §3.1 replay: list URL → crawl → fetch → parse → enrich →
+  * validate → JSON + PDF + manifest, through the one composed entry point
+  * (the reference's run.py), over fixture HTML via an injected fetcher.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def fixture(name: String): String =
+    new String(Files.readAllBytes(
+      Paths.get(getClass.getResource(s"/fixtures/$name").toURI)), UTF_8)
+
+  private val base = "https://www.shippai.org/fkd"
+
+  test("list page to sinks, end to end") {
+    val pages: Map[String, String] = Map(
+      s"$base/lis/cat1.html" -> fixture("list_cat.html"),
+      s"$base/cf/CZ0200701.html" -> fixture("case_full.html"),
+      s"$base/cf/CZ0200702.html" -> fixture("case_missing.html"),
+      s"$base/cf/CZ0200703.html" -> fixture("case_full.html"),
+      s"$base/sf/SZ0200703.html" -> fixture("scenario_2b.html"))
+    val out = Files.createTempDirectory("pipeline").toString
+
+    val res = Pipeline.run(
+      spark, Seq(s"$base/lis/cat1.html"), limit = 3, outDir = out)(
+      u => pages.getOrElse(u, throw new java.io.IOException(s"404 $u")))
+
+    // limit=3 crawls 701/702/703; 701+703 succeed, 702 is excluded
+    assert(res.total === 3)
+    assert(res.success === 2)
+    assert(res.excluded === 1)
+    assert(res.error === 0)
+    assert(res.manifestFile === "results_001.json")
+
+    val files = new java.io.File(out).list().sorted.toSeq
+    // 2 JSON + 2 PDF (success only) + manifest
+    assert(files.count(_.endsWith(".json")) === 3) // 2 cases + manifest
+    assert(files.count(_.endsWith(".pdf")) === 2)
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(out, res.manifestFile)), UTF_8)
+    assert(manifest.contains("\"success\":2"))
+    assert(manifest.contains("情報不足の事例")) // excluded case in roster
+  }
+}
