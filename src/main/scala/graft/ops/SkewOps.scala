@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (SURVEY §6 / 100 TB posture).
+  *
+  * AQE's skew-join handling covers joins; for aggregations over hot keys
+  * (one key holding a large share of all rows), two-phase salting bounds
+  * any single reducer's load: phase 1 aggregates on (key, salt) — the hot
+  * key splits across `salts` reducers — phase 2 merges the partials on the
+  * key alone. The salt derives from the input partition id: deterministic
+  * for a fixed input layout, and rows of a hot key arriving from different
+  * input splits land on different reducers.
+  *
+  * Results are identical to the unsalted aggregate for decomposable
+  * aggregates (count/sum/min/max); that identity is the unit-test
+  * invariant.
+  */
+object SkewOps {
+
+  def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy("key")
+      .agg(sum("__partial").as("n"))
+
+  /** Salted exact sum of a 2-decimal monetary column (decimal-cast, so the
+    * two-phase merge is order-independent and exact).
+    */
+  def saltedSum(df: DataFrame, key: Column, value: Column,
+      salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(sum(value.cast("decimal(18,2)")).as("__partial"))
+      .groupBy("key")
+      .agg(sum("__partial").cast("double").as("total"))
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SkewOps
+import graft.queries.Tables
+
+/** Salted aggregation must be result-identical to the plain aggregate. */
+class SkewOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted count equals plain groupBy count on a skewed key") {
+    val ev = Tables.events(spark, sf)
+    val plain = ev.groupBy(col("event_type").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = SkewOps.saltedCount(ev, col("event_type"), 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("salted decimal sum equals plain sum exactly") {
+    val ev = Tables.events(spark, sf)
+    val plain = ev.groupBy(col("event_type").as("key"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("t"))
+      .as[(String, Double)].collect().toMap
+    val salted = SkewOps.saltedSum(ev, col("event_type"), col("value"), 8)
+      .as[(String, Double)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("phase-1 truly splits a key across salts (plan has two aggregates)") {
+    val ev = Tables.events(spark, sf)
+    val df = SkewOps.saltedCount(ev, col("event_type"), 8)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert("Aggregate".r.findAllIn(p).size >= 2, s"expected two-phase:\n$p")
+  }
+}
