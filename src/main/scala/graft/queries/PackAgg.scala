@@ -180,5 +180,29 @@ object PackAgg {
     """),
     doc = "rollup subtotals + grouping() markers, order-independent sums")
 
-  val all: Seq[Q] = Seq(q08, q10, q11, q16)
+  /** q34 — sketch surface (A6): HyperLogLog++ approximate distinct counts
+    * next to the exact ones (⊘ oracle: the sketch estimate is
+    * engine-specific; driver records the rows-only check, and the relative
+    * error column documents the accuracy contract). At 100 TB the sketch
+    * is the only affordable distinct count — partial sketches merge
+    * map-side, no distinct shuffle of the raw keys.
+    */
+  private val q34 = Q(
+    "q34_sketch_distinct",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .withColumn("rel_err_bp",
+          expr("abs(approx_users - exact_users) * 10000 div exact_users")
+            .cast("int"))
+        .orderBy("event_type")
+    },
+    None,
+    doc = "A6 sketch: HLL++ approx distinct vs exact, with error bound")
+
+  val all: Seq[Q] = Seq(q08, q10, q11, q16, q34)
 }
