@@ -88,5 +88,9 @@ object GraftFunctions {
       "gram3_jaccard_counts",
       es => GramJaccardCounts(es.head, es(1), 3),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64",
+      es => SimHash64(es.head),
+      "built-in")
   }
 }

@@ -32,10 +32,6 @@ object SimOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
-  /** Character-shingle rolling fingerprint: murmur3 hash of each k-gram of
-    * the lowercased text — the document-fingerprinting primitive under
-    * MinHash (SURVEY §2.9). Returns array<int>.
-    */
   /** Word-level k-gram shingle hashes: one murmur3 per k-word window.
     * Far more discriminative than character shingles on natural text
     * (char k-grams recur across unrelated documents sharing vocabulary,
@@ -79,4 +75,26 @@ object SimOps {
     array((0 until bands).map { b =>
       hash(lit(b), slice(sig, lit(b * rows + 1), lit(rows)))
     }: _*)
+
+  /** Token hashes for SimHash fingerprinting (array<bigint>); the
+    * signature itself is the native expression graft.expr.SimHash64
+    * (`simhash64(...)` once GraftFunctions.register ran) — a composable
+    * 64-fold HOF form costs one interpreted pass per bit.
+    */
+  def tokenHashes(tokens: Column): Column =
+    transform(tokens, t => xxhash64(t))
+
+  /** Random-hyperplane (cosine) LSH signature: bit j = sign of the dot
+    * product with a fixed pseudo-random Gaussian plane (seeded driver-side
+    * — deterministic across runs). Vectors with high cosine similarity
+    * agree on most bits; equal buckets are near-dup candidates.
+    */
+  def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (p, j) =>
+      val d = fsum(zip_with(vec, lit(p), (x, w) => x.cast("double") * w))
+      when(d > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce((a, c) => a.bitwiseOR(c))
+  }
 }
