@@ -33,7 +33,8 @@ object PdfSink {
     * skipped (the reference's emit-if-non-empty predicates,
     * render_pdf.py:362-465).
     */
-  def pdfBytes(title: String, sections: Seq[(String, String)]): Array[Byte] = {
+  def pdfBytes(title: String, sections: Seq[(String, String)],
+      extraPages: Seq[String] = Nil): Array[Byte] = {
     val lines: Seq[(String, Boolean)] =
       (title, true) +: ("", false) +: sections.filter(_._2.nonEmpty).flatMap {
         case (label, value) =>
@@ -45,7 +46,7 @@ object PdfSink {
       val gs = lines.grouped(perPage).toSeq
       if (gs.isEmpty) Seq(Seq(("", false))) else gs
     }
-    val n = pages.size
+    val n = pages.size + extraPages.size
     val pageNums = (0 until n).map(3 + _)
     val contentNums = (0 until n).map(3 + n + _)
     val (f0, f1, f2) = (3 + 2 * n, 4 + 2 * n, 5 + 2 * n)
@@ -60,14 +61,15 @@ object PdfSink {
       sb.append("ET").toString
     }
 
+    val allStreams: Seq[String] = pages.map(contentStream) ++ extraPages
     val bodies = scala.collection.mutable.LinkedHashMap[Int, String]()
     bodies(1) = "<< /Type /Catalog /Pages 2 0 R >>"
     bodies(2) = s"<< /Type /Pages /Count $n /Kids [${pageNums.map(p => s"$p 0 R").mkString(" ")}] >>"
-    pages.indices.foreach { i =>
+    allStreams.indices.foreach { i =>
       bodies(pageNums(i)) =
         s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] " +
           s"/Resources << /Font << /F1 $f0 0 R >> >> /Contents ${contentNums(i)} 0 R >>"
-      val cs = contentStream(pages(i))
+      val cs = allStreams(i)
       bodies(contentNums(i)) =
         s"<< /Length ${cs.getBytes(StandardCharsets.US_ASCII).length} >>\nstream\n$cs\nendstream"
     }
@@ -130,13 +132,34 @@ object PdfSink {
       "データ作成者" -> authors.mkString("\n"))
   }
 
-  /** Write `{case_id}_{case_name}.pdf` per successful case under `dir`. */
+  /** The scenario diagram page's content stream (heading + diagram),
+    * None when the scenario is empty.
+    */
+  def diagramPage(r: Row): Option[String] = {
+    def cat(name: String): Seq[Seq[String]] =
+      r.getAs[Row]("scenario")
+        .getAs[scala.collection.Seq[scala.collection.Seq[String]]](name)
+        .map(_.toSeq).toSeq
+    Diagram
+      .contentOps(cat("cause"), cat("action"), cat("result"),
+        x0 = 50, yTop = 750, maxW = 495, maxH = 670)
+      .map { ops =>
+        val headingHex = "失敗シナリオ（失敗まんだら）"
+          .getBytes(StandardCharsets.UTF_16BE).map("%02X".format(_)).mkString
+        s"BT /F1 13 Tf 50 780 Td <$headingHex> Tj ET\n" + ops
+      }
+  }
+
+  /** Write `{case_id}_{case_name}.pdf` per successful case under `dir`
+    * (sections + the scenario diagram page when present).
+    */
   def writePdfs(cases: DataFrame, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     cases.filter(col("status") === "success").foreachPartition {
       (it: Iterator[Row]) =>
         it.foreach { r =>
-          val bytes = pdfBytes(r.getAs[String]("case_name"), sectionsOf(r))
+          val bytes = pdfBytes(r.getAs[String]("case_name"), sectionsOf(r),
+            diagramPage(r).toSeq)
           val name =
             s"${r.getAs[String]("case_id")}_${r.getAs[String]("case_name")}.pdf"
           Files.write(Paths.get(dir, name), bytes)
