@@ -35,14 +35,19 @@ object Bench {
     val results = names.map { name =>
       // Per-query untimed warmup: the first materialization of a plan shape
       // pays janino codegen + JIT (~3s even on 500 rows — measured), which
-      // would swamp the actual plan work at bench scale. Timed run is the
-      // second, steady-state one.
-      materialize(name)
-      val t0 = System.nanoTime()
+      // would swamp the actual plan work at bench scale. Report the MEDIAN
+      // of three steady-state runs — single-run timings vary ±20% from GC
+      // and scheduling noise.
       val ok = materialize(name)
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (!ok) errors ::= name
-      name -> (if (ok) dt else -1.0)
+      if (!ok) { errors ::= name; name -> -1.0 }
+      else {
+        val ts = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          materialize(name)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> ts(1)
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
