@@ -64,5 +64,41 @@ object PackDedup2 {
     None,
     doc = "cosine near-dup: hyperplane-LSH buckets + in-bucket verify")
 
-  val all: Seq[Q] = Seq(q35, q36)
+  /** q37 — token counting, whitespace vs BPE-ish: the GPT-2-style
+    * pre-tokenizer regex (contractions, letter runs, digit runs,
+    * punctuation runs, each with optional leading space) counted per
+    * document next to plain whitespace tokens — the cost-estimation
+    * primitive of an LLM data pipeline. Same regex in both engines; ratio
+    * as integer basis points (rounding-tie-proof).
+    */
+  private val q37 = Q(
+    "q37_token_count",
+    (s, d) => {
+      val bpe = "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      val docs = Tables.documents(s, d)
+      val bpeToks = filter(
+        regexp_extract_all(col("text"), lit(bpe), lit(0)),
+        t => trim(t) =!= "")
+      val wsToks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      docs
+        .select(col("doc_id"), length(col("text")).as("n_chars_t"),
+          size(bpeToks).as("n_bpe"), size(wsToks).as("n_ws"))
+        .select(col("doc_id"), col("n_bpe"), col("n_ws"),
+          expr("(n_chars_t * 10000) div n_bpe").cast("int")
+            .as("chars_per_tok_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, length(text) AS n_chars_t,
+          cast(len(list_filter(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'), x -> trim(x) != '')) AS INTEGER) AS n_bpe,
+          cast(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS n_ws
+        FROM documents)
+      SELECT doc_id, n_bpe, n_ws,
+             cast((n_chars_t * 10000) // n_bpe AS INTEGER) AS chars_per_tok_bp
+      FROM t ORDER BY doc_id
+    """),
+    doc = "token counting: whitespace vs BPE-ish pre-tokenizer regex")
+
+  val all: Seq[Q] = Seq(q35, q36, q37)
 }
