@@ -32,6 +32,35 @@ class ParserFuzzSpec extends SparkSpec {
   private def randText(): String =
     Seq.fill(rnd.nextInt(7))(randLine()).mkString("\n")
 
+  /** ScalaCheck-generated corpus (fixed seed, batch-evaluated — per-sample
+    * Spark jobs would be too slow for forAll, so generation is ScalaCheck,
+    * evaluation is one job).
+    */
+  private def scalacheckTexts(n: Int): Seq[String] = {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val line = for {
+      prefix <- Gen.oneOf("・", "1.", "１．", "9８.", "", "  ", "・ ")
+      body <- Gen.listOf(Gen.oneOf(words)).map(_.mkString(" "))
+    } yield prefix + body
+    val text = Gen.choose(0, 6)
+      .flatMap(k => Gen.listOfN(k, line).map(_.mkString("\n")))
+    Iterator.from(0)
+      .map(i => text.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .collect { case Some(t) => t }
+      .take(n).toSeq
+  }
+
+  test("P7 fold matches the reference on a ScalaCheck-generated corpus") {
+    val inputs = scalacheckTexts(200)
+    val got = inputs.toDF("t")
+      .select(col("t"), TextOps.knowledgeParse(col("t")).as("items"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (in, items) =>
+      assert(items === refKnowledge(in), s"input=${in.replace("\n", "\\n")}")
+    }
+  }
+
   // ---- reference reimplementations (test oracles) ----
 
   private def refKnowledge(text: String): Seq[String] = {
