@@ -55,42 +55,61 @@ case class ArrayIntersectCount(left: Expression, right: Expression)
 
 object ArrayIntersectCount {
   /** Distinct common elements (duplicates in either input count once —
-    * set semantics, matching size(array_intersect)).
+    * set semantics, matching size(array_intersect)). Null elements follow
+    * the builtin too: array_intersect keeps ONE null when both sides
+    * contain null, so that counts as one common element here.
     */
   def count(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
     val set = new java.util.HashSet[UTF8String](Math.max(4, n * 2))
+    var aHasNull = false
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i)) set.add(a.getUTF8String(i))
+      if (a.isNullAt(i)) aHasNull = true else set.add(a.getUTF8String(i))
       i += 1
     }
     var c = 0
     val m = b.numElements()
     i = 0
     while (i < m) {
-      if (!b.isNullAt(i) && set.remove(b.getUTF8String(i))) c += 1
+      if (b.isNullAt(i)) {
+        if (aHasNull) { c += 1; aHasNull = false }
+      } else if (set.remove(b.getUTF8String(i))) c += 1
       i += 1
     }
     c
   }
 }
 
-/** Engine-native function registration (idempotent per session). */
+/** Engine-native function registration (idempotent per session: re-running
+  * a catalog query must not re-register — the registry logs a "replaced a
+  * previously registered function" warning per call, which the r2 bench
+  * tail showed 37× per run).
+  */
 object GraftFunctions {
+  private val registered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "array_intersect_count",
-      es => ArrayIntersectCount(es.head, es(1)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "gram3_jaccard_counts",
-      es => GramJaccardCounts(es.head, es(1), 3),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash64",
-      es => SimHash64(es.head),
-      "built-in")
+    if (registered.contains(spark)) return
+    synchronized {
+      if (registered.contains(spark)) return
+      reg.createOrReplaceTempFunction(
+        "array_intersect_count",
+        es => ArrayIntersectCount(es.head, es(1)),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        "gram3_jaccard_counts",
+        es => GramJaccardCounts(es.head, es(1), 3),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        "simhash64",
+        es => SimHash64(es.head),
+        "built-in")
+      registered.add(spark)
+    }
   }
 }

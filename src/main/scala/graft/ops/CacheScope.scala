@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Scoped caching for catalog queries (VERDICT r2 "What's wrong" #4).
+  *
+  * Query builders that persist an intermediate (q27's shingle signatures,
+  * q36's hyperplane signatures) register the cached frame here; the runner
+  * that materializes the query (Bench, Verify, a test) calls `drain()`
+  * afterwards to release the storage. Without this, every invocation of a
+  * catalog query in a long-lived session stacks another copy of the corpus
+  * in storage memory — the r2 bench showed q17's sort spilling because
+  * earlier queries' leaked caches held the unified-memory pool, and the
+  * CacheManager logged "already cached" warnings on every warmup rerun.
+  */
+object CacheScope {
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` (MEMORY_AND_DISK default) and track it for release. */
+  def persisted(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    live.add(p)
+    p
+  }
+
+  /** Unpersist everything registered since the last drain. Non-blocking:
+    * executors free the blocks asynchronously while the next query plans.
+    */
+  def drain(): Unit = {
+    var df = live.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = live.poll()
+    }
+  }
+}

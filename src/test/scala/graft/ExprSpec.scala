@@ -23,6 +23,22 @@ class ExprSpec extends SparkSpec {
     got.foreach { case (custom, builtin) => assert(custom === builtin) }
   }
 
+  test("array_intersect_count: null ELEMENTS follow array_intersect semantics") {
+    // builtin array_intersect keeps one null when both sides contain null —
+    // the counting expression must agree (ADVICE r2)
+    val df = Seq(
+      (Seq(Some("a"), None, Some("b")), Seq(None, Some("b"))),   // null both
+      (Seq(Some("a"), None), Seq(Some("a"))),                    // null left only
+      (Seq(Some("a")), Seq(None, Some("a"))),                    // null right only
+      (Seq(None, None), Seq(None, None))                         // nulls only
+    ).toDF("a", "b")
+    val got = df.select(
+      expr("array_intersect_count(a, b)"),
+      size(array_intersect(col("a"), col("b"))))
+      .as[(Int, Int)].collect()
+    got.foreach { case (custom, builtin) => assert(custom === builtin) }
+  }
+
   test("array_intersect_count is null-safe and type-checked") {
     val n = Seq((Seq("a"), Option.empty[Seq[String]])).toDF("a", "b")
       .selectExpr("array_intersect_count(a, b)").collect()
