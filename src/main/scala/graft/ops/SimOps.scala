@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.ExprGlue
+import graft.expr.{FloatDot, MinHashSigs, WordShingles}
 
 /** Similarity / embedding operators (SURVEY.md §2.9 extension surface).
   *
@@ -20,13 +22,16 @@ object SimOps {
   /** Public alias of [[fsum]] for composed expressions (e.g. distances). */
   def fsumPublic(arr: Column): Column = fsum(arr)
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated left-to-right in
+    * double — the native single-pass kernel (bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaced, which cost ~3 interpreted
+    * passes per cosine on the near-dup verify paths).
+    */
   def dot(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    ExprGlue.column(FloatDot(ExprGlue.expression(a), ExprGlue.expression(b)))
 
   /** Squared L2 norm. */
-  def norm2(a: Column): Column =
-    fsum(transform(a, x => x.cast("double") * x.cast("double")))
+  def norm2(a: Column): Column = dot(a, a)
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column =
@@ -38,14 +43,9 @@ object SimOps {
     * which floods LSH buckets with false candidates), and linear in text
     * length. Preferred fingerprint for near-dup detection.
     */
-  def wordShingleHashes(text: Column, k: Int): Column = {
-    val words = split(text, "\\s+")
-    when(size(words) >= k,
-      transform(
-        sequence(lit(1), size(words) - (k - 1)),
-        i => hash(concat_ws(" ", slice(words, i, lit(k))))))
-      .otherwise(array().cast("array<int>"))
-  }
+  def wordShingleHashes(text: Column, k: Int): Column =
+    ExprGlue.column(
+      WordShingles(ExprGlue.expression(split(text, "\\s+")), k))
 
   def shingleHashes(text: Column, k: Int): Column =
     // guard: sequence(1, n) DESCENDS when n < 1, so short texts must map to
@@ -64,9 +64,7 @@ object SimOps {
     * shuffle-bounded at 100 TB.
     */
   def minhashSignature(shingles: Column, perms: Int): Column =
-    array((0 until perms).map { seed =>
-      array_min(transform(shingles, sh => xxhash64(lit(seed), sh)))
-    }: _*)
+    ExprGlue.column(MinHashSigs(ExprGlue.expression(shingles), perms))
 
   /** LSH band keys: the signature split into `bands` slices, each hashed;
     * docs sharing any band key are near-dup candidates.

@@ -55,11 +55,17 @@ object PackDedup2 {
       val corpus = graft.ops.CacheScope.persisted(
         emb.unionByName(planted)
           .withColumn("sig", SimOps.hyperplaneSig(col("e"), 64, 32, seed = 7L)))
-      val banded = corpus.select(col("vec_id"),
+      val banded = corpus.select(col("vec_id"), col("sig"),
         explode(SimOps.intSigBands(col("sig"), 4, 8)).as("band"))
+      // hamming prefilter before the exact verify: cosine >= 0.95 flips an
+      // expected ~3 of 32 sign bits, so <= 10 keeps recall while dropping
+      // ~2/3 of the band-collision noise on a single integer op instead of
+      // a dot product per pair
       val pairs = banded
-        .join(banded.select(col("vec_id").as("vec_id2"), col("band")), "band")
-        .filter(col("vec_id") < col("vec_id2"))
+        .join(banded.select(col("vec_id").as("vec_id2"),
+          col("sig").as("sig2"), col("band")), "band")
+        .filter(col("vec_id") < col("vec_id2") &&
+          bit_count(col("sig").bitwiseXOR(col("sig2"))) <= 10)
         .select("vec_id", "vec_id2").distinct()
       pairs
         .join(corpus.select(col("vec_id"), col("e")), "vec_id")
