@@ -100,19 +100,39 @@ object CaseParse {
 
   /** J1: enrich cases with their parsed scenario page (left outer — cases
     * without a link keep the empty scenario), then validate and route
-    * (F3): success | excluded (missing required fields) | error (no
-    * parseable case id — the reference's exception path).
+    * (F3): success | excluded (missing required fields) | error (fetch
+    * failure or no parseable case id — the reference's exception path,
+    * run.py:114-120, which keeps every input URL in the roster with
+    * status='error' and the exception message; ADVICE r2 flagged that
+    * dropping failed fetches before routing made total < len(case_urls)).
+    *
+    * `fetchErrors` is (url, message) for case pages whose fetch failed;
+    * their rows arrive here parsed-from-empty-html and are forced onto the
+    * error route with the message preserved.
     */
-  def enrichAndRoute(cases: DataFrame, scenarioPages: DataFrame): DataFrame = {
+  def enrichAndRoute(
+      cases: DataFrame,
+      scenarioPages: DataFrame,
+      fetchErrors: Option[DataFrame] = None): DataFrame = {
     val scen = ScenarioParse.parse(scenarioPages)
       .dropDuplicates("scenario_url") // parse each page once (§4.1)
-    cases
+    val enriched = cases
       .join(broadcast(scen), Seq("scenario_url"), "left")
       .withColumn("scenario",
         coalesce(col("scenario"), ScenarioParse.emptyScenario))
+    val withMsg = fetchErrors match {
+      case Some(fe) =>
+        enriched
+          .join(broadcast(fe.select(col("url"), col("message"))),
+            Seq("url"), "left")
+          .withColumn("message", coalesce(col("message"), lit("")))
+      case None => enriched.withColumn("message", lit(""))
+    }
+    withMsg
       .withColumn("missing_fields", missingExpr)
       .withColumn("status",
-        when(col("case_id") === "", lit("error"))
+        when(col("message") =!= "", lit("error"))
+          .when(col("case_id") === "", lit("error"))
           .when(size(col("missing_fields")) > 0, lit("excluded"))
           .otherwise(lit("success")))
       .drop("scenario_url")

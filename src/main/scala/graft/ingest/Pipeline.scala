@@ -38,8 +38,12 @@ object Pipeline {
       .caseUrlsFromLists(listPages.filter(col("fetch_error") === ""), limit)
       .as[String].collect().toSeq
 
+    // failed fetches stay in the frame: they parse from empty html and are
+    // forced onto the error route with the fetch message, so the manifest's
+    // total equals the number of crawled case URLs (run.py:114-133 parity)
     val casePages = Fetch.fetchPages(caseUrls.toDS())(fetch)
-      .filter(col("fetch_error") === "")
+    val fetchErrors = casePages.filter(col("fetch_error") =!= "")
+      .select(col("url"), col("fetch_error").as("message"))
 
     // parse case pages, then fetch+parse each DISTINCT scenario page once
     val cases = CaseParse.parseMainPages(casePages)
@@ -48,7 +52,8 @@ object Pipeline {
     val scenPages = Fetch.fetchPages(scenUrls)(fetch)
       .filter(col("fetch_error") === "")
 
-    val routed = CaseParse.enrichAndRoute(cases, scenPages).cache()
+    val routed = CaseParse
+      .enrichAndRoute(cases, scenPages, Some(fetchErrors)).cache()
 
     Sinks.writePerCaseJson(routed.filter(col("status") === "success"), outDir)
     if (writePdf) graft.sink.PdfSink.writePdfs(routed, outDir)

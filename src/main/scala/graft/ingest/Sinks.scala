@@ -26,7 +26,8 @@ object Sinks {
   /** K1 — per-case JSON files under `dir`; returns the file names. */
   def writePerCaseJson(cases: DataFrame, dir: String): Unit = {
     val docCols = cases.columns
-      .filterNot(Set("status", "missing_fields", "lm", "fetch_error"))
+      .filterNot(Set("status", "missing_fields", "lm", "fetch_error",
+        "message"))
     val out = cases.select(
       col("case_id"), col("case_name"),
       to_json(struct(docCols.map(col): _*)).as("js"))
@@ -51,7 +52,11 @@ object Sinks {
         count(when(col("status") === "error", 1)).as("error"),
         to_json(sort_array(collect_list(struct(
           col("case_id"), col("case_name"), col("url"), col("status"),
-          col("missing_fields"))))).as("cases"))
+          col("missing_fields"),
+          // null when absent → to_json omits the key, matching the
+          // reference's error-only message field (run.py:116-119)
+          when(col("message") =!= "", col("message")).as("message")))))
+        .as("cases"))
       .head()
 
     val existing = Option(new java.io.File(dir).list()).getOrElse(Array.empty)

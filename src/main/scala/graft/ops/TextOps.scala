@@ -29,19 +29,22 @@ object TextOps {
   def caseId(url: Column): Column =
     regexp_extract(url, "/cf/(\\w+)\\.html", 1)
 
-  /** P2 — date normalization `YYYY年M月D日` → zero-padded `YYYY-MM-DD`, raw
-    * text passthrough when the pattern does not match at the start
-    * (reference: `re.match`, anchored at start only —
-    * /root/reference/src/extract.py:380-385).
+  /** P2 — date normalization: the FIRST `YYYY年M月D日` occurrence anywhere
+    * in the text → zero-padded `YYYY-MM-DD`; raw text passthrough when no
+    * occurrence (reference: `re.search`, unanchored —
+    * /root/reference/src/extract.py:380-385; dates embedded mid-text like
+    * `発生は2006年6月15日` normalize too — ADVICE r2 flagged the previous
+    * anchored form).
     */
   def dateNorm(c: Column): Column = {
-    val pat = "^(\\d{4})年(\\d{1,2})月(\\d{1,2})日"
-    // one match test + one extract-all pass (instead of three per-group
-    // extracts — the pattern anchors at the start, so the first three
-    // digit runs are y/m/d); halves per-row regex cost on large scans
-    val digits = regexp_extract_all(c, lit("(\\d+)"), lit(1))
+    val pat = "(\\d{4})年(\\d{1,2})月(\\d{1,2})日"
+    // extract the whole first match once, then its digit runs (y/m/d) from
+    // that short substring — 2 regex passes instead of a match test plus
+    // three per-group extracts
+    val m = regexp_extract(c, pat, 0)
+    val digits = regexp_extract_all(m, lit("(\\d+)"), lit(1))
     when(
-      c.rlike(pat),
+      m =!= "",
       concat(
         element_at(digits, 1), lit("-"),
         lpad(element_at(digits, 2), 2, "0"), lit("-"),
@@ -50,10 +53,17 @@ object TextOps {
   }
 
   /** P3 — first integer anywhere in the text, default 0 on none
-    * (reference: /root/reference/src/extract.py:388-393).
+    * (reference: /root/reference/src/extract.py:388-393). Python's `\d`
+    * is Unicode-wide, so full-width digits parse too (`死者１名` → 1);
+    * scoped to the full-width block the reference corpus actually uses
+    * (ADVICE r2 — broader Unicode Nd classes are out of scope).
     */
   def firstInt(c: Column): Column =
-    coalesce(nullIfEmpty(regexp_extract(c, "(\\d+)", 1)).cast("int"), lit(0))
+    coalesce(
+      nullIfEmpty(
+        translate(regexp_extract(c, "([0-9０-９]+)", 1),
+          "０１２３４５６７８９", "0123456789")).cast("int"),
+      lit(0))
 
   /** P4 — `<br>` (any spelling) → newline
     * (reference: /root/reference/src/extract.py:100-107).

@@ -57,8 +57,12 @@ object PackScalar {
       val y = year(col("ts")).cast("string")
       val m = month(col("ts")).cast("string")
       val dd = dayofmonth(col("ts")).cast("string")
+      // the %6 variant embeds the date mid-text: search (re.search parity)
+      // must still normalize it — an anchored match would pass it through
       val raw = when(col("event_id") % 3 === 0,
-        concat(y, lit("年"), m, lit("月"), dd, lit("日"),
+        concat(
+          when(col("event_id") % 6 === 0, lit("発生は")).otherwise(lit("")),
+          y, lit("年"), m, lit("月"), dd, lit("日"),
           when(col("event_id") % 6 === 0, lit("頃")).otherwise(lit(""))))
         .when(col("event_id") % 3 === 1, concat(lit("R6."), m, lit("."), dd))
         .otherwise(lit("不明"))
@@ -73,13 +77,13 @@ object PackScalar {
       WITH t AS (SELECT event_id, cast(ts AS TIMESTAMP) AS tsu FROM events),
       r AS (
         SELECT event_id, tsu,
-          CASE WHEN event_id % 3 = 0 THEN cast(year(tsu) AS VARCHAR) || '年' || cast(month(tsu) AS VARCHAR) || '月' || cast(day(tsu) AS VARCHAR) || '日' || (CASE WHEN event_id % 6 = 0 THEN '頃' ELSE '' END)
+          CASE WHEN event_id % 3 = 0 THEN (CASE WHEN event_id % 6 = 0 THEN '発生は' ELSE '' END) || cast(year(tsu) AS VARCHAR) || '年' || cast(month(tsu) AS VARCHAR) || '月' || cast(day(tsu) AS VARCHAR) || '日' || (CASE WHEN event_id % 6 = 0 THEN '頃' ELSE '' END)
                WHEN event_id % 3 = 1 THEN 'R6.' || cast(month(tsu) AS VARCHAR) || '.' || cast(day(tsu) AS VARCHAR)
                ELSE '不明' END AS raw
         FROM t)
       SELECT event_id, raw,
-        CASE WHEN regexp_matches(raw, '^(\d{4})年(\d{1,2})月(\d{1,2})日')
-             THEN regexp_extract(raw, '^(\d{4})年(\d{1,2})月(\d{1,2})日', 1) || '-' || lpad(regexp_extract(raw, '^(\d{4})年(\d{1,2})月(\d{1,2})日', 2), 2, '0') || '-' || lpad(regexp_extract(raw, '^(\d{4})年(\d{1,2})月(\d{1,2})日', 3), 2, '0')
+        CASE WHEN regexp_matches(raw, '(\d{4})年(\d{1,2})月(\d{1,2})日')
+             THEN regexp_extract(raw, '(\d{4})年(\d{1,2})月(\d{1,2})日', 1) || '-' || lpad(regexp_extract(raw, '(\d{4})年(\d{1,2})月(\d{1,2})日', 2), 2, '0') || '-' || lpad(regexp_extract(raw, '(\d{4})年(\d{1,2})月(\d{1,2})日', 3), 2, '0')
              ELSE raw END AS norm,
         strftime(tsu, '%Y-%m-%d') AS day
       FROM r ORDER BY event_id

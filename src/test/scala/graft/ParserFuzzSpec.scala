@@ -86,14 +86,19 @@ class ParserFuzzSpec extends SparkSpec {
     } else Seq(kt)
   }
 
+  // re.search parity (extract.py:380): first occurrence ANYWHERE normalizes
   private def refDateNorm(s: String): String = {
-    val m = "^(\\d{4})年(\\d{1,2})月(\\d{1,2})日".r.findPrefixMatchOf(s)
+    val m = "(\\d{4})年(\\d{1,2})月(\\d{1,2})日".r.findFirstMatchIn(s)
     m.map(g => f"${g.group(1)}-${g.group(2).reverse.padTo(2, '0').reverse}-${g.group(3).reverse.padTo(2, '0').reverse}")
       .getOrElse(s)
   }
 
+  // Python \d is Unicode-wide: full-width digits parse (extract.py:389)
   private def refFirstInt(s: String): Int =
-    "\\d+".r.findFirstIn(s).map(_.toInt).getOrElse(0)
+    "[0-9０-９]+".r.findFirstIn(s)
+      .map(_.map(ch =>
+        if (ch >= '０' && ch <= '９') ('0' + (ch - '０')).toChar else ch).toInt)
+      .getOrElse(0)
 
   private def refParagraphs(s: String): String = {
     val lines = s.split("\n", -1).map(_.trim)
@@ -124,7 +129,7 @@ class ParserFuzzSpec extends SparkSpec {
       rnd.nextInt(4) match {
         case 0 => s"${1900 + rnd.nextInt(200)}年${1 + rnd.nextInt(12)}月${1 + rnd.nextInt(31)}日"
         case 1 => s"${1900 + rnd.nextInt(200)}年${1 + rnd.nextInt(12)}月${1 + rnd.nextInt(31)}日頃"
-        case 2 => s"约${1900 + rnd.nextInt(200)}年1月2日" // not at start → passthrough
+        case 2 => s"发生于${1900 + rnd.nextInt(200)}年1月2日前后" // mid-text → still normalized (re.search)
         case _ => randLine()
       }
     }
@@ -135,7 +140,13 @@ class ParserFuzzSpec extends SparkSpec {
   }
 
   test("P3 first-int matches on fuzzed strings") {
-    val inputs = Seq.fill(300)(randLine() + (if (rnd.nextBoolean()) s" ${rnd.nextInt(99999)}名" else ""))
+    def fullWidth(n: Int): String =
+      n.toString.map(c => ('０' + (c - '0')).toChar)
+    val inputs = Seq.fill(300)(randLine() + (rnd.nextInt(3) match {
+      case 0 => s" ${rnd.nextInt(99999)}名"
+      case 1 => s" 死者${fullWidth(rnd.nextInt(999))}名" // full-width digits
+      case _ => ""
+    }))
     val got = inputs.toDF("t")
       .select(col("t"), TextOps.firstInt(col("t")).as("n"))
       .as[(String, Int)].collect()

@@ -45,4 +45,34 @@ class PipelineSpec extends SparkSpec {
     assert(manifest.contains("\"success\":2"))
     assert(manifest.contains("情報不足の事例")) // excluded case in roster
   }
+
+  test("fetch failures stay in the roster as status=error with the message") {
+    // 703 is crawled but its fetch throws: run.py:114-133 keeps it in the
+    // roster (status=error, message=exception) and counts it in total —
+    // ADVICE r2 flagged that dropping it made total < len(case_urls)
+    val pages: Map[String, String] = Map(
+      s"$base/lis/cat1.html" -> fixture("list_cat.html"),
+      s"$base/cf/CZ0200701.html" -> fixture("case_full.html"),
+      s"$base/cf/CZ0200702.html" -> fixture("case_missing.html"),
+      s"$base/sf/SZ0200703.html" -> fixture("scenario_2b.html"))
+    val out = Files.createTempDirectory("pipeline-err").toString
+
+    val res = Pipeline.run(
+      spark, Seq(s"$base/lis/cat1.html"), limit = 3, outDir = out)(
+      u => pages.getOrElse(u, throw new java.io.IOException(s"404 $u")))
+
+    assert(res.total === 3)
+    assert(res.success === 1)
+    assert(res.excluded === 1)
+    assert(res.error === 1)
+
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(out, res.manifestFile)), UTF_8)
+    assert(manifest.contains("\"error\":1"))
+    assert(manifest.contains("404 https://www.shippai.org/fkd/cf/CZ0200703.html"),
+      s"manifest must carry the fetch message:\n$manifest")
+    // the failed case produced no per-case JSON or PDF
+    val files = new java.io.File(out).list().sorted.toSeq
+    assert(files.count(_.endsWith(".pdf")) === 1)
+  }
 }

@@ -78,10 +78,11 @@ class TextOpsSpec extends SparkSpec {
     assert(norm1("2006年12月15日") === "2006-12-15")
   }
 
-  test("P2 matches at start only, raw passthrough otherwise (re.match)") {
-    assert(norm1("発生は2006年6月5日") === "発生は2006年6月5日")
+  test("P2 first occurrence anywhere normalizes, raw passthrough on none (re.search)") {
+    assert(norm1("発生は2006年6月5日") === "2006-06-05") // mid-text (ADVICE r2)
     assert(norm1("昭和期") === "昭和期")
     assert(norm1("2006年6月5日頃") === "2006-06-05") // trailing text ok
+    assert(norm1("1999年1月1日と2006年6月5日") === "1999-01-01") // FIRST occurrence
   }
 
   // -------- P3 first int (extract.py:388-393) --------
