@@ -2,6 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.ExprGlue
 import graft.ops.TextOps
 
 /** P12 — HTML extraction as pure column expressions (SURVEY.md §2.3).
@@ -17,9 +18,28 @@ import graft.ops.TextOps
   */
 object HtmlOps {
 
-  /** All `<tr>` bodies of the page, in document order. */
+  /** Remove HTML comments — a DOM parser never sees commented-out markup,
+    * but the row/anchor regexes would (r2 verdict hardening item).
+    */
+  def stripComments(h: Column): Column =
+    regexp_replace(h, "(?s)<!--.*?-->", "")
+
+  /** DOM-grade table rows: every `<tr>` (any depth, document order) with
+    * its descendant `<td>` bodies balanced across nested tables and the
+    * first cell's opening tag — the native tokenizer expression
+    * [[graft.expr.HtmlTableRows]] (see its doc for the BeautifulSoup
+    * parity points).
+    */
+  def tableRows(html: Column): Column =
+    ExprGlue.column(graft.expr.HtmlTableRows(ExprGlue.expression(html)))
+
+  /** All `<tr>` bodies of the page, in document order (regex form — keeps
+    * leaf-row semantics for the scenario parser, which mirrors the
+    * reference's `find_parent("tr")` innermost-row navigation).
+    */
   def trs(html: Column): Column =
-    regexp_extract_all(html, lit("(?is)<tr[^>]*>(.*?)</tr>"), lit(1))
+    regexp_extract_all(stripComments(html),
+      lit("(?is)<tr[^>]*>(.*?)</tr>"), lit(1))
 
   /** All `<td>` bodies of a row, in order. */
   def tds(row: Column): Column =
@@ -80,15 +100,22 @@ object HtmlOps {
   /** F2 — the page's label→value map: rows whose first td carries
     * `bgcolor=#DFE9F2` (case-insensitive, extract.py:69-71), as an array
     * of (label, value-html) structs. Rows with <2 cells are skipped.
+    * Built on the DOM-grade tokenizer rows, so commented-out rows are
+    * invisible, nested tables inside a value cell stay balanced, and —
+    * matching `row.find_all("td")[-1]` pre-order semantics — the value
+    * cell of a row whose last cell holds a nested table is the LAST INNER
+    * cell (extract.py:64-66).
     */
   def labelMap(html: Column): Column =
     filter(
-      transform(trs(html), r =>
+      transform(tableRows(html), r =>
         struct(
-          upper(attr(firstTdTag(r), "bgcolor")).as("bg"),
-          size(tds(r)).as("n"),
-          cellText(coalesce(try_element_at(tds(r), lit(1)), lit(""))).as("label"),
-          coalesce(try_element_at(tds(r), lit(-1)), lit("")).as("value"))),
+          upper(attr(r.getField("first_tag"), "bgcolor")).as("bg"),
+          size(r.getField("cells")).as("n"),
+          cellText(coalesce(try_element_at(r.getField("cells"), lit(1)),
+            lit(""))).as("label"),
+          coalesce(try_element_at(r.getField("cells"), lit(-1)), lit(""))
+            .as("value"))),
       s => s.getField("bg") === "#DFE9F2" && s.getField("n") >= 2)
 
   /** Value-html of a labeled field, "" when the label is absent. */
@@ -103,8 +130,11 @@ object HtmlOps {
   def aHref(h: Column): Column =
     regexp_extract(h, "(?is)<a[^>]+href\\s*=\\s*[\"']?([^\"'\\s>]+)", 1)
 
-  /** All anchors of the page as (href, caption) structs, in order. */
-  def anchors(html: Column): Column = {
+  /** All anchors of the page as (href, caption) structs, in order
+    * (comment-stripped first — a commented-out link is not in the DOM).
+    */
+  def anchors(html0: Column): Column = {
+    val html = stripComments(html0)
     val pat = "(?is)<a[^>]+href\\s*=\\s*[\"']?([^\"'\\s>]+)[^>]*>(.*?)</a>"
     zip_with(
       regexp_extract_all(html, lit(pat), lit(1)),

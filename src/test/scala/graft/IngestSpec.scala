@@ -54,6 +54,34 @@ class IngestSpec extends SparkSpec {
     assert(full.getAs[String]("notes") === "")
   }
 
+  test("adversarial markup: comments, nested tables, quote edge cases (DOM parity)") {
+    val casePages = Seq(
+      (s"$base/cf/CZ0200799.html", fixture("case_adversarial.html")))
+      .toDF("url", "html")
+    val scenPages =
+      Seq((s"$base/sf/SZ0200703.html", fixture("scenario_2b.html")))
+        .toDF("url", "html")
+    val r = CaseParse
+      .enrichAndRoute(CaseParse.parseMainPages(casePages), scenPages)
+      .head()
+    // single-quoted and unquoted bgcolor both mark label cells
+    assert(r.getAs[String]("case_name") === "入れ子テーブル事例")
+    // a '>' inside a quoted attribute does not end the cell tag
+    assert(r.getAs[String]("location") === "東京都")
+    // nested table in the value cell: find_all("td")[-1] pre-order parity —
+    // the value is the LAST INNER cell, balanced across the nested close tags
+    assert(r.getAs[String]("summary") === "掘削中に湧水が発生し、作業を中断した。")
+    // commented-out rows are invisible to a DOM parser
+    assert(r.getAs[String]("notes") === "")
+    // an unclosed <tr> is implied-closed by the next row
+    assert(r.getAs[String]("process") === "朝に湧水を確認。\n午後に作業中断。")
+    // mid-text date (re.search) + full-width casualty digits
+    assert(r.getAs[String]("date") === "2006-06-05")
+    assert(r.getAs[Row]("casualties").getAs[Int]("deaths") === 0)
+    assert(r.getAs[Row]("casualties").getAs[Int]("injuries") === 2)
+    assert(r.getAs[String]("status") === "success")
+  }
+
   test("knowledge list parses with continuation append (P7 over HTML)") {
     assert(full.getAs[Seq[String]]("knowledge") ===
       Seq("前兆現象を軽視しないこと", "監視体制を強化する"))
