@@ -55,6 +55,47 @@ object StreamOps {
         col("session_window.end").as("s_end"), col("user_id"),
         col("n"), col("sum_value"))
 
+  /** Streaming as-of join — the streaming twin PackAsof.q32 promises: for
+    * each error event, the latest purchase by the same user in
+    * `[e_ts - horizon, e_ts]`, as a watermarked stream-stream LEFT OUTER
+    * band join followed by a windowed latest-wins aggregation (chained
+    * stateful operators, append mode — Spark 3.5+).
+    *
+    * State is bounded twice over: the join buffers each side only within
+    * `delay` + `horizon` of the watermark (the band condition gives the
+    * planner both bounds), and the downstream window aggregation evicts
+    * finalized (window, e_id) groups as the watermark passes. An error
+    * with no purchase in the horizon emits its null-augmented row when the
+    * join state expires, surfacing as last_purchase = -1 — q32's
+    * `coalesce` contract.
+    *
+    * `errors` columns: (e_id, user_id, e_ts); `purchases`:
+    * (p_id, p_user, p_ts, p_value).
+    */
+  def asofJoin(
+      errors: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour",
+      delay: String = "10 minutes"): DataFrame = {
+    val e = errors.withWatermark("e_ts", delay)
+    val p = purchases.withWatermark("p_ts", delay)
+    // latest-wins ordering matches the batch q32 emulation: (p_ts, p_id)
+    // descending, expressed as max_by over a struct; unmatched rows carry a
+    // NULL ordering key so max_by ignores them and the group yields NULL
+    val ord = when(col("p_id").isNotNull, struct(col("p_ts"), col("p_id")))
+    e.join(p,
+        col("p_user") === col("user_id") &&
+          col("p_ts") <= col("e_ts") &&
+          col("p_ts") >= col("e_ts") - expr(s"INTERVAL $horizon"),
+        "leftOuter")
+      .groupBy(window(col("e_ts"), horizon), col("e_id"), col("user_id"))
+      .agg(max_by(struct(col("p_id"), col("p_value")), ord).as("m"))
+      .select(
+        col("window.start").as("w_start"), col("e_id"), col("user_id"),
+        coalesce(col("m.p_id"), lit(-1L)).as("last_purchase"),
+        coalesce(col("m.p_value"), lit(0.0)).as("purchase_value"))
+  }
+
   /** Stateful streaming dedup: first occurrence of `keys` wins; state for
     * a key is dropped once the watermark passes it (bounded state — the
     * streaming form of F4's seen-set, extract.py:87-97).

@@ -102,6 +102,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join: latest-before match, null row for no match, bounded state") {
+    implicit val ctx = spark.sqlContext
+    val errs = MemoryStream[(Long, Long, Timestamp)]
+    val purs = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = StreamOps.asofJoin(
+      errs.toDF.toDF("e_id", "user_id", "e_ts"),
+      purs.toDF.toDF("p_id", "p_user", "p_ts", "p_value"),
+      horizon = "1 hour", delay = "10 minutes")
+      .writeStream.format("memory").queryName("t_asof")
+      .outputMode("append").start()
+    try {
+      purs.addData(
+        (100L, 1L, ts("2024-01-01 00:10:00"), 5.0),
+        (101L, 1L, ts("2024-01-01 00:20:00"), 7.0), // latest before the error
+        (102L, 1L, ts("2024-01-01 00:40:00"), 9.0), // after the error
+        (103L, 2L, ts("2024-01-01 00:05:00"), 3.0))
+      errs.addData(
+        (1L, 1L, ts("2024-01-01 00:30:00")), // → p101 (latest ≤ e_ts)
+        (2L, 3L, ts("2024-01-01 00:30:00"))) // no purchases → null row
+      q.processAllAvailable()
+      // push both watermarks far past the windows + horizon so the join
+      // expires the unmatched error and the aggregation finalizes
+      purs.addData((900L, 9L, ts("2024-01-01 06:00:00"), 0.0))
+      errs.addData((9L, 9L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      purs.addData((901L, 9L, ts("2024-01-01 12:00:00"), 0.0))
+      errs.addData((10L, 9L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+
+      val got = spark.table("t_asof")
+        .select("e_id", "user_id", "last_purchase", "purchase_value")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+        .filter(_._1 <= 2L)
+      assert(got.toSeq === Seq(
+        (1L, 1L, 101L, 7.0),
+        (2L, 3L, -1L, 0.0)))
+      // bounded state: watermark advance must have evicted the early rows
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty)
+    } finally q.stop()
+  }
+
   test("file-source streaming twin of Tables.events reads the testdata") {
     val dir = "/root/testdata/sf0.001"
     // copy events.parquet into an isolated stream dir so the file source
