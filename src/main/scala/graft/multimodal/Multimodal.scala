@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.ExprGlue
 
 /** S3 / multimodal columns (SURVEY.md §2.9, north-star surface).
   *
@@ -10,12 +11,12 @@ import org.apache.spark.sql.functions._
   * a 100 TB image corpus shuffles only the columns a query touches
   * (binary stays columnar-pruned unless selected).
   *
-  * The actual codec step is STUBBED: this container ships no image/audio
-  * libraries, so `decodeStub` derives deterministic fake features from the
-  * bytes. The Spark-side plumbing — binaryFile source, schema, per-row
-  * metadata struct, partition-wise batched feature extraction, frame
-  * sampling shape — is real and tested; a deployment swaps the stub body
-  * for an actual decoder without touching any signature.
+  * Metadata (mime + true pixel dimensions) is REAL — parsed from container
+  * header bytes by the native graft.expr.ImageDims expression, no codec
+  * needed. Only the embedding-model step remains stubbed
+  * (`extractFeatures` emits deterministic fake vectors — no ONNX/JNI
+  * encoder ships in this container); its mapPartitions shape, schema, and
+  * batching are the real contract a deployment drops a model into.
   */
 object Multimodal {
 
@@ -28,19 +29,18 @@ object Multimodal {
     spark.read.format("binaryFile").load(dir)
       .select(col("path"), col("length"), col("content"))
 
-  /** Typed metadata struct from bytes + name. The width/height here are a
-    * deterministic fake decode (STUB — see class doc); mime sniffing from
-    * magic bytes is real.
+  /** Typed metadata struct from bytes + name: mime and TRUE pixel
+    * dimensions parsed from the container header bytes (PNG IHDR / JPEG
+    * SOF / GIF descriptor — graft.expr.ImageDims; replaced the r2 fake-dims
+    * stub). width/height are null for unrecognized or truncated content.
     */
   def withMeta(df: DataFrame, bytesCol: String): DataFrame = {
     val b = col(bytesCol)
+    val dims = ExprGlue.column(graft.expr.ImageDims(ExprGlue.expression(b)))
     df.withColumn("meta", struct(
-      when(substring(hex(b), 1, 8) === "89504E47", "image/png")
-        .when(substring(hex(b), 1, 4) === "FFD8", "image/jpeg")
-        .otherwise("application/octet-stream").as("mime"),
-      // STUB decode: dimensions derived from a byte hash, not a codec
-      (pmod(crc32(b), lit(1920)) + 1).cast("int").as("width"),
-      (pmod(crc32(reverse(b)), lit(1080)) + 1).cast("int").as("height"),
+      dims.getField("mime").as("mime"),
+      dims.getField("width").as("width"),
+      dims.getField("height").as("height"),
       length(b).cast("long").as("n_bytes")))
   }
 

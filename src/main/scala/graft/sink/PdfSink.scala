@@ -28,13 +28,29 @@ object PdfSink {
   private def utf16Hex(s: String): String =
     s.getBytes(StandardCharsets.UTF_16BE).map("%02X".format(_)).mkString
 
+  /** P11 scale-to-fit placement inside the A4 text box (reference
+    * render_pdf.py:106-110): `q dw 0 0 dh 50 ty cm /ImN Do Q`.
+    */
+  private def imagePlacement(w: Int, h: Int, imName: String): String = {
+    val ratio = math.min(495.0 / w, 670.0 / h)
+    val dw = w * ratio
+    val dh = h * ratio
+    val ty = 780.0 - dh
+    f"q $dw%.2f 0 0 $dh%.2f 50 $ty%.2f cm /$imName Do Q"
+  }
+
   /** Render one case document to PDF bytes. `sections` are
     * (label, multi-line text) in display order; empty-valued sections are
     * skipped (the reference's emit-if-non-empty predicates,
-    * render_pdf.py:362-465).
+    * render_pdf.py:362-465). `images` are (jpegBytes, width, height) —
+    * each becomes a page with the image embedded VERBATIM as a DCTDecode
+    * XObject (JPEG passthrough needs no codec) and scaled to fit the text
+    * box via the P11 ratio, the reference's representative-image page
+    * (render_pdf.py:100-118).
     */
   def pdfBytes(title: String, sections: Seq[(String, String)],
-      extraPages: Seq[String] = Nil): Array[Byte] = {
+      extraPages: Seq[String] = Nil,
+      images: Seq[(Array[Byte], Int, Int)] = Nil): Array[Byte] = {
     val lines: Seq[(String, Boolean)] =
       (title, true) +: ("", false) +: sections.filter(_._2.nonEmpty).flatMap {
         case (label, value) =>
@@ -46,10 +62,12 @@ object PdfSink {
       val gs = lines.grouped(perPage).toSeq
       if (gs.isEmpty) Seq(Seq(("", false))) else gs
     }
-    val n = pages.size + extraPages.size
+    val nImg = images.size
+    val n = pages.size + extraPages.size + nImg
     val pageNums = (0 until n).map(3 + _)
     val contentNums = (0 until n).map(3 + n + _)
     val (f0, f1, f2) = (3 + 2 * n, 4 + 2 * n, 5 + 2 * n)
+    val imgNums = (0 until nImg).map(6 + 2 * n + _)
 
     def contentStream(pg: Seq[(String, Boolean)]): String = {
       val sb = new StringBuilder("BT\n/F1 10 Tf\n14 TL\n50 780 Td\n")
@@ -61,34 +79,58 @@ object PdfSink {
       sb.append("ET").toString
     }
 
-    val allStreams: Seq[String] = pages.map(contentStream) ++ extraPages
-    val bodies = scala.collection.mutable.LinkedHashMap[Int, String]()
-    bodies(1) = "<< /Type /Catalog /Pages 2 0 R >>"
-    bodies(2) = s"<< /Type /Pages /Count $n /Kids [${pageNums.map(p => s"$p 0 R").mkString(" ")}] >>"
-    allStreams.indices.foreach { i =>
-      bodies(pageNums(i)) =
-        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] " +
-          s"/Resources << /Font << /F1 $f0 0 R >> >> /Contents ${contentNums(i)} 0 R >>"
-      val cs = allStreams(i)
-      bodies(contentNums(i)) =
-        s"<< /Length ${cs.getBytes(StandardCharsets.US_ASCII).length} >>\nstream\n$cs\nendstream"
+    val imgStreams = images.zipWithIndex.map { case ((_, w, h), i) =>
+      imagePlacement(w, h, s"Im$i")
     }
-    bodies(f0) = s"<< /Type /Font /Subtype /Type0 /BaseFont /HeiseiMin-W3-UniJIS-UCS2-H " +
-      s"/Encoding /UniJIS-UCS2-H /DescendantFonts [$f1 0 R] >>"
-    bodies(f1) = s"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /HeiseiMin-W3 " +
+    val allStreams: Seq[String] =
+      pages.map(contentStream) ++ extraPages ++ imgStreams
+    val ascii = StandardCharsets.US_ASCII
+    val bodies = scala.collection.mutable.LinkedHashMap[Int, Array[Byte]]()
+    def put(num: Int, body: String): Unit = bodies(num) = body.getBytes(ascii)
+    put(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    put(2, s"<< /Type /Pages /Count $n /Kids [${pageNums.map(p => s"$p 0 R").mkString(" ")}] >>")
+    val nTextPages = pages.size + extraPages.size
+    allStreams.indices.foreach { i =>
+      val xobj =
+        if (i < nTextPages) ""
+        else s" /XObject << /Im${i - nTextPages} ${imgNums(i - nTextPages)} 0 R >>"
+      put(pageNums(i),
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] " +
+          s"/Resources << /Font << /F1 $f0 0 R >>$xobj >> /Contents ${contentNums(i)} 0 R >>")
+      val cs = allStreams(i)
+      put(contentNums(i),
+        s"<< /Length ${cs.getBytes(ascii).length} >>\nstream\n$cs\nendstream")
+    }
+    put(f0, s"<< /Type /Font /Subtype /Type0 /BaseFont /HeiseiMin-W3-UniJIS-UCS2-H " +
+      s"/Encoding /UniJIS-UCS2-H /DescendantFonts [$f1 0 R] >>")
+    put(f1, s"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /HeiseiMin-W3 " +
       s"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) /Supplement 2 >> " +
-      s"/FontDescriptor $f2 0 R /DW 1000 >>"
-    bodies(f2) = "<< /Type /FontDescriptor /FontName /HeiseiMin-W3 /Flags 6 " +
+      s"/FontDescriptor $f2 0 R /DW 1000 >>")
+    put(f2, "<< /Type /FontDescriptor /FontName /HeiseiMin-W3 /Flags 6 " +
       "/FontBBox [-123 -257 1001 910] /ItalicAngle 0 /Ascent 859 /Descent -141 " +
-      "/CapHeight 769 /StemV 69 >>"
+      "/CapHeight 769 /StemV 69 >>")
+    images.zipWithIndex.foreach { case ((jpeg, w, h), i) =>
+      val head =
+        (s"<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
+          s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode " +
+          s"/Length ${jpeg.length} >>\nstream\n").getBytes(ascii)
+      val tail = "\nendstream".getBytes(ascii)
+      val buf = new Array[Byte](head.length + jpeg.length + tail.length)
+      System.arraycopy(head, 0, buf, 0, head.length)
+      System.arraycopy(jpeg, 0, buf, head.length, jpeg.length)
+      System.arraycopy(tail, 0, buf, head.length + jpeg.length, tail.length)
+      bodies(imgNums(i)) = buf
+    }
 
     val out = new ByteArrayOutputStream()
-    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.US_ASCII))
+    def w(s: String): Unit = out.write(s.getBytes(ascii))
     w("%PDF-1.4\n")
     val offsets = scala.collection.mutable.Map[Int, Int]()
     bodies.toSeq.sortBy(_._1).foreach { case (num, body) =>
       offsets(num) = out.size()
-      w(s"$num 0 obj\n$body\nendobj\n")
+      w(s"$num 0 obj\n")
+      out.write(body)
+      w("\nendobj\n")
     }
     val xrefPos = out.size()
     val maxObj = bodies.keys.max
@@ -151,15 +193,31 @@ object PdfSink {
   }
 
   /** Write `{case_id}_{case_name}.pdf` per successful case under `dir`
-    * (sections + the scenario diagram page when present).
+    * (sections + the scenario diagram page when present). When the frame
+    * carries an `image_bytes` array<binary> column (fetched media,
+    * Fetch.fetchBinary), each JPEG in it becomes an image page — true
+    * header-parsed dimensions, scale-to-fit placement (render_pdf.py:
+    * 100-118); non-JPEG content is skipped (no codec: only the DCTDecode
+    * passthrough embeds verbatim).
     */
   def writePdfs(cases: DataFrame, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
+    val hasImgs = cases.columns.contains("image_bytes")
     cases.filter(col("status") === "success").foreachPartition {
       (it: Iterator[Row]) =>
         it.foreach { r =>
+          val images =
+            if (!hasImgs) Nil
+            else Option(r.getAs[scala.collection.Seq[Array[Byte]]]("image_bytes"))
+              .getOrElse(scala.collection.Seq.empty).toSeq.flatMap { b =>
+                val d = graft.expr.ImageDims.compute(b)
+                if (d.getUTF8String(0).toString == "image/jpeg" &&
+                    !d.isNullAt(1) && !d.isNullAt(2))
+                  Some((b, d.getInt(1), d.getInt(2)))
+                else None
+              }
           val bytes = pdfBytes(r.getAs[String]("case_name"), sectionsOf(r),
-            diagramPage(r).toSeq)
+            diagramPage(r).toSeq, images)
           val name =
             s"${r.getAs[String]("case_id")}_${r.getAs[String]("case_name")}.pdf"
           Files.write(Paths.get(dir, name), bytes)

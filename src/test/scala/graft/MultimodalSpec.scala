@@ -13,17 +13,31 @@ import graft.schema._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Real codec-produced images (JDK ImageIO) with known dimensions, plus
+    * one non-image file — the decode is header parsing, but the fixtures
+    * are genuine PNG/JPEG/GIF bytes.
+    */
+  private def realImage(format: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y) & 0xFFFFFF)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos),
+      s"no JDK writer for $format")
+    bos.toByteArray
+  }
+
   private def mediaDir(): String = {
     val dir = Files.createTempDirectory("media").toString
-    Files.write(Paths.get(dir, "a.png"),
-      Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3))
-    Files.write(Paths.get(dir, "b.jpg"),
-      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 9))
+    Files.write(Paths.get(dir, "a.png"), realImage("png", 37, 23))
+    Files.write(Paths.get(dir, "b.jpg"), realImage("jpg", 64, 48))
+    Files.write(Paths.get(dir, "d.gif"), realImage("gif", 12, 7))
     Files.write(Paths.get(dir, "c.bin"), Array[Byte](1, 2, 3, 4, 5))
     dir
   }
 
-  test("S3: binaryFile source + typed metadata struct (mime from magic bytes)") {
+  test("S3: typed metadata struct with TRUE header-parsed dimensions") {
     val df = Multimodal.withMeta(
       Multimodal.readBinaryDir(spark, mediaDir()), "content")
     val metas = df
@@ -31,15 +45,20 @@ class MultimodalSpec extends SparkSpec {
         col("meta"), col("length"))
       .collect()
       .map(r => (r.getString(0), r.getAs[Row](1), r.getLong(2)))
-      .sortBy(_._1)
-    val byName = metas.map(m => m._1 -> m).toMap
-    assert(byName("a.png")._2.getAs[String]("mime") === "image/png")
-    assert(byName("b.jpg")._2.getAs[String]("mime") === "image/jpeg")
-    assert(byName("c.bin")._2.getAs[String]("mime") === "application/octet-stream")
+    val byName = metas.map(m => m._1 -> m._2).toMap
+    assert(byName("a.png").getAs[String]("mime") === "image/png")
+    assert(byName("a.png").getAs[Int]("width") === 37)
+    assert(byName("a.png").getAs[Int]("height") === 23)
+    assert(byName("b.jpg").getAs[String]("mime") === "image/jpeg")
+    assert(byName("b.jpg").getAs[Int]("width") === 64)
+    assert(byName("b.jpg").getAs[Int]("height") === 48)
+    assert(byName("d.gif").getAs[String]("mime") === "image/gif")
+    assert(byName("d.gif").getAs[Int]("width") === 12)
+    assert(byName("d.gif").getAs[Int]("height") === 7)
+    assert(byName("c.bin").getAs[String]("mime") === "application/octet-stream")
+    assert(byName("c.bin").isNullAt(byName("c.bin").fieldIndex("width")))
     metas.foreach { case (_, meta, len) =>
       assert(meta.getAs[Long]("n_bytes") === len)
-      assert(meta.getAs[Int]("width") >= 1 && meta.getAs[Int]("width") <= 1920)
-      assert(meta.getAs[Int]("height") >= 1 && meta.getAs[Int]("height") <= 1080)
     }
   }
 

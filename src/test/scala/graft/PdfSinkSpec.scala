@@ -45,6 +45,29 @@ class PdfSinkSpec extends SparkSpec {
     }
   }
 
+  test("embeds a JPEG verbatim as a DCTDecode XObject, scaled to fit (P11)") {
+    // a real codec-produced JPEG with known dims
+    val img = new java.awt.image.BufferedImage(
+      40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+
+    val bytes = PdfSink.pdfBytes("画像事例", Seq("事例概要" -> "概要"),
+      images = Seq((jpeg, 40, 30)))
+    val s = ascii(bytes)
+    assert(s.contains("/Subtype /Image"))
+    assert(s.contains("/Filter /DCTDecode"))
+    assert(s.contains("/Width 40") && s.contains("/Height 30"))
+    assert(s.contains("/Count 2"), "image gets its own page")
+    // scale-to-fit: ratio = min(495/40, 670/30) = 12.375 → 495.00 x 371.25,
+    // top-aligned at y = 780 - 371.25
+    assert(s.contains("q 495.00 0 0 371.25 50 408.75 cm /Im0 Do Q"),
+      "P11 placement matrix")
+    // the JPEG bytes are embedded verbatim (byte-level passthrough)
+    assert(bytes.containsSlice(jpeg), "DCTDecode stream must be the raw JPEG")
+  }
+
   test("writes one PDF per successful case with the naming contract") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
