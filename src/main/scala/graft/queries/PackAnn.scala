@@ -7,14 +7,18 @@ import graft.ops.SimOps
 /** q33 — IVF-style approximate nearest neighbor (the scale path promised
   * by q25's brute-force baseline).
   *
-  * Coarse quantizer: one representative vector per `label` cell (the
-  * min-vec_id member — deterministic, no float averaging, so the oracle
-  * stays exact). Each query probes its top-2 cells by representative
-  * cosine, then scores exactly ONLY within those cells — at 100 TB the
-  * corpus scan becomes a partition-pruned read of 2/K of the data per
-  * query instead of a full sweep; the representative table is broadcast.
-  * Rounding precedes every rank so sub-1e-4 float noise cannot reorder
-  * results across engines.
+  * Coarse quantizer: a TRUE centroid per `label` cell — the per-dimension
+  * sum of the members' vectors in c_id order. Cosine is scale-invariant,
+  * so the un-divided sum vector scores identically to the mean while
+  * avoiding a division whose rounding could differ across engines; the
+  * fold order is pinned (array_sort by c_id, sequential `aggregate` /
+  * DuckDB `list_reduce`) so the double accumulation is bit-identical in
+  * both engines. Each query probes its top-2 cells by centroid cosine,
+  * then scores exactly ONLY within those cells — at 100 TB the corpus
+  * scan becomes a partition-pruned read of 2/K of the data per query
+  * instead of a full sweep; the centroid table is broadcast. Rounding
+  * precedes every rank so sub-1e-4 float noise cannot reorder results
+  * across engines.
   */
 object PackAnn {
 
@@ -27,11 +31,15 @@ object PackAnn {
       val corpus = emb.filter(col("vec_id") >= 8)
         .select(col("vec_id").as("c_id"), col("label").as("cell"),
           col("embedding").as("c_emb"))
-      // deterministic representative per cell: its min-vec_id member
-      val repW = Window.partitionBy("cell").orderBy("c_id")
-      val reps = corpus.withColumn("rn", row_number().over(repW))
-        .filter(col("rn") === 1)
-        .select(col("cell"), col("c_emb").as("r_emb"))
+      // true centroid per cell: order-pinned sequential per-dim sum
+      val reps = corpus
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb"))))
+          .as("vs"))
+        .select(col("cell"), expr(
+          """aggregate(vs, array_repeat(cast(0.0 AS double), 64),
+             (acc, v) -> zip_with(acc, v.c_emb, (x, y) -> x + cast(y AS double)))
+          """).as("r_emb"))
       // probe: top-2 cells per query by representative cosine
       val probeW = Window.partitionBy("q_id")
         .orderBy(col("r_score").desc, col("cell"))
@@ -60,11 +68,12 @@ object PackAnn {
       c AS (
         SELECT vec_id AS c_id, label AS cell, cast(embedding AS DOUBLE[]) AS ce
         FROM embeddings WHERE vec_id >= 8),
+      cells AS (
+        SELECT cell, list(ce ORDER BY c_id) AS vs FROM c GROUP BY cell),
       reps AS (
-        SELECT cell, ce AS re FROM (
-          SELECT cell, ce, row_number() OVER (PARTITION BY cell ORDER BY c_id) AS rn
-          FROM c) t
-        WHERE rn = 1),
+        SELECT cell, list_transform(range(1, 65), i ->
+          list_reduce(list_transform(vs, v -> v[i]), (x, y) -> x + y)) AS re
+        FROM cells),
       probed AS (
         SELECT q_id, qe, cell FROM (
           SELECT q.q_id, q.qe, r.cell,
