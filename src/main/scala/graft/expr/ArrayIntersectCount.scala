@@ -109,6 +109,33 @@ object GraftFunctions {
         "simhash64",
         es => SimHash64(es.head),
         "built-in")
+      // int-literal second argument (arity pinned at registration time)
+      def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"expected an integer literal argument, got $other")
+        }
+      reg.createOrReplaceTempFunction(
+        "word_shingles",
+        es => WordShingles(es.head, litInt(es(1))),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        "minhash_sigs",
+        es => MinHashSigs(es.head, litInt(es(1))),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        "float_dot",
+        es => FloatDot(es.head, es(1)),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        "html_table_rows",
+        es => HtmlTableRows(es.head),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        "image_dims",
+        es => ImageDims(es.head),
+        "built-in")
       registered.add(spark)
     }
   }

@@ -73,6 +73,23 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("round-3 native functions are SQL-addressable") {
+    val r = spark.sql("""
+      SELECT
+        size(word_shingles(array('a','b','c','d'), 3)) AS n_sh,
+        size(minhash_sigs(word_shingles(array('a','b','c','d'), 3), 8)) AS n_mh,
+        float_dot(array(cast(1.0 AS float), cast(2.0 AS float)),
+                  array(cast(3.0 AS float), cast(4.0 AS float))) AS dot,
+        size(html_table_rows('<table><tr><td>x</td><td>y</td></tr></table>')) AS n_rows,
+        image_dims(unhex('47494638396107000800')).width AS gif_w
+    """).head()
+    assert(r.getAs[Int]("n_sh") === 2)      // windows abc, bcd
+    assert(r.getAs[Int]("n_mh") === 8)
+    assert(r.getAs[Double]("dot") === 11.0) // 1*3 + 2*4
+    assert(r.getAs[Int]("n_rows") === 1)
+    assert(r.getAs[Int]("gif_w") === 7)     // GIF89a 7x8 header
+  }
+
   test("native expressions stay inside whole-stage codegen (no fence)") {
     // non-foldable input (range), else the projection constant-folds into
     // a LocalTableScan before any codegen happens

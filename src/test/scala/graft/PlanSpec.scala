@@ -40,6 +40,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q17_smj").contains("SortMergeJoin"))
   }
 
+  test("q08: chunk-by-3 is a single aggregation shuffle, no window") {
+    // r2 flagged the old row_number window (extra shuffle+sort before the
+    // groupBy); the rewrite chunks each order's sorted items locally
+    val p = plan("q08_chunk3")
+    assert(!p.contains("Window"), s"window crept back into q08:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected exactly one hash exchange (the groupBy), got $exchanges:\n$p")
+  }
+
   test("q19: range join builds a broadcast nested loop on the tiny side") {
     assert(plan("q19_range_join").contains("BroadcastNestedLoopJoin"))
   }
