@@ -31,26 +31,34 @@ object ScenarioParse {
     val html = col("html")
     // the left 60% cell; fallback to the whole page (extract.py:299-301).
     // The cell holds a nested table, so a non-greedy `</td>` would truncate
-    // at the first inner cell — capture to end-of-page instead; the item
-    // and separator patterns below are specific enough to ignore trailing
-    // content.
+    // at the first inner cell — capture to end-of-page instead; the
+    // tokenizer below ignores the trailing stray close tags.
     val mainTd = coalesce(
       TextOps.nullIfEmpty(regexp_extract(html,
         "(?is)<td[^>]*valign=[\"']?top[\"']?[^>]*width=[\"']?[^\"'>]*60%[^>]*>(.*)",
         1)),
       html)
 
-    val rows = trs(mainTd)
+    // INNERMOST rows only — the DOM-grade tokenizer's rows, minus any row
+    // holding a nested table in a cell. The reference navigates
+    // `b.find_parent("tr")` (extract.py:310) / `img.find_parent("tr")`
+    // (:324), and on the real page shapes every <b>N.</b> and separator
+    // image sits in a leaf row; outer layout rows must not swallow them.
+    val rows = filter(tableRows(mainTd), r =>
+      !exists(r.getField("cells"), c => lower(c).contains("<table")))
+    def body(r: Column) = array_join(r.getField("cells"), "\n")
+
     // numbered items: <b>N.</b> rows, item text from the 3rd td
     // (extract.py:303-315); sorted by number (O1)
     val items = transform(
       array_sort(filter(
         transform(rows, r => struct(
           TextOps.nullIfEmpty(
-            regexp_extract(r, "(?is)<b[^>]*>\\s*(\\d+)\\s*\\.", 1))
+            regexp_extract(body(r), "(?is)<b[^>]*>\\s*(\\d+)\\s*\\.", 1))
             .cast("int").as("num"),
-          cellText(coalesce(try_element_at(tds(r), lit(3)), lit(""))).as("txt"),
-          size(tds(r)).as("n"))),
+          cellText(coalesce(try_element_at(r.getField("cells"), lit(3)),
+            lit(""))).as("txt"),
+          size(r.getField("cells")).as("n"))),
         s => s.getField("num").isNotNull && s.getField("n") >= 3)),
       s => s.getField("txt"))
 
@@ -58,9 +66,9 @@ object ScenarioParse {
     // item_after=(idx+1)*3 (extract.py:330-341)
     val boundaries = array_sort(transform(
       filter(rows, r =>
-        r.contains("sinario_line_2") &&
-          regexp_extract(r, spaceW, 1) =!= ""),
-      r => ((((regexp_extract(r, spaceW, 1).cast("int") - 15) / lit(20))
+        body(r).contains("sinario_line_2") &&
+          regexp_extract(body(r), spaceW, 1) =!= ""),
+      r => ((((regexp_extract(body(r), spaceW, 1).cast("int") - 15) / lit(20))
         .cast("int")) + 1) * 3))
 
     val nb = size(boundaries)

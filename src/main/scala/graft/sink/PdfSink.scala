@@ -25,6 +25,48 @@ import org.apache.spark.sql.functions._
   */
 object PdfSink {
 
+  /** An image embeddable without any codec: JPEG bytes pass through as a
+    * DCTDecode stream; an 8-bit non-interlaced gray/RGB PNG's concatenated
+    * IDAT zlib stream decodes directly under FlateDecode with the PDF PNG
+    * predictor (/Predictor 15) handling the per-scanline filter bytes.
+    */
+  sealed trait PdfImage { def w: Int; def h: Int }
+  final case class JpegImage(bytes: Array[Byte], w: Int, h: Int) extends PdfImage
+  final case class PngImage(idat: Array[Byte], w: Int, h: Int, colors: Int)
+      extends PdfImage
+
+  /** Parse a PNG into its FlateDecode-embeddable form: (idat, w, h,
+    * colors). None unless bit depth 8, color type 0 (gray) or 2 (RGB), and
+    * non-interlaced — the shapes PDF predictors decode verbatim.
+    */
+  def pngStream(b: Array[Byte]): Option[PngImage] = {
+    def u8(i: Int) = b(i) & 0xFF
+    def be32(i: Int) =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val sigOk = b.length > 45 &&
+      u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    if (!sigOk) return None
+    val w = be32(16).toInt
+    val h = be32(20).toInt
+    val bitDepth = u8(24)
+    val colorType = u8(25)
+    val interlace = u8(28)
+    if (bitDepth != 8 || (colorType != 0 && colorType != 2) || interlace != 0)
+      return None
+    val idat = new ByteArrayOutputStream()
+    var pos = 8
+    while (pos + 8 <= b.length) {
+      val len = be32(pos).toInt
+      val ctype = new String(b, pos + 4, 4, StandardCharsets.US_ASCII)
+      if (len < 0 || pos + 8 + len > b.length) return None
+      if (ctype == "IDAT") idat.write(b, pos + 8, len)
+      if (ctype == "IEND") pos = b.length
+      else pos += 12 + len // len + type + data + crc
+    }
+    if (idat.size() == 0) None
+    else Some(PngImage(idat.toByteArray, w, h, if (colorType == 2) 3 else 1))
+  }
+
   private def utf16Hex(s: String): String =
     s.getBytes(StandardCharsets.UTF_16BE).map("%02X".format(_)).mkString
 
@@ -42,15 +84,15 @@ object PdfSink {
   /** Render one case document to PDF bytes. `sections` are
     * (label, multi-line text) in display order; empty-valued sections are
     * skipped (the reference's emit-if-non-empty predicates,
-    * render_pdf.py:362-465). `images` are (jpegBytes, width, height) —
-    * each becomes a page with the image embedded VERBATIM as a DCTDecode
-    * XObject (JPEG passthrough needs no codec) and scaled to fit the text
-    * box via the P11 ratio, the reference's representative-image page
+    * render_pdf.py:362-465). Each [[PdfImage]] becomes a page with the
+    * image bytes embedded VERBATIM (JPEG → DCTDecode, PNG IDAT →
+    * FlateDecode + PNG predictor — no codec either way) scaled to fit the
+    * text box via the P11 ratio, the reference's representative-image page
     * (render_pdf.py:100-118).
     */
   def pdfBytes(title: String, sections: Seq[(String, String)],
       extraPages: Seq[String] = Nil,
-      images: Seq[(Array[Byte], Int, Int)] = Nil): Array[Byte] = {
+      images: Seq[PdfImage] = Nil): Array[Byte] = {
     val lines: Seq[(String, Boolean)] =
       (title, true) +: ("", false) +: sections.filter(_._2.nonEmpty).flatMap {
         case (label, value) =>
@@ -79,8 +121,8 @@ object PdfSink {
       sb.append("ET").toString
     }
 
-    val imgStreams = images.zipWithIndex.map { case ((_, w, h), i) =>
-      imagePlacement(w, h, s"Im$i")
+    val imgStreams = images.zipWithIndex.map { case (im, i) =>
+      imagePlacement(im.w, im.h, s"Im$i")
     }
     val allStreams: Seq[String] =
       pages.map(contentStream) ++ extraPages ++ imgStreams
@@ -109,16 +151,25 @@ object PdfSink {
     put(f2, "<< /Type /FontDescriptor /FontName /HeiseiMin-W3 /Flags 6 " +
       "/FontBBox [-123 -257 1001 910] /ItalicAngle 0 /Ascent 859 /Descent -141 " +
       "/CapHeight 769 /StemV 69 >>")
-    images.zipWithIndex.foreach { case ((jpeg, w, h), i) =>
+    images.zipWithIndex.foreach { case (im, i) =>
+      val (data, filter) = im match {
+        case JpegImage(bytes, _, _) =>
+          (bytes, "/ColorSpace /DeviceRGB /Filter /DCTDecode")
+        case PngImage(idat, w, _, colors) =>
+          val cs = if (colors == 3) "/DeviceRGB" else "/DeviceGray"
+          (idat, s"/ColorSpace $cs /Filter /FlateDecode " +
+            s"/DecodeParms << /Predictor 15 /Colors $colors " +
+            s"/BitsPerComponent 8 /Columns $w >>")
+      }
       val head =
-        (s"<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
-          s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode " +
-          s"/Length ${jpeg.length} >>\nstream\n").getBytes(ascii)
+        (s"<< /Type /XObject /Subtype /Image /Width ${im.w} /Height ${im.h} " +
+          s"/BitsPerComponent 8 $filter " +
+          s"/Length ${data.length} >>\nstream\n").getBytes(ascii)
       val tail = "\nendstream".getBytes(ascii)
-      val buf = new Array[Byte](head.length + jpeg.length + tail.length)
+      val buf = new Array[Byte](head.length + data.length + tail.length)
       System.arraycopy(head, 0, buf, 0, head.length)
-      System.arraycopy(jpeg, 0, buf, head.length, jpeg.length)
-      System.arraycopy(tail, 0, buf, head.length + jpeg.length, tail.length)
+      System.arraycopy(data, 0, buf, head.length, data.length)
+      System.arraycopy(tail, 0, buf, head.length + data.length, tail.length)
       bodies(imgNums(i)) = buf
     }
 
@@ -195,10 +246,10 @@ object PdfSink {
   /** Write `{case_id}_{case_name}.pdf` per successful case under `dir`
     * (sections + the scenario diagram page when present). When the frame
     * carries an `image_bytes` array<binary> column (fetched media,
-    * Fetch.fetchBinary), each JPEG in it becomes an image page — true
-    * header-parsed dimensions, scale-to-fit placement (render_pdf.py:
-    * 100-118); non-JPEG content is skipped (no codec: only the DCTDecode
-    * passthrough embeds verbatim).
+    * Fetch.fetchBinary), each JPEG and embeddable PNG becomes an image
+    * page — true header-parsed dimensions, scale-to-fit placement
+    * (render_pdf.py:100-118); other content is skipped (no codec: only
+    * the DCTDecode / FlateDecode passthroughs embed verbatim).
     */
   def writePdfs(cases: DataFrame, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
@@ -211,10 +262,12 @@ object PdfSink {
             else Option(r.getAs[scala.collection.Seq[Array[Byte]]]("image_bytes"))
               .getOrElse(scala.collection.Seq.empty).toSeq.flatMap { b =>
                 val d = graft.expr.ImageDims.compute(b)
-                if (d.getUTF8String(0).toString == "image/jpeg" &&
-                    !d.isNullAt(1) && !d.isNullAt(2))
-                  Some((b, d.getInt(1), d.getInt(2)))
-                else None
+                d.getUTF8String(0).toString match {
+                  case "image/jpeg" if !d.isNullAt(1) && !d.isNullAt(2) =>
+                    Some(JpegImage(b, d.getInt(1), d.getInt(2)))
+                  case "image/png" => pngStream(b)
+                  case _ => None
+                }
               }
           val bytes = pdfBytes(r.getAs[String]("case_name"), sectionsOf(r),
             diagramPage(r).toSeq, images)

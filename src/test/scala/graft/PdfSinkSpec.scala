@@ -54,7 +54,7 @@ class PdfSinkSpec extends SparkSpec {
     val jpeg = bos.toByteArray
 
     val bytes = PdfSink.pdfBytes("画像事例", Seq("事例概要" -> "概要"),
-      images = Seq((jpeg, 40, 30)))
+      images = Seq(PdfSink.JpegImage(jpeg, 40, 30)))
     val s = ascii(bytes)
     assert(s.contains("/Subtype /Image"))
     assert(s.contains("/Filter /DCTDecode"))
@@ -66,6 +66,27 @@ class PdfSinkSpec extends SparkSpec {
       "P11 placement matrix")
     // the JPEG bytes are embedded verbatim (byte-level passthrough)
     assert(bytes.containsSlice(jpeg), "DCTDecode stream must be the raw JPEG")
+  }
+
+  test("embeds a PNG's IDAT verbatim under FlateDecode + PNG predictor") {
+    val img = new java.awt.image.BufferedImage(
+      20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 4, 0xAA5533)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+
+    val pi = PdfSink.pngStream(png)
+    assert(pi.isDefined, "JDK PNG writer emits 8-bit truecolor")
+    val p = pi.get
+    assert(p.w === 20 && p.h === 10 && p.colors === 3)
+
+    val bytes = PdfSink.pdfBytes("PNG事例", Seq("事例概要" -> "概要"),
+      images = Seq(p))
+    val s = ascii(bytes)
+    assert(s.contains("/Filter /FlateDecode"))
+    assert(s.contains("/Predictor 15") && s.contains("/Columns 20"))
+    assert(bytes.containsSlice(p.idat), "IDAT must embed verbatim")
   }
 
   test("writes one PDF per successful case with the naming contract") {

@@ -41,6 +41,19 @@ class ScenarioBranchSpec extends SparkSpec {
     (from to to).map(i =>
       s"<tr><td><b>$i.</b></td><td></td><td>項目$i</td></tr>").mkString("\n")
 
+  test("deeply nested layout: innermost rows only (find_parent parity)") {
+    // extra wrapping table + uppercase tags + a commented-out ghost row —
+    // the wrapper row holding the item table must not swallow the items
+    val html = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource("/fixtures/scenario_nested.html").toURI)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val sc = parse(html)
+    assert(cat(sc, "cause") === Seq(Seq("無知", "組織運営不良", "価値観不良")))
+    assert(cat(sc, "action") === Seq.empty)
+    assert(cat(sc, "result") === Seq(Seq("破損")))
+  }
+
   test("zero boundaries → everything is cause, chunked by 3 (extract.py:363-366)") {
     val sc = parse(page(items(5)))
     assert(cat(sc, "cause") ===
