@@ -95,7 +95,13 @@ object CaseParse {
               " ", " "), "\n"),
             trim(_)),
           s => length(s) > 0).as("authors"),
-        urljoin(col("url"), scenHref).as("scenario_url"))
+        urljoin(col("url"), scenHref).as("scenario_url"),
+        // absolute representative-image URL for the binary fetch (the JSON
+        // keeps only the basename, images.representative — reference
+        // parity); "" when the page has no 代表図
+        urljoin(col("url"),
+          coalesce(TextOps.nullIfEmpty(imgSrc(f("代表図"))), lit("")))
+          .as("rep_img_url"))
   }
 
   /** J1: enrich cases with their parsed scenario page (left outer — cases

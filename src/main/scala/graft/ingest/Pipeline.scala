@@ -22,13 +22,19 @@ object Pipeline {
 
   /** Run end-to-end from list-page URLs. `fetch` resolves any URL to HTML
     * (an HTTP client in deployment; a fixture reader in tests).
+    * `fetchBinary` (optional) resolves image URLs to bytes — when given,
+    * each successful case's representative image is fetched executor-side
+    * and embedded in its PDF, the reference's download_image → scale-to-fit
+    * path (render_pdf.py:90-118); fetch failures just skip the image page.
     */
   def run(
       spark: SparkSession,
       listUrls: Seq[String],
       limit: Int,
       outDir: String,
-      writePdf: Boolean = true)(fetch: String => String): Result = {
+      writePdf: Boolean = true)(
+      fetch: String => String,
+      fetchBinary: String => Array[Byte] = null): Result = {
     import spark.implicits._
 
     // S1+S2: crawl list pages, collect bounded case URLs (the limit is the
@@ -56,7 +62,26 @@ object Pipeline {
       .enrichAndRoute(cases, scenPages, Some(fetchErrors)).cache()
 
     Sinks.writePerCaseJson(routed.filter(col("status") === "success"), outDir)
-    if (writePdf) graft.sink.PdfSink.writePdfs(routed, outDir)
+    if (writePdf) {
+      val pdfInput =
+        if (fetchBinary == null) routed
+        else {
+          // one binary fetch per DISTINCT representative image of the
+          // successful cases (fetch-once, §4.1), joined back as bytes
+          val repUrls = routed
+            .filter(col("status") === "success" && col("rep_img_url") =!= "")
+            .select(col("rep_img_url")).distinct().as[String]
+          val repBytes = Fetch.fetchBinary(repUrls)(fetchBinary)
+            .filter(col("fetch_error") === "" && col("content").isNotNull)
+            .select(col("url").as("rep_img_url"), col("content"))
+          routed.join(broadcast(repBytes), Seq("rep_img_url"), "left")
+            .withColumn("image_bytes",
+              when(col("content").isNotNull, array(col("content")))
+                .otherwise(array().cast("array<binary>")))
+            .drop("content")
+        }
+      graft.sink.PdfSink.writePdfs(pdfInput, outDir)
+    }
     val manifest = Sinks.writeManifest(routed, outDir)
 
     val counts = routed.groupBy("status").count()

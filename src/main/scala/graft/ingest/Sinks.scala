@@ -27,7 +27,7 @@ object Sinks {
   def writePerCaseJson(cases: DataFrame, dir: String): Unit = {
     val docCols = cases.columns
       .filterNot(Set("status", "missing_fields", "lm", "fetch_error",
-        "message"))
+        "message", "rep_img_url", "image_bytes"))
     val out = cases.select(
       col("case_id"), col("case_name"),
       to_json(struct(docCols.map(col): _*)).as("js"))

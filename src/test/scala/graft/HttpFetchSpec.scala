@@ -37,18 +37,26 @@ class HttpFetchSpec extends SparkSpec {
     finally server.stop(0)
   }
 
-  test("full pipeline over real sockets; 404 becomes a roster error") {
+  test("full pipeline over real sockets; 404 → roster error; image → PDF page") {
     val html = "text/html; charset=utf-8"
+    // a real JPEG served as the representative image of case_full
+    val img = new java.awt.image.BufferedImage(
+      32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+
     withServer(Map(
       "/fkd/lis/cat1.html" -> (html, fixture("list_cat.html")),
       "/fkd/cf/CZ0200701.html" -> (html, fixture("case_full.html")),
       "/fkd/cf/CZ0200702.html" -> (html, fixture("case_missing.html")),
       // CZ0200703 is crawled but NOT served → HTTP 404 → error route
-      "/fkd/sf/SZ0200703.html" -> (html, fixture("scenario_2b.html")))) { base =>
+      "/fkd/sf/SZ0200703.html" -> (html, fixture("scenario_2b.html")),
+      "/fkd/df/DZ0200703.jpg" -> ("image/jpeg", jpeg))) { base =>
       val out = Files.createTempDirectory("httpfetch").toString
       val res = Pipeline.run(
         spark, Seq(s"$base/fkd/lis/cat1.html"), limit = 3, outDir = out)(
-        HttpFetch.text)
+        HttpFetch.text, HttpFetch.binary)
       assert(res.total === 3)
       assert(res.success === 1)
       assert(res.excluded === 1)
@@ -57,6 +65,14 @@ class HttpFetchSpec extends SparkSpec {
         Files.readAllBytes(Paths.get(out, res.manifestFile)), UTF_8)
       assert(manifest.contains("HTTP 404"),
         s"manifest must carry the HTTP status message:\n$manifest")
+      // the success case's PDF embeds the fetched representative image
+      // (download_image → scale-to-fit parity, render_pdf.py:90-118)
+      val pdf = Files.readAllBytes(
+        Paths.get(out, "CZ0200701_トンネル坑口崩落事故.pdf"))
+      val s = new String(pdf, java.nio.charset.StandardCharsets.US_ASCII)
+      assert(s.contains("/Filter /DCTDecode"), "PDF must carry the image page")
+      assert(s.contains("/Width 32") && s.contains("/Height 24"))
+      assert(pdf.containsSlice(jpeg), "JPEG bytes embed verbatim")
     }
   }
 
