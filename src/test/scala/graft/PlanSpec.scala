@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("q25_cosine_topk").contains("WindowGroupLimit"))
   }
 
+  test("q38: vocabulary top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q38_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for a top-k:\n$p")
+  }
+
+  test("q39: stratified sample rank-limits inside each stratum (WindowGroupLimit)") {
+    assert(plan("q39_stratified_sample").contains("WindowGroupLimit"))
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
