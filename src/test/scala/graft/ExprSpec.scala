@@ -90,6 +90,35 @@ class ExprSpec extends SparkSpec {
     assert(r.getAs[Int]("gif_w") === 7)     // GIF89a 7x8 header
   }
 
+  test("GraftExtensions injects every native function at session build") {
+    val prev = spark // force shared-session init first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // reuses the running SparkContext; builds a NEW session through the
+      // extension injector (spark.sql.extensions resolves to the same
+      // class at spark-submit time; the static conf can't be re-applied on
+      // an already-running context, so the test takes the builder path)
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.expr.GraftExtensions()(_))
+        .getOrCreate()
+      assert(s2 ne prev)
+      val r = s2.sql("""
+        SELECT float_dot(array(cast(1.0 AS float), cast(2.0 AS float)),
+                         array(cast(3.0 AS float), cast(4.0 AS float))) AS d,
+               simhash64(array(cast(5 AS bigint))) AS sh,
+               image_dims(unhex('47494638396107000800')).height AS gif_h
+      """).head()
+      assert(r.getAs[Double]("d") === 11.0)
+      assert(r.getAs[Long]("sh") === 5L) // single hash votes its own bits
+      assert(r.getAs[Int]("gif_h") === 8)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen (no fence)") {
     // non-foldable input (range), else the projection constant-folds into
     // a LocalTableScan before any codegen happens
