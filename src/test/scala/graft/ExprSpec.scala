@@ -90,6 +90,21 @@ class ExprSpec extends SparkSpec {
     assert(r.getAs[Int]("gif_w") === 7)     // GIF89a 7x8 header
   }
 
+  test("html_table_rows survives 500 rows of random tag soup") {
+    // malformed markup must degrade, never throw: unclosed tags, stray
+    // quotes, comments without ends, nested fragments in random order
+    val rnd = new scala.util.Random(42)
+    val frags = Seq("<tr>", "</tr>", "<td", ">", "<table>", "</table>",
+      "<!--", "-->", "<td bgcolor='x", "\"", "'", "text", "<b>1.</b>",
+      "</td>", "<script>", "</script>", "<", "x>", "<tr", "=", " ")
+    val inputs = Seq.fill(500)(
+      Seq.fill(rnd.nextInt(40))(frags(rnd.nextInt(frags.size))).mkString)
+    val total = inputs.toDF("h")
+      .selectExpr("size(html_table_rows(h)) AS n")
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total >= 0) // materialized every row without throwing
+  }
+
   test("GraftExtensions injects every native function at session build") {
     val prev = spark // force shared-session init first
     org.apache.spark.sql.SparkSession.clearActiveSession()
