@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native single-pass similarity kernels (SURVEY §2.10 policy: custom
   * expressions only where the composable form is measurably inadequate).
@@ -72,6 +73,68 @@ object WordShingles {
     val it = seen.iterator()
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `WordShingleStrings(words, k)` — the distinct k-word windows themselves
+  * (space-joined), order-preserving. The string twin of [[WordShingles]]
+  * for operators whose cross-engine oracle needs the literal shingle (the
+  * decontamination join) — same single pass, no per-window slice/concat
+  * expression chain.
+  */
+case class WordShingleStrings(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_shingle_strings"
+
+  override protected def nullSafeEval(a: Any): Any =
+    WordShingleStrings.compute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.WordShingleStrings.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleStrings {
+  def compute(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val w = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      w(i) = if (words.isNullAt(i)) "" else words.getUTF8String(i).toString
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String](Math.max(8, n * 2))
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
   }
 }

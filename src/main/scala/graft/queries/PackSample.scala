@@ -68,5 +68,55 @@ object PackSample {
     """),
     doc = "deterministic per-stratum sample via arithmetic LCG key + rank")
 
-  val all: Seq[Q] = Seq(q38, q39)
+  /** q40 — benchmark decontamination: flag corpus documents sharing any
+    * 4-word shingle with the evaluation set (doc_id < 25 stands in for the
+    * benchmark). The eval shingle set is distinct'd and broadcast — at
+    * 100 TB the corpus side streams through a broadcast-hash semi-ish join
+    * on the shingle string, no corpus-side shuffle before the per-doc
+    * aggregation. Shingle STRINGS (not hashes) keep the oracle exact.
+    */
+  private val q40 = Q(
+    "q40_decontaminate",
+    (s, d) => {
+      // native one-pass shingle strings (the HOF slice+concat form cost
+      // 4.5 s at sf0.1 — the same interpreted-per-window shape q27 had)
+      def shingles(k: Int) = {
+        val words = filter(split(lower(col("text")), "\\W+"),
+          t => length(t) > 0)
+        org.apache.spark.sql.graftglue.ExprGlue.column(
+          graft.expr.WordShingleStrings(
+            org.apache.spark.sql.graftglue.ExprGlue.expression(words), k))
+      }
+      val docs = Tables.documents(s, d)
+      val eval = docs.filter(col("doc_id") < 25)
+        .select(explode(shingles(4)).as("sh")).distinct()
+      val corpus = docs.filter(col("doc_id") >= 25)
+        .select(col("doc_id"), explode(shingles(4)).as("sh"))
+      corpus
+        .join(broadcast(eval), Seq("sh"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("sh")).as("n_hits"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 4
+                 THEN list_distinct(list_transform(range(1, len(ws) - 2),
+                   i -> array_to_string(list_slice(ws, i, i + 3), ' ')))
+                 ELSE [] END) AS sh
+        FROM w),
+      e AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25)
+      SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
+      FROM sh s JOIN e ON s.sh = e.sh
+      WHERE s.doc_id >= 25
+      GROUP BY s.doc_id ORDER BY s.doc_id
+    """),
+    doc = "decontamination: 4-gram overlap with the eval set via broadcast join")
+
+  val all: Seq[Q] = Seq(q38, q39, q40)
 }

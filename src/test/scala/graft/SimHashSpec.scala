@@ -33,6 +33,31 @@ class SimHashSpec extends SparkSpec {
     assert(ham(s(0), s(1)) <= 16)
   }
 
+  test("minhash kernel properties: arity, determinism, min-monotonicity") {
+    import org.apache.spark.sql.functions.{col => c}
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // superset
+      (3L, "")
+    ).toDF("id", "t")
+      .withColumn("sh", SimOps.wordShingleHashes(c("t"), 3))
+      .withColumn("mh", SimOps.minhashSignature(c("sh"), 8))
+    val got = df.select(c("id"), c("mh")).as[(Long, Seq[Option[Long]])]
+      .collect().sortBy(_._1).toMap
+    assert(got(1L).length === 8)
+    // superset's minima can only be <= the subset's, per permutation
+    got(1L).zip(got(2L)).foreach { case (Some(a), Some(b)) =>
+      assert(b <= a, s"adding shingles must not raise a minimum ($a -> $b)")
+    case other => fail(s"unexpected nulls: $other")
+    }
+    // empty shingle set → all-null signature (array_min-of-empty parity)
+    assert(got(3L).forall(_.isEmpty))
+    // determinism across evaluations
+    val again = df.select(c("id"), c("mh")).as[(Long, Seq[Option[Long]])]
+      .collect().sortBy(_._1).toMap
+    assert(again === got)
+  }
+
   test("hyperplane LSH: identical vectors share the signature; sig is stable") {
     val df = Seq(
       (1L, Seq.tabulate(64)(i => (i % 7 - 3).toFloat)),
