@@ -121,6 +121,10 @@ object GraftFunctions {
         es => WordShingles(es.head, litInt(es(1))),
         "built-in")
       reg.createOrReplaceTempFunction(
+        "word_shingle_strings",
+        es => WordShingleStrings(es.head, litInt(es(1))),
+        "built-in")
+      reg.createOrReplaceTempFunction(
         "minhash_sigs",
         es => MinHashSigs(es.head, litInt(es(1))),
         "built-in")

@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "_FUNC_(words, k) - distinct k-word-window hashes") {
       es => WordShingles(es.head, litInt(es(1)))
     }
+    inject("word_shingle_strings",
+      "_FUNC_(words, k) - distinct k-word windows, space-joined") {
+      es => WordShingleStrings(es.head, litInt(es(1)))
+    }
     inject("minhash_sigs",
       "_FUNC_(shingles, perms) - MinHash signature minima") {
       es => MinHashSigs(es.head, litInt(es(1)))

@@ -28,4 +28,22 @@ object PartitionedStore {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Streaming writer into the SAME `dt=` layout: each micro-batch appends
+    * its days' files exactly-once (checkpointed offsets + file-sink log),
+    * and the batch reader above prunes them identically. This is the
+    * continuous-ingest path of the storage posture — a restart resumes
+    * from the checkpoint without duplicating or losing a batch.
+    */
+  def writeStreamByDay(
+      df: DataFrame, tsCol: String, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .writeStream
+      .partitionBy("dt")
+      .option("checkpointLocation", checkpoint)
+      .option("path", path)
+      .outputMode("append")
+      .format("parquet")
+      .start()
 }
