@@ -134,6 +134,25 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("Engine.session builds a configured session with the functions live") {
+    val prev = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = graft.Engine.session(master = "local[2]",
+        shufflePartitions = Some(4))
+      assert(s2.conf.get("spark.sql.shuffle.partitions") === "4")
+      assert(s2.conf.get("spark.sql.session.timeZone") === "UTC")
+      val d = s2.sql(
+        "SELECT float_dot(array(cast(2.0 AS float)), array(cast(3.0 AS float)))")
+        .head().getDouble(0)
+      assert(d === 6.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen (no fence)") {
     // non-foldable input (range), else the projection constant-folds into
     // a LocalTableScan before any codegen happens

@@ -67,6 +67,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q39_stratified_sample").contains("WindowGroupLimit"))
   }
 
+  test("q40: decontamination joins broadcast-hash on the shingle, never SMJ") {
+    val p = plan("q40_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
