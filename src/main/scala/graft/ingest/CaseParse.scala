@@ -122,15 +122,20 @@ object CaseParse {
       fetchErrors: Option[DataFrame] = None): DataFrame = {
     val scen = ScenarioParse.parse(scenarioPages)
       .dropDuplicates("scenario_url") // parse each page once (§4.1)
+    // unhinted: scenario count is O(cases) in the worst case, so the plan
+    // must be allowed to shuffle on scenario_url; AQE broadcasts the
+    // typical small frame at runtime
     val enriched = cases
-      .join(broadcast(scen), Seq("scenario_url"), "left")
+      .join(scen, Seq("scenario_url"), "left")
       .withColumn("scenario",
         coalesce(col("scenario"), ScenarioParse.emptyScenario))
     val withMsg = fetchErrors match {
       case Some(fe) =>
+        // no broadcast hint: the failure list is proportional to the crawl
+        // in the worst case (every fetch failing); AQE broadcasts the
+        // usual near-empty frame on its own
         enriched
-          .join(broadcast(fe.select(col("url"), col("message"))),
-            Seq("url"), "left")
+          .join(fe.select(col("url"), col("message")), Seq("url"), "left")
           .withColumn("message", coalesce(col("message"), lit("")))
       case None => enriched.withColumn("message", lit(""))
     }

@@ -74,7 +74,10 @@ object Pipeline {
           val repBytes = Fetch.fetchBinary(repUrls)(fetchBinary)
             .filter(col("fetch_error") === "" && col("content").isNotNull)
             .select(col("url").as("rep_img_url"), col("content"))
-          routed.join(broadcast(repBytes), Seq("rep_img_url"), "left")
+          // NO broadcast hint: image bytes scale with the number of
+          // successful cases — a shuffle join on the url stays bounded
+          // per-partition; AQE still broadcasts when the frame is small
+          routed.join(repBytes, Seq("rep_img_url"), "left")
             .withColumn("image_bytes",
               when(col("content").isNotNull, array(col("content")))
                 .otherwise(array().cast("array<binary>")))
