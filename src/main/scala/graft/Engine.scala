@@ -19,7 +19,7 @@ object Engine {
       appName: String = "graft"): SparkSession = {
     val parts = shufflePartitions.getOrElse(
       Runtime.getRuntime.availableProcessors())
-    SparkSession.builder()
+    val s = SparkSession.builder()
       .master(master)
       .appName(appName)
       .withExtensions(new graft.expr.GraftExtensions()(_))
@@ -28,5 +28,14 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate returns any PRE-EXISTING session untouched (builder
+    // extensions and configs silently ignored) — enforce the
+    // runtime-settable parts of the contract on whatever came back, so the
+    // factory's promise holds in notebooks and shared JVMs too
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.expr.GraftFunctions.register(s)
+    s
   }
 }

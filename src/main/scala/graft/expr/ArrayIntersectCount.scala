@@ -85,8 +85,51 @@ object ArrayIntersectCount {
   * a catalog query must not re-register — the registry logs a "replaced a
   * previously registered function" warning per call, which the r2 bench
   * tail showed 37× per run).
+  *
+  * The single (name, usage, builder) list here also feeds
+  * [[GraftExtensions]] — one source of truth, so the ad-hoc/test
+  * registration path and the cluster extension path can never diverge.
   */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+  /** int-literal argument (arity pinned at registration time) */
+  private def litInt(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal argument, got $other")
+  }
+
+  /** Every engine-native function: name, usage doc, builder. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("array_intersect_count",
+      "_FUNC_(a, b) - distinct common elements of two string arrays",
+      es => ArrayIntersectCount(es.head, es(1))),
+    ("gram3_jaccard_counts",
+      "_FUNC_(t1, t2) - common/total 3-gram counts of two strings",
+      es => GramJaccardCounts(es.head, es(1), 3)),
+    ("simhash64",
+      "_FUNC_(hashes) - 64-bit SimHash of token hashes",
+      es => SimHash64(es.head)),
+    ("word_shingles",
+      "_FUNC_(words, k) - distinct k-word-window hashes",
+      es => WordShingles(es.head, litInt(es(1)))),
+    ("word_shingle_strings",
+      "_FUNC_(words, k) - distinct k-word windows, space-joined",
+      es => WordShingleStrings(es.head, litInt(es(1)))),
+    ("minhash_sigs",
+      "_FUNC_(shingles, perms) - MinHash signature minima",
+      es => MinHashSigs(es.head, litInt(es(1)))),
+    ("float_dot",
+      "_FUNC_(a, b) - double-accumulated dot product of numeric arrays",
+      es => FloatDot(es.head, es(1))),
+    ("html_table_rows",
+      "_FUNC_(html) - DOM-grade table rows with descendant cells",
+      es => HtmlTableRows(es.head)),
+    ("image_dims",
+      "_FUNC_(bytes) - mime and true pixel dimensions from image headers",
+      es => ImageDims(es.head)))
+
   private val registered =
     java.util.Collections.synchronizedSet(
       java.util.Collections.newSetFromMap(
@@ -97,49 +140,9 @@ object GraftFunctions {
     if (registered.contains(spark)) return
     synchronized {
       if (registered.contains(spark)) return
-      reg.createOrReplaceTempFunction(
-        "array_intersect_count",
-        es => ArrayIntersectCount(es.head, es(1)),
-        "built-in")
-      reg.createOrReplaceTempFunction(
-        "gram3_jaccard_counts",
-        es => GramJaccardCounts(es.head, es(1), 3),
-        "built-in")
-      reg.createOrReplaceTempFunction(
-        "simhash64",
-        es => SimHash64(es.head),
-        "built-in")
-      // int-literal second argument (arity pinned at registration time)
-      def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
-        e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"expected an integer literal argument, got $other")
-        }
-      reg.createOrReplaceTempFunction(
-        "word_shingles",
-        es => WordShingles(es.head, litInt(es(1))),
-        "built-in")
-      reg.createOrReplaceTempFunction(
-        "word_shingle_strings",
-        es => WordShingleStrings(es.head, litInt(es(1))),
-        "built-in")
-      reg.createOrReplaceTempFunction(
-        "minhash_sigs",
-        es => MinHashSigs(es.head, litInt(es(1))),
-        "built-in")
-      reg.createOrReplaceTempFunction(
-        "float_dot",
-        es => FloatDot(es.head, es(1)),
-        "built-in")
-      reg.createOrReplaceTempFunction(
-        "html_table_rows",
-        es => HtmlTableRows(es.head),
-        "built-in")
-      reg.createOrReplaceTempFunction(
-        "image_dims",
-        es => ImageDims(es.head),
-        "built-in")
+      builders.foreach { case (name, _, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
       registered.add(spark)
     }
   }

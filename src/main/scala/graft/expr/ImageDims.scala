@@ -73,31 +73,43 @@ object ImageDims {
     }
   }
 
-  /** Walk JPEG markers to the first SOFn frame header (C0–CF minus the
-    * C4/C8/CC non-frame markers): precision(1) then height/width as
-    * big-endian u16.
+  /** Offset of the first SOFn frame marker (C0–CF minus the C4/C8/CC
+    * non-frame markers), -1 when absent/corrupt. The SOF payload is
+    * len(2) precision(1) height(2) width(2) components(1).
     */
-  private def jpegDims(b: Array[Byte]): GenericInternalRow = {
+  private def sofOffset(b: Array[Byte]): Int = {
     var i = 2
     while (i + 3 < b.length) {
-      if (u8(b, i) != 0xFF) return row("image/jpeg", -1, -1) // desynced
+      if (u8(b, i) != 0xFF) return -1 // desynced
       var m = u8(b, i + 1)
       while (m == 0xFF && i + 2 < b.length) { i += 1; m = u8(b, i + 1) }
       if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) {
         i += 2 // standalone marker, no length field
       } else if (m == 0xD9 || m == 0xDA) {
-        return row("image/jpeg", -1, -1) // EOI / scan start: no SOF seen
+        return -1 // EOI / scan start: no SOF seen
       } else {
         val len = be16(b, i + 2)
-        if (len < 2 || i + 2 + len > b.length) return row("image/jpeg", -1, -1)
+        if (len < 2 || i + 2 + len > b.length) return -1
         val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
-        if (isSof) {
-          if (len < 7) return row("image/jpeg", -1, -1)
-          return row("image/jpeg", be16(b, i + 7), be16(b, i + 5))
-        }
+        if (isSof) return if (len < 8) -1 else i
         i += 2 + len
       }
     }
-    row("image/jpeg", -1, -1)
+    -1
+  }
+
+  private def jpegDims(b: Array[Byte]): GenericInternalRow = {
+    val i = sofOffset(b)
+    if (i < 0) row("image/jpeg", -1, -1)
+    else row("image/jpeg", be16(b, i + 7), be16(b, i + 5))
+  }
+
+  /** SOF component count (1 = grayscale, 3 = YCbCr/RGB, 4 = CMYK);
+    * -1 when no frame header is found. Used by the PDF sink to pick the
+    * image colorspace — hardcoding DeviceRGB corrupts grayscale scans.
+    */
+  def jpegComponents(b: Array[Byte]): Int = {
+    val i = sofOffset(b)
+    if (i < 0) -1 else u8(b, i + 9)
   }
 }

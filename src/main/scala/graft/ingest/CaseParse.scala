@@ -114,12 +114,18 @@ object CaseParse {
     *
     * `fetchErrors` is (url, message) for case pages whose fetch failed;
     * their rows arrive here parsed-from-empty-html and are forced onto the
-    * error route with the message preserved.
+    * error route with the message preserved. `scenarioErrors` is
+    * (scenario_url, scen_message) for scenario pages whose fetch failed —
+    * the reference fetches the scenario INSIDE the per-case try
+    * (extract.py:284-286 raises, run.py:113-120 catches), so every case
+    * pointing at a failed scenario page is an error too, not an
+    * excluded-for-missing-シナリオ.
     */
   def enrichAndRoute(
       cases: DataFrame,
       scenarioPages: DataFrame,
-      fetchErrors: Option[DataFrame] = None): DataFrame = {
+      fetchErrors: Option[DataFrame] = None,
+      scenarioErrors: Option[DataFrame] = None): DataFrame = {
     val scen = ScenarioParse.parse(scenarioPages)
       .dropDuplicates("scenario_url") // parse each page once (§4.1)
     // unhinted: scenario count is O(cases) in the worst case, so the plan
@@ -129,16 +135,28 @@ object CaseParse {
       .join(scen, Seq("scenario_url"), "left")
       .withColumn("scenario",
         coalesce(col("scenario"), ScenarioParse.emptyScenario))
-    val withMsg = fetchErrors match {
+    // no broadcast hints below: both failure lists are proportional to the
+    // crawl in the worst case (every fetch failing); AQE broadcasts the
+    // usual near-empty frames on its own
+    val withCaseMsg = fetchErrors match {
       case Some(fe) =>
-        // no broadcast hint: the failure list is proportional to the crawl
-        // in the worst case (every fetch failing); AQE broadcasts the
-        // usual near-empty frame on its own
         enriched
           .join(fe.select(col("url"), col("message")), Seq("url"), "left")
-          .withColumn("message", coalesce(col("message"), lit("")))
-      case None => enriched.withColumn("message", lit(""))
+      case None => enriched.withColumn("message", lit(null).cast("string"))
     }
+    val withMsg = (scenarioErrors match {
+      case Some(se) =>
+        withCaseMsg.join(
+          se.select(col("scenario_url"), col("scen_message")),
+          Seq("scenario_url"), "left")
+      case None =>
+        withCaseMsg.withColumn("scen_message", lit(null).cast("string"))
+    })
+      // case-page failure wins (the reference never reaches the scenario
+      // fetch when the case fetch already raised)
+      .withColumn("message",
+        coalesce(col("message"), col("scen_message"), lit("")))
+      .drop("scen_message")
     withMsg
       .withColumn("missing_fields", missingExpr)
       .withColumn("status",

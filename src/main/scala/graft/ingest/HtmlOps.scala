@@ -19,10 +19,14 @@ import graft.ops.TextOps
 object HtmlOps {
 
   /** Remove HTML comments — a DOM parser never sees commented-out markup,
-    * but the row/anchor regexes would (r2 verdict hardening item).
+    * but the anchor regexes would (r2 verdict hardening item). An
+    * UNTERMINATED `<!--` comments out the rest of the document in
+    * html.parser, so the second pass drops everything after one.
     */
   def stripComments(h: Column): Column =
-    regexp_replace(h, "(?s)<!--.*?-->", "")
+    regexp_replace(
+      regexp_replace(h, "(?s)<!--.*?-->", ""),
+      "(?s)<!--.*$", "")
 
   /** DOM-grade table rows: every `<tr>` (any depth, document order) with
     * its descendant `<td>` bodies balanced across nested tables and the
@@ -32,22 +36,6 @@ object HtmlOps {
     */
   def tableRows(html: Column): Column =
     ExprGlue.column(graft.expr.HtmlTableRows(ExprGlue.expression(html)))
-
-  /** All `<tr>` bodies of the page, in document order (regex form — keeps
-    * leaf-row semantics for the scenario parser, which mirrors the
-    * reference's `find_parent("tr")` innermost-row navigation).
-    */
-  def trs(html: Column): Column =
-    regexp_extract_all(stripComments(html),
-      lit("(?is)<tr[^>]*>(.*?)</tr>"), lit(1))
-
-  /** All `<td>` bodies of a row, in order. */
-  def tds(row: Column): Column =
-    regexp_extract_all(row, lit("(?is)<td[^>]*>(.*?)</td>"), lit(1))
-
-  /** The opening tag of the first `<td>` (for attribute reads). */
-  def firstTdTag(row: Column): Column =
-    regexp_extract(row, "(?is)(<td[^>]*>)", 1)
 
   /** An attribute value from an opening tag ("" when absent). */
   def attr(tag: Column, name: String): Column =

@@ -46,20 +46,31 @@ object Pipeline {
 
     // failed fetches stay in the frame: they parse from empty html and are
     // forced onto the error route with the fetch message, so the manifest's
-    // total equals the number of crawled case URLs (run.py:114-133 parity)
-    val casePages = Fetch.fetchPages(caseUrls.toDS())(fetch)
+    // total equals the number of crawled case URLs (run.py:114-133 parity).
+    // CACHED: the frame feeds three plan branches (error list, case parse,
+    // scenario-url derivation) — uncached, each branch would re-fetch every
+    // page, breaking the fetch-once contract (§4.1) and letting transient
+    // failures route the same URL differently per branch.
+    val casePages = Fetch.fetchPages(caseUrls.toDS())(fetch).cache()
     val fetchErrors = casePages.filter(col("fetch_error") =!= "")
       .select(col("url"), col("fetch_error").as("message"))
 
-    // parse case pages, then fetch+parse each DISTINCT scenario page once
+    // parse case pages, then fetch+parse each DISTINCT scenario page once;
+    // scenario fetch failures route their cases to 'error' with the
+    // message (reference: fetch_html raises inside the per-case try,
+    // run.py:113-120) — also cached: two branches (errors + parse)
     val cases = CaseParse.parseMainPages(casePages)
     val scenUrls = cases.select(col("scenario_url")).distinct()
       .filter(col("scenario_url") =!= "").as[String]
-    val scenPages = Fetch.fetchPages(scenUrls)(fetch)
-      .filter(col("fetch_error") === "")
+    val scenPagesAll = Fetch.fetchPages(scenUrls)(fetch).cache()
+    val scenErrors = scenPagesAll.filter(col("fetch_error") =!= "")
+      .select(col("url").as("scenario_url"),
+        col("fetch_error").as("scen_message"))
+    val scenPages = scenPagesAll.filter(col("fetch_error") === "")
 
     val routed = CaseParse
-      .enrichAndRoute(cases, scenPages, Some(fetchErrors)).cache()
+      .enrichAndRoute(cases, scenPages, Some(fetchErrors), Some(scenErrors))
+      .cache()
 
     Sinks.writePerCaseJson(routed.filter(col("status") === "success"), outDir)
     if (writePdf) {
@@ -96,6 +107,8 @@ object Pipeline {
       counts.getOrElse("excluded", 0L),
       counts.getOrElse("error", 0L))
     routed.unpersist()
+    scenPagesAll.unpersist()
+    casePages.unpersist()
     res
   }
 }

@@ -14,23 +14,30 @@ import org.apache.spark.sql.DataFrame
   * CacheManager logged "already cached" warnings on every warmup rerun.
   */
 object CacheScope {
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // Thread-local: a query is built and materialized on one caller thread,
+  // so its caches drain with THAT thread's scope — a global queue would
+  // let one finishing query unpersist a concurrently-running query's
+  // corpus mid-job.
+  private val live =
+    ThreadLocal.withInitial(() => new java.util.ArrayDeque[DataFrame]())
 
   /** Persist `df` (MEMORY_AND_DISK default) and track it for release. */
   def persisted(df: DataFrame): DataFrame = {
     val p = df.persist()
-    live.add(p)
+    live.get().add(p)
     p
   }
 
-  /** Unpersist everything registered since the last drain. Non-blocking:
-    * executors free the blocks asynchronously while the next query plans.
+  /** Unpersist everything this THREAD registered since its last drain.
+    * Non-blocking: executors free the blocks asynchronously while the next
+    * query plans.
     */
   def drain(): Unit = {
-    var df = live.poll()
+    val q = live.get()
+    var df = q.poll()
     while (df != null) {
       df.unpersist(blocking = false)
-      df = live.poll()
+      df = q.poll()
     }
   }
 }

@@ -31,7 +31,8 @@ object PdfSink {
     * predictor (/Predictor 15) handling the per-scanline filter bytes.
     */
   sealed trait PdfImage { def w: Int; def h: Int }
-  final case class JpegImage(bytes: Array[Byte], w: Int, h: Int) extends PdfImage
+  final case class JpegImage(bytes: Array[Byte], w: Int, h: Int,
+      components: Int = 3) extends PdfImage
   final case class PngImage(idat: Array[Byte], w: Int, h: Int, colors: Int)
       extends PdfImage
 
@@ -153,8 +154,15 @@ object PdfSink {
       "/CapHeight 769 /StemV 69 >>")
     images.zipWithIndex.foreach { case (im, i) =>
       val (data, filter) = im match {
-        case JpegImage(bytes, _, _) =>
-          (bytes, "/ColorSpace /DeviceRGB /Filter /DCTDecode")
+        case JpegImage(bytes, _, _, comps) =>
+          // colorspace must match the SOF component count: a grayscale
+          // scan embedded as DeviceRGB is a corrupt page
+          val cs = comps match {
+            case 1 => "/DeviceGray"
+            case 4 => "/DeviceCMYK"
+            case _ => "/DeviceRGB"
+          }
+          (bytes, s"/ColorSpace $cs /Filter /DCTDecode")
         case PngImage(idat, w, _, colors) =>
           val cs = if (colors == 3) "/DeviceRGB" else "/DeviceGray"
           (idat, s"/ColorSpace $cs /Filter /FlateDecode " +
@@ -264,7 +272,9 @@ object PdfSink {
                 val d = graft.expr.ImageDims.compute(b)
                 d.getUTF8String(0).toString match {
                   case "image/jpeg" if !d.isNullAt(1) && !d.isNullAt(2) =>
-                    Some(JpegImage(b, d.getInt(1), d.getInt(2)))
+                    val comps = graft.expr.ImageDims.jpegComponents(b)
+                    Some(JpegImage(b, d.getInt(1), d.getInt(2),
+                      if (comps > 0) comps else 3))
                   case "image/png" => pngStream(b)
                   case _ => None
                 }

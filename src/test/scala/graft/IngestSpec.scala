@@ -82,6 +82,16 @@ class IngestSpec extends SparkSpec {
     assert(r.getAs[String]("status") === "success")
   }
 
+  test("unterminated comment hides the rest of the document (html.parser parity)") {
+    val html = """<a href="/cf/A.html">a</a> <!-- dangling
+      <a href="/cf/GHOST.html">ghost</a>"""
+    val hrefs = Seq(html).toDF("h")
+      .select(graft.ingest.HtmlOps.anchors(col("h")).as("as"))
+      .selectExpr("transform(as, a -> a.href) AS hs")
+      .as[Seq[String]].head()
+    assert(hrefs === Seq("/cf/A.html"), s"ghost anchor leaked: $hrefs")
+  }
+
   test("knowledge list parses with continuation append (P7 over HTML)") {
     assert(full.getAs[Seq[String]]("knowledge") ===
       Seq("前兆現象を軽視しないこと", "監視体制を強化する"))

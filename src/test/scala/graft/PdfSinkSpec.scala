@@ -68,6 +68,20 @@ class PdfSinkSpec extends SparkSpec {
     assert(bytes.containsSlice(jpeg), "DCTDecode stream must be the raw JPEG")
   }
 
+  test("grayscale JPEG embeds as DeviceGray (SOF component count)") {
+    val img = new java.awt.image.BufferedImage(
+      10, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val gray = bos.toByteArray
+    assert(graft.expr.ImageDims.jpegComponents(gray) === 1)
+    val bytes = PdfSink.pdfBytes("グレー", Seq("事例概要" -> "概要"),
+      images = Seq(PdfSink.JpegImage(gray, 10, 8, components = 1)))
+    val s = ascii(bytes)
+    assert(s.contains("/ColorSpace /DeviceGray"),
+      "1-component JPEG must not claim DeviceRGB")
+  }
+
   test("embeds a PNG's IDAT verbatim under FlateDecode + PNG predictor") {
     val img = new java.awt.image.BufferedImage(
       20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)

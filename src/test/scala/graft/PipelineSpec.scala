@@ -46,6 +46,29 @@ class PipelineSpec extends SparkSpec {
     assert(manifest.contains("情報不足の事例")) // excluded case in roster
   }
 
+  test("scenario fetch failure routes its case to error with the message") {
+    // the reference fetches the scenario inside the per-case try
+    // (extract.py:284-286): a 404 there is an ERROR roster entry, not an
+    // excluded-for-missing-scenario
+    val pages: Map[String, String] = Map(
+      s"$base/lis/cat1.html" -> fixture("list_cat.html"),
+      s"$base/cf/CZ0200701.html" -> fixture("case_full.html"),
+      s"$base/cf/CZ0200702.html" -> fixture("case_missing.html"))
+      // SZ0200703 (701's scenario) NOT served
+    val out = Files.createTempDirectory("pipeline-scen-err").toString
+    val res = Pipeline.run(
+      spark, Seq(s"$base/lis/cat1.html"), limit = 2, outDir = out)(
+      u => pages.getOrElse(u, throw new java.io.IOException(s"404 $u")))
+    assert(res.total === 2)
+    assert(res.success === 0)
+    assert(res.excluded === 1) // 702: genuinely missing fields
+    assert(res.error === 1)    // 701: scenario fetch raised
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(out, res.manifestFile)), UTF_8)
+    assert(manifest.contains("404 https://www.shippai.org/fkd/sf/SZ0200703.html"),
+      s"scenario fetch message must reach the roster:\n$manifest")
+  }
+
   test("fetch failures stay in the roster as status=error with the message") {
     // 703 is crawled but its fetch throws: run.py:114-133 keeps it in the
     // roster (status=error, message=exception) and counts it in total —
