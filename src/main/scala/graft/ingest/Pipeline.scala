@@ -43,6 +43,47 @@ object Pipeline {
     val caseUrls = CaseParse
       .caseUrlsFromLists(listPages.filter(col("fetch_error") === ""), limit)
       .as[String].collect().toSeq
+    processCases(spark, caseUrls, outDir, writePdf)(fetch, fetchBinary)
+  }
+
+  /** run.py CLI parity (run.py:66-81): URLs may mix list pages (`/lis/`,
+    * expanded with the PER-LIST limit), direct case pages (`/cf/`), and
+    * anything else (warn-skipped). The expanded set flows through the same
+    * pipeline.
+    */
+  def runUrls(
+      spark: SparkSession,
+      urls: Seq[String],
+      limit: Int,
+      outDir: String,
+      writePdf: Boolean = true)(
+      fetch: String => String,
+      fetchBinary: String => Array[Byte] = null): Result = {
+    import spark.implicits._
+    val caseUrls = urls.flatMap {
+      case lu if lu.contains("/lis/") =>
+        val lp = Fetch.fetchPages(Seq(lu).toDS())(fetch)
+          .filter(col("fetch_error") === "")
+        CaseParse.caseUrlsFromLists(lp, limit).as[String].collect().toSeq
+      case cu if cu.contains("/cf/") => Seq(cu)
+      case other =>
+        System.err.println(s"[pipeline] skipping unrecognized URL: $other")
+        Nil
+    }
+    processCases(spark, caseUrls, outDir, writePdf)(fetch, fetchBinary)
+  }
+
+  /** Fetch → parse → enrich → route → sinks for a resolved case-URL set
+    * (shared by [[run]] and [[runUrls]]).
+    */
+  private def processCases(
+      spark: SparkSession,
+      caseUrls: Seq[String],
+      outDir: String,
+      writePdf: Boolean)(
+      fetch: String => String,
+      fetchBinary: String => Array[Byte]): Result = {
+    import spark.implicits._
 
     // failed fetches stay in the frame: they parse from empty html and are
     // forced onto the error route with the fetch message, so the manifest's

@@ -46,6 +46,29 @@ class PipelineSpec extends SparkSpec {
     assert(manifest.contains("情報不足の事例")) // excluded case in roster
   }
 
+  test("runUrls mixes list and direct case URLs, skips unknown forms") {
+    val pages: Map[String, String] = Map(
+      s"$base/lis/cat1.html" -> fixture("list_cat.html"),
+      s"$base/cf/CZ0200701.html" -> fixture("case_full.html"),
+      s"$base/cf/CZ0200702.html" -> fixture("case_missing.html"),
+      s"$base/cf/CZ0200703.html" -> fixture("case_full.html"),
+      s"$base/cf/CZ0200799.html" -> fixture("case_full.html"), // direct only
+      s"$base/sf/SZ0200703.html" -> fixture("scenario_2b.html"))
+    val out = Files.createTempDirectory("pipeline-mixed").toString
+    val res = Pipeline.runUrls(
+      spark,
+      Seq(
+        s"$base/cf/CZ0200799.html",      // direct case (not on any list)
+        s"$base/lis/cat1.html",          // expands to 701/702/703
+        s"$base/mf/not-a-case.jpg"),     // unknown form → skipped
+      limit = 3, outDir = out)(
+      u => pages.getOrElse(u, throw new java.io.IOException(s"404 $u")))
+    assert(res.total === 4) // 1 direct + 3 crawled, unknown skipped
+    assert(res.success === 3) // 799, 701, 703
+    assert(res.excluded === 1) // 702
+    assert(res.error === 0)
+  }
+
   test("scenario fetch failure routes its case to error with the message") {
     // the reference fetches the scenario inside the per-case try
     // (extract.py:284-286): a 404 there is an ERROR roster entry, not an
