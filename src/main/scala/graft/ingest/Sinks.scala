@@ -54,8 +54,13 @@ object Sinks {
           col("case_id"), col("case_name"), col("url"), col("status"),
           col("missing_fields"),
           // null when absent → to_json omits the key, matching the
-          // reference's error-only message field (run.py:116-119)
-          when(col("message") =!= "", col("message")).as("message")))))
+          // reference's error-only message / success-only outputs fields
+          // (run.py:96-101, 116-119)
+          when(col("message") =!= "", col("message")).as("message"),
+          when(col("status") === "success", array(
+            concat(col("case_id"), lit("_"), col("case_name"), lit(".json")),
+            concat(col("case_id"), lit("_"), col("case_name"), lit(".pdf"))))
+            .as("outputs")))))
         .as("cases"))
       .head()
 
