@@ -12,6 +12,15 @@ package graft.ingest
   * fetcher (pooled client, 30 s timeout) for both pages and images.
   */
 object Main {
+  private val usage =
+    "usage: graft.ingest.Main URL [URL ...] [--limit N] [--output-dir DIR]"
+
+  private def usageExit(reason: String): Nothing = {
+    System.err.println(reason)
+    System.err.println(usage)
+    sys.exit(2) // argparse's exit code for bad arguments
+  }
+
   def main(args: Array[String]): Unit = {
     var urls = Vector.empty[String]
     var limit = Int.MaxValue
@@ -19,25 +28,37 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--limit" => limit = args(i + 1).toInt; i += 2
-        case "--output-dir" => outDir = args(i + 1); i += 2
+        case flag @ ("--limit" | "--output-dir") =>
+          if (i + 1 >= args.length) usageExit(s"$flag requires a value")
+          if (flag == "--limit") {
+            limit = try args(i + 1).toInt
+            catch { case _: NumberFormatException =>
+              usageExit(s"--limit must be an integer, got '${args(i + 1)}'")
+            }
+          } else outDir = args(i + 1)
+          i += 2
         case u => urls :+= u; i += 1
       }
     }
-    if (urls.isEmpty) {
-      System.err.println(
-        "usage: graft.ingest.Main URL [URL ...] [--limit N] [--output-dir DIR]")
-      sys.exit(1)
-    }
+    if (urls.isEmpty) usageExit("at least one URL is required")
+
     val spark = graft.Engine.session(appName = "graft-ingest")
-    try {
-      val res = Pipeline.runUrls(spark, urls, limit, outDir)(
-        HttpFetch.text, HttpFetch.binary)
-      // the reference's closing summary (run.py:148-156)
-      println(s"total=${res.total} success=${res.success} " +
-        s"excluded=${res.excluded} error=${res.error} " +
-        s"manifest=${res.outDir}/${res.manifestFile}")
-      if (res.total == 0) sys.exit(1)
-    } finally spark.stop()
+    // compute the exit code inside the try: sys.exit inside it would
+    // terminate the JVM without running the finally (spark.stop)
+    val code =
+      try {
+        val res = Pipeline.runUrls(spark, urls, limit, outDir)(
+          HttpFetch.text, HttpFetch.binary)
+        // the reference's closing summary (run.py:148-156); total == 0
+        // writes no manifest and exits 1 (run.py:79-81)
+        if (res.total == 0) { println("no cases to process"); 1 }
+        else {
+          println(s"total=${res.total} success=${res.success} " +
+            s"excluded=${res.excluded} error=${res.error} " +
+            s"manifest=${res.outDir}/${res.manifestFile}")
+          0
+        }
+      } finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

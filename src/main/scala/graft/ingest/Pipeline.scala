@@ -35,15 +35,22 @@ object Pipeline {
       writePdf: Boolean = true)(
       fetch: String => String,
       fetchBinary: String => Array[Byte] = null): Result = {
-    import spark.implicits._
-
-    // S1+S2: crawl list pages, collect bounded case URLs (the limit is the
-    // reference's early stop; the collected seed is tiny by contract)
-    val listPages = Fetch.fetchPages(listUrls.toDS())(fetch)
-    val caseUrls = CaseParse
-      .caseUrlsFromLists(listPages.filter(col("fetch_error") === ""), limit)
-      .as[String].collect().toSeq
+    // S1+S2: crawl each list page with the PER-LIST limit (the reference
+    // calls extract_case_urls_from_list(url, limit) per URL, run.py:70-71 —
+    // a single global CollectLimit over all pages would cap the total and
+    // pick nondeterministically across lists); the collected seed is tiny
+    // by contract
+    val caseUrls = listUrls.flatMap(lu => crawlList(spark, lu, limit)(fetch))
     processCases(spark, caseUrls, outDir, writePdf)(fetch, fetchBinary)
+  }
+
+  private def crawlList(
+      spark: SparkSession, listUrl: String, limit: Int)(
+      fetch: String => String): Seq[String] = {
+    import spark.implicits._
+    val lp = Fetch.fetchPages(Seq(listUrl).toDS())(fetch)
+      .filter(col("fetch_error") === "")
+    CaseParse.caseUrlsFromLists(lp, limit).as[String].collect().toSeq
   }
 
   /** run.py CLI parity (run.py:66-81): URLs may mix list pages (`/lis/`,
@@ -59,12 +66,8 @@ object Pipeline {
       writePdf: Boolean = true)(
       fetch: String => String,
       fetchBinary: String => Array[Byte] = null): Result = {
-    import spark.implicits._
     val caseUrls = urls.flatMap {
-      case lu if lu.contains("/lis/") =>
-        val lp = Fetch.fetchPages(Seq(lu).toDS())(fetch)
-          .filter(col("fetch_error") === "")
-        CaseParse.caseUrlsFromLists(lp, limit).as[String].collect().toSeq
+      case lu if lu.contains("/lis/") => crawlList(spark, lu, limit)(fetch)
       case cu if cu.contains("/cf/") => Seq(cu)
       case other =>
         System.err.println(s"[pipeline] skipping unrecognized URL: $other")
@@ -85,6 +88,10 @@ object Pipeline {
       fetchBinary: String => Array[Byte]): Result = {
     import spark.implicits._
 
+    // nothing to process → no manifest, no sequence number consumed
+    // (run.py:79-81 exits before writing anything)
+    if (caseUrls.isEmpty) return Result(outDir, "", 0, 0, 0, 0)
+
     // failed fetches stay in the frame: they parse from empty html and are
     // forced onto the error route with the fetch message, so the manifest's
     // total equals the number of crawled case URLs (run.py:114-133 parity).
@@ -93,8 +100,12 @@ object Pipeline {
     // page, breaking the fetch-once contract (§4.1) and letting transient
     // failures route the same URL differently per branch.
     val casePages = Fetch.fetchPages(caseUrls.toDS())(fetch).cache()
+    // dropDuplicates: the same URL passed twice (legal per run.py, which
+    // appends without dedup) fails twice → two identical error rows, and
+    // the routing join would row-multiply 2x2 without the dedup
     val fetchErrors = casePages.filter(col("fetch_error") =!= "")
       .select(col("url"), col("fetch_error").as("message"))
+      .dropDuplicates("url")
 
     // parse case pages, then fetch+parse each DISTINCT scenario page once;
     // scenario fetch failures route their cases to 'error' with the
@@ -113,8 +124,9 @@ object Pipeline {
       .enrichAndRoute(cases, scenPages, Some(fetchErrors), Some(scenErrors))
       .cache()
 
-    Sinks.writePerCaseJson(routed.filter(col("status") === "success"), outDir)
-    if (writePdf) {
+    try {
+      Sinks.writePerCaseJson(routed.filter(col("status") === "success"), outDir)
+      if (writePdf) {
       val pdfInput =
         if (fetchBinary == null) routed
         else {
@@ -135,21 +147,23 @@ object Pipeline {
                 .otherwise(array().cast("array<binary>")))
             .drop("content")
         }
-      graft.sink.PdfSink.writePdfs(pdfInput, outDir)
-    }
-    val manifest = Sinks.writeManifest(routed, outDir)
+        graft.sink.PdfSink.writePdfs(pdfInput, outDir)
+      }
+      val manifest = Sinks.writeManifest(routed, outDir, wrotePdf = writePdf)
 
-    val counts = routed.groupBy("status").count()
-      .as[(String, Long)].collect().toMap
-    val res = Result(
-      outDir, manifest,
-      counts.values.sum,
-      counts.getOrElse("success", 0L),
-      counts.getOrElse("excluded", 0L),
-      counts.getOrElse("error", 0L))
-    routed.unpersist()
-    scenPagesAll.unpersist()
-    casePages.unpersist()
-    res
+      val counts = routed.groupBy("status").count()
+        .as[(String, Long)].collect().toMap
+      Result(
+        outDir, manifest,
+        counts.values.sum,
+        counts.getOrElse("success", 0L),
+        counts.getOrElse("excluded", 0L),
+        counts.getOrElse("error", 0L))
+    } finally {
+      // a sink failure must not leave the frames pinned in a shared session
+      routed.unpersist()
+      scenPagesAll.unpersist()
+      casePages.unpersist()
+    }
   }
 }

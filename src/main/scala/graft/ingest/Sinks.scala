@@ -42,8 +42,21 @@ object Sinks {
     }
   }
 
-  /** K3 — run manifest; returns the file name written. */
-  def writeManifest(routed: DataFrame, dir: String): String = {
+  /** K3 — run manifest; returns the file name written. Roster entries
+    * carry exactly the reference's per-status key sets (run.py:96-119):
+    * success → {case_id, case_name, url, status, outputs}, excluded →
+    * {case_id, case_name, url, status, missing_fields}, error →
+    * {url, status, message}. Null struct fields vanish from to_json,
+    * which is what enforces the key presence.
+    */
+  def writeManifest(routed: DataFrame, dir: String,
+      wrotePdf: Boolean = true): String = {
+    val jsonName = concat(col("case_id"), lit("_"), col("case_name"),
+      lit(".json"))
+    val pdfName = concat(col("case_id"), lit("_"), col("case_name"),
+      lit(".pdf"))
+    // the manifest must not claim a PDF that was never written
+    val outputs = if (wrotePdf) array(jsonName, pdfName) else array(jsonName)
     val row = routed
       .agg(
         count(lit(1)).as("total"),
@@ -51,16 +64,13 @@ object Sinks {
         count(when(col("status") === "excluded", 1)).as("excluded"),
         count(when(col("status") === "error", 1)).as("error"),
         to_json(sort_array(collect_list(struct(
-          col("case_id"), col("case_name"), col("url"), col("status"),
-          col("missing_fields"),
-          // null when absent → to_json omits the key, matching the
-          // reference's error-only message / success-only outputs fields
-          // (run.py:96-101, 116-119)
-          when(col("message") =!= "", col("message")).as("message"),
-          when(col("status") === "success", array(
-            concat(col("case_id"), lit("_"), col("case_name"), lit(".json")),
-            concat(col("case_id"), lit("_"), col("case_name"), lit(".pdf"))))
-            .as("outputs")))))
+          when(col("status") =!= "error", col("case_id")).as("case_id"),
+          when(col("status") =!= "error", col("case_name")).as("case_name"),
+          col("url"), col("status"),
+          when(col("status") === "excluded", col("missing_fields"))
+            .as("missing_fields"),
+          when(col("status") === "error", col("message")).as("message"),
+          when(col("status") === "success", outputs).as("outputs")))))
         .as("cases"))
       .head()
 

@@ -117,8 +117,32 @@ class PipelineSpec extends SparkSpec {
     assert(manifest.contains("\"error\":1"))
     assert(manifest.contains("404 https://www.shippai.org/fkd/cf/CZ0200703.html"),
       s"manifest must carry the fetch message:\n$manifest")
+    // run.py key-presence parity: error entries carry no case_id/case_name,
+    // success entries no missing_fields but an outputs list
+    assert(!manifest.contains("\"case_id\":\"\""),
+      s"error entry must omit case_id:\n$manifest")
+    assert(!manifest.contains("\"missing_fields\":[]"),
+      s"success entry must omit missing_fields:\n$manifest")
+    assert(manifest.contains(
+      "\"outputs\":[\"CZ0200701_トンネル坑口崩落事故.json\",\"CZ0200701_トンネル坑口崩落事故.pdf\"]"),
+      s"success entry must list its outputs:\n$manifest")
     // the failed case produced no per-case JSON or PDF
     val files = new java.io.File(out).list().sorted.toSeq
     assert(files.count(_.endsWith(".pdf")) === 1)
+  }
+
+  test("a duplicated failing URL does not row-multiply the roster") {
+    // run.py appends duplicate URLs without dedup and processes each once
+    // per occurrence — 2 entries, not 2x2 from a self-multiplying join
+    val pages: Map[String, String] = Map(
+      s"$base/lis/ignored.html" -> "")
+    val out = Files.createTempDirectory("pipeline-dup").toString
+    val res = Pipeline.runUrls(
+      spark,
+      Seq(s"$base/cf/CZ0200788.html", s"$base/cf/CZ0200788.html"),
+      limit = 10, outDir = out)(
+      u => pages.getOrElse(u, throw new java.io.IOException(s"404 $u")))
+    assert(res.total === 2, s"expected 2 roster entries, got ${res.total}")
+    assert(res.error === 2)
   }
 }
