@@ -12,11 +12,11 @@ import org.apache.spark.sql.graftglue.ExprGlue
   * (binary stays columnar-pruned unless selected).
   *
   * Metadata (mime + true pixel dimensions) is REAL — parsed from container
-  * header bytes by the native graft.expr.ImageDims expression, no codec
-  * needed. Only the embedding-model step remains stubbed
-  * (`extractFeatures` emits deterministic fake vectors — no ONNX/JNI
-  * encoder ships in this container); its mapPartitions shape, schema, and
-  * batching are the real contract a deployment drops a model into.
+  * header bytes by the native graft.expr.ImageDims expression. Feature
+  * extraction is real too: pixels decode through the JDK's ImageIO and
+  * produce a luminance-layout descriptor (see extractFeatures) — a
+  * learned encoder would swap into the same mapPartitions shape when a
+  * model runtime is available.
   */
 object Multimodal {
 
@@ -44,24 +44,58 @@ object Multimodal {
       length(b).cast("long").as("n_bytes")))
   }
 
-  /** Partition-wise feature extraction: one "model" instantiation per
-    * partition, rows streamed through it in batch — the mapPartitions
-    * shape a real encoder (ONNX/JNI) needs. The embedding content is a
-    * deterministic fake (STUB).
+  /** Partition-wise feature extraction: one decoder instantiation per
+    * partition, rows streamed through it — the mapPartitions shape a
+    * learned encoder (ONNX/JNI) drops into. The features are REAL: the
+    * image decodes through the JDK's ImageIO and yields a `dim`-cell
+    * column-strip luminance layout descriptor (mean luma per vertical
+    * strip, 0..1) — deterministic, resolution-independent, and actually
+    * discriminative for near-dup/similarity grouping. Undecodable bytes
+    * fall back to a deterministic byte-hash vector (flagged by
+    * `decoded = false`) so the pipeline never drops rows.
     */
   def extractFeatures(df: DataFrame, dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("path"), col("content")).as[(String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition "model" init would go here
         it.map { case (path, bytes) =>
-          val seed = java.util.Arrays.hashCode(bytes)
-          val rnd = new scala.util.Random(seed)
-          (path, Array.fill(dim)(rnd.nextFloat()))
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+            val w = img.getWidth
+            val h = img.getHeight
+            val feats = Array.tabulate(dim) { i =>
+              val x0 = i.toLong * w / dim
+              val x1 = math.max(x0 + 1, (i + 1).toLong * w / dim)
+              var sum = 0.0
+              var n = 0L
+              var x = x0
+              while (x < x1) {
+                var y = 0
+                while (y < h) {
+                  val rgb = img.getRGB(x.toInt, y)
+                  // ITU-R BT.601 luma from the sRGB bytes
+                  sum += (0.299 * ((rgb >> 16) & 0xFF) +
+                    0.587 * ((rgb >> 8) & 0xFF) +
+                    0.114 * (rgb & 0xFF)) / 255.0
+                  n += 1
+                  y += 1
+                }
+                x += 1
+              }
+              (sum / n).toFloat
+            }
+            (path, feats, true)
+          } else {
+            val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes))
+            (path, Array.fill(dim)(rnd.nextFloat()), false)
+          }
         }
       }
-      .toDF("path", "features")
+      .toDF("path", "features", "decoded")
   }
 
   /** Frame-sampling shape for opaque "video" bytes: every `step`-th chunk

@@ -62,14 +62,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("S3: partition-batched feature extraction is deterministic") {
-    val df = Multimodal.readBinaryDir(spark, mediaDir())
-    val f1 = Multimodal.extractFeatures(df, 8).as[(String, Seq[Float])]
-      .collect().sortBy(_._1).toSeq
-    val f2 = Multimodal.extractFeatures(df, 8).as[(String, Seq[Float])]
-      .collect().sortBy(_._1).toSeq
-    assert(f1 === f2, "stub decode must be deterministic")
-    assert(f1.forall(_._2.length === 8))
+  test("S3: feature extraction decodes real pixels into a layout descriptor") {
+    val dir = Files.createTempDirectory("media-feat").toString
+    // left half black, right half white → strip lumas step from 0 to 1
+    val img = new java.awt.image.BufferedImage(
+      40, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 40).foreach(x => (0 until 10).foreach(y =>
+      img.setRGB(x, y, if (x < 20) 0x000000 else 0xFFFFFF)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Files.write(Paths.get(dir, "split.png"), bos.toByteArray)
+    Files.write(Paths.get(dir, "junk.bin"), Array[Byte](1, 2, 3))
+
+    val df = Multimodal.readBinaryDir(spark, dir)
+    val rows = Multimodal.extractFeatures(df, 4)
+      .as[(String, Seq[Float], Boolean)].collect()
+      .map(r => (r._1.substring(r._1.lastIndexOf('/') + 1), (r._2, r._3)))
+      .toMap
+    val (split, splitDecoded) = rows("split.png")
+    assert(splitDecoded, "real PNG must decode")
+    assert(split.length === 4)
+    assert(split(0) < 0.05f && split(1) < 0.05f,
+      s"left strips must be dark: $split")
+    assert(split(2) > 0.95f && split(3) > 0.95f,
+      s"right strips must be bright: $split")
+    val (junk, junkDecoded) = rows("junk.bin")
+    assert(!junkDecoded, "non-image bytes fall back, flagged undecoded")
+    assert(junk.length === 4)
+    // determinism across invocations
+    val again = Multimodal.extractFeatures(df, 4)
+      .as[(String, Seq[Float], Boolean)].collect()
+      .map(r => (r._1.substring(r._1.lastIndexOf('/') + 1), (r._2, r._3)))
+      .toMap
+    assert(again === rows)
   }
 
   test("S3: frame sampling shape (every step-th chunk as binary frame)") {
