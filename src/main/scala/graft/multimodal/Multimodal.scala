@@ -68,25 +68,21 @@ object Multimodal {
             val w = img.getWidth
             val h = img.getHeight
             val feats = Array.tabulate(dim) { i =>
-              val x0 = i.toLong * w / dim
-              val x1 = math.max(x0 + 1, (i + 1).toLong * w / dim)
+              val x0 = (i.toLong * w / dim).toInt
+              val x1 = math.max(x0 + 1, ((i + 1).toLong * w / dim).toInt)
+              // bulk strip read: one getRGB call per strip, not per pixel
+              val px = img.getRGB(x0, 0, x1 - x0, h, null, 0, x1 - x0)
               var sum = 0.0
-              var n = 0L
-              var x = x0
-              while (x < x1) {
-                var y = 0
-                while (y < h) {
-                  val rgb = img.getRGB(x.toInt, y)
-                  // ITU-R BT.601 luma from the sRGB bytes
-                  sum += (0.299 * ((rgb >> 16) & 0xFF) +
-                    0.587 * ((rgb >> 8) & 0xFF) +
-                    0.114 * (rgb & 0xFF)) / 255.0
-                  n += 1
-                  y += 1
-                }
-                x += 1
+              var j = 0
+              while (j < px.length) {
+                val rgb = px(j)
+                // ITU-R BT.601 luma from the sRGB bytes
+                sum += (0.299 * ((rgb >> 16) & 0xFF) +
+                  0.587 * ((rgb >> 8) & 0xFF) +
+                  0.114 * (rgb & 0xFF)) / 255.0
+                j += 1
               }
-              (sum / n).toFloat
+              (sum / px.length).toFloat
             }
             (path, feats, true)
           } else {
