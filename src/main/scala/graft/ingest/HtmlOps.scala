@@ -37,9 +37,17 @@ object HtmlOps {
   def tableRows(html: Column): Column =
     ExprGlue.column(graft.expr.HtmlTableRows(ExprGlue.expression(html)))
 
-  /** An attribute value from an opening tag ("" when absent). */
-  def attr(tag: Column, name: String): Column =
-    regexp_extract(tag, "(?i)" + name + "\\s*=\\s*[\"']?([^\"'\\s>]+)", 1)
+  /** An attribute value from an opening tag ("" when absent). Quoted
+    * values keep embedded spaces (`title="a b"` → `a b`); unquoted values
+    * run to the next delimiter.
+    */
+  def attr(tag: Column, name: String): Column = {
+    val pre = "(?i)" + name + "\\s*=\\s*"
+    coalesce(
+      TextOps.nullIfEmpty(regexp_extract(tag, pre + "\"([^\"]*)\"", 1)),
+      TextOps.nullIfEmpty(regexp_extract(tag, pre + "'([^']*)'", 1)),
+      regexp_extract(tag, pre + "([^\"'\\s>]+)", 1))
+  }
 
   /** Remove all tags. */
   def stripTags(h: Column): Column =
@@ -106,11 +114,15 @@ object HtmlOps {
             .as("value"))),
       s => s.getField("bg") === "#DFE9F2" && s.getField("n") >= 2)
 
-  /** Value-html of a labeled field, "" when the label is absent. */
+  /** Value-html of a labeled field, "" when the label is absent. LAST
+    * occurrence wins when a label repeats — the reference assigns
+    * `field_map[label] = ...` per row in document order (extract.py:79),
+    * so a later duplicate overwrites an earlier one.
+    */
   def field(lm: Column, label: String): Column =
     coalesce(
       try_element_at(
-        filter(lm, s => s.getField("label") === label), lit(1))
+        filter(lm, s => s.getField("label") === label), lit(-1))
         .getField("value"),
       lit(""))
 

@@ -82,6 +82,33 @@ class IngestSpec extends SparkSpec {
     assert(r.getAs[String]("status") === "success")
   }
 
+  test("attr keeps spaces in quoted values; duplicate labels last-wins") {
+    val tag = Seq("""<td bgcolor="#DFE9F2" title="two words" width=80>""")
+      .toDF("t")
+    val got = tag.select(
+      graft.ingest.HtmlOps.attr(col("t"), "title").as("title"),
+      graft.ingest.HtmlOps.attr(col("t"), "bgcolor").as("bg"),
+      graft.ingest.HtmlOps.attr(col("t"), "width").as("w"),
+      graft.ingest.HtmlOps.attr(col("t"), "height").as("none"))
+      .head()
+    assert(got.getString(0) === "two words")
+    assert(got.getString(1) === "#DFE9F2")
+    assert(got.getString(2) === "80")
+    assert(got.getString(3) === "")
+
+    // field_map[label] = ... overwrites per row: last duplicate wins
+    val html = """<table>
+      <tr><td bgcolor="#DFE9F2">備考</td><td>first</td></tr>
+      <tr><td bgcolor="#DFE9F2">備考</td><td>second</td></tr>
+      </table>"""
+    val v = Seq(html).toDF("h")
+      .select(graft.ingest.HtmlOps.labelMap(col("h")).as("lm"))
+      .select(graft.ingest.HtmlOps.cellText(
+        graft.ingest.HtmlOps.field(col("lm"), "備考")).as("v"))
+      .as[String].head()
+    assert(v === "second", "duplicate label must resolve to the LAST row")
+  }
+
   test("unterminated comment hides the rest of the document (html.parser parity)") {
     val html = """<a href="/cf/A.html">a</a> <!-- dangling
       <a href="/cf/GHOST.html">ghost</a>"""
