@@ -160,7 +160,16 @@ class ExprSpec extends SparkSpec {
       expr("gram3_jaccard_counts(concat('abcde', cast(id AS string)), 'abcdef')")
         .as("c"),
       expr("array_intersect_count(array(cast(id AS string), 'x'), array('x'))")
-        .as("n"))
+        .as("n"),
+      expr("simhash64(array(id))").as("sh"),
+      expr("word_shingles(array('a', cast(id AS string), 'b'), 2)").as("ws"),
+      expr("minhash_sigs(word_shingles(array('a', cast(id AS string), 'b'), 2), 4)")
+        .as("mh"),
+      expr("float_dot(array(cast(id AS double)), array(cast(2.0 AS double)))")
+        .as("d"),
+      expr("size(html_table_rows(concat('<table><tr><td>', id, '</td></tr></table>')))")
+        .as("nr"),
+      expr("image_dims(cast(concat('x', id) AS binary)).mime").as("m"))
     val p = df.queryExecution.executedPlan.toString
     // the `*(n)` prefix is the WholeStageCodegen marker in treeString
     assert(p.contains("*(1) Project"), s"plan lost codegen:\n$p")
