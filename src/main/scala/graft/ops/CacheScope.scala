@@ -21,10 +21,21 @@ object CacheScope {
   private val live =
     ThreadLocal.withInitial(() => new java.util.ArrayDeque[DataFrame]())
 
-  /** Persist `df` (MEMORY_AND_DISK default) and track it for release. */
+  /** Persist `df` (MEMORY_AND_DISK default) and track it for release.
+    *
+    * Eager by default: a scoped cache exists precisely because several
+    * plan branches read the same frame, and letting the first
+    * materialization happen lazily means concurrent branches race to
+    * compute the same partitions — each task computes the block, the
+    * second-to-finish finds it already stored ("Block rdd_N already
+    * exists" churn in the r3 bench tail) and its work is thrown away.
+    * One up-front count() populates the cache in a single pass; every
+    * branch then reads, never computes.
+    */
   def persisted(df: DataFrame): DataFrame = {
     val p = df.persist()
     live.get().add(p)
+    p.count()
     p
   }
 

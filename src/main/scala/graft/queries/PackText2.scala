@@ -126,19 +126,26 @@ object PackText2 {
     "q29_lang_id",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = array_distinct(split(lower(col("text")), "\\W+"))
+      // Tokenize ONCE into a materialized column: inlining the split into
+      // each score expression leans on codegen subexpression elimination
+      // to avoid a 3× per-row recompute; a separate Project makes the
+      // single evaluation structural (CollapseProject keeps a non-cheap
+      // alias referenced 3× in its own node — r3 advice).
       def score(words: Seq[String]) =
-        size(array_intersect(toks, array(words.map(lit): _*)))
+        size(array_intersect(col("toks"), array(words.map(lit): _*)))
       val s1 = score(Seq("the", "a", "fast", "slow"))
       val s2 = score(Seq("spark", "join", "merge", "sort"))
       val s3 = score(Seq("customer", "order", "line", "part"))
-      docs.select(
-        col("doc_id"),
-        s1.as("s_common"), s2.as("s_query"), s3.as("s_biz"),
-        when(s1 + s2 + s3 === 0, lit("und"))
-          .when(s1 >= s2 && s1 >= s3, lit("common"))
-          .when(s2 >= s3, lit("query"))
-          .otherwise(lit("biz")).as("lang_pred"))
+      docs
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), "\\W+")).as("toks"))
+        .select(
+          col("doc_id"),
+          s1.as("s_common"), s2.as("s_query"), s3.as("s_biz"),
+          when(s1 + s2 + s3 === 0, lit("und"))
+            .when(s1 >= s2 && s1 >= s3, lit("common"))
+            .when(s2 >= s3, lit("query"))
+            .otherwise(lit("biz")).as("lang_pred"))
         .orderBy("doc_id")
     },
     Some("""
@@ -164,14 +171,17 @@ object PackText2 {
     "q30_quality_score",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = filter(split(lower(col("text")), "\\W+"), t => length(t) > 0)
       // ratio outputs as integer basis points (integer division): double
       // ratios like n_chars/n_tokens can be exact dyadic .xxxx5 rounding
-      // ties where Spark's and DuckDB's round() disagree
+      // ties where Spark's and DuckDB's round() disagree. Tokenize ONCE
+      // into its own Project (same rationale as q29 — r3 advice).
       docs
-        .withColumn("n_tokens", size(toks))
-        .withColumn("n_stop", size(array_intersect(array_distinct(toks),
-          array(Seq("the", "a", "of", "and").map(lit): _*))))
+        .withColumn("toks",
+          filter(split(lower(col("text")), "\\W+"), t => length(t) > 0))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop",
+          size(array_intersect(array_distinct(col("toks")),
+            array(Seq("the", "a", "of", "and").map(lit): _*))))
         .select(
           col("doc_id"), col("n_tokens"),
           expr("(length(text) * 10000) div n_tokens").cast("int")
