@@ -23,8 +23,11 @@ object Fetch {
     import spark.implicits._
     urls.mapPartitions { it =>
       it.map { u =>
+        // NonFatal only: OOM/LinkageError fail the task rather than
+        // becoming a fetch_error row (same contract as FetchSource)
         try (u, fetch(u), "")
-        catch { case e: Throwable => (u, "", String.valueOf(e.getMessage)) }
+        catch { case scala.util.control.NonFatal(e) =>
+          (u, "", String.valueOf(e.getMessage)) }
       }
     }.toDF("url", "html", "fetch_error")
   }
@@ -40,7 +43,7 @@ object Fetch {
     urls.mapPartitions { it =>
       it.map { u =>
         try (u, fetch(u), "")
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           (u, null: Array[Byte], String.valueOf(e.getMessage))
         }
       }

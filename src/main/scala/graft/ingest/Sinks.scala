@@ -27,7 +27,7 @@ object Sinks {
   def writePerCaseJson(cases: DataFrame, dir: String): Unit = {
     val docCols = cases.columns
       .filterNot(Set("status", "missing_fields", "lm", "fetch_error",
-        "message", "rep_img_url", "image_bytes"))
+        "message", "rep_img_url", "image_bytes", "image_captions", "seq"))
     val out = cases.select(
       col("case_id"), col("case_name"),
       to_json(struct(docCols.map(col): _*)).as("js"))
@@ -48,6 +48,12 @@ object Sinks {
     * {case_id, case_name, url, status, missing_fields}, error →
     * {url, status, message}. Null struct fields vanish from to_json,
     * which is what enforces the key presence.
+    *
+    * Roster order: run.py appends cases in PROCESSING order (run.py:
+    * 95-133) — when the frame carries a `seq` column (the input URL
+    * position, attached by the pipeline) the roster is ordered by it;
+    * frames without one fall back to ordering by the entry fields
+    * (deterministic either way — collect_list alone is not).
     */
   def writeManifest(routed: DataFrame, dir: String,
       wrotePdf: Boolean = true): String = {
@@ -57,21 +63,27 @@ object Sinks {
       lit(".pdf"))
     // the manifest must not claim a PDF that was never written
     val outputs = if (wrotePdf) array(jsonName, pdfName) else array(jsonName)
+    val entry = struct(
+      when(col("status") =!= "error", col("case_id")).as("case_id"),
+      when(col("status") =!= "error", col("case_name")).as("case_name"),
+      col("url"), col("status"),
+      when(col("status") === "excluded", col("missing_fields"))
+        .as("missing_fields"),
+      when(col("status") === "error", col("message")).as("message"),
+      when(col("status") === "success", outputs).as("outputs"))
+    val roster =
+      if (routed.columns.contains("seq"))
+        to_json(transform(
+          sort_array(collect_list(struct(col("seq").as("k"), entry.as("e")))),
+          x => x.getField("e")))
+      else to_json(sort_array(collect_list(entry)))
     val row = routed
       .agg(
         count(lit(1)).as("total"),
         count(when(col("status") === "success", 1)).as("success"),
         count(when(col("status") === "excluded", 1)).as("excluded"),
         count(when(col("status") === "error", 1)).as("error"),
-        to_json(sort_array(collect_list(struct(
-          when(col("status") =!= "error", col("case_id")).as("case_id"),
-          when(col("status") =!= "error", col("case_name")).as("case_name"),
-          col("url"), col("status"),
-          when(col("status") === "excluded", col("missing_fields"))
-            .as("missing_fields"),
-          when(col("status") === "error", col("message")).as("message"),
-          when(col("status") === "success", outputs).as("outputs")))))
-        .as("cases"))
+        roster.as("cases"))
       .head()
 
     val existing = Option(new java.io.File(dir).list()).getOrElse(Array.empty)

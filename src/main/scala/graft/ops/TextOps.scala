@@ -37,11 +37,15 @@ object TextOps {
     * anchored form).
     */
   def dateNorm(c: Column): Column = {
-    val pat = "(\\d{4})年(\\d{1,2})月(\\d{1,2})日"
+    // Python's re \d is Unicode-wide, so ２００６年６月５日 normalizes in
+    // the reference too — same full-width block scoping as firstInt
+    // (ADVICE r3; broader Nd classes out of scope)
+    val pat = "([0-9０-９]{4})年([0-9０-９]{1,2})月([0-9０-９]{1,2})日"
     // extract the whole first match once, then its digit runs (y/m/d) from
     // that short substring — 2 regex passes instead of a match test plus
     // three per-group extracts
-    val m = regexp_extract(c, pat, 0)
+    val m = translate(regexp_extract(c, pat, 0),
+      "０１２３４５６７８９", "0123456789")
     val digits = regexp_extract_all(m, lit("(\\d+)"), lit(1))
     when(
       m =!= "",

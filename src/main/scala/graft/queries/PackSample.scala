@@ -49,8 +49,13 @@ object PackSample {
   private val q39 = Q(
     "q39_stratified_sample",
     (s, d) => {
-      val key = (col("doc_id") * lit(1103515245L) + lit(12345L)) %
-        lit(2147483648L)
+      // mask doc_id to 31 bits BEFORE the multiply: the raw product
+      // overflows int64 for doc_id >~ 8.4e9, where Spark (non-ANSI) wraps
+      // silently but DuckDB raises on BIGINT overflow — masked, the
+      // product caps at ~2^61 and the "identical 64-bit math in both
+      // engines" claim holds at any corpus size (ADVICE r3)
+      val key = (pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
+        + lit(12345L)) % lit(2147483648L)
       val w = Window.partitionBy("lang").orderBy(key.asc, col("doc_id").asc)
       Tables.documents(s, d)
         .withColumn("rk", row_number().over(w))
@@ -62,7 +67,7 @@ object PackSample {
       SELECT lang, cast(rk AS INTEGER) AS rk, doc_id FROM (
         SELECT lang, doc_id,
                row_number() OVER (PARTITION BY lang
-                 ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rk
+                 ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648, doc_id) AS rk
         FROM documents)
       WHERE rk <= 50 ORDER BY lang, rk
     """),

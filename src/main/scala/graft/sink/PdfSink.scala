@@ -72,14 +72,25 @@ object PdfSink {
     s.getBytes(StandardCharsets.UTF_16BE).map("%02X".format(_)).mkString
 
   /** P11 scale-to-fit placement inside the A4 text box (reference
-    * render_pdf.py:106-110): `q dw 0 0 dh 50 ty cm /ImN Do Q`.
+    * render_pdf.py:106-110): `q dw 0 0 dh 50 ty cm /ImN Do Q`, plus the
+    * caption line under the image (add_image appends a JP_Caption
+    * paragraph, render_pdf.py:101-113). Locale.ROOT formatting: the f
+    * interpolator follows the JVM default locale, and a comma-decimal
+    * locale would emit `495,00` — an invalid content-stream number
+    * (ADVICE r3).
     */
-  private def imagePlacement(w: Int, h: Int, imName: String): String = {
+  private def imagePlacement(w: Int, h: Int, imName: String,
+      caption: String = ""): String = {
     val ratio = math.min(495.0 / w, 670.0 / h)
     val dw = w * ratio
     val dh = h * ratio
     val ty = 780.0 - dh
-    f"q $dw%.2f 0 0 $dh%.2f 50 $ty%.2f cm /$imName Do Q"
+    val place = String.format(java.util.Locale.ROOT,
+      "q %.2f 0 0 %.2f 50 %.2f cm /%s Do Q", dw, dh, ty, imName)
+    if (caption.isEmpty) place
+    else place + String.format(java.util.Locale.ROOT,
+      "\nBT /F1 9 Tf 50 %.2f Td <%s> Tj ET",
+      math.max(ty - 16.0, 20.0), utf16Hex(caption))
   }
 
   /** Render one case document to PDF bytes. `sections` are
@@ -93,7 +104,8 @@ object PdfSink {
     */
   def pdfBytes(title: String, sections: Seq[(String, String)],
       extraPages: Seq[String] = Nil,
-      images: Seq[PdfImage] = Nil): Array[Byte] = {
+      images: Seq[PdfImage] = Nil,
+      imageCaptions: Seq[String] = Nil): Array[Byte] = {
     val lines: Seq[(String, Boolean)] =
       (title, true) +: ("", false) +: sections.filter(_._2.nonEmpty).flatMap {
         case (label, value) =>
@@ -123,7 +135,8 @@ object PdfSink {
     }
 
     val imgStreams = images.zipWithIndex.map { case (im, i) =>
-      imagePlacement(im.w, im.h, s"Im$i")
+      imagePlacement(im.w, im.h, s"Im$i",
+        if (i < imageCaptions.size) imageCaptions(i) else "")
     }
     val allStreams: Seq[String] =
       pages.map(contentStream) ++ extraPages ++ imgStreams
@@ -262,25 +275,36 @@ object PdfSink {
   def writePdfs(cases: DataFrame, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     val hasImgs = cases.columns.contains("image_bytes")
+    val hasCaps = cases.columns.contains("image_captions")
     cases.filter(col("status") === "success").foreachPartition {
       (it: Iterator[Row]) =>
         it.foreach { r =>
-          val images =
+          val raw =
             if (!hasImgs) Nil
             else Option(r.getAs[scala.collection.Seq[Array[Byte]]]("image_bytes"))
-              .getOrElse(scala.collection.Seq.empty).toSeq.flatMap { b =>
-                val d = graft.expr.ImageDims.compute(b)
-                d.getUTF8String(0).toString match {
-                  case "image/jpeg" if !d.isNullAt(1) && !d.isNullAt(2) =>
-                    val comps = graft.expr.ImageDims.jpegComponents(b)
-                    Some(JpegImage(b, d.getInt(1), d.getInt(2),
-                      if (comps > 0) comps else 3))
-                  case "image/png" => pngStream(b)
-                  case _ => None
-                }
-              }
+              .getOrElse(scala.collection.Seq.empty).toSeq
+          // captions are index-aligned with image_bytes; zip BEFORE the
+          // decode filter so a skipped (non-embeddable) image drops its
+          // caption with it
+          val caps =
+            if (!hasCaps) Seq.fill(raw.size)("")
+            else Option(r.getAs[scala.collection.Seq[String]]("image_captions"))
+              .getOrElse(scala.collection.Seq.empty).toSeq
+              .padTo(raw.size, "")
+          val images = raw.zip(caps).flatMap { case (b, cap) =>
+            val d = graft.expr.ImageDims.compute(b)
+            val im = d.getUTF8String(0).toString match {
+              case "image/jpeg" if !d.isNullAt(1) && !d.isNullAt(2) =>
+                val comps = graft.expr.ImageDims.jpegComponents(b)
+                Some(JpegImage(b, d.getInt(1), d.getInt(2),
+                  if (comps > 0) comps else 3))
+              case "image/png" => pngStream(b)
+              case _ => None
+            }
+            im.map(_ -> cap)
+          }
           val bytes = pdfBytes(r.getAs[String]("case_name"), sectionsOf(r),
-            diagramPage(r).toSeq, images)
+            diagramPage(r).toSeq, images.map(_._1), images.map(_._2))
           val name =
             s"${r.getAs[String]("case_id")}_${r.getAs[String]("case_name")}.pdf"
           Files.write(Paths.get(dir, name), bytes)

@@ -160,8 +160,11 @@ private[sources] final class FetchReaderFactory(
         val (html, err) =
           if (!needsFetch) ("", "")
           else {
+            // NonFatal only: an OutOfMemoryError/LinkageError must fail
+            // the task, not become a silent fetch_error row (ADVICE r3)
             try (fetcher.fetch(url), "")
-            catch { case e: Throwable => ("", String.valueOf(e.getMessage)) }
+            catch { case scala.util.control.NonFatal(e) =>
+              ("", String.valueOf(e.getMessage)) }
           }
         new GenericInternalRow(fields.map[Any] {
           case "url" => UTF8String.fromString(url)

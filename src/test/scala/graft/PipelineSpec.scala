@@ -8,6 +8,11 @@ import graft.ingest.Pipeline
   * validate → JSON + PDF + manifest, through the one composed entry point
   * (the reference's run.py), over fixture HTML via an injected fetcher.
   */
+object PipelineSpec {
+  /** Records executor-side binary-fetch calls (local mode = same JVM). */
+  val binaryFetches = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class PipelineSpec extends SparkSpec {
 
   private def fixture(name: String): String =
@@ -129,6 +134,75 @@ class PipelineSpec extends SparkSpec {
     // the failed case produced no per-case JSON or PDF
     val files = new java.io.File(out).list().sorted.toSeq
     assert(files.count(_.endsWith(".pdf")) === 1)
+  }
+
+  test("multimedia items become captioned PDF image pages after the rep") {
+    // render_pdf.py:361-365 (representative, {BASE}/df/...) then :410-420
+    // (every multimedia item, {BASE}/mf/{id}.jpg, caption under each)
+    val pages: Map[String, String] = Map(
+      s"$base/cf/CZ0200701.html" -> fixture("case_full.html"),
+      s"$base/sf/SZ0200703.html" -> fixture("scenario_2b.html"))
+    val img = new java.awt.image.BufferedImage(
+      32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+    PipelineSpec.binaryFetches.clear()
+    val out = Files.createTempDirectory("pipeline-mm").toString
+
+    val res = Pipeline.runUrls(
+      spark, Seq(s"$base/cf/CZ0200701.html"), limit = 1, outDir = out)(
+      u => pages.getOrElse(u, throw new java.io.IOException(s"404 $u")),
+      // static recorder: the closure serializes to executor threads, so a
+      // captured local buffer would mutate a copy; local-mode shares the
+      // JVM, so the companion singleton sees every call
+      u => { PipelineSpec.binaryFetches.add(u); jpeg })
+
+    assert(res.success === 1)
+    // fetch-once over the DISTINCT image urls: rep + 2 multimedia (the
+    // fixture repeats MZ0200703-1 in a rowspan row; first-wins dedup)
+    import scala.jdk.CollectionConverters._
+    assert(PipelineSpec.binaryFetches.asScala.toSeq.sorted === Seq(
+      s"$base/df/DZ0200703.jpg",
+      s"$base/mf/MZ0200703-1.jpg",
+      s"$base/mf/MZ0200703-2.jpg"))
+    val pdf = new java.io.File(out).list().filter(_.endsWith(".pdf")).toSeq
+    assert(pdf.size === 1)
+    val bytes = Files.readAllBytes(Paths.get(out, pdf.head))
+    val s = new String(bytes, java.nio.charset.StandardCharsets.US_ASCII)
+    assert(s.split("/Subtype /Image").length - 1 === 3,
+      "rep + 2 multimedia image pages")
+    // captions travel as UTF-16BE hex in the image pages' content streams
+    def hex(t: String) = t.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+      .map("%02X".format(_)).mkString
+    assert(s.contains(hex("代表図")), "rep image caption")
+    assert(s.contains(hex("崩落箇所の写真")), "multimedia caption 1")
+    assert(s.contains(hex("対策工の図")), "multimedia caption 2")
+  }
+
+  test("manifest roster lists cases in input processing order") {
+    // run.py:95-133 appends to the roster in processing order; direct URL
+    // order here is 703, 701, 702 — NOT sorted by case id or status
+    val pages: Map[String, String] = Map(
+      s"$base/cf/CZ0200701.html" -> fixture("case_full.html"),
+      s"$base/cf/CZ0200702.html" -> fixture("case_missing.html"),
+      s"$base/cf/CZ0200703.html" -> fixture("case_full.html"),
+      s"$base/sf/SZ0200703.html" -> fixture("scenario_2b.html"))
+    val out = Files.createTempDirectory("pipeline-order").toString
+    val res = Pipeline.runUrls(
+      spark,
+      Seq(s"$base/cf/CZ0200703.html", s"$base/cf/CZ0200701.html",
+        s"$base/cf/CZ0200702.html"),
+      limit = 3, outDir = out)(
+      u => pages.getOrElse(u, throw new java.io.IOException(s"404 $u")))
+    assert(res.total === 3)
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(out, res.manifestFile)), UTF_8)
+    val posOf = Seq("CZ0200703", "CZ0200701", "CZ0200702")
+      .map(id => id -> manifest.indexOf(s"/cf/$id.html"))
+    posOf.foreach { case (id, p) => assert(p >= 0, s"$id missing") }
+    assert(posOf.map(_._2) === posOf.map(_._2).sorted,
+      s"roster must follow input order 703,701,702:\n$manifest")
   }
 
   test("a duplicated failing URL does not row-multiply the roster") {

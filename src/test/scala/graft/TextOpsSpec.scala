@@ -85,6 +85,11 @@ class TextOpsSpec extends SparkSpec {
     assert(norm1("1999年1月1日と2006年6月5日") === "1999-01-01") // FIRST occurrence
   }
 
+  test("P2 full-width digits normalize (Python \\d is Unicode-wide)") {
+    assert(norm1("２００６年６月５日") === "2006-06-05") // ADVICE r3
+    assert(norm1("２００６年12月５日") === "2006-12-05") // mixed widths
+  }
+
   // -------- P3 first int (extract.py:388-393) --------
 
   test("P3 first integer anywhere, default 0") {
