@@ -93,6 +93,9 @@ object Sinks {
       .foldLeft(0)(math.max) + 1
     val name = f"results_$next%03d.json"
 
+    // pinned UTC (run.py:124 writes datetime.now() — container-local time);
+    // a fixed zone keeps manifests comparable across heterogeneous
+    // executors/drivers, a deliberate deviation noted in SURVEY §5
     val processedAt = java.time.OffsetDateTime
       .now(java.time.ZoneOffset.UTC)
       .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
