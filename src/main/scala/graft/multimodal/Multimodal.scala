@@ -94,16 +94,64 @@ object Multimodal {
       .toDF("path", "features", "decoded")
   }
 
-  /** Frame-sampling shape for opaque "video" bytes: every `step`-th chunk
-    * of `chunk` bytes as a frame (STUB for codec-level frame extraction;
-    * the array<binary> column shape is the real contract).
+  /** REAL frame extraction for MJPEG-in-AVI: walks the RIFF container
+    * (`LIST movi` → `NNdc`/`NNdb` chunks, each a standalone JPEG — AVI
+    * stores MJPEG frames verbatim, so this is container parsing only, no
+    * codec) and returns every `step`-th frame. Nil when the bytes are not
+    * a RIFF AVI. `rec ` grouping lists inside `movi` are descended.
+    */
+  def mjpegFrames(bytes: Array[Byte], step: Int): Seq[Array[Byte]] = {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return Nil
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        val id = fourcc(o)
+        val sz = le32(o + 4).toInt
+        if (sz < 0 || o + 8 + sz > end) ok = false // truncated: stop clean
+        else {
+          if (id == "LIST" && sz >= 4)
+            walk(o + 12, o + 8 + sz,
+              inMovi || fourcc(o + 8) == "movi")
+          else if (inMovi && sz > 0 &&
+            id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
+            (id(3) == 'c' || id(3) == 'b'))
+            frames += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + sz)
+          o += 8 + sz + (sz & 1) // chunks pad to even offsets
+        }
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    val st = math.max(step, 1)
+    frames.iterator.zipWithIndex.collect {
+      case (f, i) if i % st == 0 => f
+    }.toSeq
+  }
+
+  /** Frame sampling for opaque "video" bytes: a RIFF AVI yields its REAL
+    * MJPEG frames (every `step`-th, [[mjpegFrames]]); any other content
+    * falls back to the byte-chunk shape (every `step`-th `chunk`-byte
+    * slice) so the array<binary> column contract holds for codecs the
+    * JDK cannot open.
     */
   def sampleFrames(df: DataFrame, bytesCol: String, chunk: Int,
-      step: Int): DataFrame =
+      step: Int): DataFrame = {
+    val b = col(bytesCol)
+    val chunked = transform(
+      sequence(lit(0),
+        greatest((length(b) / (chunk * step)).cast("int") - 1, lit(0))),
+      i => b.substr(i * chunk * step + 1, lit(chunk)))
+    val avi = udf((bytes: Array[Byte]) => mjpegFrames(bytes, step))
     df.withColumn("frames",
-      transform(
-        sequence(lit(0),
-          greatest((length(col(bytesCol)) / (chunk * step)).cast("int") - 1,
-            lit(0))),
-        i => col(bytesCol).substr(i * chunk * step + 1, lit(chunk))))
+      when(b.substr(1, 4) === lit("RIFF".getBytes) &&
+        b.substr(9, 4) === lit("AVI ".getBytes), avi(b))
+        .otherwise(chunked))
+  }
 }

@@ -107,6 +107,50 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1).head === 20.toByte) // frame i starts at i*chunk*step
   }
 
+  test("S3: MJPEG-AVI yields its real JPEG frames (RIFF walk, no codec)") {
+    // hand-rolled minimal AVI: RIFF(AVI  LIST(movi 00dc... )) — MJPEG
+    // stores each frame as a standalone JPEG chunk
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(shade, shade, shade)); g.fillRect(0, 0, 8, 6)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII"))
+      val sz = data.length
+      out.write(Array[Byte](sz.toByte, (sz >> 8).toByte, (sz >> 16).toByte,
+        (sz >> 24).toByte))
+      out.write(data)
+      if ((sz & 1) == 1) out.write(0) // RIFF even padding
+      out.toByteArray
+    }
+    val fr = Seq(jpeg(40), jpeg(120), jpeg(200))
+    val movi = "movi".getBytes("US-ASCII") ++
+      fr.flatMap(j => chunk("00dc", j))
+    val body = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+    val avi = chunk("RIFF", body)
+
+    // step=2 → frames 0 and 2, byte-identical to the source JPEGs
+    val got = Multimodal.sampleFrames(
+      Seq(("v1", avi)).toDF("id", "content"), "content", 10, 2)
+      .select("frames").as[Seq[Array[Byte]]].head()
+    assert(got.length === 2)
+    assert(got(0).toSeq === fr(0).toSeq)
+    assert(got(1).toSeq === fr(2).toSeq)
+    assert(got.forall(f => (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8),
+      "every frame is a standalone JPEG (SOI marker)")
+    // and the extracted frame decodes through the real feature path
+    val dims = graft.expr.ImageDims.compute(got(0))
+    assert(dims.getUTF8String(0).toString === "image/jpeg")
+    assert(dims.getInt(1) === 8 && dims.getInt(2) === 6)
+  }
+
   test("S4: K1-written case JSON round-trips through the explicit schema") {
     val fc = FailureCase(
       case_id = "CZ0000001", url = "https://example.org/cf/CZ0000001.html",
