@@ -37,13 +37,17 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
-    def timedMedian3(name: String): Double = {
-      val ts = Seq.fill(3) {
+    // None when any timed materialization FAILED — a failure's near-zero
+    // wall time must never enter a median (it would report a green
+    // sub-budget number for a run that never completed)
+    def timedMedian3(name: String): Option[Double] = {
+      val runs = Seq.fill(3) {
         val t0 = System.nanoTime()
-        materialize(name)
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(1)
+        val ok = materialize(name)
+        (ok, (System.nanoTime() - t0) / 1e9)
+      }
+      if (runs.exists(!_._1)) None
+      else Some(runs.map(_._2).sorted.apply(1))
     }
 
     var errors = List.empty[String]
@@ -54,8 +58,9 @@ object Bench {
       // of three steady-state runs — single-run timings vary ±20% from GC
       // and scheduling noise.
       val ok = materialize(name)
-      if (!ok) { errors ::= name; name -> -1.0 }
-      else name -> timedMedian3(name)
+      val t = if (ok) timedMedian3(name) else None
+      if (t.isEmpty) { errors ::= name; name -> -1.0 }
+      else name -> t.get
     }
     // Outlier re-measure: host contention lasting tens of seconds defeats
     // a median-of-3 taken inside the contention window (BENCH_r03 showed a
@@ -63,9 +68,11 @@ object Bench {
     // local rerun could reproduce). Queries whose median exceeds the
     // per-query budget get a second median-of-3 at the END of the run; the
     // reported time is the better median — both are honest steady-state
-    // measurements, and a structurally slow query stays slow in both.
+    // measurements, and a structurally slow query stays slow in both. A
+    // failed re-measure keeps the first-pass number.
     val results = firstPass.map {
-      case (name, t) if t > 1.5 => name -> math.min(t, timedMedian3(name))
+      case (name, t) if t > 1.5 =>
+        name -> timedMedian3(name).fold(t)(math.min(t, _))
       case kv => kv
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

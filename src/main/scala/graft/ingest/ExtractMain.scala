@@ -45,32 +45,51 @@ object ExtractMain {
       outDir: String)(fetch: String => String): Int = {
     import spark.implicits._
     val pages = Fetch.fetchPages(Seq(url).toDS())(fetch).cache()
-    val fetchErr = pages.filter(col("fetch_error") =!= "")
-      .select("fetch_error").as[String].collect().headOption
-    fetchErr match {
-      case Some(msg) =>
-        System.err.println(s"extract failed: $msg"); 1
-      case None =>
-        val cases = CaseParse.parseMainPages(pages)
-        val scenUrls = cases.select(col("scenario_url")).distinct()
-          .filter(col("scenario_url") =!= "").as[String]
-        val scenAll = Fetch.fetchPages(scenUrls)(fetch).cache()
-        val scenErr = scenAll.filter(col("fetch_error") =!= "")
-          .select("fetch_error").as[String].collect().headOption
-        scenErr match {
-          case Some(msg) =>
-            // the reference fetches the scenario inside extract()
-            // (extract.py:284-286) — a failure there crashes the script
-            System.err.println(s"extract failed: $msg"); 1
-          case None =>
-            val routed = CaseParse.enrichAndRoute(
-              cases, scenAll.filter(col("fetch_error") === ""),
-              None, None)
-            Sinks.writePerCaseJson(
-              routed.filter(col("status") =!= "error"), outDir)
-            println(s"JSON saved under $outDir")
-            0
-        }
+    var scenAll: org.apache.spark.sql.DataFrame = null
+    try {
+      val fetchErr = pages.filter(col("fetch_error") =!= "")
+        .select("fetch_error").as[String].collect().headOption
+      fetchErr match {
+        case Some(msg) =>
+          System.err.println(s"extract failed: $msg"); 1
+        case None =>
+          val cases = CaseParse.parseMainPages(pages)
+          val scenUrls = cases.select(col("scenario_url")).distinct()
+            .filter(col("scenario_url") =!= "").as[String]
+          scenAll = Fetch.fetchPages(scenUrls)(fetch).cache()
+          val scenErr = scenAll.filter(col("fetch_error") =!= "")
+            .select("fetch_error").as[String].collect().headOption
+          scenErr match {
+            case Some(msg) =>
+              // the reference fetches the scenario inside extract()
+              // (extract.py:284-286) — a failure there crashes the script
+              System.err.println(s"extract failed: $msg"); 1
+            case None =>
+              val routed = CaseParse.enrichAndRoute(
+                cases, scenAll.filter(col("fetch_error") === ""),
+                None, None)
+              val writable = routed.filter(col("status") =!= "error").cache()
+              try {
+                // a fetched page that is not a case page (no parseable
+                // case id) routes to error and writes nothing — the
+                // reference crashes on such input; exit non-zero, don't
+                // claim success
+                if (writable.isEmpty) {
+                  System.err.println(s"extract failed: not a case page: $url")
+                  1
+                } else {
+                  Sinks.writePerCaseJson(writable, outDir)
+                  println(s"JSON saved under $outDir")
+                  0
+                }
+              } finally writable.unpersist()
+          }
+      }
+    } finally {
+      // shared-session hygiene: leaked persists pin storage memory across
+      // calls (the r2 bench spill class — see CacheScope)
+      if (scenAll != null) scenAll.unpersist()
+      pages.unpersist()
     }
   }
 }

@@ -120,14 +120,24 @@ object Pipeline {
         col("fetch_error").as("scen_message"))
     val scenPages = scenPagesAll.filter(col("fetch_error") === "")
 
-    // input position per url, first occurrence wins — the manifest roster
-    // must list cases in PROCESSING order (run.py:95-133 appends as it
-    // goes; r3 verdict flagged the sorted roster as a byte-compare
-    // deviation). Tiny by the seed contract; joined, not broadcast-hinted.
-    val seqDf = caseUrls.zipWithIndex.reverse.toMap.toSeq.toDF("url", "seq")
+    // input position per url OCCURRENCE — the manifest roster must list
+    // cases in PROCESSING order (run.py:95-133 appends as it goes; r3
+    // verdict flagged the sorted roster as a byte-compare deviation). A
+    // duplicated input URL yields one routed row per occurrence, so both
+    // sides number occurrences within the url and join on (url, occ):
+    // input [A, B, A] rosters as A,B,A — not A,A,B as a first-wins map
+    // would. Tiny by the seed contract; joined, not broadcast-hinted.
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy("seq")
+    val seqDf = caseUrls.zipWithIndex.toDF("url", "seq")
+      .withColumn("occ", row_number().over(wOcc))
+    val wRouted = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy("status") // duplicate rows are identical
     val routed = CaseParse
       .enrichAndRoute(cases, scenPages, Some(fetchErrors), Some(scenErrors))
-      .join(seqDf, Seq("url"), "left")
+      .withColumn("occ", row_number().over(wRouted))
+      .join(seqDf, Seq("url", "occ"), "left")
+      .drop("occ")
       .cache()
 
     try {
@@ -158,9 +168,13 @@ object Pipeline {
                     concat(lit("../mf/"), m.getField("id"), lit(".jpg")))
                     .as("iurl"),
                   m.getField("caption").as("caption")))))
+          // dropDuplicates: a duplicated successful URL puts two identical
+          // rows in succ, which would double every image page in that
+          // case's PDF after the groupBy re-collect
           val items = succ
             .select(col("case_id"), posexplode(col("img_items")))
             .toDF("case_id", "pos", "item")
+            .dropDuplicates("case_id", "pos")
           val fetched = Fetch.fetchBinary(
             items.select(col("item.iurl")).distinct().as[String])(fetchBinary)
             .filter(col("fetch_error") === "" && col("content").isNotNull)

@@ -115,7 +115,9 @@ object Multimodal {
       while (ok && o + 8 <= end) {
         val id = fourcc(o)
         val sz = le32(o + 4).toInt
-        if (sz < 0 || o + 8 + sz > end) ok = false // truncated: stop clean
+        // Long math: a crafted size near Int.MaxValue would wrap the
+        // Int sum negative and skip this guard
+        if (sz < 0 || o + 8 + sz.toLong > end) ok = false // truncated: stop
         else {
           if (id == "LIST" && sz >= 4)
             walk(o + 12, o + 8 + sz,

@@ -49,12 +49,14 @@ object PackSample {
   private val q39 = Q(
     "q39_stratified_sample",
     (s, d) => {
-      // mask doc_id to 31 bits BEFORE the multiply: the raw product
-      // overflows int64 for doc_id >~ 8.4e9, where Spark (non-ANSI) wraps
-      // silently but DuckDB raises on BIGINT overflow — masked, the
-      // product caps at ~2^61 and the "identical 64-bit math in both
-      // engines" claim holds at any corpus size (ADVICE r3)
-      val key = (pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
+      // reduce doc_id BEFORE the multiply: the raw product overflows int64
+      // for doc_id >~ 8.4e9, where Spark (non-ANSI) wraps silently but
+      // DuckDB raises on BIGINT overflow — reduced, the product caps at
+      // ~2^61 and the "identical 64-bit math in both engines" claim holds
+      // at any corpus size (ADVICE r3). `%`, not pmod: DuckDB's % follows
+      // the dividend's sign, and so does Spark's — parity for negative
+      // ids too.
+      val key = ((col("doc_id") % lit(2147483648L)) * lit(1103515245L)
         + lit(12345L)) % lit(2147483648L)
       val w = Window.partitionBy("lang").orderBy(key.asc, col("doc_id").asc)
       Tables.documents(s, d)

@@ -57,7 +57,10 @@ object ProfileQ17 {
       }
       run() // warmup
       val med = Seq.fill(3)(run()).sorted.apply(1)
-      f"""\"$name\":$med%.3f"""
+      // Locale.ROOT: a comma-decimal default locale would emit 0,934 —
+      // invalid JSON
+      String.format(java.util.Locale.ROOT, "\"%s\":%.3f", name,
+        Double.box(med))
     }
     println(out.mkString("{", ",", "}"))
     spark.stop()

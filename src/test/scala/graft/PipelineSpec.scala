@@ -205,6 +205,29 @@ class PipelineSpec extends SparkSpec {
       s"roster must follow input order 703,701,702:\n$manifest")
   }
 
+  test("a duplicated successful URL rosters once per occurrence, in order") {
+    // run.py appends each occurrence as it processes it: [703, 701, 703]
+    // rosters as 703, 701, 703 — not first-wins-collapsed to 703, 703, 701
+    val pages: Map[String, String] = Map(
+      s"$base/cf/CZ0200701.html" -> fixture("case_full.html"),
+      s"$base/cf/CZ0200703.html" -> fixture("case_full.html"),
+      s"$base/sf/SZ0200703.html" -> fixture("scenario_2b.html"))
+    val out = Files.createTempDirectory("pipeline-dup-ok").toString
+    val res = Pipeline.runUrls(
+      spark,
+      Seq(s"$base/cf/CZ0200703.html", s"$base/cf/CZ0200701.html",
+        s"$base/cf/CZ0200703.html"),
+      limit = 3, outDir = out)(
+      u => pages.getOrElse(u, throw new java.io.IOException(s"404 $u")))
+    assert(res.total === 3 && res.success === 3)
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(out, res.manifestFile)), UTF_8)
+    val occurrences = "/cf/CZ02007(01|03)\\.html".r
+      .findAllMatchIn(manifest).map(_.group(1)).toSeq
+    assert(occurrences === Seq("03", "01", "03"),
+      s"roster must follow occurrence order:\n$manifest")
+  }
+
   test("a duplicated failing URL does not row-multiply the roster") {
     // run.py appends duplicate URLs without dedup and processes each once
     // per occurrence — 2 entries, not 2x2 from a self-multiplying join

@@ -55,6 +55,18 @@ class ScriptMainSpec extends SparkSpec {
     assert(files.size === 1 && files.head.startsWith("CZ0200702_"))
   }
 
+  test("ExtractMain exits non-zero for a fetchable non-case page") {
+    // extract.py crashes on a page with no parseable case id; claiming
+    // success while writing nothing would be worse
+    val out = Files.createTempDirectory("extract-noncase").toString
+    val p = pages + (s"$base/lis/cat1.html" -> "<html><ul></ul></html>")
+    val code = ExtractMain.extract(
+      spark, s"$base/lis/cat1.html", out)(
+      u => p.getOrElse(u, throw new java.io.IOException(s"404 $u")))
+    assert(code === 1)
+    assert(new java.io.File(out).list().isEmpty)
+  }
+
   test("ExtractMain exits non-zero when the fetch fails") {
     val out = Files.createTempDirectory("extract-404").toString
     val code = ExtractMain.extract(
