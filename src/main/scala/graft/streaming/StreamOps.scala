@@ -15,11 +15,18 @@ import org.apache.spark.sql.types._
   * by MemoryStream tests, not the DuckDB oracle.
   *
   * Scale posture: all aggregations are keyed by (window, key) — state is
-  * bounded by watermark eviction; dedup state is bounded likewise. No
-  * flatMapGroupsWithState needed: session_window covers the
-  * reference-shaped need.
+  * bounded by watermark eviction; dedup state is bounded likewise. The
+  * one custom-state operator ([[nearDupStream]]) bounds its state twice:
+  * event-time timeout evicts idle band buckets, and each bucket caps its
+  * canonical list.
   */
 object StreamOps {
+
+  final case class BandedDoc(
+      band: Int, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
+  final case class BandSeen(ids: List[Long], sigs: List[Seq[Long]])
+  final case class NearDupHit(
+      doc_id: Long, dup_of: Long, sim: Double, ts: java.sql.Timestamp)
 
   /** q21's shape: tumbling 1-hour counts+sums per event type. */
   def tumbling(events: DataFrame): DataFrame =
@@ -94,6 +101,77 @@ object StreamOps {
         col("window.start").as("w_start"), col("e_id"), col("user_id"),
         coalesce(col("m.p_id"), lit(-1L)).as("last_purchase"),
         coalesce(col("m.p_value"), lit(0.0)).as("purchase_value"))
+  }
+
+  /** Streaming NEAR-dup detection — the streaming form of q27's
+    * MinHash-LSH (batch: queries/PackText2.scala q27). Per document:
+    * word-trigram shingles → minhash signature (native one-pass kernels,
+    * ops/SimOps) → LSH band keys. Per-band keyed state holds the
+    * (doc_id, signature) canonicals seen so far; an arriving document
+    * whose signature agrees with a stored canonical on ≥ `minSim` of the
+    * minhash components emits a (doc_id, dup_of, sim, ts) hit, otherwise
+    * it registers as a new canonical (first-wins, the streaming seen-set).
+    *
+    * State is bounded twice: an event-time timeout evicts a band bucket
+    * untouched for watermark + `delay`, and each bucket keeps at most
+    * `maxPerBand` canonicals (newest win — a hot band degrades recall,
+    * never memory). A pair sharing several bands can emit one hit per
+    * shared band; sinks dedup idempotently on doc_id.
+    *
+    * `docs` columns: (doc_id: long, ts: timestamp, text: string).
+    */
+  def nearDupStream(
+      docs: DataFrame,
+      delay: String = "10 minutes",
+      minSim: Double = 0.8,
+      perms: Int = 8,
+      bands: Int = 4,
+      maxPerBand: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val rowsPerBand = perms / bands
+    val banded = docs.withWatermark("ts", delay)
+      .withColumn("sh",
+        graft.ops.SimOps.wordShingleHashes(lower(col("text")), 3))
+      .withColumn("sig", graft.ops.SimOps.minhashSignature(col("sh"), perms))
+      .withColumn("band",
+        explode(graft.ops.SimOps.lshBands(col("sig"), bands, rowsPerBand)))
+      .select(col("band"), col("doc_id"), col("ts"), col("sig"))
+      .as[BandedDoc]
+    banded.groupByKey(_.band)
+      .flatMapGroupsWithState[BandSeen, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(BandSeen(Nil, Nil))
+            var ids = prev.ids
+            var sigs = prev.sigs
+            val out = List.newBuilder[NearDupHit]
+            var maxTs = Long.MinValue
+            // deterministic first-wins within the micro-batch
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              val m = ids.iterator.zip(sigs.iterator).map { case (id, s) =>
+                val agree = s.iterator.zip(r.sig.iterator)
+                  .count { case (a, b) => a == b }
+                (id, agree.toDouble / r.sig.size)
+              }.find(_._2 >= minSim)
+              m match {
+                case Some((id, sim)) =>
+                  out += NearDupHit(r.doc_id, id, sim, r.ts)
+                case None => // new canonical, capped state
+                  ids = (r.doc_id :: ids).take(maxPerBand)
+                  sigs = (r.sig :: sigs).take(maxPerBand)
+              }
+            }
+            state.update(BandSeen(ids, sigs))
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, delay)
+            out.result().iterator
+          }
+      }.toDF()
   }
 
   /** Stateful streaming dedup: first occurrence of `keys` wins; state for

@@ -149,6 +149,23 @@ class MultimodalSpec extends SparkSpec {
     val dims = graft.expr.ImageDims.compute(got(0))
     assert(dims.getUTF8String(0).toString === "image/jpeg")
     assert(dims.getInt(1) === 8 && dims.getInt(2) === 6)
+
+    // robustness: every truncation of the valid AVI, plus random and
+    // adversarial (huge-declared-size) bytes, must return cleanly — a
+    // corrupt container yields fewer/no frames, never an exception
+    (0 to avi.length by 7).foreach { n =>
+      Multimodal.mjpegFrames(java.util.Arrays.copyOf(avi, n), 1)
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
+      assert(Multimodal.mjpegFrames(junk, 1).isEmpty ||
+        junk.length >= 12) // non-RIFF junk yields nothing
+    }
+    val evil = avi.clone()
+    evil(16) = 0xFC.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0x7F.toByte // LIST size 0x7FFFFFFC
+    Multimodal.mjpegFrames(evil, 1) // must not throw (long-math guard)
   }
 
   test("S4: K1-written case JSON round-trips through the explicit schema") {

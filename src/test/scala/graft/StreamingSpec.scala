@@ -162,4 +162,35 @@ class StreamingSpec extends SparkSpec {
       assert(n > 0, "stream must produce windows from the parquet file")
     } finally q.stop()
   }
+
+  test("streaming near-dup: LSH-banded stateful match, first canonical wins") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.nearDupStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), delay = "10 minutes")
+      .writeStream.format("memory").queryName("t_neardup")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog near the river bank"
+      ms.addData((1L, ts("2024-01-01 00:00:00"), base))
+      q.processAllAvailable()
+      ms.addData(
+        (2L, ts("2024-01-01 00:01:00"), base), // exact dup of 1
+        (3L, ts("2024-01-01 00:01:00"),
+          "completely different vocabulary about spark joins and shuffles here"))
+      q.processAllAvailable()
+      val hits = spark.table("t_neardup")
+        .select("doc_id", "dup_of", "sim")
+        .as[(Long, Long, Double)].collect().toSeq.distinct
+      assert(hits.map(h => (h._1, h._2)).distinct === Seq((2L, 1L)),
+        s"doc 2 duplicates doc 1, doc 3 is unique: $hits")
+      assert(hits.forall(_._3 >= 0.8))
+      // a later near-variant still matches the FIRST canonical (doc 1)
+      ms.addData((4L, ts("2024-01-01 00:02:00"), base))
+      q.processAllAvailable()
+      val later = spark.table("t_neardup")
+        .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq.distinct
+      assert(later.contains((4L, 1L)), s"doc 4 must match canonical 1: $later")
+    } finally q.stop()
+  }
 }
