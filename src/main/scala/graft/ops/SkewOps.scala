@@ -36,4 +36,17 @@ object SkewOps {
       .agg(sum(value.cast("decimal(18,2)")).as("__partial"))
       .groupBy("key")
       .agg(sum("__partial").cast("double").as("total"))
+
+  /** Count + exact sum in ONE salted two-phase pass — a production hot-key
+    * aggregation computes all its measures over a single scan rather than
+    * one salted pipeline per measure.
+    */
+  def saltedStats(df: DataFrame, key: Column, value: Column,
+      salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(value.cast("decimal(18,2)")).as("__s"))
+      .groupBy("key")
+      .agg(sum("__n").as("n"), sum("__s").cast("double").as("total"))
 }

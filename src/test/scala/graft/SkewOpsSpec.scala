@@ -30,6 +30,18 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("one-pass salted stats equals plain count+sum exactly (q41's kernel)") {
+    val ev = Tables.events(spark, sf)
+    val plain = ev.groupBy(col("event_type").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("t"))
+      .as[(String, Long, Double)].collect().toSet
+    val salted = SkewOps
+      .saltedStats(ev, col("event_type"), col("value"), 8)
+      .as[(String, Long, Double)].collect().toSet
+    assert(salted === plain)
+  }
+
   test("phase-1 truly splits a key across salts (plan has two aggregates)") {
     val ev = Tables.events(spark, sf)
     val df = SkewOps.saltedCount(ev, col("event_type"), 8)
