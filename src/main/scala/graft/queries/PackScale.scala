@@ -34,5 +34,62 @@ object PackScale {
     """),
     doc = "two-phase salted hot-key aggregation (count+sum, one pass)")
 
-  val all: Seq[Q] = Seq(q41)
+  /** q42 — exact ordered statistics per group: median / p90 / p99 of the
+    * order value, linear interpolation (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: both compute lo + (hi−lo)·frac in doubles over the
+    * sorted group, so results hash-match bit-for-bit). At 100 TB the same
+    * query swaps `percentile` for `approx_percentile` (t-digest sketch,
+    * map-side mergeable — the q34 posture); the exact form stays the
+    * correctness oracle.
+    */
+  private val q42 = Q(
+    "q42_percentiles",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          percentile(col("o_totalprice"), lit(0.99)).as("p99"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             quantile_cont(o_totalprice, 0.5) AS p50,
+             quantile_cont(o_totalprice, 0.9) AS p90,
+             quantile_cont(o_totalprice, 0.99) AS p99
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    doc = "exact interpolated percentiles per group (approx_percentile at scale)")
+
+  /** q43 — pivot: per-day event counts spread into one column per event
+    * type. The value list is EXPLICIT — an inferred pivot runs a distinct
+    * scan first and makes the output schema data-dependent, which breaks
+    * at 100 TB (and the oracle). Conditional count aggregation in both
+    * engines; one shuffle on the day key.
+    */
+  private val q43 = Q(
+    "q43_pivot",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("day")
+    },
+    Some("""
+      SELECT cast(ts AS DATE) AS day,
+             count(*) FILTER (event_type = 'click') AS click,
+             count(*) FILTER (event_type = 'error') AS error,
+             count(*) FILTER (event_type = 'purchase') AS purchase,
+             count(*) FILTER (event_type = 'signup') AS signup,
+             count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+    doc = "pivot with explicit value list (schema-stable at scale)")
+
+  val all: Seq[Q] = Seq(q41, q42, q43)
 }
