@@ -66,18 +66,21 @@ object PackScale {
   /** q43 — pivot: per-day event counts spread into one column per event
     * type. The value list is EXPLICIT — an inferred pivot runs a distinct
     * scan first and makes the output schema data-dependent, which breaks
-    * at 100 TB (and the oracle). Conditional count aggregation in both
-    * engines; one shuffle on the day key.
+    * at 100 TB (and the oracle). Deliberately NOT `Dataset.pivot`: its
+    * plan is two exchanges (pre-aggregate on (day, type), then
+    * `pivotfirst` on day); conditional count aggregation computes the
+    * same result in ONE exchange with map-side partials — pinned by
+    * PlanSpec.
     */
   private val q43 = Q(
     "q43_pivot",
     (s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
+      val counts = types.map(t =>
+        count(when(col("event_type") === t, 1)).as(t))
       Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
-        .pivot("event_type", types)
-        .agg(count(lit(1)))
-        .na.fill(0L, types)
+        .agg(counts.head, counts.tail: _*)
         .orderBy("day")
     },
     Some("""

@@ -73,6 +73,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q41: salted agg is two hash-aggregate phases on different keys") {
+    val p = plan("q41_salted_skew_agg")
+    // phase 1 shuffles on (key, salt) — the hot key splits across
+    // reducers; phase 2 merges on the key alone
+    assert(p.contains("__salt") &&
+      p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2,
+      s"expected the two salted exchange phases:\n$p")
+  }
+
+  test("q42: exact percentile aggregates partially (map-side merge)") {
+    val p = plan("q42_percentiles")
+    assert(p.contains("partial_percentile"),
+      s"percentile must combine map-side before the group shuffle:\n$p")
+  }
+
+  test("q43: explicit-list pivot is one aggregation, no distinct scan") {
+    val p = plan("q43_pivot")
+    // an inferred pivot would run a separate distinct job over event_type;
+    // the explicit value list keeps it a single grouped aggregation
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected one exchange (the day groupBy):\n$p")
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
