@@ -28,6 +28,13 @@ object StreamOps {
   final case class NearDupHit(
       doc_id: Long, dup_of: Long, sim: Double, ts: java.sql.Timestamp)
 
+  /** [[nearDupStream]]'s output schema — for schema-pinned reads of a
+    * possibly-empty sink directory.
+    */
+  val nearDupHitSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dup_of", LongType),
+    StructField("sim", DoubleType), StructField("ts", TimestampType)))
+
   /** q21's shape: tumbling 1-hour counts+sums per event type. */
   def tumbling(events: DataFrame): DataFrame =
     events

@@ -44,4 +44,44 @@ class StreamRestartSpec extends SparkSpec {
     assert(afterSecond === 2000,
       s"restart must process exactly the new file (got $afterSecond)")
   }
+
+  test("near-dup band state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val in = Files.createTempDirectory("ndr-in").toString
+    val out = Files.createTempDirectory("ndr-out").toString
+    val ckpt = Files.createTempDirectory("ndr-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def startQuery() = StreamOps.nearDupStream(
+      spark.readStream.schema(schema).parquet(in), delay = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    Seq((1L, ts("2024-01-01 00:00:00"), base))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.schema(StreamOps.nearDupHitSchema).parquet(out)
+      .count() === 0, "the lone canonical emits no hit")
+
+    // doc 2 duplicates doc 1 — the canonical lives ONLY in the recovered
+    // flatMapGroupsWithState band state, so a hit proves state restore
+    Seq((2L, ts("2024-01-01 00:01:00"), base),
+      (3L, ts("2024-01-01 00:01:00"),
+        "completely different vocabulary about spark joins and shuffles"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val hits = spark.read.parquet(out)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq.distinct
+    assert(hits === Seq((2L, 1L)),
+      s"doc 2 must match the canonical recovered from the checkpoint: $hits")
+  }
 }
