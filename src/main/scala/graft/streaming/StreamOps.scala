@@ -24,16 +24,22 @@ object StreamOps {
 
   final case class BandedDoc(
       band: Int, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
-  final case class BandSeen(ids: List[Long], sigs: List[Seq[Long]])
+  /** Per-band state: canonicals OLDEST-FIRST (first-wins attribution) as
+    * one list of (doc_id, signature) pairs — parallel lists would have to
+    * mutate in lockstep — plus the largest event time ever seen, so a
+    * late-but-valid older event cannot move the eviction timeout
+    * backwards.
+    */
+  final case class BandSeen(maxTs: Long, docs: List[(Long, Seq[Long])])
   final case class NearDupHit(
       doc_id: Long, dup_of: Long, sim: Double, ts: java.sql.Timestamp)
 
   /** [[nearDupStream]]'s output schema — for schema-pinned reads of a
-    * possibly-empty sink directory.
+    * possibly-empty sink directory. Derived from the case class: the one
+    * source of truth.
     */
-  val nearDupHitSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType), StructField("dup_of", LongType),
-    StructField("sim", DoubleType), StructField("ts", TimestampType)))
+  val nearDupHitSchema: StructType =
+    org.apache.spark.sql.Encoders.product[NearDupHit].schema
 
   /** q21's shape: tumbling 1-hour counts+sums per event type. */
   def tumbling(events: DataFrame): DataFrame =
@@ -141,6 +147,11 @@ object StreamOps {
     val banded = docs.withWatermark("ts", delay)
       .withColumn("sh",
         graft.ops.SimOps.wordShingleHashes(lower(col("text")), 3))
+      // a doc too short to shingle (< 3 words, or null text) has no
+      // signature — it can never match anything, and an all-null sig
+      // would fail the non-nullable encoder and WEDGE the query (the
+      // checkpoint replays the poison batch forever)
+      .filter(size(col("sh")) > 0)
       .withColumn("sig", graft.ops.SimOps.minhashSignature(col("sh"), perms))
       .withColumn("band",
         explode(graft.ops.SimOps.lshBands(col("sig"), bands, rowsPerBand)))
@@ -152,15 +163,17 @@ object StreamOps {
         (_, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val prev = state.getOption.getOrElse(BandSeen(Nil, Nil))
-            var ids = prev.ids
-            var sigs = prev.sigs
+            val prev = state.getOption.getOrElse(BandSeen(Long.MinValue, Nil))
+            var docs = prev.docs // oldest-first
             val out = List.newBuilder[NearDupHit]
-            var maxTs = Long.MinValue
+            var maxTs = prev.maxTs // monotone: an older-but-not-late event
+            // must not move the eviction timeout backwards
             // deterministic first-wins within the micro-batch
             rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
               maxTs = math.max(maxTs, r.ts.getTime)
-              val m = ids.iterator.zip(sigs.iterator).map { case (id, s) =>
+              // oldest-first search: a doc matching several canonicals
+              // attributes to the EARLIEST (first-wins lineage)
+              val m = docs.iterator.map { case (id, s) =>
                 val agree = s.iterator.zip(r.sig.iterator)
                   .count { case (a, b) => a == b }
                 (id, agree.toDouble / r.sig.size)
@@ -168,12 +181,11 @@ object StreamOps {
               m match {
                 case Some((id, sim)) =>
                   out += NearDupHit(r.doc_id, id, sim, r.ts)
-                case None => // new canonical, capped state
-                  ids = (r.doc_id :: ids).take(maxPerBand)
-                  sigs = (r.sig :: sigs).take(maxPerBand)
+                case None => // new canonical; cap keeps the newest
+                  docs = (docs :+ (r.doc_id -> r.sig)).takeRight(maxPerBand)
               }
             }
-            state.update(BandSeen(ids, sigs))
+            state.update(BandSeen(maxTs, docs))
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(maxTs, delay)
             out.result().iterator

@@ -159,8 +159,10 @@ class MultimodalSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     (1 to 200).foreach { _ =>
       val junk = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
-      assert(Multimodal.mjpegFrames(junk, 1).isEmpty ||
-        junk.length >= 12) // non-RIFF junk yields nothing
+      val isRiff = junk.length >= 4 && junk(0) == 'R' && junk(1) == 'I' &&
+        junk(2) == 'F' && junk(3) == 'F'
+      val frames = Multimodal.mjpegFrames(junk, 1) // must not throw
+      assert(isRiff || frames.isEmpty, "non-RIFF junk yields nothing")
     }
     val evil = avi.clone()
     evil(16) = 0xFC.toByte; evil(17) = 0xFF.toByte

@@ -186,11 +186,18 @@ class StreamingSpec extends SparkSpec {
         s"doc 2 duplicates doc 1, doc 3 is unique: $hits")
       assert(hits.forall(_._3 >= 0.8))
       // a later near-variant still matches the FIRST canonical (doc 1)
-      ms.addData((4L, ts("2024-01-01 00:02:00"), base))
+      // — and a doc too short to shingle (< 3 words) must pass through
+      // harmlessly, not poison the query (its all-null signature would
+      // fail the encoder and wedge every checkpoint replay)
+      ms.addData((4L, ts("2024-01-01 00:02:00"), base),
+        (5L, ts("2024-01-01 00:02:00"), "hi there"),
+        (6L, ts("2024-01-01 00:02:00"), null.asInstanceOf[String]))
       q.processAllAvailable()
       val later = spark.table("t_neardup")
         .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq.distinct
       assert(later.contains((4L, 1L)), s"doc 4 must match canonical 1: $later")
+      assert(!later.exists(h => h._1 == 5L || h._1 == 6L),
+        "unshingleable docs emit nothing")
     } finally q.stop()
   }
 }
