@@ -36,11 +36,11 @@ object PackScale {
 
   /** q42 — exact ordered statistics per group: median / p90 / p99 of the
     * order value, linear interpolation (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`: both compute lo + (hi−lo)·frac in doubles over the
-    * sorted group, so results hash-match bit-for-bit). At 100 TB the same
-    * query swaps `percentile` for `approx_percentile` (t-digest sketch,
-    * map-side mergeable — the q34 posture); the exact form stays the
-    * correctness oracle.
+    * `quantile_cont`: both evaluate the symmetric
+    * (hi−pos)·lo + (pos−lo)·hi form in doubles over the sorted group, so
+    * results hash-match bit-for-bit). At 100 TB the same query swaps
+    * `percentile` for `approx_percentile` (q44 — mergeable sketch); the
+    * exact form stays the correctness oracle.
     */
   private val q42 = Q(
     "q42_percentiles",
@@ -94,5 +94,29 @@ object PackScale {
     """),
     doc = "pivot with explicit value list (schema-stable at scale)")
 
-  val all: Seq[Q] = Seq(q41, q42, q43)
+  /** q44 — the 100 TB percentile path made executable: `approx_percentile`
+    * over the same groups as q42. The sketch is map-side mergeable (each
+    * partition summarizes, merges are associative) so the plan is one
+    * partial+final aggregation — no sorted-group materialization like the
+    * exact form. ⊘ oracle: the estimate is engine-specific; the driver
+    * records rows-only, and the unit invariant bounds the estimate between
+    * the group min/max with exact-match at accuracy=strict on small groups.
+    */
+  private val q44 = Q(
+    "q44_approx_percentiles",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          approx_percentile(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          approx_percentile(col("o_totalprice"), lit(0.99), lit(10000))
+            .as("p99_approx"))
+        .orderBy("o_orderstatus")
+    },
+    None,
+    doc = "approx percentiles (mergeable sketch) — q42's declared scale path")
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44)
 }
