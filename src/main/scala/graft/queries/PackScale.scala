@@ -118,5 +118,72 @@ object PackScale {
     None,
     doc = "approx percentiles (mergeable sketch) — q42's declared scale path")
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44)
+  /** q45 — edit distance (fuzzy-match primitive of entity resolution /
+    * OCR-noise dedup): levenshtein between adjacent docs' 60-char
+    * prefixes, plus the distance as integer basis points of the longer
+    * prefix (integer division — float ratio ties differ across engines).
+    * Per-pair cost is O(60²) regardless of document length — the bounded-
+    * prefix tradeoff every fuzzy blocking pass makes; the join is the same
+    * adjacent-id band as q28.
+    */
+  private val q45 = Q(
+    "q45_edit_distance",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"),
+        substring(col("text"), 1, 60).as("t1"))
+      t.join(
+        t.select((col("doc_id") - 1).as("doc_id"), col("t1").as("t2")),
+        "doc_id")
+        .select(col("doc_id"),
+          levenshtein(col("t1"), col("t2")).as("lev"),
+          greatest(length(col("t1")), length(col("t2"))).as("len_max"))
+        .select(col("doc_id"), col("lev"),
+          expr("(lev * 10000) div len_max").cast("int").as("lev_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH c AS (SELECT doc_id, substr(text, 1, 60) AS t1 FROM documents)
+      SELECT a.doc_id,
+             cast(levenshtein(a.t1, b.t1) AS INTEGER) AS lev,
+             cast((levenshtein(a.t1, b.t1) * 10000) // greatest(length(a.t1), length(b.t1)) AS INTEGER) AS lev_bp
+      FROM c a JOIN c b ON b.doc_id = a.doc_id + 1
+      ORDER BY a.doc_id
+    """),
+    doc = "levenshtein over adjacent-doc prefixes (fuzzy-dedup primitive)")
+
+  /** q46 — temporal functions over order dates: day difference from a
+    * fixed epoch, month-clamped add_months, last day of month, month
+    * truncation. Both engines clamp month-end arithmetic (Jan 31 + 1 mo =
+    * Feb 28), so results hash-match; all outputs DATE-typed.
+    */
+  private val q46 = Q(
+    "q46_date_math",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"))
+        .select(
+          col("o_orderkey"),
+          col("od"),
+          datediff(col("od"), lit("1995-01-01").cast("date"))
+            .as("days_since"),
+          add_months(col("od"), 3).as("plus_3mo"),
+          last_day(col("od")).as("month_end"),
+          trunc(col("od"), "month").as("month_start"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             cast(o_orderdate AS DATE) AS od,
+             cast(date_diff('day', DATE '1995-01-01', cast(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+             cast(cast(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+             last_day(cast(o_orderdate AS DATE)) AS month_end,
+             cast(date_trunc('month', cast(o_orderdate AS DATE)) AS DATE) AS month_start
+      FROM orders ORDER BY o_orderkey
+    """),
+    doc = "temporal functions: datediff / add_months / last_day / trunc")
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46)
 }
