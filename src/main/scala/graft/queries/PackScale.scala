@@ -185,5 +185,35 @@ object PackScale {
     """),
     doc = "temporal functions: datediff / add_months / last_day / trunc")
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46)
+  /** q47 — semi-structured JSON extraction with an EXPLICIT schema:
+    * `from_json(props, "k INT")` parses each document once into a struct
+    * (codegen'd Jackson parse, all fields in one pass); per-field
+    * `get_json_object` calls re-scan the JSON string per field — the
+    * difference compounds at 100 TB. Aggregated per event type so the
+    * parse feeds a real reduction.
+    */
+  private val q47 = Q(
+    "q47_json_extract",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             cast(sum(cast(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+             cast(max(cast(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type
+    """),
+    doc = "schema'd JSON extraction (one-pass from_json) + aggregation")
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47)
 }
