@@ -99,8 +99,9 @@ object PackScale {
     * partition summarizes, merges are associative) so the plan is one
     * partial+final aggregation — no sorted-group materialization like the
     * exact form. ⊘ oracle: the estimate is engine-specific; the driver
-    * records rows-only, and the unit invariant bounds the estimate between
-    * the group min/max with exact-match at accuracy=strict on small groups.
+    * records rows-only, and the unit invariants (PackScaleSpec) pin the
+    * estimate inside each group's [min, max] and within 5% of q42's exact
+    * value at this accuracy.
     */
   private val q44 = Q(
     "q44_approx_percentiles",
