@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+/** q48–q55 — corpus-construction pack (round 5): the operators a 100 TB
+  * training-data build runs between "raw crawl" and "tokenized shards" —
+  * duplicate-cluster resolution, term weighting, PII scrubbing,
+  * repetition filtering, chunking, index construction, incremental corpus
+  * refresh, and deterministic training-order mixing. All oracle-gated;
+  * every ratio is integer basis points (float ties differ across engines
+  * — MEMORY oracle-parity-trapdoors).
+  */
+object PackCorpus {
+
+  /** Shared tokenizer — identical to q38/q40's, so parity with DuckDB's
+    * `string_split_regex(lower(text), '\W+')` is already proven.
+    */
+  private def toks = filter(split(lower(col("text")), "\\W+"),
+    t => length(t) > 0)
+
+  /** q48 — connected-components dedup clustering: documents sharing an
+    * identical 2-token prefix or suffix are dup candidates (the blocking
+    * key every fuzzy-dedup pass starts from); a component is one dup
+    * cluster and `comp` (its min doc_id) the canonical document. Edges
+    * are star-shaped per key (|bucket|−1, never |bucket|²); labels spread
+    * by iterative hash-min propagation (GraphOps — one shuffle per round,
+    * rounds = diameter, lineage truncated per round). The oracle computes
+    * the same fixpoint as a recursive transitive closure — tractable only
+    * at oracle scale, which is the point: the Spark side is the shape
+    * that survives 100 TB, the closure is the spec.
+    */
+  private val q48 = Q(
+    "q48_cc_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) >= 4)
+      val keyed = t.select(col("doc_id").as("id"),
+        explode(array(
+          concat(lit("p:"), concat_ws(" ", slice(col("ws"), 1, 2))),
+          concat(lit("s:"), concat_ws(" ", slice(col("ws"), -2, 2)))))
+          .as("key"))
+      val cc = GraphOps.connectedComponents(
+        docs.select(col("doc_id").as("id")), GraphOps.starEdges(keyed))
+      cc.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      k AS (SELECT doc_id, 'p:' || array_to_string(ws[1:2], ' ') AS key FROM t WHERE len(ws) >= 4
+            UNION ALL
+            SELECT doc_id, 's:' || array_to_string(ws[-2:], ' ') AS key FROM t WHERE len(ws) >= 4),
+      s AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS b FROM k),
+      e0 AS (SELECT doc_id AS a, b FROM s WHERE doc_id <> b),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      r(src, dst) AS (SELECT doc_id, doc_id FROM documents
+                      UNION
+                      SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a)
+      SELECT src AS doc_id, min(dst) AS comp FROM r GROUP BY src ORDER BY doc_id
+    """),
+    doc = "connected-components dup clustering (hash-min propagation vs recursive-closure oracle)")
+
+  /** q49 — TF-IDF-style term weighting, top-3 terms per document. The
+    * weight is the exactly-representable integer `tf·N·10000 div df`
+    * (df-normalized term weight in basis points): monotone in tf and
+    * 1/df like the log form, but free of cross-engine libm drift — the
+    * ranking the gate hashes is bit-deterministic. N arrives as a
+    * broadcast 1-row frame (never a driver collect); df joins on the
+    * term key.
+    */
+  private val q49 = Q(
+    "q49_tfidf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ex = docs.select(col("doc_id"), explode(toks).as("token"))
+      val tf = ex.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = ex.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("w_bp").desc, col("token"))
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("w_bp", expr("(tf * n_docs * 10000) div df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), col("tf"),
+          col("df"), col("w_bp"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""
+      WITH ex AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) AS token FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token),
+      df AS (SELECT token, count(DISTINCT doc_id) AS df FROM ex GROUP BY token),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, cast((tf.tf * n.n_docs * 10000) // df.df AS BIGINT) AS w_bp FROM tf JOIN df USING (token) CROSS JOIN n),
+      rk AS (SELECT *, cast(row_number() OVER (PARTITION BY doc_id ORDER BY w_bp DESC, token) AS INTEGER) AS rk FROM sc)
+      SELECT doc_id, rk, token, cast(tf AS BIGINT) AS tf, cast(df AS BIGINT) AS df, w_bp
+      FROM rk WHERE rk <= 3 ORDER BY doc_id, rk
+    """),
+    doc = "per-doc top-3 terms by integer-scaled df-normalized weight")
+
+  /** q50 — PII detection + redaction: emails, NANP phone numbers, and
+    * long digit runs found and masked per document. The testdata carries
+    * no PII, so each row gets a deterministic synthetic suffix first —
+    * the patterns then hit exactly once each, which the count columns
+    * prove. Patterns stay inside the Java-regex ∩ RE2 common subset
+    * (char classes, bounded repetition — no lookaround) so Spark and the
+    * oracle match byte-for-byte. Pure projection: embarrassingly
+    * parallel, codegen'd, no shuffle before the output sort.
+    */
+  private val q50 = Q(
+    "q50_pii_redact",
+    (s, d) => {
+      val email = "[a-z0-9._]+@[a-z0-9.-]+"
+      val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+      val idnum = "[0-9]{8,}"
+      Tables.documents(s, d)
+        .withColumn("raw", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1-415-"),
+          lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+          lit(" ref "),
+          (lit(10000000L) + (col("doc_id") * 1000003L) % 90000000L)
+            .cast("string")))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(email)).as("n_email"),
+          regexp_count(col("raw"), lit(phone)).as("n_phone"),
+          regexp_count(col("raw"), lit(idnum)).as("n_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            email, "<EMAIL>"), phone, "<PHONE>"), idnum, "<ID>").as("red"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT doc_id, text || ' contact user' || doc_id || '@mail.example.com or +1-415-' || lpad(cast((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' ref ' || cast(10000000 + (doc_id * 1000003) % 90000000 AS VARCHAR) AS raw FROM documents)
+      SELECT doc_id,
+             cast(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+')) AS INTEGER) AS n_email,
+             cast(len(regexp_extract_all(raw, '\+1-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone,
+             cast(len(regexp_extract_all(raw, '[0-9]{8,}')) AS INTEGER) AS n_id,
+             regexp_replace(regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'), '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '[0-9]{8,}', '<ID>', 'g') AS red
+      FROM p ORDER BY doc_id
+    """),
+    doc = "PII scan + mask (email/phone/id-number), counts prove each hit")
+
+  /** q51 — repetition quality filters (the Gopher-style gates): duplicate
+    * -word fraction and most-frequent-bigram mass, both as integer basis
+    * points, plus the keep/drop verdict. The per-row stats are free; the
+    * top-bigram needs one groupBy keyed on (doc_id, bigram) — doc_id is
+    * unique so the key cannot skew no matter how degenerate the text.
+    * Bigrams keep multiplicity (the native shingle kernel dedups — wrong
+    * tool here), built by an index-zip HOF.
+    */
+  private val q51 = Q(
+    "q51_repetition_filter",
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"), toks.as("ws"))
+      val base = t.filter(size(col("ws")) > 0)
+        .select(col("doc_id"), size(col("ws")).as("n_tok"),
+          size(array_distinct(col("ws"))).as("n_uniq"))
+      val bigrams = transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + lit(1))))
+      val topbg = t.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("sh"))
+        .groupBy("doc_id", "sh").count()
+        .groupBy("doc_id").agg(max("count").as("top_bg_n"))
+      base.join(topbg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+          expr("cast(((n_tok - n_uniq) * 10000) div n_tok AS BIGINT)")
+            .as("dup_bp"),
+          expr("cast((coalesce(top_bg_n, 0) * 2 * 10000) div n_tok AS BIGINT)")
+            .as("top2_bp"))
+        .withColumn("keep", col("dup_bp") < 8000 && col("top2_bp") < 2000)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      base AS (SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_uniq FROM t WHERE len(ws) > 0),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sh FROM t WHERE len(ws) >= 2),
+      topbg AS (SELECT doc_id, max(c) AS top_bg_n FROM (SELECT doc_id, sh, count(*) AS c FROM bg GROUP BY doc_id, sh) GROUP BY doc_id)
+      SELECT b.doc_id, cast(b.n_tok AS BIGINT) AS n_tok,
+             cast(((b.n_tok - b.n_uniq) * 10000) // b.n_tok AS BIGINT) AS dup_bp,
+             cast((coalesce(t.top_bg_n, 0) * 2 * 10000) // b.n_tok AS BIGINT) AS top2_bp,
+             (((b.n_tok - b.n_uniq) * 10000) // b.n_tok < 8000 AND (coalesce(t.top_bg_n, 0) * 2 * 10000) // b.n_tok < 2000) AS keep
+      FROM base b LEFT JOIN topbg t ON b.doc_id = t.doc_id ORDER BY b.doc_id
+    """),
+    doc = "Gopher-style repetition gates: dup-word + top-bigram mass, keep verdict")
+
+  /** q52 — training-chunk construction: fixed windows of 64 tokens with
+    * stride 48 (16-token overlap so no boundary context is lost), the
+    * short tail kept. One generate per document — `sequence(0, n−1, 48)`
+    * is exactly DuckDB's `range(0, n, 48)` — then a slice per start; no
+    * shuffle at all until the output sort, so chunking streams at scan
+    * speed regardless of corpus size.
+    */
+  private val q52 = Q(
+    "q52_chunk_stride",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("ws")) - 1, lit(48))).as("start"),
+          col("ws"))
+        .select(col("doc_id"), col("start"),
+          size(slice(col("ws"), col("start") + 1, lit(64))).as("n_ctok"),
+          concat_ws(" ", slice(col("ws"), col("start") + 1, lit(64)))
+            .as("chunk_text"))
+        .orderBy("doc_id", "start")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      c AS (SELECT doc_id, unnest(range(0, len(ws), 48)) AS start, ws FROM t WHERE len(ws) > 0)
+      SELECT doc_id, cast(start AS INTEGER) AS start,
+             cast(len(ws[start+1:start+64]) AS INTEGER) AS n_ctok,
+             array_to_string(ws[start+1:start+64], ' ') AS chunk_text
+      FROM c ORDER BY doc_id, start
+    """),
+    doc = "64-token chunks, stride 48 (overlap 16), short tail kept — shuffle-free")
+
+  /** q53 — inverted-index construction: per term, total frequency,
+    * document frequency, and the first-5 posting list. The posting list
+    * is BOUNDED BEFORE collection — row_number ≤ 5 per term, then the
+    * ≤5-element collect — never an unbounded collect_list a hot term
+    * ('the') would blow up at corpus scale. Posting rendered as a comma
+    * string so the gate compares text, not engine list encodings.
+    */
+  private val q53 = Q(
+    "q53_inverted_index",
+    (s, d) => {
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("token"))
+      val stats = ex.groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      val top5 = ex.select("token", "doc_id").distinct()
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("token").orderBy("doc_id")))
+        .filter(col("rn") <= 5)
+      val post = top5.groupBy("token")
+        .agg(array_join(
+          transform(sort_array(collect_list("doc_id")), x => x.cast("string")),
+          ",").as("posting"))
+      stats.join(post, "token").orderBy("token")
+    },
+    Some("""
+      WITH ex AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) AS token FROM documents),
+      stats AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM ex GROUP BY token),
+      pd AS (SELECT DISTINCT token, doc_id FROM ex),
+      top5 AS (SELECT token, doc_id FROM (SELECT token, doc_id, row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM pd) WHERE rn <= 5),
+      post AS (SELECT token, array_to_string(list(cast(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS posting FROM top5 GROUP BY token)
+      SELECT s.token, cast(s.tf AS BIGINT) AS tf, cast(s.df AS BIGINT) AS df, p.posting
+      FROM stats s JOIN post p USING (token) ORDER BY s.token
+    """),
+    doc = "inverted index: tf/df per term + first-5 posting list, bounded pre-collect")
+
+  /** q54 — incremental corpus refresh (CDC merge): a change set of
+    * updates (every 10th doc), inserts (20 new ids), and delete
+    * tombstones (every 97th + 3) merged latest-wins into the base
+    * snapshot. One shuffle on doc_id; the tie at (version, doc 100 —
+    * updated AND deleted in the same batch) is broken deterministically
+    * by `deleted DESC` (a tombstone outranks a same-version update). At
+    * scale this plan IS merge-on-read compaction: union + one
+    * row_number, no full-table rewrite.
+    */
+  private val q54 = Q(
+    "q54_corpus_merge",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("text"), col("version"), col("deleted"))
+      val base = shaped(docs
+        .withColumn("version", lit(1)).withColumn("deleted", lit(false)))
+      val upd = shaped(docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(lit("UPDATED "), col("text")))
+        .withColumn("version", lit(2)).withColumn("deleted", lit(false)))
+      val ins = shaped(docs.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(lit("NEW "), col("text")))
+        .withColumn("version", lit(2)).withColumn("deleted", lit(false)))
+      val del = shaped(docs.filter(col("doc_id") % 97 === 3)
+        .withColumn("text", lit(null).cast("string"))
+        .withColumn("version", lit(2)).withColumn("deleted", lit(true)))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("version").desc, col("deleted").desc)
+      base.unionByName(upd).unionByName(ins).unionByName(del)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && !col("deleted"))
+        .select(col("doc_id"), col("version"),
+          length(col("text")).cast("long").as("len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH base AS (SELECT doc_id, text, 1 AS version, false AS deleted FROM documents),
+      upd AS (SELECT doc_id, 'UPDATED ' || text AS text, 2 AS version, false AS deleted FROM documents WHERE doc_id % 10 = 0),
+      ins AS (SELECT doc_id + 1000000 AS doc_id, 'NEW ' || text AS text, 2 AS version, false AS deleted FROM documents WHERE doc_id < 20),
+      del AS (SELECT doc_id, cast(NULL AS VARCHAR) AS text, 2 AS version, true AS deleted FROM documents WHERE doc_id % 97 = 3),
+      u AS (SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM del),
+      w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC, deleted DESC) AS rn FROM u)
+      SELECT doc_id, cast(version AS INTEGER) AS version, cast(length(text) AS BIGINT) AS len
+      FROM w WHERE rn = 1 AND NOT deleted ORDER BY doc_id
+    """),
+    doc = "CDC merge: upserts + delete tombstones, latest-wins, one shuffle")
+
+  /** q55 — deterministic training-order interleave: each source's docs
+    * get a reproducible pseudo-random rank (Knuth multiplicative LCG on
+    * doc_id — doc_id reduced before the multiply so the product can
+    * never overflow int64, q39's lesson), then sources are read
+    * round-robin by (rank, source). Epoch N is a different constant; the
+    * shuffle is a function of ids only, so a 100 TB re-run reproduces
+    * the exact batch order with zero stored state. The global sort is
+    * the oracle-determinism tail; the scale path writes
+    * range-partitioned shards sorted within each shard by the same key.
+    */
+  private val q55 = Q(
+    "q55_interleave_shuffle",
+    (s, d) => {
+      val key = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)
+        + lit(1013904223L)) % lit(2147483648L)
+      val w = Window.partitionBy("source").orderBy(key.asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .select(col("rn"), col("source"), col("doc_id"))
+        .orderBy("rn", "source", "doc_id")
+    },
+    Some("""
+      WITH r AS (SELECT doc_id, source, cast(row_number() OVER (PARTITION BY source ORDER BY ((doc_id % 2147483648) * 2654435761 + 1013904223) % 2147483648, doc_id) AS INTEGER) AS rn FROM documents)
+      SELECT rn, source, doc_id FROM r ORDER BY rn, source, doc_id
+    """),
+    doc = "deterministic per-source shuffle + round-robin source interleave")
+
+  val all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55)
+}
