@@ -172,7 +172,12 @@ object PackCorpus {
             .as("dup_bp"),
           expr("cast((coalesce(top_bg_n, 0) * 2 * 10000) div n_tok AS BIGINT)")
             .as("top2_bp"))
-        .withColumn("keep", col("dup_bp") < 8000 && col("top2_bp") < 2000)
+        // the bigram-mass gate only applies to docs long enough for the
+        // ratio to mean anything (one bigram in a 9-token doc is already
+        // 22% of mass) — the same length minimums production repetition
+        // filters carry
+        .withColumn("keep",
+          col("dup_bp") < 8000 && (col("n_tok") < 20 || col("top2_bp") < 2000))
         .orderBy("doc_id")
     },
     Some("""
@@ -183,7 +188,7 @@ object PackCorpus {
       SELECT b.doc_id, cast(b.n_tok AS BIGINT) AS n_tok,
              cast(((b.n_tok - b.n_uniq) * 10000) // b.n_tok AS BIGINT) AS dup_bp,
              cast((coalesce(t.top_bg_n, 0) * 2 * 10000) // b.n_tok AS BIGINT) AS top2_bp,
-             (((b.n_tok - b.n_uniq) * 10000) // b.n_tok < 8000 AND (coalesce(t.top_bg_n, 0) * 2 * 10000) // b.n_tok < 2000) AS keep
+             (((b.n_tok - b.n_uniq) * 10000) // b.n_tok < 8000 AND (b.n_tok < 20 OR (coalesce(t.top_bg_n, 0) * 2 * 10000) // b.n_tok < 2000)) AS keep
       FROM base b LEFT JOIN topbg t ON b.doc_id = t.doc_id ORDER BY b.doc_id
     """),
     doc = "Gopher-style repetition gates: dup-word + top-bigram mass, keep verdict")

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+import graft.queries.{Catalog, Tables}
+
+/** q48–q55 corpus-construction pack: GraphOps invariants plus the
+  * properties the oracle hash can't see (coverage, overlap, redaction
+  * completeness, filter behavior on adversarial inputs).
+  */
+class PackCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = Catalog.queries(name)(spark, sf)
+
+  // ---- GraphOps -----------------------------------------------------------
+
+  test("connectedComponents labels a chain, a triangle, and singletons") {
+    val nodes = (1L to 10L).toDF("id")
+    // chain 1-2-3-4, triangle 5-6-7 (with a redundant cycle edge), 8..10 alone
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (7L, 5L))
+      .toDF("a", "b")
+    val got = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L, 10L -> 10L))
+  }
+
+  test("connectedComponents is direction- and duplicate-insensitive") {
+    val nodes = (1L to 4L).toDF("id")
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("a", "b") // reversed, duplicated, self-loop
+    val got = GraphOps.connectedComponents(nodes, messy)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("starEdges connects a bucket through its min without all-pairs") {
+    val keyed = Seq((5L, "k"), (9L, "k"), (2L, "k"), (7L, "z"))
+      .toDF("id", "key")
+    val edges = GraphOps.starEdges(keyed).as[(Long, Long)].collect().toSet
+    assert(edges === Set((5L, 2L), (9L, 2L))) // |bucket|-1 edges, no (5,9)
+  }
+
+  test("q48 components are consistent: same key prefix => same component") {
+    val df = run("q48_cc_dedup")
+    // comp is a member of its own component (the canonical doc exists)
+    val labels = df.as[(Long, Long)].collect()
+    val byId = labels.toMap
+    assert(labels.forall { case (_, comp) => byId(comp) == comp })
+    // deterministic across reruns (iterative algorithms can be order-
+    // sensitive if written wrong)
+    val again = run("q48_cc_dedup").as[(Long, Long)].collect()
+    assert(labels.sameElements(again))
+  }
+
+  // ---- chunking -----------------------------------------------------------
+
+  test("q52 chunks cover every token and overlap by exactly 16") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), "\\W+"),
+          t => length(t) > 0)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val chunks = run("q52_chunk_stride")
+      .select("doc_id", "start", "n_ctok")
+      .as[(Long, Int, Int)].collect()
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val n = docs(id)
+      val sorted = cs.sortBy(_._2)
+      // starts are exactly 0, 48, 96, ... < n
+      assert(sorted.map(_._2).toSeq === (0 until n by 48).toSeq)
+      // every chunk runs from its start to min(start+64, n): full coverage
+      // (stride 48 < size 64 leaves no gap) and 16-token overlap wherever
+      // a full-size chunk has a successor
+      sorted.foreach { case (_, start, len) =>
+        assert(len === math.min(64, n - start)) }
+    }
+  }
+
+  // ---- PII redaction ------------------------------------------------------
+
+  test("q50 redaction is complete: no pattern survives in the output") {
+    val red = run("q50_pii_redact")
+    val leftover = red.filter(
+      regexp_count(col("red"), lit("[a-z0-9._]+@[a-z0-9.-]+")) > 0 ||
+      regexp_count(col("red"), lit("\\+1-[0-9]{3}-[0-9]{4}")) > 0 ||
+      regexp_count(col("red"), lit("[0-9]{8,}")) > 0)
+    assert(leftover.isEmpty)
+    // and each synthetic row carried exactly one of each before masking
+    assert(red.filter(col("n_email") =!= 1 || col("n_phone") =!= 1 ||
+      col("n_id") =!= 1).isEmpty)
+  }
+
+  // ---- repetition filter --------------------------------------------------
+
+  test("q51 drops degenerate repetition, keeps normal text") {
+    // run the same expressions over crafted docs via a temp parquet dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam", "en", "s", 10L),
+      (2L, "a genuinely varied sentence with many distinct words here", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Catalog.queries("q51_repetition_filter")(spark, dir)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> false, 2L -> true))
+  }
+
+  // ---- CDC merge ----------------------------------------------------------
+
+  test("q54 merge: tombstones gone, updates at v2, inserts present") {
+    val out = run("q54_corpus_merge")
+      .select("doc_id", "version").as[(Long, Int)].collect()
+    val byId = out.toMap
+    // tombstoned ids are absent (incl. doc 100 — updated AND deleted, the
+    // deterministic deleted-wins tiebreak)
+    Seq(3L, 100L, 197L, 294L, 391L, 488L).foreach(id =>
+      assert(!byId.contains(id), s"tombstoned $id survived"))
+    // untouched docs stay v1, updated docs v2, inserts present at v2
+    assert(byId(1L) === 1)
+    assert(byId(10L) === 2)
+    assert(byId(1000005L) === 2)
+    // no doc_id appears twice after latest-wins
+    assert(out.length === out.map(_._1).distinct.length)
+  }
+
+  // ---- interleave ---------------------------------------------------------
+
+  test("q55 interleave is a permutation, balanced across sources") {
+    val docs = Tables.documents(spark, sf)
+    val out = run("q55_interleave_shuffle")
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    // round-robin: within any leading window of full rounds, every source
+    // appears the same number of times
+    val nSources = docs.select("source").distinct().count().toInt
+    val firstRounds = out.limit(3 * nSources)
+      .groupBy("source").count().as[(String, Long)].collect()
+    assert(firstRounds.forall(_._2 == 3))
+  }
+}
