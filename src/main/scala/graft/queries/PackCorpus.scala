@@ -42,9 +42,12 @@ object PackCorpus {
           concat(lit("p:"), concat_ws(" ", slice(col("ws"), 1, 2))),
           concat(lit("s:"), concat_ws(" ", slice(col("ws"), -2, 2)))))
           .as("key"))
-      val cc = GraphOps.connectedComponents(
-        docs.select(col("doc_id").as("id")), GraphOps.starEdges(keyed))
-      cc.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+      val (lbl, _) = GraphOps.connectedComponentsByKey(keyed)
+      docs.select(col("doc_id"))
+        .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp")) // unkeyed docs
+        .orderBy("doc_id")
     },
     Some("""
       WITH RECURSIVE

@@ -36,6 +36,47 @@ class PackCorpusSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("connectedComponents converges in O(log n) rounds on a long chain") {
+    // a 100-node path is the adversarial diameter case (a dup chain
+    // A~B~C~… from overlapping blocking keys): plain hash-min needs
+    // rounds = diameter (~99, past maxIter=50); the pointer-jumping
+    // shortcut roughly halves every node's distance to the component min
+    // each round, so convergence must land in ~log2(100) + slack
+    val n = 100L
+    val nodes = (1L to n).toDF("id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val (got, rounds) = GraphOps.connectedComponentsWithRounds(nodes, chain)
+    assert(got.as[(Long, Long)].collect().forall(_._2 == 1L))
+    assert(rounds <= 12, s"chain-100 took $rounds rounds — shortcut not biting")
+  }
+
+  test("connectedComponentsByKey matches the edge-based labels on a random bucketing") {
+    val rnd = new scala.util.Random(7)
+    val keyed = Seq.tabulate(300)(i =>
+      ((rnd.nextInt(120)).toLong, s"k${rnd.nextInt(40)}"))
+      .toDF("id", "key")
+    val viaEdges = GraphOps.connectedComponents(
+      keyed.select("id").distinct(), GraphOps.starEdges(keyed))
+      .as[(Long, Long)].collect().toMap
+    val (byKey, _) = GraphOps.connectedComponentsByKey(keyed)
+    val got = byKey.as[(Long, Long)].collect().toMap
+    assert(got === viaEdges)
+  }
+
+  test("connectedComponentsByKey survives a long bucket chain (diameter ≫ levelsPerJob)") {
+    // doc i shares bucket k_i with doc i−1 and k_{i+1} with doc i+1 — the
+    // adversarial dup-chain ADVICE r5 warned about; 100 docs = bipartite
+    // diameter ~200, far past one job's unroll but well inside maxLevels
+    val chain = (1L to 100L).flatMap(i => Seq((i, s"k$i"), (i, s"k${i + 1}")))
+      .toDF("id", "key")
+    val (lbl, levels) = GraphOps.connectedComponentsByKey(chain)
+    assert(lbl.as[(Long, Long)].collect().forall(_._2 == 1L))
+    // alternation alone would need ~100 levels; the per-job pointer jump
+    // doubles resolved distance each job, so the count must stay well
+    // under linear
+    assert(levels <= 40, s"chain-100 took $levels levels — jump not biting")
+  }
+
   test("starEdges connects a bucket through its min without all-pairs") {
     val keyed = Seq((5L, "k"), (9L, "k"), (2L, "k"), (7L, "z"))
       .toDF("id", "key")
