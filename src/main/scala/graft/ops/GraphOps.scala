@@ -176,12 +176,16 @@ object GraphOps {
     * job.
     *
     * @param keyed columns `id` (long), `key` (any equatable)
+    * @param planHook called with each job's label frame just before it
+    *                 materializes — a test seam for pinning the per-level
+    *                 physical plan (PlanSpec asserts no CartesianProduct)
     * @return (labels (id, comp), one row per distinct id in `keyed`;
     *         levels run — ≥ the level where the fixpoint was reached)
     */
   def connectedComponentsByKey(
       keyed: DataFrame, levelsPerJob: Int = 3,
-      maxLevels: Int = 200): (DataFrame, Int) = {
+      maxLevels: Int = 200,
+      planHook: DataFrame => Unit = _ => ()): (DataFrame, Int) = {
     // eager: every level references the bucketing twice, and a lazy cache
     // measurably loses to one up-front materialization (branches of the
     // first job race to compute the same partitions)
@@ -219,6 +223,7 @@ object GraphOps {
             least(col("comp"), coalesce(col("jcomp"), col("comp")))
               .as("comp"))
       }
+      planHook(cur)
       lbl = cur.localCheckpoint() // the ONE materializing job, K levels deep
       levels += levelsPerJob
       val sums = obss.map { o =>

@@ -37,6 +37,25 @@ object SkewOps {
       .groupBy("key")
       .agg(sum("__partial").cast("double").as("total"))
 
+  /** Skew-safe equi-join: `big ⋈ small` on `key`, with the big side
+    * salted by input partition and the small side replicated once per
+    * salt, so the join key becomes (key, salt) and a hot key's probe rows
+    * spread across `salts` reducers instead of landing on one. Row-for-row
+    * identical to `big.join(small, key)` (each big row meets each matching
+    * small row in exactly one salt replica); costs `salts`× the small
+    * side's shuffle volume, which is the right trade whenever
+    * |small| ≪ |big| but too large (or too skew-prone itself) to
+    * broadcast — the tf⋈df term join in q49 is the canonical case.
+    * AQE's skew-join covers sort-merge joins after the fact; this bounds
+    * the skew BEFORE the shuffle, deterministically.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame =
+    big.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+      .join(small.withColumn("__salt",
+        explode(sequence(lit(0), lit(salts - 1)))), Seq(key, "__salt"))
+      .drop("__salt")
+
   /** Count + exact sum in ONE salted two-phase pass — a production hot-key
     * aggregation computes all its measures over a single scan rather than
     * one salted pipeline per measure.

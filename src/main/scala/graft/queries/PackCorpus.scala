@@ -66,12 +66,25 @@ object PackCorpus {
     doc = "connected-components dup clustering (hash-min propagation vs recursive-closure oracle)")
 
   /** q49 — TF-IDF-style term weighting, top-3 terms per document. The
-    * weight is the exactly-representable integer `tf·N·10000 div df`
+    * weight is the exactly-representable integer `tf · ((N·10000) div df)`
     * (df-normalized term weight in basis points): monotone in tf and
     * 1/df like the log form, but free of cross-engine libm drift — the
-    * ranking the gate hashes is bit-deterministic. N arrives as a
-    * broadcast 1-row frame (never a driver collect); df joins on the
-    * term key.
+    * ranking the gate hashes is bit-deterministic. The per-term factor is
+    * reduced BEFORE the tf multiply so the int64 bound is
+    * tf · (N·10⁴/df) — for any term with df ≥ N/10⁵ (every non-hapax at
+    * corpus scale) the factor is ≤10⁹ and tf has ~9×10⁹ of headroom;
+    * only a df=1 term inside a ~10⁹-token doc could overflow, vs the
+    * unreduced tf·N·10⁴ which wraps at tf·N ≈ 9×10¹⁴ regardless of df
+    * (ADVICE r6). N arrives as a broadcast 1-row frame (never a driver
+    * collect).
+    *
+    * The tf⋈df join key is the raw token — the single most skewed key a
+    * corpus owns (a stopword's tf rows are a constant fraction of ALL
+    * rows). Routed through [[graft.ops.SkewOps.saltedJoin]]: the df side
+    * is replicated `salts` ways and the hot token's probe rows fan out
+    * across `salts` reducers, bounding any one task at 1/salts of the
+    * hot key no matter how degenerate the corpus (see the single-token
+    * corpus test in PackCorpusSpec).
     */
   private val q49 = Q(
     "q49_tfidf",
@@ -83,9 +96,9 @@ object PackCorpus {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("w_bp").desc, col("token"))
-      tf.join(df, "token")
+      graft.ops.SkewOps.saltedJoin(tf, df, "token", salts = 8)
         .crossJoin(broadcast(n))
-        .withColumn("w_bp", expr("(tf * n_docs * 10000) div df"))
+        .withColumn("w_bp", expr("tf * ((n_docs * 10000) div df)"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("token"), col("tf"),
@@ -97,18 +110,29 @@ object PackCorpus {
       tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token),
       df AS (SELECT token, count(DISTINCT doc_id) AS df FROM ex GROUP BY token),
       n AS (SELECT count(*) AS n_docs FROM documents),
-      sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, cast((tf.tf * n.n_docs * 10000) // df.df AS BIGINT) AS w_bp FROM tf JOIN df USING (token) CROSS JOIN n),
+      sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, cast(tf.tf * ((n.n_docs * 10000) // df.df) AS BIGINT) AS w_bp FROM tf JOIN df USING (token) CROSS JOIN n),
       rk AS (SELECT *, cast(row_number() OVER (PARTITION BY doc_id ORDER BY w_bp DESC, token) AS INTEGER) AS rk FROM sc)
       SELECT doc_id, rk, token, cast(tf AS BIGINT) AS tf, cast(df AS BIGINT) AS df, w_bp
       FROM rk WHERE rk <= 3 ORDER BY doc_id, rk
     """),
-    doc = "per-doc top-3 terms by integer-scaled df-normalized weight")
+    doc = "per-doc top-3 terms by integer-scaled df-normalized weight, skew-salted tf⋈df")
 
-  /** q50 — PII detection + redaction: emails, NANP phone numbers, and
-    * long digit runs found and masked per document. The testdata carries
-    * no PII, so each row gets a deterministic synthetic suffix first —
-    * the patterns then hit exactly once each, which the count columns
-    * prove. Patterns stay inside the Java-regex ∩ RE2 common subset
+  /** q50 — PII detection + redaction: emails, NANP phone numbers, card
+    * numbers (Luhn-validated), IBAN-shaped account ids, IPv4 addresses,
+    * and long digit runs found and masked per document. The testdata
+    * carries no PII, so each row gets a deterministic synthetic suffix
+    * first — the patterns then hit a known number of times each, which
+    * the count columns prove. The synthetic email id is bounded to
+    * `doc_id % 10⁶` (≤6 digits) so it can never itself grow an 8-digit
+    * run and perturb `n_id` at corpus-scale ids (ADVICE r6); the card /
+    * IBAN / IP shapes interleave letters and separators so their digit
+    * runs stay ≤4 and all seven patterns are pairwise disjoint on the
+    * raw text. Each row carries TWO card-shaped candidates — one passing
+    * Luhn, one off-by-one — so `n_cc_valid` (a checksum HOF over the
+    * extracted candidates: Spark's codegen'd `luhn_check`, an integer
+    * `list_transform`/`list_sum` fold on the oracle side) proves the
+    * validator does real filtering rather than re-counting the shape
+    * match. Patterns stay inside the Java-regex ∩ RE2 common subset
     * (char classes, bounded repetition — no lookaround) so Spark and the
     * oracle match byte-for-byte. Pure projection: embarrassingly
     * parallel, codegen'd, no shuffle before the output sort.
@@ -118,33 +142,78 @@ object PackCorpus {
     (s, d) => {
       val email = "[a-z0-9._]+@[a-z0-9.-]+"
       val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+      val cc    = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+      val iban  = "[A-Z]{2}[0-9]{2}[A-Z0-9]{12,30}"
+      val ipv4  = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
       val idnum = "[0-9]{8,}"
+      // 16-digit card 4111-1111-1111-1{d14}{d15}{chk}: with the 13 fixed
+      // leading digits, the Luhn sum of the first 15 digits is
+      // 26 + d14 + dbl(d15), so chk closes it mod 10 — and chk+1 is the
+      // per-row near-miss that must FAIL validation
+      val d14 = (col("doc_id") * 3) % 10
+      val d15 = (col("doc_id") * 7) % 10
+      val dbl15 = when(d15 >= 5, d15 * 2 - 9).otherwise(d15 * 2)
+      val chk = (lit(10) - ((lit(26) + d14 + dbl15) % 10)) % 10
+      def ccNum(last: org.apache.spark.sql.Column) =
+        concat(lit("4111-1111-1111-1"), d14.cast("string"),
+          d15.cast("string"), last.cast("string"))
       Tables.documents(s, d)
         .withColumn("raw", concat(
-          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          col("text"), lit(" contact user"),
+          (col("doc_id") % 1000000).cast("string"),
           lit("@mail.example.com or +1-415-"),
           lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
           lit(" ref "),
           (lit(10000000L) + (col("doc_id") * 1000003L) % 90000000L)
-            .cast("string")))
+            .cast("string"),
+          lit(" card "), ccNum(chk), lit(" or "), ccNum((chk + 1) % 10),
+          lit(" iban GB"),
+          lpad(((col("doc_id") * 13) % 100).cast("string"), 2, "0"),
+          lit("NWBK"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit("OK"),
+          lpad(((col("doc_id") * 17) % 10000).cast("string"), 4, "0"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 3) % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string")))
         .select(col("doc_id"),
           regexp_count(col("raw"), lit(email)).as("n_email"),
           regexp_count(col("raw"), lit(phone)).as("n_phone"),
+          regexp_count(col("raw"), lit(cc)).as("n_cc"),
+          expr(s"size(filter(regexp_extract_all(raw, '$cc', 0), " +
+            "c -> luhn_check(replace(c, '-', ''))))").as("n_cc_valid"),
+          regexp_count(col("raw"), lit(iban)).as("n_iban"),
+          regexp_count(col("raw"), lit(ipv4)).as("n_ip"),
           regexp_count(col("raw"), lit(idnum)).as("n_id"),
-          regexp_replace(regexp_replace(regexp_replace(col("raw"),
-            email, "<EMAIL>"), phone, "<PHONE>"), idnum, "<ID>").as("red"))
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(col("raw"),
+              email, "<EMAIL>"), phone, "<PHONE>"), cc, "<CC>"),
+            iban, "<IBAN>"), ipv4, "<IP>"), idnum, "<ID>").as("red"))
         .orderBy("doc_id")
     },
     Some("""
-      WITH p AS (SELECT doc_id, text || ' contact user' || doc_id || '@mail.example.com or +1-415-' || lpad(cast((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' ref ' || cast(10000000 + (doc_id * 1000003) % 90000000 AS VARCHAR) AS raw FROM documents)
+      WITH p AS (SELECT doc_id, text || ' contact user' || (doc_id % 1000000) || '@mail.example.com or +1-415-' || lpad(cast((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' ref ' || cast(10000000 + (doc_id * 1000003) % 90000000 AS VARCHAR)
+        || ' card 4111-1111-1111-1' || ((doc_id * 3) % 10) || ((doc_id * 7) % 10) || ((10 - ((26 + (doc_id * 3) % 10 + CASE WHEN (doc_id * 7) % 10 >= 5 THEN ((doc_id * 7) % 10) * 2 - 9 ELSE ((doc_id * 7) % 10) * 2 END) % 10)) % 10)
+        || ' or 4111-1111-1111-1' || ((doc_id * 3) % 10) || ((doc_id * 7) % 10) || ((((10 - ((26 + (doc_id * 3) % 10 + CASE WHEN (doc_id * 7) % 10 >= 5 THEN ((doc_id * 7) % 10) * 2 - 9 ELSE ((doc_id * 7) % 10) * 2 END) % 10)) % 10) + 1) % 10)
+        || ' iban GB' || lpad(cast((doc_id * 13) % 100 AS VARCHAR), 2, '0') || 'NWBK' || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0') || 'OK' || lpad(cast((doc_id * 17) % 10000 AS VARCHAR), 4, '0')
+        || ' ip 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.' || ((doc_id * 7) % 256) AS raw FROM documents)
       SELECT doc_id,
              cast(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+')) AS INTEGER) AS n_email,
              cast(len(regexp_extract_all(raw, '\+1-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone,
+             cast(len(regexp_extract_all(raw, '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}')) AS INTEGER) AS n_cc,
+             cast(len(list_filter(regexp_extract_all(raw, '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}'),
+               c -> list_sum(list_transform(range(1, 17), i ->
+                 CASE WHEN i % 2 = 1
+                   THEN CASE WHEN 2 * cast(substr(replace(c, '-', ''), cast(i AS INT), 1) AS INT) > 9
+                     THEN 2 * cast(substr(replace(c, '-', ''), cast(i AS INT), 1) AS INT) - 9
+                     ELSE 2 * cast(substr(replace(c, '-', ''), cast(i AS INT), 1) AS INT) END
+                   ELSE cast(substr(replace(c, '-', ''), cast(i AS INT), 1) AS INT) END)) % 10 = 0)) AS INTEGER) AS n_cc_valid,
+             cast(len(regexp_extract_all(raw, '[A-Z]{2}[0-9]{2}[A-Z0-9]{12,30}')) AS INTEGER) AS n_iban,
+             cast(len(regexp_extract_all(raw, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ip,
              cast(len(regexp_extract_all(raw, '[0-9]{8,}')) AS INTEGER) AS n_id,
-             regexp_replace(regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'), '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '[0-9]{8,}', '<ID>', 'g') AS red
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'), '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}', '<CC>', 'g'), '[A-Z]{2}[0-9]{2}[A-Z0-9]{12,30}', '<IBAN>', 'g'), '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'), '[0-9]{8,}', '<ID>', 'g') AS red
       FROM p ORDER BY doc_id
     """),
-    doc = "PII scan + mask (email/phone/id-number), counts prove each hit")
+    doc = "PII scan + mask (email/phone/card+Luhn/IBAN/IPv4/id-number), counts prove each hit")
 
   /** q51 — repetition quality filters (the Gopher-style gates): duplicate
     * -word fraction and most-frequent-bigram mass, both as integer basis
@@ -170,10 +239,17 @@ object PackCorpus {
         .groupBy("doc_id", "sh").count()
         .groupBy("doc_id").agg(max("count").as("top_bg_n"))
       base.join(topbg, Seq("doc_id"), "left")
+        // widen BEFORE the multiply: size() is IntegerType and
+        // (n_tok − n_uniq) · 10⁴ wraps int32 once a doc carries >~214k
+        // duplicate tokens — exactly the doc sizes a 100 TB corpus holds —
+        // while the oracle computes in BIGINT throughout (ADVICE r5/r6).
+        // The cast must sit INSIDE the expr: an adjacent .cast("long")
+        // alias is invisible here because expr() resolves against the
+        // join's input attributes.
         .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
-          expr("cast(((n_tok - n_uniq) * 10000) div n_tok AS BIGINT)")
+          expr("((cast(n_tok AS BIGINT) - n_uniq) * 10000) div n_tok")
             .as("dup_bp"),
-          expr("cast((coalesce(top_bg_n, 0) * 2 * 10000) div n_tok AS BIGINT)")
+          expr("(coalesce(top_bg_n, CAST(0 AS BIGINT)) * 2 * 10000) div n_tok")
             .as("top2_bp"))
         // the bigram-mass gate only applies to docs long enough for the
         // ratio to mean anything (one bigram in a 9-token doc is already

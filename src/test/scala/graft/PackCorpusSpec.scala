@@ -127,11 +127,74 @@ class PackCorpusSpec extends SparkSpec {
     val leftover = red.filter(
       regexp_count(col("red"), lit("[a-z0-9._]+@[a-z0-9.-]+")) > 0 ||
       regexp_count(col("red"), lit("\\+1-[0-9]{3}-[0-9]{4}")) > 0 ||
+      regexp_count(col("red"), lit("[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}")) > 0 ||
+      regexp_count(col("red"), lit("[A-Z]{2}[0-9]{2}[A-Z0-9]{12,30}")) > 0 ||
+      regexp_count(col("red"),
+        lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")) > 0 ||
       regexp_count(col("red"), lit("[0-9]{8,}")) > 0)
     assert(leftover.isEmpty)
-    // and each synthetic row carried exactly one of each before masking
+    // each synthetic row carried exactly one email/phone/card-pair/IBAN/IP;
+    // n_id is ≥1 rather than ==1 on purpose — a genuine 8-digit run in the
+    // source text legitimately raises it (the hard gate above is the
+    // completeness proof, not the count)
     assert(red.filter(col("n_email") =!= 1 || col("n_phone") =!= 1 ||
-      col("n_id") =!= 1).isEmpty)
+      col("n_cc") =!= 2 || col("n_cc_valid") =!= 1 ||
+      col("n_iban") =!= 1 || col("n_ip") =!= 1 || col("n_id") < 1).isEmpty)
+  }
+
+  test("q50 Luhn gate: the valid card passes, the near-miss fails") {
+    // the synthetic pair differs only in the check digit, so
+    // n_cc=2 ∧ n_cc_valid=1 (asserted above) already proves filtering;
+    // here pin the validator itself against known vectors
+    val v = Seq("4111111111111111" -> true,   // canonical test PAN
+      "4111111111111112" -> false,            // off-by-one check digit
+      "4532015112830366" -> true,             // random valid Visa
+      "4532015112830367" -> false)
+      .toDF("pan", "want")
+    val got = v.withColumn("got", expr("luhn_check(pan)"))
+      .filter(col("got") =!= col("want"))
+    assert(got.isEmpty)
+  }
+
+  // ---- TF-IDF skew --------------------------------------------------------
+
+  test("q49 survives a degenerate single-token corpus (maximal key skew)") {
+    // every doc is the same word repeated — 100% of tf rows share ONE join
+    // key, the worst case the salted tf⋈df route exists for; weights stay
+    // exact: df = N, so w_bp = tf * ((N*10000) div N) = tf * 10000
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    val docs = (1L to 40L)
+      .map(i => (i, Seq.fill(i.toInt)("spam").mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Catalog.queries("q49_tfidf")(spark, dir)
+      .select("doc_id", "rk", "token", "tf", "w_bp")
+      .as[(Long, Int, String, Long, Long)].collect()
+    assert(out.length === 40) // one term per doc → rk=1 only
+    assert(out.forall { case (id, rk, tok, tf, w) =>
+      rk == 1 && tok == "spam" && tf == id && w == id * 10000 })
+  }
+
+  // ---- repetition filter: 64-bit arithmetic -------------------------------
+
+  test("q51 basis points stay exact past the int32 line (>214k dup tokens)") {
+    // (n_tok − n_uniq) · 10⁴ = ~2.5e9 > 2^31 — wraps negative (or throws
+    // under ANSI) unless the multiply runs in 64-bit like the oracle's
+    val dir = java.nio.file.Files.createTempDirectory("graft-big").toString
+    val big = ("spam " * 250000) + "unique"
+    val docs = Seq((1L, big, "en", "s", big.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Catalog.queries("q51_repetition_filter")(spark, dir)
+      .select("n_tok", "dup_bp", "top2_bp", "keep")
+      .as[(Long, Long, Long, Boolean)].head()
+    val (nTok, dupBp, top2Bp, keep) = out
+    assert(nTok === 250001L)
+    // 250001 tokens, 2 distinct → dup_bp = (249999·10⁴) div 250001 = 9999
+    assert(dupBp === 9999L)
+    // top bigram "spam spam" appears 249999× → top2_bp = 19999·…
+    assert(top2Bp === (249999L * 2 * 10000) / 250001L)
+    assert(!keep)
   }
 
   // ---- repetition filter --------------------------------------------------

@@ -97,6 +97,42 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected one exchange (the day groupBy):\n$p")
   }
 
+  // ---- corpus pack (q48–q55): the 100 TB contracts the comments claim ----
+
+  test("q53: posting list is bounded BEFORE collect (WindowGroupLimit)") {
+    // the rn<=5 filter must push into the window — without it a hot term
+    // ('the') materializes an unbounded per-term row set pre-limit
+    assert(plan("q53_inverted_index").contains("WindowGroupLimit"))
+  }
+
+  test("q52: chunking is shuffle-free until the output sort") {
+    val p = plan("q52_chunk_stride")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must stream at scan speed — no hash exchange:\n$p")
+  }
+
+  test("q49: the 1-row corpus count broadcasts; tf⋈df is salted") {
+    val p = plan("q49_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"n_docs must arrive broadcast, not shuffled:\n$p")
+    assert(p.contains("__salt"),
+      s"tf⋈df must route through the salted join:\n$p")
+  }
+
+  test("q48: no level of the CC loop ever plans a cartesian product") {
+    import spark.implicits._
+    val keyed = Seq.tabulate(60)(i => ((i % 25).toLong, s"k${i % 7}"))
+      .toDF("id", "key")
+    var plans = List.empty[String]
+    graft.ops.GraphOps.connectedComponentsByKey(keyed,
+      planHook = df => plans ::= df.queryExecution.executedPlan.toString)
+    assert(plans.nonEmpty)
+    plans.foreach(p => assert(!p.contains("CartesianProduct"),
+      s"cartesian in a CC level plan:\n$p"))
+    // and the full query's final plan stays cartesian-free too
+    assert(!plan("q48_cc_dedup").contains("CartesianProduct"))
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)

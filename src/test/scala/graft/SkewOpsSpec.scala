@@ -42,6 +42,25 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted join is row-identical to the plain equi-join") {
+    val big = Seq(("the", 1L), ("the", 2L), ("the", 3L), ("rare", 4L),
+      ("the", 5L), ("gone", 6L)).toDF("token", "doc_id")
+    val small = Seq(("the", 100L), ("rare", 1L), ("unused", 9L))
+      .toDF("token", "df")
+    val plain = big.join(small, "token")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val salted = SkewOps.saltedJoin(big, small, "token", 8)
+      .select("token", "doc_id", "df")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(salted === plain)
+    // duplicate keys on the small side multiply matches exactly like a
+    // plain join would (each big row meets each small row once)
+    val dupSmall = small.union(Seq(("the", 200L)).toDF("token", "df"))
+    assert(
+      SkewOps.saltedJoin(big, dupSmall, "token", 4).count() ===
+        big.join(dupSmall, "token").count())
+  }
+
   test("phase-1 truly splits a key across salts (plan has two aggregates)") {
     val ev = Tables.events(spark, sf)
     val df = SkewOps.saltedCount(ev, col("event_type"), 8)
