@@ -185,11 +185,14 @@ object GraphOps {
   def connectedComponentsByKey(
       keyed: DataFrame, levelsPerJob: Int = 3,
       maxLevels: Int = 200,
-      planHook: DataFrame => Unit = _ => ()): (DataFrame, Int) = {
+      planHook: DataFrame => Unit = _ => (),
+      debug: String => Unit = _ => ()): (DataFrame, Int) = {
     // eager: every level references the bucketing twice, and a lazy cache
     // measurably loses to one up-front materialization (branches of the
     // first job race to compute the same partitions)
+    val t0 = System.nanoTime()
     val kd = keyed.select(col("id"), col("key")).localCheckpoint()
+    debug(f"kd checkpoint ${(System.nanoTime() - t0) / 1e9}%.3f s")
     var lbl: DataFrame = null // null until the first job materializes labels
     var prevSum: Option[java.math.BigDecimal] = None
     var levels = 0
@@ -224,13 +227,18 @@ object GraphOps {
               .as("comp"))
       }
       planHook(cur)
+      val tj = System.nanoTime()
       lbl = cur.localCheckpoint() // the ONE materializing job, K levels deep
+      val tc = System.nanoTime()
       levels += levelsPerJob
       val sums = obss.map { o =>
         val row = scala.concurrent.Await.result(
           o.future, scala.concurrent.duration.Duration(10, "s"))
         Option(row.getAs[java.math.BigDecimal]("s"))
       }
+      debug(f"job levels ${levels - levelsPerJob + 1}-$levels: " +
+        f"checkpoint ${(tc - tj) / 1e9}%.3f s, " +
+        f"obs wait ${(System.nanoTime() - tc) / 1e9}%.3f s")
       // fixpoint ⟺ two consecutive level sums agree (alternation is a
       // deterministic function of the labels, so a repeat is a plateau);
       // the previous job's final sum seeds the chain so a fixpoint landing

@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.ops.GraphOps
 import graft.queries.Tables
 
-/** Round-count + stage breakdown for q48 (connected-components dedup) —
-  * the r5 verdict flagged its 2.90 s as iteration overhead; this main
-  * shows where each second goes: the token/key prep, the star-edge
-  * window, and the per-round propagation cost × rounds.
+/** Per-phase breakdown for q48 (connected-components dedup) — profiles the
+  * SHIPPED path, `GraphOps.connectedComponentsByKey` (the r6 verdict
+  * flagged that the old version of this tool measured the superseded
+  * edge-based path): the token/key prep, the bucketing checkpoint, each
+  * materializing job's checkpoint + observation wait, the label→docs
+  * back-join, and the full query end-to-end — across levelsPerJob
+  * settings, so the per-job fixed cost is directly observable.
   */
 object ProfileQ48 {
   def main(args: Array[String]): Unit = {
@@ -37,87 +40,42 @@ object ProfileQ48 {
 
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"PROFILE $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"PROFILE $label%-32s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       r
     }
 
-    def starEdgesViaAgg(k: org.apache.spark.sql.DataFrame) = {
-      val bmin = k.groupBy("key").agg(min(col("id")).as("b"))
-      k.join(bmin, "key").filter(col("id") =!= col("b"))
-        .select(col("id").as("a"), col("b"))
-    }
-
-    // warmup
+    // warmup: janino/JIT for every plan shape involved
     keyed.write.format("noop").mode("overwrite").save()
-    GraphOps.starEdges(keyed).write.format("noop").mode("overwrite").save()
-    starEdgesViaAgg(keyed).write.format("noop").mode("overwrite").save()
+    GraphOps.connectedComponentsByKey(keyed)
     time("noop floor (1-row)") {
       spark.range(1).write.format("noop").mode("overwrite").save()
     }
     time("keyed (scan+tokenize)") {
       keyed.write.format("noop").mode("overwrite").save()
     }
-    time("starEdges (window)") {
-      GraphOps.starEdges(keyed).write.format("noop").mode("overwrite").save()
-    }
-    time("starEdges (agg+join)") {
-      starEdgesViaAgg(keyed).write.format("noop").mode("overwrite").save()
-    }
-    val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
-    val (_, r1) = time("cc total") {
-      GraphOps.connectedComponentsWithRounds(nodes, GraphOps.starEdges(keyed))
-    }
-    println(s"PROFILE rounds=$r1")
-    val (_, r2) = time("cc total (2nd)") {
-      GraphOps.connectedComponentsWithRounds(nodes, GraphOps.starEdges(keyed))
-    }
-    println(s"PROFILE rounds2=$r2")
 
-    // variant: AQE off + static broadcast hints (small-graph mode probe)
-    def ccStatic(): Int = {
-      val sym = GraphOps.starEdges(keyed)
-        .union(GraphOps.starEdges(keyed).select(col("b").as("a"), col("a").as("b")))
-        .filter(col("a") =!= col("b"))
-        .localCheckpoint()
-      val seedNbr = sym.groupBy(col("a").as("id")).agg(min("b").as("nbr"))
-      var lbl = nodes.join(broadcast(seedNbr), Seq("id"), "left")
-        .select(col("id"),
-          least(col("id"), coalesce(col("nbr"), col("id"))).as("comp"))
-        .localCheckpoint()
-      var frontier = lbl.filter(col("comp") =!= col("id"))
-      var converged = false
-      var i = 1
-      while (!converged && i < 50) {
-        val nbrMin = sym
-          .join(broadcast(frontier.select(col("id").as("b"), col("comp").as("nc"))), "b")
-          .groupBy(col("a").as("id"))
-          .agg(min("nc").as("nbr"))
-        val hooked = lbl.join(broadcast(nbrMin), Seq("id"), "left")
-          .select(col("id"), col("comp").as("old"),
-            least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        val jump = hooked.filter(col("comp") =!= col("id"))
-          .select(col("id").as("jid"), col("comp").as("jcomp"))
-        val obs = org.apache.spark.sql.Observation(s"ccs-$i-${System.nanoTime()}")
-        val next = hooked.join(broadcast(jump), col("comp") === col("jid"), "left")
-          .select(col("id"), col("old"),
-            least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
-          .observe(obs, count(when(col("comp") =!= col("old"), 1)).as("moved"))
-          .localCheckpoint()
-        val moved = scala.concurrent.Await.result(
-          obs.future, scala.concurrent.duration.Duration(1000, "ms"))
-          .getAs[Long]("moved")
-        converged = moved == 0L
-        frontier = next.filter(col("comp") =!= col("old")).select("id", "comp")
-        lbl = next.select("id", "comp")
-        i += 1
+    for (lpj <- Seq(2, 3, 4)) {
+      val (lbl, levels) = time(s"byKey total (levelsPerJob=$lpj)") {
+        GraphOps.connectedComponentsByKey(keyed, levelsPerJob = lpj,
+          debug = m => println(s"PROFILE   [lpj=$lpj] $m"))
       }
-      i
+      println(s"PROFILE   [lpj=$lpj] levels=$levels")
+      time(s"back-join + sort (lpj=$lpj)") {
+        Tables.documents(spark, sfDir).select(col("doc_id"))
+          .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("comp"))
+          .orderBy("doc_id")
+          .write.format("noop").mode("overwrite").save()
+      }
     }
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val rs1 = time("cc static (warm)") { ccStatic() }
-    val rs2 = time("cc static (2nd)") { ccStatic() }
-    println(s"PROFILE static rounds=$rs1/$rs2")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // the number the bench sees: full query, median-ish of 3
+    for (i <- 1 to 3)
+      time(s"q48 full query (run $i)") {
+        graft.queries.Catalog.queries("q48_cc_dedup")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
     spark.stop()
   }
 }
