@@ -157,102 +157,145 @@ object GraphOps {
 
   /** Connected components when the input is a BUCKETING (id, key) — the
     * shape every blocking-key dedup produces — rather than a generic edge
-    * list. Exploits the bipartite structure directly: one level alternates
-    *   key-side:  kmin(key) = min label among the bucket's members
-    *   doc-side:  label(id) = min kmin over the doc's buckets
-    * which is exactly one large-star + small-star pair (Kiveris et al.)
-    * on the doc–key graph, and moves labels TWO graph hops. A level's
-    * plan is linear (each intermediate referenced once), so
-    * `levelsPerJob` levels unroll into a single materializing job —
-    * per-job fixed cost and cache round-trips drop by that factor, the
-    * thing a per-edge-round implementation can't do because its pointer
-    * tables self-reference.
+    * list. Two phases, the classic contract-then-solve CC (Kiveris et
+    * al.'s finishing move, generalized):
     *
-    * Convergence costs nothing extra: labels only ever decrease, so
-    * sum(comp) strictly decreases until the fixpoint; each level observes
-    * its sum (decimal — id sums overflow int64 at corpus scale) as a
-    * CollectMetrics metric filled by the same tasks, and the driver stops
-    * at the first plateau. No convergence join, no extra scan, no extra
-    * job.
+    * 1. CONTRACT — one bipartite alternation level over the full
+    *    bucketing: kmin(key) = min id in the bucket, lbl1(id) = min kmin
+    *    over the doc's buckets (a large-star + small-star pair on the
+    *    doc–key graph). Then project the problem onto LABEL space: within
+    *    each bucket, star edges from the bucket's min label to its other
+    *    distinct labels. Same components, but the graph now has one node
+    *    per level-1 label instead of one per doc — at corpus scale this
+    *    shrinks the problem by roughly the mean bucket size before any
+    *    iteration happens, and the full bucketing is never touched again.
+    * 2. SOLVE the contracted label graph:
+    *    - `pairs == 0`: every bucket is already label-uniform — lbl1 IS
+    *      the fixpoint, done with zero extra jobs.
+    *    - `pairs <= maxLocalEdges`: the contracted graph fits in one
+    *      task — finish with a single-task min-root union-find
+    *      (`mapPartitions`, executor-side, not a driver collect). The
+    *      gate is observed (CollectMetrics on the one materializing
+    *      job), so this path is only taken when it provably fits.
+    *    - else: recurse into the frontier-driven, pointer-jumping
+    *      edge-based path ([[connectedComponentsWithRounds]]) on the
+    *      contracted graph — O(log diameter) jobs over label-sized
+    *      frames, never doc-sized ones.
+    *    Finally labels map back: comp(id) = root(lbl1(id)) via one join
+    *    (broadcast on the union-find path — ≤ maxLocalEdges rows).
+    *
+    * The size gate is counted over (comp ≠ bmin) ROWS — an upper bound on
+    * the distinct contracted edges — so the local path can only
+    * under-trigger, never overflow a task.
     *
     * @param keyed columns `id` (long), `key` (any equatable)
-    * @param planHook called with each job's label frame just before it
-    *                 materializes — a test seam for pinning the per-level
-    *                 physical plan (PlanSpec asserts no CartesianProduct)
+    * @param maxLevels round budget for the distributed fallback solve
+    * @param planHook called with the contraction frame and the final
+    *                 label frame — a test seam for pinning the physical
+    *                 plans (PlanSpec asserts no CartesianProduct)
+    * @param maxLocalEdges largest contracted-pair count the single-task
+    *                      union-find finish may take (~16 B/edge live)
     * @return (labels (id, comp), one row per distinct id in `keyed`;
-    *         levels run — ≥ the level where the fixpoint was reached)
+    *         levels of distributed label propagation run)
     */
   def connectedComponentsByKey(
-      keyed: DataFrame, levelsPerJob: Int = 3,
+      keyed: DataFrame,
       maxLevels: Int = 200,
       planHook: DataFrame => Unit = _ => (),
-      debug: String => Unit = _ => ()): (DataFrame, Int) = {
-    // eager: every level references the bucketing twice, and a lazy cache
-    // measurably loses to one up-front materialization (branches of the
-    // first job race to compute the same partitions)
+      debug: String => Unit = _ => (),
+      maxLocalEdges: Long = 1L << 20): (DataFrame, Int) = {
     val t0 = System.nanoTime()
+    // eager checkpoint: the bucketing is referenced three times below
+    // (km, the lbl1 join, the f1 join) — without it the upstream lineage
+    // (at q48's call site: parquet scan + tokenize) executes three times
+    // inside the contraction job
     val kd = keyed.select(col("id"), col("key")).localCheckpoint()
     debug(f"kd checkpoint ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    var lbl: DataFrame = null // null until the first job materializes labels
-    var prevSum: Option[java.math.BigDecimal] = None
-    var levels = 0
-    var converged = false
-    while (!converged && levels < maxLevels) {
-      var cur = lbl
-      val obss = (1 to levelsPerJob).map { k =>
-        // level 1's key-side needs no label join: labels ARE the ids
-        val km =
-          if (cur == null) kd.groupBy("key").agg(min("id").as("kmin"))
-          else kd.join(cur, "id").groupBy("key").agg(min("comp").as("kmin"))
-        val nxt = kd.join(km, "key").groupBy("id").agg(min("kmin").as("comp"))
-        val o = org.apache.spark.sql.Observation(
-          s"cck-$levels-$k-${System.nanoTime()}")
-        cur = nxt.observe(
-          o, sum(col("comp").cast("decimal(38,0)")).as("s"))
-        o
-      }
-      // from the second job on, close with a pointer jump (comp :=
-      // comp(comp)): alternation alone moves one doc-hop per level, so an
-      // adversarial dup chain would otherwise need diameter-many levels
-      // (ADVICE r5); the jump doubles the resolved distance every job,
-      // restoring the O(log diameter) job bound of the edge-based path.
-      // First job skipped: shallow graphs (the common blocking-key case)
-      // converge there without paying the self-join.
-      if (levels > 0) {
-        val jump = cur.filter(col("comp") =!= col("id"))
-          .select(col("id").as("jid"), col("comp").as("jcomp"))
-        cur = cur.join(jump, col("comp") === col("jid"), "left")
+    // phase 1 — alternation level + contraction, ONE job: the bucketing
+    // streams through groupBy/join lineage (map-side partial mins, no
+    // windows — a hot bucket never sorts in one task) and only the
+    // (id, key, kmin, comp) contraction frame materializes. The
+    // contracted graph's edges are (comp(id), kmin(key)) per bucketing
+    // row: every member's level-1 label links to the bucket's min id, so
+    // a bucket's labels connect through that node — same components as
+    // bucket-internal star edges, without a second per-bucket groupBy.
+    val km = kd.groupBy("key").agg(min("id").as("kmin"))
+    val j1 = kd.join(km, "key") // (id, key, kmin)
+    val lbl1 = j1.groupBy("id").agg(min("kmin").as("comp"))
+    val obs = org.apache.spark.sql.Observation(
+      s"cck-contract-${System.nanoTime()}")
+    val f2 = j1.join(lbl1, "id")
+      .observe(obs, count(when(col("comp") =!= col("kmin"), 1)).as("pairs"))
+      .localCheckpoint()
+    planHook(f2)
+    val pairs = scala.concurrent.Await.result(
+      obs.future, scala.concurrent.duration.Duration(30, "s"))
+      .getAs[Long]("pairs")
+    debug(f"contract ${(System.nanoTime() - t0) / 1e9}%.3f s, " +
+      f"$pairs%d non-uniform label-row pairs")
+
+    // phase 2 — solve the contracted label graph (reads cached f2 blocks)
+    def edges = f2.filter(col("comp") =!= col("kmin"))
+      .select(col("comp").as("a"), col("kmin").as("b")).distinct()
+    val lblF = f2.groupBy("id").agg(min("comp").as("comp"))
+    val (out, levels) =
+      if (pairs == 0L) (lblF, 1)
+      else if (pairs <= maxLocalEdges) {
+        val t1 = System.nanoTime()
+        val roots = broadcast(localMinUnionFind(edges))
+        val joined = lblF.join(roots, col("comp") === col("lbl"), "left")
           .select(col("id"),
-            least(col("comp"), coalesce(col("jcomp"), col("comp")))
-              .as("comp"))
+            coalesce(col("root"), col("comp")).as("comp"))
+        debug(f"local union-find ${(System.nanoTime() - t1) / 1e9}%.3f s")
+        (joined, 2)
+      } else {
+        val nodes = edges.select(col("a").as("id"))
+          .union(edges.select(col("b").as("id"))).distinct()
+        val (cc, rounds) =
+          connectedComponentsWithRounds(nodes, edges, maxLevels)
+        val roots = cc.select(col("id").as("lbl"), col("comp").as("root"))
+        val joined = lblF.join(roots, col("comp") === col("lbl"), "left")
+          .select(col("id"),
+            coalesce(col("root"), col("comp")).as("comp"))
+        (joined, 1 + rounds)
       }
-      planHook(cur)
-      val tj = System.nanoTime()
-      lbl = cur.localCheckpoint() // the ONE materializing job, K levels deep
-      val tc = System.nanoTime()
-      levels += levelsPerJob
-      val sums = obss.map { o =>
-        val row = scala.concurrent.Await.result(
-          o.future, scala.concurrent.duration.Duration(10, "s"))
-        Option(row.getAs[java.math.BigDecimal]("s"))
-      }
-      debug(f"job levels ${levels - levelsPerJob + 1}-$levels: " +
-        f"checkpoint ${(tc - tj) / 1e9}%.3f s, " +
-        f"obs wait ${(System.nanoTime() - tc) / 1e9}%.3f s")
-      // fixpoint ⟺ two consecutive level sums agree (alternation is a
-      // deterministic function of the labels, so a repeat is a plateau);
-      // the previous job's final sum seeds the chain so a fixpoint landing
-      // exactly on a job boundary is caught one level into the next job
-      val chain = prevSum.map(Some(_)).toSeq ++ sums
-      converged = chain.sliding(2).exists {
-        case Seq(Some(x), Some(y)) => x.compareTo(y) == 0
-        case Seq(None, None)       => true // empty input: converged trivially
-        case _                     => false
-      }
-      prevSum = sums.last
-    }
-    require(converged,
-      s"connectedComponentsByKey: no convergence in $maxLevels levels")
-    (lbl, levels)
+    planHook(out)
+    (out, levels)
+  }
+
+  /** Min-root union-find over an (a, b) long edge list in ONE executor
+    * task — the finishing solve once the contracted graph is provably
+    * small (the caller's observed size gate). Roots are component minima
+    * by construction: a union always attaches the larger root under the
+    * smaller. Returns (lbl, root) for every non-root node.
+    */
+  private[graft] def localMinUnionFind(edges: DataFrame): DataFrame = {
+    val tup = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    edges.select(col("a"), col("b")).as[(Long, Long)](tup)
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) {
+            val nxt = parent(c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        // snapshot before the final resolve: find() path-compresses, and
+        // mutating a LongMap while iterating its keys is undefined
+        parent.keys.toArray.iterator.map(x => (x, find(x)))
+          .filter { case (x, r) => x != r }
+      }(tup)
+      .toDF("lbl", "root")
   }
 }

@@ -6,12 +6,13 @@ import graft.ops.GraphOps
 import graft.queries.Tables
 
 /** Per-phase breakdown for q48 (connected-components dedup) — profiles the
-  * SHIPPED path, `GraphOps.connectedComponentsByKey` (the r6 verdict
-  * flagged that the old version of this tool measured the superseded
-  * edge-based path): the token/key prep, the bucketing checkpoint, each
-  * materializing job's checkpoint + observation wait, the label→docs
-  * back-join, and the full query end-to-end — across levelsPerJob
-  * settings, so the per-job fixed cost is directly observable.
+  * SHIPPED path, `GraphOps.connectedComponentsByKey` (two-phase: one
+  * alternation level + label-space contraction, then a single-task
+  * union-find finish or the edge-based distributed solve): the
+  * token/key prep, the contraction job, the solve, the label→docs
+  * back-join, and the full query end-to-end. The distributed fallback is
+  * also timed (maxLocalEdges = 0 forces it) so the cost the 100 TB path
+  * would pay is directly observable next to the local finish.
   */
 object ProfileQ48 {
   def main(args: Array[String]): Unit = {
@@ -46,7 +47,8 @@ object ProfileQ48 {
 
     // warmup: janino/JIT for every plan shape involved
     keyed.write.format("noop").mode("overwrite").save()
-    GraphOps.connectedComponentsByKey(keyed)
+    GraphOps.connectedComponentsByKey(keyed)._1
+      .write.format("noop").mode("overwrite").save()
     time("noop floor (1-row)") {
       spark.range(1).write.format("noop").mode("overwrite").save()
     }
@@ -54,13 +56,18 @@ object ProfileQ48 {
       keyed.write.format("noop").mode("overwrite").save()
     }
 
-    for (lpj <- Seq(2, 3, 4)) {
-      val (lbl, levels) = time(s"byKey total (levelsPerJob=$lpj)") {
-        GraphOps.connectedComponentsByKey(keyed, levelsPerJob = lpj,
-          debug = m => println(s"PROFILE   [lpj=$lpj] $m"))
+    for ((label, gate) <- Seq(
+        ("local union-find finish", 1L << 20),
+        ("distributed edge-CC finish", 0L))) {
+      val (lbl, levels) = time(s"byKey total ($label)") {
+        val (l, lv) = GraphOps.connectedComponentsByKey(keyed,
+          maxLocalEdges = gate,
+          debug = m => println(s"PROFILE   [$label] $m"))
+        l.write.format("noop").mode("overwrite").save()
+        (l, lv)
       }
-      println(s"PROFILE   [lpj=$lpj] levels=$levels")
-      time(s"back-join + sort (lpj=$lpj)") {
+      println(s"PROFILE   [$label] levels=$levels")
+      time(s"back-join + sort ($label)") {
         Tables.documents(spark, sfDir).select(col("doc_id"))
           .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),
