@@ -193,6 +193,93 @@ object StreamOps {
       }.toDF()
   }
 
+  /** A CDC change event: upsert (text + version) or delete tombstone. */
+  final case class CdcEvent(
+      doc_id: Long, text: Option[String], version: Int,
+      deleted: Boolean, ts: java.sql.Timestamp)
+
+  /** Per-doc merge state: the current winner, plus the max event time
+    * seen for the key (monotone — timeouts must never move backwards).
+    */
+  final case class DocState(
+      version: Int, deleted: Boolean, len: Option[Long], maxTs: Long)
+
+  /** One changelog row: the doc's new current record after a batch. */
+  final case class CorpusChange(
+      doc_id: Long, version: Int, deleted: Boolean, len: Option[Long])
+
+  /** Streaming twin of q54's CDC corpus merge: a continuous change feed
+    * (upserts + delete tombstones) folds into per-doc latest-wins state,
+    * emitting one changelog row per doc per micro-batch in which its
+    * current record changed — merge-on-read compaction as a stream, the
+    * incremental corpus refresh the batch query recomputes from scratch.
+    *
+    * Semantics match the batch q54 exactly: higher version wins; at equal
+    * version a tombstone outranks an update (`deleted DESC`); stale
+    * arrivals (rank ≤ current state) are ignored, so a late lower-version
+    * update can never resurrect a deleted doc.
+    *
+    * State is bounded the way a corpus store has to be: LIVE docs persist
+    * (they ARE the corpus — at scale this keyed state lives in the
+    * RocksDB state store), while TOMBSTONES evict after the watermark
+    * passes `tombstoneRetention` beyond the delete — kept exactly long
+    * enough to fence out permissibly-late stale updates, the standard
+    * CDC tombstone-retention contract. A resurrection (higher-version
+    * upsert for a tombstoned doc) cancels the pending eviction by
+    * surviving it: the timeout handler keeps any state that is live
+    * again and only removes tombstones.
+    *
+    * `changes` columns: (doc_id long, text string nullable, version int,
+    * deleted boolean, ts timestamp).
+    */
+  def cdcMergeStream(
+      changes: DataFrame,
+      tombstoneRetention: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = changes.sparkSession
+    import sp.implicits._
+    // rank: version, then tombstone-outranks at the same version
+    def rank(version: Int, deleted: Boolean): Long =
+      version.toLong * 2 + (if (deleted) 1 else 0)
+    changes.withWatermark("ts", tombstoneRetention)
+      .select(col("doc_id"), col("text"), col("version"),
+        col("deleted"), col("ts"))
+      .as[CdcEvent]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[DocState, CorpusChange](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (id, rows, state) =>
+          if (state.hasTimedOut) {
+            // only tombstones schedule eviction; a doc resurrected since
+            // the timeout was set stays (update re-arms nothing)
+            if (state.get.deleted) state.remove() else state.update(state.get)
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+            var cur = prev
+            var maxTs = prev.map(_.maxTs).getOrElse(Long.MinValue)
+            rows.foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              val better = cur.forall(s =>
+                rank(r.version, r.deleted) > rank(s.version, s.deleted))
+              if (better)
+                cur = Some(DocState(r.version, r.deleted,
+                  r.text.map(_.length.toLong), maxTs))
+            }
+            val next = cur.get.copy(maxTs = maxTs) // rows is never empty
+            state.update(next)
+            if (next.deleted && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, tombstoneRetention)
+            val changed = prev.forall(p =>
+              rank(next.version, next.deleted) > rank(p.version, p.deleted))
+            if (changed)
+              Iterator.single(CorpusChange(
+                id, next.version, next.deleted, next.len))
+            else Iterator.empty
+          }
+      }.toDF()
+  }
+
   /** Stateful streaming dedup: first occurrence of `keys` wins; state for
     * a key is dropped once the watermark passes it (bounded state — the
     * streaming form of F4's seen-set, extract.py:87-97).

@@ -200,4 +200,106 @@ class StreamingSpec extends SparkSpec {
         "unshingleable docs emit nothing")
     } finally q.stop()
   }
+
+  test("streaming CDC merge: latest-wins, tombstone outranks, no resurrection") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Option[String], Int, Boolean, Timestamp)]
+    val q = StreamOps.cdcMergeStream(
+        ms.toDF.toDF("doc_id", "text", "version", "deleted", "ts"))
+      .writeStream.format("memory").queryName("t_cdc")
+      .outputMode("append").start()
+    def changelog() = spark.table("t_cdc")
+      .select("doc_id", "version", "deleted", "len")
+      .as[(Long, Int, Boolean, Option[Long])].collect().toSeq
+    try {
+      // batch 1: base inserts
+      ms.addData(
+        (1L, Some("aaaa"), 1, false, ts("2024-01-01 00:01:00")),
+        (2L, Some("bb"), 1, false, ts("2024-01-01 00:01:00")),
+        (3L, Some("cc"), 1, false, ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      assert(changelog().sorted === Seq(
+        (1L, 1, false, Some(4L)), (2L, 1, false, Some(2L)),
+        (3L, 1, false, Some(2L))))
+      // batch 2: update doc 2, tombstone doc 3, and a same-version
+      // update+delete tie on doc 1 — the tombstone must outrank
+      ms.addData(
+        (2L, Some("bbbbbb"), 2, false, ts("2024-01-01 00:02:00")),
+        (3L, None, 2, true, ts("2024-01-01 00:02:00")),
+        (1L, Some("xxx"), 2, false, ts("2024-01-01 00:02:00")),
+        (1L, None, 2, true, ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val afterB2 = changelog()
+      assert(afterB2.contains((2L, 2, false, Some(6L))))
+      assert(afterB2.contains((3L, 2, true, None)))
+      assert(afterB2.contains((1L, 2, true, None)),
+        s"same-version tombstone must outrank the update: $afterB2")
+      // batch 3: stale lower-version update for tombstoned doc 3 — must
+      // not resurrect, must emit nothing
+      val before = changelog().size
+      ms.addData((3L, Some("zombie"), 1, false, ts("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      assert(changelog().size === before, "stale update must be ignored")
+      // batch 4: true resurrection — higher version recreates doc 3
+      ms.addData((3L, Some("reborn"), 3, false, ts("2024-01-01 00:04:00")))
+      q.processAllAvailable()
+      assert(changelog().contains((3L, 3, false, Some(6L))))
+      // batch 5: far-future event fires the (stale) eviction timeout doc 3
+      // armed while tombstoned — the now-live doc must SURVIVE it: a
+      // later stale update still finds state and stays suppressed
+      ms.addData((9L, Some("tick"), 1, false, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      val n = changelog().size
+      ms.addData((3L, Some("zombie2"), 2, false, ts("2024-01-01 08:55:00")))
+      q.processAllAvailable()
+      assert(changelog().size === n,
+        "resurrected doc's state must survive the old tombstone timeout")
+    } finally q.stop()
+  }
+
+  test("streaming CDC merge compacts to exactly the batch q54 state") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // replay q54's exact change set (base + updates + inserts + deletes)
+    // through the stream; the compacted changelog must equal the batch
+    // merge's output
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val t0 = ts("2024-01-01 00:01:00")
+    val t1 = ts("2024-01-01 00:02:00")
+    val base = docs.map { case (id, tx) =>
+      (id, Option(tx), 1, false, t0) }
+    val upd = docs.filter(_._1 % 10 == 0).map { case (id, tx) =>
+      (id, Option("UPDATED " + tx), 2, false, t1) }
+    val ins = docs.filter(_._1 < 20).map { case (id, tx) =>
+      (id + 1000000L, Option("NEW " + tx), 2, false, t1) }
+    val del = docs.filter(_._1 % 97 == 3).map { case (id, _) =>
+      (id, Option.empty[String], 2, true, t1) }
+    val ms = MemoryStream[(Long, Option[String], Int, Boolean, Timestamp)]
+    val q = StreamOps.cdcMergeStream(
+        ms.toDF.toDF("doc_id", "text", "version", "deleted", "ts"))
+      .writeStream.format("memory").queryName("t_cdc54")
+      .outputMode("append").start()
+    try {
+      ms.addData(base.toSeq)
+      q.processAllAvailable()
+      ms.addData((upd ++ ins ++ del).toSeq)
+      q.processAllAvailable()
+      // compact the changelog: per doc, the highest (version, deleted)
+      // wins; live docs form the corpus
+      val state = spark.table("t_cdc54")
+        .select("doc_id", "version", "deleted", "len")
+        .as[(Long, Int, Boolean, Option[Long])].collect()
+        .groupBy(_._1).map { case (_, rows) =>
+          rows.maxBy(r => (r._2, r._3)) }
+        .filter(!_._3).map(r => (r._1, r._2, r._4.get)).toSeq.sorted
+      val batch = graft.queries.Catalog.queries("q54_corpus_merge")(spark, sf)
+        .select("doc_id", "version", "len")
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      assert(state === batch,
+        s"stream-compacted corpus differs from batch merge " +
+          s"(${state.size} vs ${batch.size} docs)")
+    } finally q.stop()
+  }
 }
