@@ -51,7 +51,7 @@ object Catalog {
     Seq(q01) ++ PackFilter.all ++ PackScalar.all ++ PackAgg.all ++
       PackJoin.all ++ PackWindow.all ++ PackTime.all ++ PackText.all ++
       PackText2.all ++ PackAsof.all ++ PackAnn.all ++ PackDedup2.all ++
-      PackSample.all ++ PackScale.all ++ PackCorpus.all
+      PackSample.all ++ PackScale.all ++ PackCorpus.all ++ PackCluster.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** q56 — embedding clustering (round 10): distributed k-means, the
+  * domain-balancing / topic-mixing step of a corpus build (cluster the
+  * embedding space, then sample per cluster — the operator IVF ANN's
+  * cell assignment (q33) borrows one iteration of).
+  *
+  * Scale shape is MLlib's: centroids are k tiny rows that travel
+  * BROADCAST to a crossJoin (k× row amplification, never a shuffle of
+  * the embeddings); the argmin is `min(struct(dist, cid))` — a plain
+  * aggregate with map-side partial merge, so the assignment shuffle
+  * carries ONE row per vector; the centroid update posexplodes to
+  * (cid, dim) cells whose partial aggregation bounds that shuffle at
+  * k·dim rows per map partition regardless of corpus size.
+  *
+  * Oracle parity is engineered, not hoped for: embeddings QUANTIZE to
+  * integer milli-units first (deterministic double math + HALF_UP round,
+  * identical in both engines), so every distance is an exact BIGINT —
+  * no float-summation order traps (MEMORY oracle-parity-trapdoors).
+  * Centroid updates avg exact integer sums (< 2^53, exact in double)
+  * and re-round to integers, so iteration 2's inputs are also exact.
+  * Ties (equal distance) break to the smaller cluster id on both sides:
+  * struct ordering here, (d, cid) row_number there. The oracle unrolls
+  * the two Lloyd iterations as CTEs — tractable at oracle scale, which
+  * is the point.
+  */
+object PackCluster {
+
+  private val K = 8
+
+  /** Integer milli-unit embeddings: exact arithmetic from here on. */
+  private def quantized(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("v"))
+
+  /** Nearest centroid per vector: broadcast crossJoin (k rows) then a
+    * map-side-combined argmin — one shuffled row per vector.
+    */
+  private def assign(q: DataFrame, c: DataFrame): DataFrame =
+    q.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cid"),
+        aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("d"))
+
+  /** Recompute centroids from an assignment: per-dimension integer
+    * means, re-rounded to milli-units. The posexplode fan-out is bounded
+    * by partial aggregation (k·dim cells per map partition); the final
+    * collect_list sees k·dim rows total.
+    */
+  private def update(q: DataFrame, a: DataFrame): DataFrame =
+    a.join(q, "vec_id")
+      .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cid", "i").agg(avg("x").as("av"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("av")))),
+        s => round(s("av")).cast("long")).as("cv"))
+
+  private val q56 = Q(
+    "q56_kmeans",
+    (s, d) => {
+      val q = quantized(s, d)
+      val c0 = q.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val c1 = update(q, assign(q, c0))
+      assign(q, c1)
+        .select(col("vec_id"), col("cid").as("cluster"), col("d").as("dist"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $K),
+      d1 AS (
+        SELECT q.vec_id, c.cid,
+               sum((q.v[g.i] - c.cv[g.i]) * (q.v[g.i] - c.cv[g.i])) AS d
+        FROM q CROSS JOIN c0 c CROSS JOIN generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      a1 AS (
+        SELECT vec_id, cid, d FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+           FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(CAST(round(av) AS BIGINT) ORDER BY i) AS cv
+        FROM (SELECT a1.cid, g.i, avg(q.v[g.i]) AS av
+              FROM a1 JOIN q USING (vec_id)
+              CROSS JOIN generate_series(1, 64) g(i)
+              GROUP BY 1, 2)
+        GROUP BY cid),
+      d2 AS (
+        SELECT q.vec_id, c.cid,
+               sum((q.v[g.i] - c.cv[g.i]) * (q.v[g.i] - c.cv[g.i])) AS d
+        FROM q CROSS JOIN c1 c CROSS JOIN generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      a2 AS (
+        SELECT vec_id, cid, d FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+           FROM d2)
+        WHERE rn = 1)
+      SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist
+      FROM a2 ORDER BY vec_id
+    """),
+    doc = "distributed k-means: broadcast centroids, argmin via " +
+      "min(struct), exact integer milli-unit arithmetic")
+
+  val all: Seq[Q] = Seq(q56)
+}

@@ -133,6 +133,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q48_cc_dedup").contains("CartesianProduct"))
   }
 
+  test("q56: centroids arrive broadcast (BNLJ), embeddings never reshuffle for them") {
+    val p = plan("q56_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"k-means centroids must crossJoin broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a non-broadcast cartesian would shuffle the embeddings:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
