@@ -77,6 +77,28 @@ class PackCorpusSpec extends SparkSpec {
     assert(levels <= 40, s"chain-100 took $levels levels — jump not biting")
   }
 
+  test("connectedComponentsByKey: distributed fallback matches the local union-find") {
+    // force the edge-CC solve (maxLocalEdges = 0) — the path 100 TB
+    // takes when the contracted graph exceeds one task — and require
+    // label-identical output to the gated local finish
+    val rnd = new scala.util.Random(11)
+    val keyed = Seq.tabulate(400)(_ =>
+      ((rnd.nextInt(150)).toLong, s"k${rnd.nextInt(60)}"))
+      .toDF("id", "key")
+    val (local, _) = GraphOps.connectedComponentsByKey(keyed)
+    val (dist, _) = GraphOps.connectedComponentsByKey(keyed, maxLocalEdges = 0L)
+    assert(local.as[(Long, Long)].collect().toMap ===
+      dist.as[(Long, Long)].collect().toMap)
+  }
+
+  test("connectedComponentsByKey: all-singleton buckets converge in the contraction") {
+    // pairs == 0 → zero solve jobs; every doc is its own component
+    val keyed = (1L to 50L).map(i => (i, s"k$i")).toDF("id", "key")
+    val (lbl, levels) = GraphOps.connectedComponentsByKey(keyed)
+    assert(levels === 1, "label-uniform buckets must skip the solve phase")
+    assert(lbl.as[(Long, Long)].collect().forall { case (id, c) => c == id })
+  }
+
   test("starEdges connects a bucket through its min without all-pairs") {
     val keyed = Seq((5L, "k"), (9L, "k"), (2L, "k"), (7L, "z"))
       .toDF("id", "key")
