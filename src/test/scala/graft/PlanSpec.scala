@@ -141,6 +141,46 @@ class PlanSpec extends SparkSpec {
       s"a non-broadcast cartesian would shuffle the embeddings:\n$p")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the 100 TB skew path)") {
+    // salting (q41/q49) is the declared-skew tool; AQE skew-join is the
+    // engine's runtime answer for skew nobody declared. Pin that it
+    // actually fires: a 90%-hot key under scaled-down thresholds must
+    // come out of AQE with the join marked skew=true.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 10 =!= 0, lit(0L))
+          .otherwise(col("id") % 97).as("k"),
+        concat(lit("payload-"), col("id")).as("payload"))
+      val right = spark.range(0, 97).select(col("id").as("k"),
+        lit("dim").as("rv"))
+      val j = left.join(right, "k")
+      // materialize THIS dataset's own queryExecution (count() would run
+      // a different one and leave j's AQE plan un-finalized)
+      assert(j.collect().length === 200000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must split the hot-key partition (skew=true):\n$p")
+      assert(p.contains("AQEShuffleRead coalesced and skewed"),
+        s"the hot side must read skew-split AND coalesced:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
