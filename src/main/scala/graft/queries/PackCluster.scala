@@ -113,5 +113,57 @@ object PackCluster {
     doc = "distributed k-means: broadcast centroids, argmin via " +
       "min(struct), exact integer milli-unit arithmetic")
 
-  val all: Seq[Q] = Seq(q56)
+  /** q57 — corpus quality gate with GLOBAL percentile thresholds: score
+    * every document (integer basis points — distinct-token share plus
+    * chars-per-token, both `div` exact), take the corpus-level p10/p90
+    * of the score, and keep the middle of the distribution — the "drop
+    * the junk and the boilerplate tails" gate a corpus build runs after
+    * per-doc scoring (q30) and before tokenization.
+    *
+    * Plan shape this adds to the catalog: a 1-ROW global aggregate
+    * broadcast back over the scored frame (BroadcastNestedLoopJoin, like
+    * q49's corpus count — plan-pinned) — the two-pass "aggregate, then
+    * filter by the aggregate" idiom. Exact `percentile` here for oracle
+    * parity (Spark percentile ≡ DuckDB quantile_cont bit-exact, proven
+    * at q42); at 100 TB the drop-in is `approx_percentile` (q44's
+    * sketch), which changes no other line of the plan.
+    */
+  private val q57 = Q(
+    "q57_quality_gate",
+    (s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          filter(split(lower(col("text")), "\\W+"),
+            t => length(t) > 0).as("ws"))
+        .select(col("doc_id"),
+          expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)" +
+            " + length(text) * 100L div greatest(size(ws), 1)").as("score"))
+      val thresholds = scored.agg(
+        expr("percentile(score, 0.1)").as("lo"),
+        expr("percentile(score, 0.9)").as("hi"))
+      scored.crossJoin(broadcast(thresholds))
+        .filter(col("score") >= col("lo") && col("score") <= col("hi"))
+        .select(col("doc_id"), col("score"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               (CAST(len(list_distinct(ws)) AS BIGINT) * 10000)
+                 // greatest(len(ws), 1)
+               + (CAST(length(text) AS BIGINT) * 100) // greatest(len(ws), 1)
+               AS score
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                       x -> len(x) > 0) AS ws
+              FROM documents)),
+      t AS (SELECT quantile_cont(score, 0.1) AS lo,
+                   quantile_cont(score, 0.9) AS hi FROM s)
+      SELECT doc_id, score FROM s, t
+      WHERE score >= lo AND score <= hi ORDER BY doc_id
+    """),
+    doc = "global-threshold quality gate: 1-row percentile agg broadcast " +
+      "back as the row filter (approx_percentile is the 100 TB swap-in)")
+
+  val all: Seq[Q] = Seq(q56, q57)
 }

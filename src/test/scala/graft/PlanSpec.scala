@@ -141,6 +141,12 @@ class PlanSpec extends SparkSpec {
       s"a non-broadcast cartesian would shuffle the embeddings:\n$p")
   }
 
+  test("q57: the 1-row percentile thresholds broadcast back over the corpus") {
+    val p = plan("q57_quality_gate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"global thresholds must arrive broadcast, not shuffled:\n$p")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (the 100 TB skew path)") {
     // salting (q41/q49) is the declared-skew tool; AQE skew-join is the
     // engine's runtime answer for skew nobody declared. Pin that it
