@@ -23,13 +23,15 @@ object PackCorpus {
   /** q48 — connected-components dedup clustering: documents sharing an
     * identical 2-token prefix or suffix are dup candidates (the blocking
     * key every fuzzy-dedup pass starts from); a component is one dup
-    * cluster and `comp` (its min doc_id) the canonical document. Edges
-    * are star-shaped per key (|bucket|−1, never |bucket|²); labels spread
-    * by iterative hash-min propagation (GraphOps — one shuffle per round,
-    * rounds = diameter, lineage truncated per round). The oracle computes
-    * the same fixpoint as a recursive transitive closure — tractable only
-    * at oracle scale, which is the point: the Spark side is the shape
-    * that survives 100 TB, the closure is the spec.
+    * cluster and `comp` (its min doc_id) the canonical document. Solved
+    * by GraphOps.connectedComponentsByKey's contract-then-solve: one
+    * alternation level over the bucketing, contraction to the label
+    * graph, then a size-gated single-task union-find finish (or the
+    * pointer-jumping edge CC when the contracted graph is still big —
+    * the 100 TB path). The oracle computes the same fixpoint as a
+    * recursive transitive closure — tractable only at oracle scale,
+    * which is the point: the Spark side is the shape that survives
+    * 100 TB, the closure is the spec.
     */
   private val q48 = Q(
     "q48_cc_dedup",
