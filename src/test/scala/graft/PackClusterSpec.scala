@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Catalog, Tables}
+
+/** q56/q57 round-10 pack: the properties the oracle hash can't see —
+  * assignment optimality against the actually-used centroids, iteration
+  * determinism, and the quality gate keeping exactly the middle band.
+  */
+class PackClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = Catalog.queries(name)(spark, sf)
+
+  test("q56: every vector appears once, clusters come from the seed set") {
+    val rows = run("q56_kmeans")
+      .as[(Long, Long, Long)].collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong === n)
+    assert(rows.map(_._1).distinct.length.toLong === n, "one row per vector")
+    // two Lloyd iterations relabel but never mint ids outside the seeds
+    assert(rows.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    assert(rows.forall(_._3 >= 0L), "squared distances are non-negative")
+  }
+
+  test("q56: assignments are deterministic across reruns") {
+    val a = run("q56_kmeans").as[(Long, Long, Long)].collect()
+    val b = run("q56_kmeans").as[(Long, Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("q56: each assigned distance is minimal over the final centroids") {
+    // recompute the iteration-2 centroids from the assignment the query
+    // itself produced: per cluster, the rounded per-dimension mean of
+    // iteration ONE's members — which is exactly what assign() ran
+    // against, so every output (cluster, dist) must be the argmin over
+    // this centroid set. Guards the min(struct) argmin and the exact
+    // integer pipeline against regressions the oracle would catch only
+    // at driver time.
+    val q = Tables.embeddings(spark, sf).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val out = run("q56_kmeans").as[(Long, Long, Long)].collect()
+    // replicate iteration 1 in scala: seed = vec 0..7
+    def sqDist(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val seeds = (0L until 8L).map(i => i -> q(i)).toMap
+    val assign1 = q.map { case (id, v) =>
+      id -> seeds.minBy { case (cid, cv) => (sqDist(v, cv), cid) }._1 }
+    val cents = assign1.groupBy(_._2).map { case (cid, m) =>
+      val vs = m.keys.map(q).toSeq
+      cid -> (0 until 64).map { i =>
+        // HALF_UP like Spark's round — scala math.round rounds negative
+        // .5 toward +inf and would drift the replica centroids
+        BigDecimal(vs.map(_(i)).sum.toDouble / vs.size)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    out.foreach { case (id, cluster, dist) =>
+      val best = cents.map { case (cid, cv) => (sqDist(q(id), cv), cid) }.min
+      assert((dist, cluster) === best,
+        s"vec $id assigned ($cluster, $dist) but argmin is $best")
+    }
+  }
+
+  test("q57: the gate keeps a contiguous middle band of the score range") {
+    val kept = run("q57_quality_gate").as[(Long, Long)].collect()
+    val all = Tables.documents(spark, sf).count()
+    // p10..p90 of 500 docs keeps ~80%, and every dropped doc must score
+    // strictly outside the kept band (contiguity of the gate)
+    assert(kept.length >= (all * 0.75).toInt && kept.length <= all)
+    val keptIds = kept.map(_._1).toSet
+    val lo = kept.map(_._2).min
+    val hi = kept.map(_._2).max
+    // recompute scores for dropped docs via the oracle-equivalent formula
+    val scores = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        filter(split(lower(col("text")), "\\W+"),
+          t => length(t) > 0).as("ws"))
+      .select(col("doc_id"),
+        expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)" +
+          " + length(text) * 100L div greatest(size(ws), 1)").as("score"))
+      .as[(Long, Long)].collect()
+    scores.filterNot(s => keptIds(s._1)).foreach { case (id, sc) =>
+      assert(sc < lo || sc > hi,
+        s"doc $id (score $sc) dropped but inside the kept band [$lo, $hi]")
+    }
+  }
+}
