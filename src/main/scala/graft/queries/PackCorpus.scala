@@ -416,5 +416,81 @@ object PackCorpus {
     """),
     doc = "deterministic per-source shuffle + round-robin source interleave")
 
-  val all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55)
+  /** q58 — greedy sequence packing: q52's chunks fill fixed 256-token
+    * training bins, first-come in (doc_id, start) order, per SHARD
+    * (doc_id mod 8) — the "pack sequences into training examples" step
+    * between chunking and tokenized-shard export. Packing is genuinely
+    * sequential state (a bin boundary depends on every fill before it),
+    * which is the one shape SURVEY §2 reserves `mapPartitions` for: each
+    * shard streams through one task with three integers of state, no
+    * collect, no window tricks. Parallelism = shard count — the real
+    * knob at 100 TB, where a corpus exports thousands of shards; the
+    * shard→bin layout is part of the output contract (a training file
+    * per shard), not a perf artifact. The oracle replays the same greedy
+    * fill as a recursive CTE — per-shard rows advance in lockstep, so
+    * recursion depth is max rows per shard, tractable at oracle scale.
+    */
+  private val q58 = Q(
+    "q58_sequence_pack",
+    (s, d) => {
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("ws")) - 1, lit(48))).as("start"),
+          col("ws"))
+        .select(col("doc_id"), col("start"),
+          size(slice(col("ws"), col("start") + 1, lit(64))).as("n_ctok"),
+          (col("doc_id") % 8).cast("int").as("shard"))
+      import org.apache.spark.sql.Encoders
+      val tup = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+        Encoders.scalaInt, Encoders.scalaInt)
+      val packed = chunks
+        .select(col("shard"), col("doc_id"),
+          col("start").cast("int"), col("n_ctok").cast("int"))
+        .as[(Int, Long, Int, Int)](tup)
+        .repartition(8, col("shard"))
+        .sortWithinPartitions("shard", "doc_id", "start")
+        .mapPartitions { it =>
+          // greedy first-come fill; several shards may share a task —
+          // state resets at each shard boundary (rows arrive grouped)
+          var curShard = Int.MinValue
+          var bin = 0
+          var fill = 0
+          it.map { case (shard, docId, start, n) =>
+            if (shard != curShard) { curShard = shard; bin = 0; fill = n }
+            else if (fill + n > 256) { bin += 1; fill = n }
+            else fill += n
+            (shard, bin, docId, start, n)
+          }
+        }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt,
+          Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt))
+        .toDF("shard", "bin", "doc_id", "start", "n_ctok")
+      packed.orderBy("shard", "bin", "doc_id", "start")
+    },
+    Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      c AS (SELECT doc_id, unnest(range(0, len(ws), 48)) AS start, ws FROM t WHERE len(ws) > 0),
+      ch AS (SELECT doc_id, CAST(start AS INTEGER) AS start,
+                    CAST(len(ws[start+1:start+64]) AS INTEGER) AS n_ctok
+             FROM c),
+      s AS (SELECT *, CAST(doc_id % 8 AS INTEGER) AS shard,
+                   row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, start) AS rn
+            FROM ch),
+      packed AS (
+        SELECT shard, rn, doc_id, start, n_ctok, 0 AS bin, n_ctok AS fill
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.shard, s.rn, s.doc_id, s.start, s.n_ctok,
+               CASE WHEN p.fill + s.n_ctok > 256 THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.fill + s.n_ctok > 256 THEN s.n_ctok ELSE p.fill + s.n_ctok END
+        FROM packed p JOIN s ON s.shard = p.shard AND s.rn = p.rn + 1)
+      SELECT shard, CAST(bin AS INTEGER) AS bin, doc_id, start, n_ctok
+      FROM packed ORDER BY shard, bin, doc_id, start
+    """),
+    doc = "greedy 256-token sequence packing per training shard: the one " +
+      "honest mapPartitions (sequential fill state), oracle via recursive CTE")
+
+  val all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q58)
 }

@@ -118,6 +118,38 @@ class PackCorpusSpec extends SparkSpec {
     assert(labels.sameElements(again))
   }
 
+  // ---- sequence packing ---------------------------------------------------
+
+  test("q58 bins never exceed the budget, cover every chunk, and are contiguous") {
+    val packed = run("q58_sequence_pack")
+      .select("shard", "bin", "doc_id", "start", "n_ctok")
+      .as[(Int, Int, Long, Int, Int)].collect()
+    val chunks = run("q52_chunk_stride").select("doc_id", "start")
+      .as[(Long, Int)].collect().toSet
+    // every q52 chunk packed exactly once
+    assert(packed.map(p => (p._3, p._4)).toSet === chunks)
+    assert(packed.length === chunks.size)
+    packed.groupBy(p => (p._1, p._2)).foreach { case ((sh, b), rows) =>
+      assert(rows.map(_._5).sum <= 256, s"shard $sh bin $b overflows")
+    }
+    // bins are dense per shard: 0..max with no gaps (greedy never skips)
+    packed.groupBy(_._1).foreach { case (sh, rows) =>
+      val bins = rows.map(_._2).distinct.sorted
+      assert(bins === (0 to bins.max).toArray, s"shard $sh has bin gaps")
+    }
+    // greedy is maximal: a bin boundary only happens because the next
+    // chunk would not fit
+    packed.sortBy(p => (p._1, p._3, p._4))
+      .sliding(2).foreach {
+        case Array(a, b) if a._1 == b._1 && b._2 == a._2 + 1 =>
+          val binFill = packed.filter(p => p._1 == a._1 && p._2 == a._2)
+            .map(_._5).sum
+          assert(binFill + b._5 > 256,
+            s"shard ${a._1} closed bin ${a._2} at $binFill with room for ${b._5}")
+        case _ =>
+      }
+  }
+
   // ---- chunking -----------------------------------------------------------
 
   test("q52 chunks cover every token and overlap by exactly 16") {
