@@ -280,6 +280,53 @@ object StreamOps {
       }.toDF()
   }
 
+  /** One chunk arriving to be packed: shard routing is the caller's. */
+  final case class PackChunk(shard: Int, doc_id: Long, start: Int, n_ctok: Int)
+
+  /** Per-shard packing state: the open bin and its fill. */
+  final case class ShardFill(bin: Int, fill: Int)
+
+  /** A packed chunk: which training bin of which shard it landed in. */
+  final case class PackedChunk(
+      shard: Int, bin: Int, doc_id: Long, start: Int, n_ctok: Int)
+
+  /** Streaming twin of q58's sequence packing: chunks arrive continuously
+    * and fill the current bin of their shard, greedy first-come — the
+    * incremental form of training-shard construction (append-only bins;
+    * a bin is complete the moment a chunk doesn't fit). State per shard
+    * is TWO integers (open bin, fill), so the state store is bounded by
+    * the shard count alone — no timeout machinery needed.
+    *
+    * Packing is arrival-order-sensitive by nature; within a micro-batch
+    * rows apply in (doc_id, start) order, so feeding the batch q58's
+    * chunk stream in order reproduces its exact bin layout (pinned by
+    * test). `chunks` columns: (shard int, doc_id long, start int,
+    * n_ctok int).
+    */
+  def packStream(chunks: DataFrame, budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = chunks.sparkSession
+    import sp.implicits._
+    chunks.select(col("shard"), col("doc_id"), col("start"), col("n_ctok"))
+      .as[PackChunk]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[ShardFill, PackedChunk](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state) =>
+          var cur = state.getOption.getOrElse(ShardFill(0, 0))
+          val out = rows.toSeq.sortBy(r => (r.doc_id, r.start)).map { r =>
+            cur =
+              if (cur.fill == 0) ShardFill(cur.bin, r.n_ctok)
+              else if (cur.fill + r.n_ctok > budget)
+                ShardFill(cur.bin + 1, r.n_ctok)
+              else ShardFill(cur.bin, cur.fill + r.n_ctok)
+            PackedChunk(shard, cur.bin, r.doc_id, r.start, r.n_ctok)
+          }
+          state.update(cur)
+          out.iterator
+      }.toDF()
+  }
+
   /** Stateful streaming dedup: first occurrence of `keys` wins; state for
     * a key is dropped once the watermark passes it (bounded state — the
     * streaming form of F4's seen-set, extract.py:87-97).

@@ -257,6 +257,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sequence packing reproduces the batch q58 bin layout across batches") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.Catalog.queries("q58_sequence_pack")(spark, sf)
+      .select("shard", "bin", "doc_id", "start", "n_ctok")
+      .as[(Int, Int, Long, Int, Int)].collect()
+    // the same chunks, in pack order, split across TWO micro-batches at
+    // an arbitrary cut — per-shard (bin, fill) state must carry over
+    val chunks = batch.map(p => (p._1, p._3, p._4, p._5))
+      .sortBy(c => (c._2, c._3))
+    val (b1, b2) = chunks.splitAt(chunks.length / 3)
+    val ms = MemoryStream[(Int, Long, Int, Int)]
+    val q = StreamOps.packStream(
+        ms.toDF.toDF("shard", "doc_id", "start", "n_ctok"))
+      .writeStream.format("memory").queryName("t_pack")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1.toSeq)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("t_pack")
+        .select("shard", "bin", "doc_id", "start", "n_ctok")
+        .as[(Int, Int, Long, Int, Int)].collect()
+        .sortBy(p => (p._1, p._2, p._3, p._4))
+      assert(got.toSeq === batch.sortBy(p => (p._1, p._2, p._3, p._4)).toSeq,
+        "incremental packing must reproduce the batch bin layout")
+    } finally q.stop()
+  }
+
   test("streaming CDC merge compacts to exactly the batch q54 state") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
