@@ -94,21 +94,43 @@ object Multimodal {
       .toDF("path", "features", "decoded")
   }
 
-  /** REAL frame extraction for MJPEG-in-AVI: walks the RIFF container
-    * (`LIST movi` → `NNdc`/`NNdb` chunks, each a standalone JPEG — AVI
-    * stores MJPEG frames verbatim, so this is container parsing only, no
-    * codec) and returns every `step`-th frame. Nil when the bytes are not
-    * a RIFF AVI. `rec ` grouping lists inside `movi` are descended.
+  /** REAL frame extraction for codec-free AVI content: walks the RIFF
+    * container (`LIST movi` → `NNdc`/`NNdb` chunks) and returns every
+    * `step`-th frame. Two chunk families need no codec:
+    *   - `NNdc` (compressed): MJPEG stores each frame as a standalone
+    *     JPEG — emitted verbatim;
+    *   - `NNdb` (uncompressed DIB): when the container's video `strf`
+    *     header is BI_RGB 24/32-bit (captured from `LIST hdrl` during
+    *     the same walk), the raw bitmap is wrapped with a 14-byte
+    *     BITMAPFILEHEADER + that BITMAPINFOHEADER — a valid BMP any
+    *     reader (incl. JDK ImageIO) decodes; without a usable header
+    *     the raw bytes pass through.
+    * Nil when the bytes are not a RIFF AVI. `rec ` grouping lists inside
+    * `movi` are descended.
     */
-  def mjpegFrames(bytes: Array[Byte], step: Int): Seq[Array[Byte]] = {
+  def aviFrames(bytes: Array[Byte], step: Int): Seq[Array[Byte]] = {
     def le32(o: Int): Long =
       (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
         ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     def fourcc(o: Int): String =
       new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
       return Nil
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // the video stream's BITMAPINFOHEADER, once a BI_RGB one is seen
+    var dib: Array[Byte] = null
+    def wrapBmp(data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](14 + 40 + data.length)
+      val total = out.length
+      out(0) = 'B'; out(1) = 'M'
+      out(2) = total.toByte; out(3) = (total >> 8).toByte
+      out(4) = (total >> 16).toByte; out(5) = (total >> 24).toByte
+      out(10) = 54 // pixel data offset (14 + 40), upper bytes zero
+      System.arraycopy(dib, 0, out, 14, 40)
+      System.arraycopy(data, 0, out, 54, data.length)
+      out
+    }
     def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
       var o = start
       var ok = true
@@ -122,10 +144,18 @@ object Multimodal {
           if (id == "LIST" && sz >= 4)
             walk(o + 12, o + 8 + sz,
               inMovi || fourcc(o + 8) == "movi")
+          else if (!inMovi && id == "strf" && sz >= 40 && dib == null &&
+            le32(o + 8) == 40 &&          // biSize: a real BITMAPINFOHEADER
+            le32(o + 8 + 16) == 0 &&      // biCompression: BI_RGB
+            (le16(o + 8 + 14) == 24 || le16(o + 8 + 14) == 32)) // biBitCount
+            dib = java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + 40)
           else if (inMovi && sz > 0 &&
             id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
-            (id(3) == 'c' || id(3) == 'b'))
-            frames += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + sz)
+            (id(3) == 'c' || id(3) == 'b')) {
+            val data = java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + sz)
+            frames += (if (id(3) == 'b' && dib != null) wrapBmp(data)
+                       else data)
+          }
           o += 8 + sz + (sz & 1) // chunks pad to even offsets
         }
       }
@@ -137,8 +167,16 @@ object Multimodal {
     }.toSeq
   }
 
+  /** Former name of [[aviFrames]] (it now also decodes uncompressed
+    * BI_RGB `db` frames, not just MJPEG `dc` ones).
+    */
+  def mjpegFrames(bytes: Array[Byte], step: Int): Seq[Array[Byte]] =
+    aviFrames(bytes, step)
+
   /** Frame sampling for opaque "video" bytes: a RIFF AVI yields its REAL
-    * MJPEG frames (every `step`-th, [[mjpegFrames]]); any other content
+    * REAL frames (every `step`-th, [[aviFrames]] — MJPEG `dc` chunks as
+    * standalone JPEGs, uncompressed BI_RGB `db` chunks wrapped as valid
+    * BMPs); any other content
     * falls back to the byte-chunk shape (every `step`-th `chunk`-byte
     * slice) so the array<binary> column contract holds for codecs the
     * JDK cannot open.

@@ -170,6 +170,61 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.mjpegFrames(evil, 1) // must not throw (long-math guard)
   }
 
+  test("S3: uncompressed BI_RGB AVI frames decode as real BMPs (dims, orientation, color)") {
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII"))
+      val sz = data.length
+      out.write(Array[Byte](sz.toByte, (sz >> 8).toByte, (sz >> 16).toByte,
+        (sz >> 24).toByte))
+      out.write(data)
+      if ((sz & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // BITMAPINFOHEADER: 4x2, 1 plane, 24bpp, BI_RGB
+    val bih = le32(40) ++ le32(4) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    assert(bih.length === 40)
+    // DIB pixels, bottom-up BGR, 4px*3B = 12B rows (already 4-aligned):
+    // stored row 0 = image BOTTOM row — all green except a RED first px;
+    // stored row 1 = image TOP row — all blue
+    val bgr = (px: (Int, Int, Int)) =>
+      Array[Byte](px._3.toByte, px._2.toByte, px._1.toByte) // (r,g,b)→BGR
+    val bottom = bgr((255, 0, 0)) ++ bgr((0, 255, 0)) ++
+      bgr((0, 255, 0)) ++ bgr((0, 255, 0))
+    val top = Array.fill(4)(bgr((0, 0, 255))).flatten
+    val frame = bottom ++ top
+    val strl = "strl".getBytes("US-ASCII") ++ chunk("strf", bih)
+    val hdrl = "hdrl".getBytes("US-ASCII") ++ chunk("LIST", strl)
+    val movi = "movi".getBytes("US-ASCII") ++
+      chunk("00db", frame) ++ chunk("00db", frame)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      chunk("LIST", hdrl) ++ chunk("LIST", movi)
+    val avi = chunk("RIFF", body)
+
+    val frames = Multimodal.aviFrames(avi, 1)
+    assert(frames.length === 2)
+    frames.foreach { f =>
+      assert(f(0) === 'B'.toByte && f(1) === 'M'.toByte, "BMP magic")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null, "JDK ImageIO must decode the wrapped frame")
+      assert(img.getWidth === 4 && img.getHeight === 2)
+      assert((img.getRGB(0, 1) & 0xFFFFFF) === 0xFF0000,
+        "bottom-up DIB: stored row 0 is the image's bottom row (red px)")
+      assert((img.getRGB(1, 1) & 0xFFFFFF) === 0x00FF00)
+      assert((img.getRGB(0, 0) & 0xFFFFFF) === 0x0000FF, "top row blue")
+    }
+    // a db-frame AVI with NO usable strf (e.g. audio-only header) passes
+    // raw bytes through rather than wrapping garbage
+    val bodyNoHdr = "AVI ".getBytes("US-ASCII") ++
+      chunk("LIST", "movi".getBytes("US-ASCII") ++ chunk("00db", frame))
+    val raw = Multimodal.aviFrames(chunk("RIFF", bodyNoHdr), 1)
+    assert(raw.length === 1 && raw.head.toSeq === frame.toSeq)
+  }
+
   test("S4: K1-written case JSON round-trips through the explicit schema") {
     val fc = FailureCase(
       case_id = "CZ0000001", url = "https://example.org/cf/CZ0000001.html",
