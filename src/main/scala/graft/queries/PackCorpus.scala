@@ -430,6 +430,10 @@ object PackCorpus {
     * fill as a recursive CTE — per-shard rows advance in lockstep, so
     * recursion depth is max rows per shard, tractable at oracle scale.
     */
+  /** Training-shard fan-out and per-bin token budget for q58. */
+  private val SHARDS = 8
+  private val BUDGET = 256
+
   private val q58 = Q(
     "q58_sequence_pack",
     (s, d) => {
@@ -441,7 +445,7 @@ object PackCorpus {
           col("ws"))
         .select(col("doc_id"), col("start"),
           size(slice(col("ws"), col("start") + 1, lit(64))).as("n_ctok"),
-          (col("doc_id") % 8).cast("int").as("shard"))
+          (col("doc_id") % SHARDS).cast("int").as("shard"))
       import org.apache.spark.sql.Encoders
       val tup = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
         Encoders.scalaInt, Encoders.scalaInt)
@@ -449,7 +453,7 @@ object PackCorpus {
         .select(col("shard"), col("doc_id"),
           col("start").cast("int"), col("n_ctok").cast("int"))
         .as[(Int, Long, Int, Int)](tup)
-        .repartition(8, col("shard"))
+        .repartition(SHARDS, col("shard"))
         .sortWithinPartitions("shard", "doc_id", "start")
         .mapPartitions { it =>
           // greedy first-come fill; several shards may share a task —
@@ -459,7 +463,7 @@ object PackCorpus {
           var fill = 0
           it.map { case (shard, docId, start, n) =>
             if (shard != curShard) { curShard = shard; bin = 0; fill = n }
-            else if (fill + n > 256) { bin += 1; fill = n }
+            else if (fill + n > BUDGET) { bin += 1; fill = n }
             else fill += n
             (shard, bin, docId, start, n)
           }
@@ -468,23 +472,23 @@ object PackCorpus {
         .toDF("shard", "bin", "doc_id", "start", "n_ctok")
       packed.orderBy("shard", "bin", "doc_id", "start")
     },
-    Some("""
+    Some(raw"""
       WITH RECURSIVE
       t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
       c AS (SELECT doc_id, unnest(range(0, len(ws), 48)) AS start, ws FROM t WHERE len(ws) > 0),
       ch AS (SELECT doc_id, CAST(start AS INTEGER) AS start,
                     CAST(len(ws[start+1:start+64]) AS INTEGER) AS n_ctok
              FROM c),
-      s AS (SELECT *, CAST(doc_id % 8 AS INTEGER) AS shard,
-                   row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, start) AS rn
+      s AS (SELECT *, CAST(doc_id % $SHARDS AS INTEGER) AS shard,
+                   row_number() OVER (PARTITION BY doc_id % $SHARDS ORDER BY doc_id, start) AS rn
             FROM ch),
       packed AS (
         SELECT shard, rn, doc_id, start, n_ctok, 0 AS bin, n_ctok AS fill
         FROM s WHERE rn = 1
         UNION ALL
         SELECT s.shard, s.rn, s.doc_id, s.start, s.n_ctok,
-               CASE WHEN p.fill + s.n_ctok > 256 THEN p.bin + 1 ELSE p.bin END,
-               CASE WHEN p.fill + s.n_ctok > 256 THEN s.n_ctok ELSE p.fill + s.n_ctok END
+               CASE WHEN p.fill + s.n_ctok > $BUDGET THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.fill + s.n_ctok > $BUDGET THEN s.n_ctok ELSE p.fill + s.n_ctok END
         FROM packed p JOIN s ON s.shard = p.shard AND s.rn = p.rn + 1)
       SELECT shard, CAST(bin AS INTEGER) AS bin, doc_id, start, n_ctok
       FROM packed ORDER BY shard, bin, doc_id, start
