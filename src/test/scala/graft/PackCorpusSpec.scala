@@ -63,18 +63,18 @@ class PackCorpusSpec extends SparkSpec {
     assert(got === viaEdges)
   }
 
-  test("connectedComponentsByKey survives a long bucket chain (diameter ≫ levelsPerJob)") {
+  test("connectedComponentsByKey survives a long bucket chain (diameter ≫ one level)") {
     // doc i shares bucket k_i with doc i−1 and k_{i+1} with doc i+1 — the
     // adversarial dup-chain ADVICE r5 warned about; 100 docs = bipartite
-    // diameter ~200, far past one job's unroll but well inside maxLevels
+    // diameter ~200. Iterating alternation would need ~diameter levels;
+    // contract-then-solve must stay far under that (the chain contracts
+    // to ~100 label edges, which the gated union-find finishes in one
+    // extra job)
     val chain = (1L to 100L).flatMap(i => Seq((i, s"k$i"), (i, s"k${i + 1}")))
       .toDF("id", "key")
     val (lbl, levels) = GraphOps.connectedComponentsByKey(chain)
     assert(lbl.as[(Long, Long)].collect().forall(_._2 == 1L))
-    // alternation alone would need ~100 levels; the per-job pointer jump
-    // doubles resolved distance each job, so the count must stay well
-    // under linear
-    assert(levels <= 40, s"chain-100 took $levels levels — jump not biting")
+    assert(levels <= 40, s"chain-100 took $levels levels — contraction not biting")
   }
 
   test("connectedComponentsByKey: distributed fallback matches the local union-find") {
