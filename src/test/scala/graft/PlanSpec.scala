@@ -133,6 +133,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q48_cc_dedup").contains("CartesianProduct"))
   }
 
+  test("q58: one shard exchange, partition-local sort, then the pack streams") {
+    val p = plan("q58_sequence_pack")
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1,
+      s"packing must shuffle once (the shard repartition), got $hashEx:\n$p")
+    // the pre-pack sort is within-partition (global=false) — a global
+    // sort here would shuffle a second time for nothing
+    assert(p.linesIterator.exists(l =>
+      l.contains("Sort [shard") && l.contains("false, 0")),
+      s"pre-pack sort must be partition-local:\n$p")
+    assert(p.contains("MapPartitions"), s"the pack itself streams:\n$p")
+  }
+
   test("q56: centroids arrive broadcast (BNLJ), embeddings never reshuffle for them") {
     val p = plan("q56_kmeans")
     assert(p.contains("BroadcastNestedLoopJoin"),
