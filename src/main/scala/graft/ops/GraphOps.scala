@@ -298,4 +298,51 @@ object GraphOps {
       }(tup)
       .toDF("lbl", "root")
   }
+
+  /** Fixed-iteration PageRank over a directed edge list, in exact integer
+    * arithmetic (ranks are shares of `scale`, damping 85/100 as integer
+    * division — no float-summation order dependence, so the same graph
+    * produces bit-identical ranks on any engine or partitioning).
+    *
+    * Per iteration, the canonical rank dataflow and nothing else: edges
+    * join ranks on `src` (a shuffle on src once — the edge frame carries
+    * its out-degree from one up-front self-aggregation, never a
+    * recomputation per round), contributions partial-aggregate map-side
+    * and shuffle ONE row per in-linked node, and the new rank frame is a
+    * left join back to the node base (nodes without in-links keep the
+    * teleport term — dangling mass is dropped, matching the
+    * fixed-iteration spec the oracle unrolls). No driver state, no
+    * collect; lineage is linear in `iters`, so callers wanting dozens of
+    * iterations should interleave a localCheckpoint like the CC loop —
+    * the catalog query (q61) runs the spec's fixed two.
+    *
+    * @param edges columns `src`, `dst` (parallel edges allowed: each
+    *              contributes, and out-degree counts them — both sides
+    *              of the oracle agree by construction)
+    * @param nodes one column `id` — the rank universe; endpoints must
+    *              appear here
+    * @return columns `id`, `rank` (long, sums ≈ `scale` up to integer
+    *         truncation and dropped dangling mass)
+    */
+  def pageRank(
+      edges: DataFrame, nodes: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    val e = edges.join(
+      edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+    val base = nodes.crossJoin(broadcast(n))
+      .select(col("id"),
+        expr(s"($scale div n_nodes) * 15 div 100").as("base"),
+        expr(s"$scale div n_nodes").as("r0"))
+    var r = base.select(col("id"), col("r0").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank div od").as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      r = base.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          expr("base + coalesce(c, cast(0 as bigint)) * 85 div 100").as("rank"))
+    }
+    r
+  }
 }

@@ -51,7 +51,8 @@ object Catalog {
     Seq(q01) ++ PackFilter.all ++ PackScalar.all ++ PackAgg.all ++
       PackJoin.all ++ PackWindow.all ++ PackTime.all ++ PackText.all ++
       PackText2.all ++ PackAsof.all ++ PackAnn.all ++ PackDedup2.all ++
-      PackSample.all ++ PackScale.all ++ PackCorpus.all ++ PackCluster.all
+      PackSample.all ++ PackScale.all ++ PackCorpus.all ++ PackCluster.all ++
+      PackDecon.all ++ PackGraph.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

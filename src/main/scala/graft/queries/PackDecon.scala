@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** q59–q60 — eval-safety operators (round 10): the two gates a corpus
+  * build runs before any benchmark number is trusted — decontamination
+  * that scales past a broadcastable eval set, and a deterministic
+  * train/val/test split that needs no RNG state to reproduce.
+  *
+  * Both are oracle-gated. q59's bloom prefilter is engine-side-only
+  * machinery: it has NO false negatives by construction, so the exact
+  * confirm join behind it returns precisely the plain-join answer and
+  * the DuckDB oracle stays the plain join (the sketch changes the plan,
+  * never the result — same contract as q44's approx swap-in, but
+  * checkable exactly).
+  */
+object PackDecon {
+
+  private val M = 1 << 17 // bloom bits (16 KiB bitmap — k·n/m ≈ 0.1 at 5k grams)
+  private val Words = M / 64 // 2048 bigint words
+  private val K = 3 // probes per shingle
+
+  /** Shared tokenizer — identical to q38/q40's (parity proven there). */
+  private def toks = filter(split(lower(col("text")), "\\W+"),
+    t => length(t) > 0)
+
+  /** Distinct 5-word shingles, one pass (q40 uses the 4-word form). */
+  private def shingles5 =
+    org.apache.spark.sql.graftglue.ExprGlue.column(
+      graft.expr.WordShingleStrings(
+        org.apache.spark.sql.graftglue.ExprGlue.expression(toks), 5))
+
+  /** Probe i of the bloom test for the `sh` column against the `bm`
+    * bitmap column: hash to one of M bit positions, test that bit.
+    * Build and probe share this — shared code is what makes the
+    * no-false-negative property structural rather than hoped-for.
+    */
+  private def pos(i: Int): Column = pmod(xxhash64(col("sh"), lit(i)), lit(M.toLong))
+
+  private def hit(i: Int): Column = expr(
+    s"(element_at(bm, cast(pmod(xxhash64(sh, $i), $M) div 64 as int) + 1)" +
+      s" & shiftleft(cast(1 as bigint), cast(pmod(xxhash64(sh, $i), $M) % 64 as int))) != 0")
+
+  /** q59 — bloom-prefiltered decontamination. q40's exact broadcast join
+    * ships every eval shingle STRING to every executor — fine for one
+    * benchmark, wrong when the eval suite is itself large (a holdout
+    * corpus, all of a benchmark family). Here the eval set compresses to
+    * a fixed 16 KiB bitmap (built with aggregation only — bit positions
+    * → bit_or per word → one ~2048-cell array row, never a driver-side
+    * sketch), the corpus probes it broadcast (k hashes per shingle, pure
+    * codegen'd projection — the overwhelming majority of clean shingles
+    * dies here without touching a join), and only bloom survivors reach
+    * the exact confirm join that removes false positives. At 100 TB the
+    * bitmap grows with log(FPR)·n_eval but never with corpus size, and
+    * the confirm join's probe side is ~FPR of the corpus, so it can
+    * afford a shuffle where q40's broadcast could not.
+    *
+    * The oracle is the PLAIN exact join: bloom filters have no false
+    * negatives (every build-side bit a probe tests was set by the same
+    * hash family), so prefilter + confirm ≡ exact join, row for row —
+    * the gate proves the sketch path loses nothing.
+    */
+  private val q59 = Q(
+    "q59_bloom_decon",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val eval = docs.filter(col("doc_id") < 50)
+        .select(explode(shingles5).as("sh")).distinct()
+      val corpus = docs.filter(col("doc_id") >= 50)
+        .select(col("doc_id"), explode(shingles5).as("sh"))
+      // bitmap: positions → per-word bit_or → one dense array<bigint> row
+      val bitmap = eval
+        .select(explode(array((1 to K).map(pos): _*)).as("pos"))
+        .select(expr("pos div 64").as("w"),
+          expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("b"))
+        .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+        .agg(map_from_arrays(collect_list("w"), collect_list("bits")).as("wm"))
+        .select(transform(sequence(lit(0L), lit((Words - 1).toLong)),
+          i => coalesce(element_at(col("wm"), i), lit(0L))).as("bm"))
+      val candidates = corpus
+        .crossJoin(broadcast(bitmap))
+        .filter((1 to K).map(hit).reduce(_ && _))
+        .select(col("doc_id"), col("sh"))
+      candidates
+        .join(broadcast(eval), Seq("sh")) // exact confirm: kills false positives
+        .groupBy("doc_id")
+        .agg(countDistinct(col("sh")).as("n_hits"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 5
+                 THEN list_distinct(list_transform(range(1, len(ws) - 3),
+                   i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
+                 ELSE [] END) AS sh
+        FROM w),
+      e AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50)
+      SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
+      FROM sh s JOIN e ON s.sh = e.sh
+      WHERE s.doc_id >= 50
+      GROUP BY s.doc_id ORDER BY s.doc_id
+    """),
+    doc = "decontamination via bloom prefilter + exact confirm join " +
+      "(oracle = plain join: the sketch has no false negatives)")
+
+  /** q60 — deterministic train/val/test split: bucket every document by
+    * the first two hex digits of md5(doc_id) — train < 0xcc (~79.7%),
+    * val < 0xe6 (~10.2%), test otherwise (~10.2%). A pure stateless
+    * projection: the same document lands in the same split on any
+    * cluster, any run, any engine (md5 is bit-identical everywhere),
+    * which is what makes held-out data held out ACROSS corpus rebuilds —
+    * the property row-number sampling and rand() both lose the moment
+    * the corpus grows a row. No shuffle except the oracle's output sort;
+    * at 100 TB this is a metadata-only scan stage feeding the
+    * partitioned writer (`store/PartitionedStore`).
+    */
+  private val q60 = Q(
+    "q60_split_assign",
+    (s, d) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(h < "cc", "train").when(h < "e6", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id
+    """),
+    doc = "deterministic hash split: md5 hex buckets, stateless and " +
+      "stable across corpus rebuilds")
+
+  val all: Seq[Q] = Seq(q59, q60)
+}

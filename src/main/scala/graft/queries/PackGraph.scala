@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+/** q61–q62 — graph operators over the corpus (round 10): link-structure
+  * ranking and quality-aware duplicate-cluster resolution — the two graph
+  * computations a web-scale corpus build runs beyond plain connected
+  * components (q48): rank pages by the link graph to weight or prune the
+  * crawl, and pick WHICH document of a dup cluster survives (the best
+  * one, not the arbitrary minimum id).
+  *
+  * Both oracle-gated; all arithmetic integer-exact (MEMORY
+  * oracle-parity-trapdoors).
+  */
+object PackGraph {
+
+  /** Shared tokenizer — identical to q38/q40/q48's (parity proven there). */
+  private def toks = filter(split(lower(col("text")), "\\W+"),
+    t => length(t) > 0)
+
+  /** q61 — PageRank, two fixed iterations over a deterministic synthetic
+    * link graph (the testdata has no link column, so each doc emits
+    * 1 + doc_id % 3 out-links to LCG-scattered targets — degree variance
+    * is what makes the rank distribution non-trivial; the 2^31 reduction
+    * before the multiply keeps the 64-bit products overflow-free at any
+    * corpus size, q39's proven device).
+    *
+    * The operator under test is [[GraphOps.pageRank]]: per iteration,
+    * edges⋈ranks shuffles on src, contributions partial-aggregate to one
+    * shuffled row per in-linked node, teleport term re-enters via a left
+    * join to the node base — the canonical iterate that holds at 100 TB
+    * (rank state is one long per node; nothing quadratic, nothing on the
+    * driver). Integer milli-trillionth rank units make both engines'
+    * sums exact: the oracle unrolls the two iterations as CTEs and
+    * matches bit for bit.
+    */
+  private val q61 = Q(
+    "q61_pagerank",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("n_docs"),
+          explode(expr("sequence(1, 1 + cast(doc_id % 3 as int))")).as("j"))
+        .select(col("src"),
+          expr("((src % 2147483648) * 22695477 + j * 7919) % n_docs").as("dst"))
+      GraphOps.pageRank(edges, docs.select(col("doc_id").as("id")), iters = 2)
+        .select(col("id").as("doc_id"), col("rank"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      deg AS (SELECT doc_id, 1 + doc_id % 3 AS od FROM documents),
+      e AS (
+        SELECT d.doc_id AS src, d.od,
+               ((d.doc_id % 2147483648) * 22695477 + j.j * 7919) % n.n_docs AS dst
+        FROM deg d CROSS JOIN n CROSS JOIN (SELECT unnest([1,2,3]) AS j) j
+        WHERE j.j <= d.od),
+      r0 AS (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
+             FROM documents CROSS JOIN n),
+      c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank // e.od) AS BIGINT) AS c
+             FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst),
+      r1 AS (SELECT r0.id,
+               CAST((1000000000000 // n.n_docs) * 15 // 100
+                    + coalesce(c1.c, 0) * 85 // 100 AS BIGINT) AS rank
+             FROM r0 CROSS JOIN n LEFT JOIN c1 ON r0.id = c1.id),
+      c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank // e.od) AS BIGINT) AS c
+             FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+      r2 AS (SELECT r1.id,
+               CAST((1000000000000 // n.n_docs) * 15 // 100
+                    + coalesce(c2.c, 0) * 85 // 100 AS BIGINT) AS rank
+             FROM r1 CROSS JOIN n LEFT JOIN c2 ON r1.id = c2.id)
+      SELECT id AS doc_id, rank FROM r2 ORDER BY doc_id
+    """),
+    doc = "fixed-iteration integer PageRank: edges⋈ranks on src, " +
+      "map-side-combined contributions, teleport via left join")
+
+  /** q62 — quality-aware canonical selection: q48 told us WHICH documents
+    * are duplicates of each other; this picks which one to KEEP — per dup
+    * cluster, the member with the highest quality score (distinct-token
+    * share in basis points, q57's integer scoring), min doc_id on ties.
+    * min-id canonicalization (q48's `comp`) is the label; argmax-quality
+    * is the selection a real corpus build wants, because the duplicate
+    * that survives should be the cleanest copy, not the earliest crawl.
+    *
+    * Plan shape: the CC labels come from the same contract-then-solve as
+    * q48; the per-cluster argmax is `min(struct(-score, doc_id))` — a
+    * plain aggregate with map-side partial merge (one shuffled row per
+    * cluster), NOT a window over the corpus; ties break identically in
+    * the oracle's `row_number() OVER (ORDER BY score DESC, doc_id)`.
+    */
+  private val q62 = Q(
+    "q62_cluster_best",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) >= 4)
+      val keyed = t.select(col("doc_id").as("id"),
+        explode(array(
+          concat(lit("p:"), concat_ws(" ", slice(col("ws"), 1, 2))),
+          concat(lit("s:"), concat_ws(" ", slice(col("ws"), -2, 2)))))
+          .as("key"))
+      val (lbl, _) = GraphOps.connectedComponentsByKey(keyed)
+      val scored = docs.select(col("doc_id"), toks.as("ws"))
+        .select(col("doc_id"),
+          expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)")
+            .as("score"))
+      docs.select(col("doc_id"))
+        .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp")) // unkeyed docs
+        .join(scored, "doc_id")
+        .groupBy("comp")
+        .agg(min(struct((-col("score")).as("ns"), col("doc_id"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("comp"), col("m.doc_id").as("keep_doc"),
+          (-col("m.ns")).as("score"), col("n_members"))
+        .orderBy("comp")
+    },
+    Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      k AS (SELECT doc_id, 'p:' || array_to_string(ws[1:2], ' ') AS key FROM t WHERE len(ws) >= 4
+            UNION ALL
+            SELECT doc_id, 's:' || array_to_string(ws[-2:], ' ') AS key FROM t WHERE len(ws) >= 4),
+      s AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS b FROM k),
+      e0 AS (SELECT doc_id AS a, b FROM s WHERE doc_id <> b),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      r(src, dst) AS (SELECT doc_id, doc_id FROM documents
+                      UNION
+                      SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a),
+      comp AS (SELECT src AS doc_id, min(dst) AS comp FROM r GROUP BY src),
+      sc AS (SELECT doc_id,
+               CAST(len(list_distinct(ws)) AS BIGINT) * 10000
+                 // greatest(len(ws), 1) AS score
+             FROM t),
+      b AS (SELECT comp.comp, comp.doc_id, sc.score,
+                   row_number() OVER (PARTITION BY comp.comp
+                     ORDER BY sc.score DESC, comp.doc_id) AS rn,
+                   count(*) OVER (PARTITION BY comp.comp) AS nm
+            FROM comp JOIN sc USING (doc_id))
+      SELECT comp, doc_id AS keep_doc, score, CAST(nm AS BIGINT) AS n_members
+      FROM b WHERE rn = 1 ORDER BY comp
+    """),
+    doc = "per-dup-cluster canonical selection: CC labels + argmax " +
+      "quality via min(struct) aggregate, min-id tiebreak")
+
+  val all: Seq[Q] = Seq(q61, q62)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Catalog, Tables}
+
+/** q59/q60 eval-safety pack: the properties the oracle hash can't see —
+  * the bloom prefilter losing nothing vs an independently-built exact
+  * join, and the hash split being the md5 function it claims to be
+  * (stable across engines, runs, and corpus growth).
+  */
+class PackDeconSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = Catalog.queries(name)(spark, sf)
+
+  test("q59: bloom prefilter + confirm ≡ the plain exact join, row for row") {
+    // independent replica with NO bloom anywhere: explode 5-gram shingle
+    // strings the slow way (HOF slice+concat), plain inner join — if the
+    // prefilter dropped a true positive (false negative) or the confirm
+    // passed a false positive, this comparison catches it without
+    // waiting for driver time
+    val docs = Tables.documents(spark, sf)
+    val grams = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\W+"), t => length(t) > 0).as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("ws")) - 4),
+          i => concat_ws(" ", slice(col("ws"), i, lit(5)))))).as("sh"))
+    val eval = grams.filter(col("doc_id") < 50).select("sh").distinct()
+    val expected = grams.filter(col("doc_id") >= 50)
+      .join(eval, "sh")
+      .groupBy("doc_id").agg(countDistinct("sh").as("n_hits"))
+      .as[(Long, Long)].collect().toMap
+    val got = run("q59_bloom_decon").as[(Long, Long)].collect()
+    assert(got.map(_._1).distinct.length === got.length)
+    assert(got.toMap === expected)
+    assert(got.nonEmpty, "sf0.001 must produce contaminated docs")
+  }
+
+  test("q59: deterministic across reruns") {
+    val a = run("q59_bloom_decon").as[(Long, Long)].collect()
+    val b = run("q59_bloom_decon").as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("q60: every doc lands in exactly one split, roughly 80/10/10") {
+    val rows = run("q60_split_assign").as[(Long, String)].collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === n)
+    assert(rows.map(_._1).distinct.length.toLong === n)
+    val byed = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byed.keySet === Set("train", "val", "test"))
+    // 500 docs: expected ~398/51/51; wide bands keep the test about the
+    // mechanism, not the sample
+    assert(byed("train") > (n * 0.7).toInt && byed("train") < (n * 0.9).toInt)
+    assert(byed("val") > 0 && byed("test") > 0)
+  }
+
+  test("q60: the bucket really is md5 — engine-independent assignment") {
+    // recompute the split for every doc with java's MessageDigest: the
+    // split must be a property of the doc_id alone, not of Spark's md5
+    // implementation (this is what makes the split stable across engines
+    // and corpus rebuilds)
+    def md5hex2(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x"
+    }
+    def expectedSplit(id: Long): String = {
+      val hh = md5hex2(id.toString)
+      if (hh < "cc") "train" else if (hh < "e6") "val" else "test"
+    }
+    run("q60_split_assign").as[(Long, String)].collect().foreach {
+      case (id, split) => assert(split === expectedSplit(id), s"doc $id")
+    }
+  }
+}

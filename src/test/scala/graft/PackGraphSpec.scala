@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+import graft.queries.{Catalog, Tables}
+
+/** q61/q62 graph pack: PageRank's integer dataflow pinned against a
+  * hand-computed graph, and canonical selection pinned against a scala
+  * replica of the scoring — the properties the oracle hash can't see.
+  */
+class PackGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = Catalog.queries(name)(spark, sf)
+
+  test("pageRank: matches the hand-computed two-iteration fixpoint math") {
+    // 0→{1,2}, 1→2, 2→0, 3→2 at scale 1e6: worked by hand in integer
+    // arithmetic (base 37500; see the derivation in this test's history)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+      .toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val got = GraphOps.pageRank(edges, nodes, iters = 2, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 520937L, 1L -> 143750L, 2L -> 297812L,
+      3L -> 37500L))
+  }
+
+  test("pageRank: a d-regular cycle stays uniform") {
+    // every node has in-degree = out-degree = 1 → rank is a fixpoint up
+    // to integer truncation: all nodes identical at every iteration
+    val n = 7
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val ranks = GraphOps.pageRank(edges, nodes, iters = 3, scale = 1000000000L)
+      .as[(Long, Long)].collect()
+    assert(ranks.length === n)
+    assert(ranks.map(_._2).distinct.length === 1, ranks.mkString(","))
+  }
+
+  test("q61: rank mass is conserved up to integer truncation") {
+    // every synthesized dst is a valid doc (mod n_docs), so no rank
+    // leaks: sum(rank) after 2 iterations ≈ scale, short only the
+    // sub-unit floor losses (≲ a few per node)
+    val ranks = run("q61_pagerank").as[(Long, Long)].collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(ranks.length.toLong === n)
+    val total = ranks.map(_._2).sum
+    val scale = 1000000000000L
+    assert(total <= scale, s"mass created: $total > $scale")
+    assert(total > scale / 100 * 99, s"mass lost beyond truncation: $total")
+  }
+
+  test("q61: deterministic across reruns") {
+    val a = run("q61_pagerank").as[(Long, Long)].collect()
+    val b = run("q61_pagerank").as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("q62: the keeper is its cluster's argmax score, min-id on ties") {
+    // clusters from the already-oracle-gated q48; scores replicated in
+    // scala over the same tokenizer — the selection rule must agree
+    val comp = run("q48_cc_dedup").as[(Long, Long)].collect().toMap
+    val scores = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val ws = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        id -> (if (ws.isEmpty) 0L
+               else ws.distinct.length.toLong * 10000L / ws.length)
+      }.toMap
+    val expected = comp.groupBy(_._2).map { case (c, members) =>
+      val best = members.keys.toSeq
+        .map(id => (-scores(id), id)).min
+      c -> (best._2, -best._1, members.size.toLong)
+    }
+    val got = run("q62_cluster_best")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, keep, score, nm) => c -> ((keep, score, nm)) }.toMap
+    assert(got === expected)
+    assert(got.values.map(_._3).sum === comp.size.toLong,
+      "members partition the corpus")
+  }
+}

@@ -161,6 +161,44 @@ class PlanSpec extends SparkSpec {
       s"global thresholds must arrive broadcast, not shuffled:\n$p")
   }
 
+  test("q59: bitmap and eval set broadcast; the corpus never shuffles to a join") {
+    val p = plan("q59_bloom_decon")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 16 KiB bloom bitmap must arrive broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the exact confirm join must broadcast the eval side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join in the decontamination path:\n$p")
+  }
+
+  test("q60: the hash split is a pure projection — no aggregation exchange") {
+    // stateless stage: the only exchange the plan may contain is the
+    // oracle-ordering rangepartitioning sort
+    val p = plan("q60_split_assign")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a stateless split must not shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("HashAggregate"),
+      s"a stateless split must not aggregate:\n$p")
+  }
+
+  test("q61: the node count broadcasts; no iteration plans a cartesian") {
+    val p = plan("q61_pagerank")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row n_docs frame must arrive broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a cartesian in the rank loop explodes at corpus scale:\n$p")
+  }
+
+  test("q62: per-cluster argmax is an aggregate, not a corpus-wide window rank") {
+    // the CC solve owns the plan's Window (bucket minima); the selection
+    // itself must partial-aggregate — an added rank window over (comp)
+    // would re-sort the whole corpus per query
+    val p = plan("q62_cluster_best")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"argmax-by-struct aggregate missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q62:\n$p")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (the 100 TB skew path)") {
     // salting (q41/q49) is the declared-skew tool; AQE skew-join is the
     // engine's runtime answer for skew nobody declared. Pin that it
