@@ -173,6 +173,156 @@ object Multimodal {
   def mjpegFrames(bytes: Array[Byte], step: Int): Seq[Array[Byte]] =
     aviFrames(bytes, step)
 
+  /** REAL audio metadata for RIFF WAVE content: walks the container to
+    * the `fmt ` chunk and returns (codec, channels, sample_rate,
+    * bits_per_sample, n_frames) — n_frames from the `data` chunk size /
+    * block align. Codecs that need no decoder library: integer PCM
+    * (format tag 1, 8/16-bit) and IEEE float32 (tag 3). None when the
+    * bytes are not a parseable WAVE — callers flag, never drop.
+    */
+  def wavInfo(bytes: Array[Byte])
+      : Option[(String, Int, Int, Int, Long)] = {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE")
+      return None
+    var o = 12
+    var fmt: Option[(String, Int, Int, Int, Int)] = None // + block align
+    var dataLen = -1L
+    while (o + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      val id = fourcc(o)
+      val sz = le32(o + 4)
+      if (sz < 0 || o + 8 + sz > bytes.length) return None // truncated
+      if (id == "fmt " && sz >= 16) {
+        val tag = le16(o + 8)
+        val bits = le16(o + 8 + 14)
+        val codec =
+          if (tag == 1 && (bits == 8 || bits == 16)) "pcm"
+          else if (tag == 3 && bits == 32) "float32"
+          else return None // compressed / exotic: no decoder here
+        fmt = Some((codec, le16(o + 8 + 2), le32(o + 8 + 4).toInt, bits,
+          math.max(le16(o + 8 + 12), 1)))
+      } else if (id == "data") dataLen = sz
+      o += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even offsets
+    }
+    fmt.collect { case (codec, ch, rate, bits, align) if dataLen >= 0 =>
+      (codec, ch, rate, bits, dataLen / align)
+    }
+  }
+
+  /** Typed audio metadata struct (the audio twin of [[withMeta]]): mime,
+    * channels, sample rate, bit depth, frame count — null-filled for
+    * content this module cannot parse, with `n_bytes` always present so
+    * relational ops never need the payload.
+    */
+  def withAudioMeta(df: DataFrame, bytesCol: String): DataFrame = {
+    val info = udf((bytes: Array[Byte]) => wavInfo(bytes))
+    // parse once per row into a hidden column, then project its fields
+    df.withColumn("__wi", info(col(bytesCol)))
+      .withColumn("audio_meta", struct(
+        when(col("__wi").isNotNull, lit("audio/wav")).as("mime"),
+        col("__wi").getField("_2").as("channels"),
+        col("__wi").getField("_3").as("sample_rate"),
+        col("__wi").getField("_4").as("bits"),
+        col("__wi").getField("_5").as("n_frames"),
+        length(col(bytesCol)).cast("long").as("n_bytes")))
+      .drop("__wi")
+  }
+
+  /** Mono samples in [-1, 1] from parseable WAVE bytes ([[wavInfo]]
+    * formats): channels average per frame. None when not decodable.
+    */
+  def wavSamples(bytes: Array[Byte]): Option[Array[Float]] =
+    wavInfo(bytes).map { case (codec, ch, _, bits, nFrames) =>
+      // data chunk offset: re-walk (cheap — headers are tens of bytes)
+      def le32(o: Int): Long =
+        (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+          ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+      var o = 12
+      var data = -1
+      while (data < 0) {
+        if (new String(bytes, o, 4, "US-ASCII") == "data") data = o + 8
+        else o += 8 + le32(o + 4).toInt + (le32(o + 4).toInt & 1)
+      }
+      val bytesPer = bits / 8
+      // container block-align can lie; never read past the actual payload
+      val safe = math.min(nFrames,
+        (bytes.length - data).toLong / (ch.toLong * bytesPer))
+      val out = new Array[Float](math.min(safe, Int.MaxValue.toLong).toInt)
+      var f = 0
+      while (f < out.length) {
+        var acc = 0.0f
+        var c = 0
+        while (c < ch) {
+          val p = data + (f * ch + c) * bytesPer
+          acc += (codec match {
+            case "pcm" if bits == 16 =>
+              ((bytes(p) & 0xFF) | (bytes(p + 1) << 8)).toShort / 32768.0f
+            case "pcm" => // 8-bit WAV is unsigned
+              ((bytes(p) & 0xFF) - 128) / 128.0f
+            case _ => // float32 LE
+              java.lang.Float.intBitsToFloat(
+                (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8) |
+                  ((bytes(p + 2) & 0xFF) << 16) | ((bytes(p + 3) & 0xFF) << 24))
+          })
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      out
+    }
+
+  /** Partition-wise audio feature extraction — the audio twin of
+    * [[extractFeatures]], same mapPartitions shape a learned audio
+    * encoder drops into. Features are REAL for WAVE PCM/float32: a
+    * `dim`-cell loudness-layout descriptor (mean |amplitude| per
+    * temporal strip — the time-domain analogue of the image module's
+    * luminance strips) plus the global zero-crossing rate (a cheap
+    * spectral proxy: silence/tone/noise separate cleanly). Undecodable
+    * bytes fall back to a deterministic byte-hash vector flagged
+    * `decoded = false` so the pipeline never drops rows.
+    */
+  def extractAudioFeatures(df: DataFrame, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("path"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          (try wavSamples(bytes) catch { case _: Exception => None }) match {
+            case Some(s) if s.length > 0 =>
+              val feats = Array.tabulate(dim) { i =>
+                val x0 = (i.toLong * s.length / dim).toInt
+                val x1 = math.max(x0 + 1,
+                  ((i + 1).toLong * s.length / dim).toInt)
+                var sum = 0.0
+                var j = x0
+                while (j < x1) { sum += math.abs(s(j)); j += 1 }
+                (sum / (x1 - x0)).toFloat
+              }
+              var zc = 0
+              var j = 1
+              while (j < s.length) {
+                if ((s(j) >= 0) != (s(j - 1) >= 0)) zc += 1
+                j += 1
+              }
+              val zcr =
+                if (s.length > 1) zc.toFloat / (s.length - 1) else 0.0f
+              (path, feats, zcr, true)
+            case _ =>
+              val rnd =
+                new scala.util.Random(java.util.Arrays.hashCode(bytes))
+              (path, Array.fill(dim)(rnd.nextFloat()), rnd.nextFloat(), false)
+          }
+        }
+      }
+      .toDF("path", "features", "zcr", "decoded")
+  }
+
   /** Frame sampling for opaque "video" bytes: a RIFF AVI yields its REAL
     * REAL frames (every `step`-th, [[aviFrames]] — MJPEG `dc` chunks as
     * standalone JPEGs, uncompressed BI_RGB `db` chunks wrapped as valid

@@ -225,6 +225,110 @@ class MultimodalSpec extends SparkSpec {
     assert(raw.length === 1 && raw.head.toSeq === frame.toSeq)
   }
 
+  /** Hand-rolled RIFF WAVE bytes: `make` fills sample index → amplitude
+    * in [-1, 1]; 16-bit PCM unless overridden.
+    */
+  private def wav(nFrames: Int, channels: Int = 1, rate: Int = 8000,
+      bits: Int = 16, floatFmt: Boolean = false)(
+      make: Int => Float): Array[Byte] = {
+    val bytesPer = bits / 8
+    val data = new java.io.ByteArrayOutputStream()
+    (0 until nFrames).foreach { f =>
+      val v = make(f)
+      (0 until channels).foreach { _ =>
+        if (floatFmt) {
+          val b = java.lang.Float.floatToIntBits(v)
+          data.write(b & 0xFF); data.write((b >> 8) & 0xFF)
+          data.write((b >> 16) & 0xFF); data.write((b >> 24) & 0xFF)
+        } else if (bits == 16) {
+          val s = math.max(-32768, math.min(32767, (v * 32768).toInt))
+          data.write(s & 0xFF); data.write((s >> 8) & 0xFF)
+        } else data.write(
+          math.max(0, math.min(255, (v * 128).toInt + 128)))
+      }
+    }
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val align = channels * bytesPer
+    val fmt = le16(if (floatFmt) 3 else 1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * align) ++ le16(align) ++ le16(bits)
+    val payload = data.toByteArray
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("S3: WAV metadata parses channels, rate, depth, frame count") {
+    val b = wav(nFrames = 100, channels = 2, rate = 44100, bits = 16)(
+      i => math.sin(i / 10.0).toFloat)
+    assert(Multimodal.wavInfo(b) === Some(("pcm", 2, 44100, 16, 100L)))
+    val dir = Files.createTempDirectory("audio").toString
+    Files.write(Paths.get(dir, "x.wav"), b)
+    Files.write(Paths.get(dir, "junk.bin"), Array[Byte](9, 9, 9, 9, 9))
+    val metas = Multimodal.withAudioMeta(
+      Multimodal.readBinaryDir(spark, dir), "content")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1), col("audio_meta"))
+      .collect().map(r => r.getString(0) -> r.getAs[Row](1)).toMap
+    assert(metas("x.wav").getAs[String]("mime") === "audio/wav")
+    assert(metas("x.wav").getAs[Int]("sample_rate") === 44100)
+    assert(metas("x.wav").getAs[Long]("n_frames") === 100L)
+    assert(metas("junk.bin").isNullAt(metas("junk.bin").fieldIndex("mime")))
+  }
+
+  test("S3: audio features are the real waveform, not the fallback hash") {
+    // amplitude ramps 0 → 1 across the file: the loudness-layout strips
+    // must be monotonically increasing, which no byte-hash fallback is;
+    // a pure tone's zero-crossing rate matches 2·f/rate
+    val n = 8000
+    val ramp = wav(n)(i => (i.toFloat / n) *
+      (if (i % 2 == 0) 1 else -1)) // alternating sign: max ZCR
+    val tone = wav(n, rate = 8000)(
+      i => (0.8 * math.sin(2 * math.Pi * 440 * i / 8000.0)).toFloat)
+    val dir = Files.createTempDirectory("audio2").toString
+    Files.write(Paths.get(dir, "ramp.wav"), ramp)
+    Files.write(Paths.get(dir, "tone.wav"), tone)
+    Files.write(Paths.get(dir, "junk.bin"), Array[Byte](1, 2, 3))
+    val rows = Multimodal.extractAudioFeatures(
+      Multimodal.readBinaryDir(spark, dir), dim = 8)
+      .collect().map(r => (
+        r.getString(0).split('/').last,
+        r.getSeq[Float](1), r.getFloat(2), r.getBoolean(3))).toSeq
+    val byName = rows.map(r => r._1 -> r).toMap
+    val (_, rampF, rampZ, rampOk) = byName("ramp.wav")
+    assert(rampOk && rampF.sliding(2).forall(p => p(0) < p(1)),
+      s"ramp strips not increasing: $rampF")
+    assert(rampZ > 0.95f, s"alternating-sign ramp ZCR ≈ 1, got $rampZ")
+    val (_, toneF, toneZ, toneOk) = byName("tone.wav")
+    assert(toneOk && math.abs(toneZ - 2 * 440.0 / 8000) < 0.01,
+      s"440 Hz at 8 kHz crosses ~0.11/sample, got $toneZ")
+    assert(toneF.forall(v => v > 0.4f && v < 0.6f),
+      s"|sin| mean ≈ 2·0.8/π ≈ 0.51 per strip: $toneF")
+    assert(!byName("junk.bin")._4, "junk must flag decoded = false")
+  }
+
+  test("S3: 8-bit, stereo-mix, and float32 WAV variants decode identically") {
+    val n = 1000
+    def sig(i: Int) = (0.5 * math.sin(2 * math.Pi * 50 * i / 8000.0)).toFloat
+    val variants = Seq(
+      wav(n, bits = 16)(sig),
+      wav(n, bits = 8)(sig),
+      wav(n, channels = 2)(sig), // both channels equal → mono mix = signal
+      wav(n, floatFmt = true, bits = 32)(sig))
+    val feats = variants.map { b =>
+      val s = Multimodal.wavSamples(b).get
+      assert(s.length === n)
+      s
+    }
+    // all four decode to the same waveform within quantization error
+    // (8-bit has 1/128 resolution)
+    feats.tail.foreach { f =>
+      val maxErr = feats.head.lazyZip(f).map((a, b) => math.abs(a - b)).max
+      assert(maxErr < 0.02f, s"variant diverges: $maxErr")
+    }
+  }
+
   test("S4: K1-written case JSON round-trips through the explicit schema") {
     val fc = FailureCase(
       case_id = "CZ0000001", url = "https://example.org/cf/CZ0000001.html",
