@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.{Catalog, Tables}
+
+/** q63/q64 mixture pack: the properties the oracle hash can't see — the
+  * weights actually equalizing languages, and the epoch size landing on
+  * the weighted sum rather than drifting with the rounding.
+  */
+class PackMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = Catalog.queries(name)(spark, sf)
+
+  test("q63: weight is the exact uniform-target repeat factor per language") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nDocs = docs.length.toLong
+    val nLangs = byLang.size.toLong
+    val rows = run("q63_mixture_weights")
+      .as[(Long, String, Long)].collect()
+    assert(rows.length.toLong === nDocs)
+    rows.foreach { case (_, lang, bp) =>
+      assert(bp === nDocs * 10000L / (nLangs * byLang(lang)), lang)
+    }
+    // the reweighted epoch has ~nDocs rows: every language contributes
+    // n_lang · weight_bp ≈ nDocs·10⁴/nLangs basis points
+    val epochBp = rows.map(_._3).sum
+    assert(math.abs(epochBp - nDocs * 10000L) < nLangs * byLang.size * 10000L,
+      s"epoch mass drifted: $epochBp vs ${nDocs * 10000L}")
+  }
+
+  test("q64: copies = floor(weight) or one more; epoch ≈ weighted sum; dense") {
+    val weights = run("q63_mixture_weights")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    val copies = run("q64_epoch_expand").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    copies.foreach { case (id, cs) =>
+      assert(cs === (1 to cs.length), s"copy indexes not dense for $id")
+      val floor = (weights(id) / 10000L).toInt
+      assert(cs.length == floor || cs.length == floor + 1,
+        s"doc $id: ${cs.length} copies for weight ${weights(id)}")
+    }
+    // stochastic rounding is unbiased by construction; with 500 docs the
+    // realized epoch must sit well inside ±10% of the exact weighted sum
+    val total = copies.values.map(_.length.toLong).sum
+    val exact = weights.values.sum / 10000.0
+    assert(math.abs(total - exact) < exact * 0.1,
+      s"epoch size $total vs weighted sum $exact")
+  }
+
+  test("q64: the epoch is bit-reproducible across runs") {
+    val a = run("q64_epoch_expand").as[(Long, Int)].collect()
+    val b = run("q64_epoch_expand").as[(Long, Int)].collect()
+    assert(a.sameElements(b))
+  }
+}

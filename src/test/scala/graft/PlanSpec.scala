@@ -199,6 +199,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in q62:\n$p")
   }
 
+  test("q63/q64: lang weights broadcast back over the corpus, never SMJ") {
+    Seq("q63_mixture_weights", "q64_epoch_expand").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the 1-row totals must arrive broadcast:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the per-lang weight dim must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: the corpus must not shuffle to meet a lang-sized dim:\n$p")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (the 100 TB skew path)") {
     // salting (q41/q49) is the declared-skew tool; AQE skew-join is the
     // engine's runtime answer for skew nobody declared. Pin that it
