@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q65–q66 — content-defined dedup primitives (round 10): the two text
+  * fingerprinting shapes the §2.9 north-star list still owed —
+  * winnowing rolling-hash fingerprints (the MOSS/plagiarism-detection
+  * device, and the substring-granularity complement to q27's whole-doc
+  * MinHash) and corpus-wide sub-document dedup (the C4/MassiveText
+  * "paragraph dedup" pass, here at fixed block granularity because the
+  * synthetic corpus is single-line).
+  *
+  * Both oracle-gated; all hashing is explicit integer arithmetic (no
+  * engine hash functions — xxhash64 exists on both sides but with
+  * different seeds/variants, and a fingerprint you can't reproduce in
+  * another engine is not a fingerprint).
+  */
+object PackFingerprint {
+
+  /** Shared tokenizer — identical to q38/q40/q48's (parity proven there). */
+  private def toks = filter(split(lower(col("text")), "\\W+"),
+    t => length(t) > 0)
+
+  /** Positional powers of 31 for the 8-char token hash — an explicit
+    * array literal (no float `pow`), mirrored in [[graft.expr.WinnowFingerprint]].
+    */
+  private val PowSql = "[27512614111, 887503681, 28629151, 923521, 29791, 961, 31, 1]"
+
+  /** q65 — winnowing fingerprints (Schleimer/Wilkerson/Aiken): token →
+    * 20-bit char hash, 4-gram polynomial rolling hash mod 2³¹−1, then
+    * per sliding window of 5 grams keep the minimum — the classic
+    * guarantee that any shared run of ≥ 8 tokens between two documents
+    * shares at least one selected fingerprint, at ~1/5 the storage of
+    * the full gram set. The distinct selected hashes ARE the document's
+    * fingerprint; matching docs on a shared fp is the substring-level
+    * near-dup join that MinHash (whole-doc resemblance) can't express.
+    *
+    * Scale posture: the whole hash chain — token hashes, gram hashes,
+    * window minima, distinct — is ONE native expression
+    * ([[graft.expr.WinnowFingerprint]]), a single O(n) pass per document
+    * row, so the operator is shuffle-FREE until the oracle's output sort
+    * (same posture as q52, pinned in PlanSpec). At 100 TB the
+    * fingerprint explode feeds a groupBy(fp) bucket join; nothing here
+    * ever materializes per-window rows. (The composable three-HOF form
+    * is a trap: CollapseProject inlines each stage into the next's
+    * lambda, re-evaluating the token pass per gram and the gram pass
+    * per window — interpreted O(n²·k); see the expression's scaladoc.)
+    *
+    * Arithmetic bounds: token hash < 2²⁰ (sum ≤ 8·122·31⁷ ≈ 2.7·10¹³,
+    * then mod 1048573); gram fold keeps acc < 2³¹ and acc·31⁹+h < 2⁵¹ —
+    * every intermediate fits a BIGINT exactly on both engines.
+    */
+  private val q65 = Q(
+    "q65_winnow_fingerprint",
+    (s, d) => {
+      import org.apache.spark.sql.graftglue.ExprGlue
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) >= 8) // 4-gram winnow needs ≥ 5 grams
+        .select(col("doc_id"),
+          explode(ExprGlue.column(graft.expr.WinnowFingerprint(
+            ExprGlue.expression(col("ws"))))).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      h AS (SELECT doc_id,
+              list_transform(ws, tok ->
+                CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1),
+                  i -> ascii(substr(tok, i, 1)) * $PowSql[i])) % 1048573 AS BIGINT)) AS th
+            FROM t WHERE len(ws) >= 8),
+      g AS (SELECT doc_id,
+              list_transform(range(1, len(th) - 2), i ->
+                ((((th[i] * 1000003 + th[i + 1]) % 2147483647)
+                   * 1000003 + th[i + 2]) % 2147483647
+                   * 1000003 + th[i + 3]) % 2147483647) AS gh
+            FROM h),
+      w AS (SELECT doc_id,
+              list_distinct(list_transform(range(5, len(gh) + 1),
+                j -> list_aggregate(gh[j-4:j], 'min'))) AS fps
+            FROM g)
+      SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w
+      ORDER BY doc_id, fp
+    """),
+    doc = "winnowing rolling-hash fingerprints: 4-gram poly hash, " +
+      "window-5 minima — document-local HOFs, shuffle-free until the sort")
+
+  /** q66 — corpus-wide block dedup (sub-document first-wins): split every
+    * document into non-overlapping 16-token blocks, keep each distinct
+    * block's FIRST occurrence corpus-wide (ordered by doc_id, then
+    * offset), and reassemble every document from its surviving blocks —
+    * C4's "discard duplicate paragraphs" pass, at fixed block
+    * granularity. The per-doc counters make the removal auditable: a
+    * doc whose every block was seen earlier collapses to empty but is
+    * still reported (it must be COUNTED as fully-deduped, not silently
+    * dropped).
+    *
+    * Scale posture: ONE shuffle — the first-wins rank partitions by the
+    * block text (at 100 TB, by its 256-bit hash: same plan, narrower
+    * exchange) — and the per-doc reassembly rides the doc_id agg that
+    * the final sort needs anyway. The window is per-BLOCK (cardinality
+    * = distinct blocks, skew-bounded by corpus dup rate), never a
+    * corpus-wide rank.
+    */
+  private val q66 = Q(
+    "q66_block_dedup",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) > 0)
+      val blocks = t
+        .select(col("doc_id"),
+          explode(expr("sequence(0, size(ws) - 1, 16)")).as("start"),
+          col("ws"))
+        .select(col("doc_id"), col("start"),
+          expr("array_join(slice(ws, start + 1, 16), ' ')").as("btxt"))
+      val firstWins = blocks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("btxt").orderBy("doc_id", "start")))
+        .filter(col("rn") === 1)
+      val kept = firstWins
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("kept_blocks"),
+          expr("array_join(transform(array_sort(collect_list(struct(start, btxt))), x -> x.btxt), ' ')")
+            .as("new_text"))
+      t.select(col("doc_id"),
+          expr("cast(size(sequence(0, size(ws) - 1, 16)) as bigint)").as("n_blocks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_blocks"),
+          coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
+          coalesce(col("new_text"), lit("")).as("new_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) > 0),
+      b AS (SELECT doc_id, unnest(range(0, len(ws), 16)) AS start, ws FROM t),
+      blk AS (SELECT doc_id, start, array_to_string(ws[start + 1:start + 16], ' ') AS btxt FROM b),
+      win AS (SELECT doc_id, start, btxt,
+                     row_number() OVER (PARTITION BY btxt ORDER BY doc_id, start) AS rn
+              FROM blk),
+      kept AS (SELECT doc_id, count(*) AS kept_blocks,
+                      string_agg(btxt, ' ' ORDER BY start) AS new_text
+               FROM win WHERE rn = 1 GROUP BY doc_id),
+      tot AS (SELECT doc_id, len(range(0, len(ws), 16)) AS n_blocks FROM t)
+      SELECT tot.doc_id, tot.n_blocks,
+             coalesce(kept.kept_blocks, 0) AS kept_blocks,
+             coalesce(kept.new_text, '') AS new_text
+      FROM tot LEFT JOIN kept USING (doc_id)
+      ORDER BY doc_id
+    """),
+    doc = "corpus-wide 16-token-block first-wins dedup + doc reassembly " +
+      "(C4 paragraph-dedup shape); one per-block shuffle")
+
+  val all: Seq[Q] = Seq(q65, q66)
+}

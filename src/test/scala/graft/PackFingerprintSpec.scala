@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.ExprGlue
+import graft.expr.WinnowFingerprint
+import graft.queries.Catalog
+
+/** q65/q66 — winnowing fingerprints + corpus-wide block dedup: expression
+  * parity against an independent BigInt re-derivation, the winnowing
+  * coverage guarantee, and the block-dedup conservation invariants the
+  * oracle hash can't see.
+  */
+class PackFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def winnow(tokens: Seq[String]): Seq[Long] = {
+    val df = Seq(Tuple1(tokens)).toDF("ws")
+    df.select(ExprGlue.column(WinnowFingerprint(
+        ExprGlue.expression(col("ws")))).as("fps"))
+      .as[Seq[Long]].head()
+  }
+
+  /** Independent re-derivation of the oracle formula with BigInt — shares
+    * no code with the expression under test.
+    */
+  private def expected(tokens: Seq[String]): Seq[Long] = {
+    val pow = Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
+    val th = tokens.map { t =>
+      val s = t.take(8)
+      (s.zipWithIndex.map { case (c, i) => BigInt(c.toInt) * pow(i) }.sum
+        % 1048573).toLong
+    }
+    val gh = th.sliding(4).map { g =>
+      val a = (BigInt(g(0)) * 1000003 + g(1)) % 2147483647
+      val b = (a * 1000003 + g(2)) % 2147483647
+      ((b * 1000003 + g(3)) % 2147483647).toLong
+    }.toSeq
+    gh.sliding(5).map(_.min).toSeq.distinct
+  }
+
+  test("winnow_fp matches the BigInt re-derivation of the oracle formula") {
+    val tokens = Seq("spark", "window", "agg", "join", "scan", "filter",
+      "sort", "merge", "batch", "stream", "a", "verylongtokenhere")
+    assert(winnow(tokens) === expected(tokens))
+  }
+
+  test("winnow_fp: fewer than 8 tokens yields no fingerprints") {
+    assert(winnow(Seq("a", "b", "c", "d", "e", "f", "g")) === Seq.empty)
+    assert(winnow(Seq.empty) === Seq.empty)
+  }
+
+  test("winnowing guarantee: docs sharing a run of >= 8 tokens share a fingerprint") {
+    val shared = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dogs")
+    val a = Seq("alpha", "beta", "gamma", "delta", "epsilon") ++ shared ++
+      Seq("zeta", "eta", "theta", "iota", "kappa")
+    val b = Seq("one", "two", "three", "four", "five", "six") ++ shared ++
+      Seq("seven", "eight", "nine", "ten")
+    // an 8-token shared run spans 5 consecutive grams = one full winnow
+    // window, so at least its minimum is selected in BOTH documents
+    assert(winnow(a).toSet.intersect(winnow(b).toSet).nonEmpty)
+  }
+
+  test("winnow_fp values stay inside [0, 2^31)") {
+    val fps = winnow((0 until 200).map(i => s"tok${i * 7 % 97}"))
+    assert(fps.nonEmpty)
+    assert(fps.forall(f => f >= 0L && f < 2147483648L))
+  }
+
+  test("q66 conserves blocks: every distinct block survives exactly once") {
+    val out = Catalog.queries("q66_block_dedup")(spark, sf)
+    val kept = out.agg(sum("kept_blocks")).as[Long].head()
+    val distinctBlocks = queries.Tables.documents(spark, sf)
+      .select(filter(split(lower(col("text")), "\\W+"),
+        t => length(t) > 0).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(explode(expr("sequence(0, size(ws) - 1, 16)")).as("start"), col("ws"))
+      .select(expr("array_join(slice(ws, start + 1, 16), ' ')").as("btxt"))
+      .distinct().count()
+    assert(kept === distinctBlocks,
+      s"kept $kept blocks but the corpus has $distinctBlocks distinct ones")
+  }
+
+  test("q66: counters bound each other and reassembly matches kept count") {
+    val rows = Catalog.queries("q66_block_dedup")(spark, sf)
+      .select("n_blocks", "kept_blocks", "new_text")
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, k, txt) =>
+      assert(k >= 0 && k <= n)
+      if (k == 0) assert(txt.isEmpty)
+      else assert(txt.nonEmpty)
+    }
+    // the lowest doc_id can never lose its first block
+    val first = Catalog.queries("q66_block_dedup")(spark, sf)
+      .orderBy("doc_id").select("kept_blocks").as[Long].head()
+    assert(first >= 1)
+  }
+}

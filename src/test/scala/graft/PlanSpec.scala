@@ -251,6 +251,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q65: fingerprinting is shuffle-free until the output sort") {
+    val p = plan("q65_winnow_fingerprint")
+    assert(p.contains("winnow_fp"),
+      s"the native one-pass expression must be in the plan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"document-local fingerprints must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"no window machinery in q65:\n$p")
+  }
+
+  test("q66: first-wins rank pushes down; exactly two hash exchanges") {
+    val p = plan("q66_block_dedup")
+    // partial WindowGroupLimit: one candidate per block per map partition
+    // crosses the wire — THE knob that keeps hot duplicate blocks from
+    // flooding one reducer at corpus scale
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank pushdown missing before the block exchange:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 2,
+      s"expected block + doc_id exchanges only, got $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"reassembly must broadcast-join the per-doc totals:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
