@@ -152,5 +152,70 @@ object PackFingerprint {
     doc = "corpus-wide 16-token-block first-wins dedup + doc reassembly " +
       "(C4 paragraph-dedup shape); one per-block shuffle")
 
-  val all: Seq[Q] = Seq(q65, q66)
+  /** q67 — near-dup candidate pairs from winnow fingerprints: the join
+    * that turns q65's per-doc fingerprints into the (doc_a, doc_b,
+    * n_shared) frame q48's clustering consumes — the winnowing papers'
+    * pipeline (fingerprint → bucket → pair) completing the fuzzy-dedup
+    * chain q65 → q67 → q48 → q62. Fingerprints shared by more than 20
+    * documents are dropped BEFORE pairing (stop-fingerprints: boilerplate
+    * grams pair everything with everything — the df cap is what bounds
+    * the self-join fan-out at ≤ cap²/fp, the same device as q27's LSH
+    * band buckets), and a pair must share ≥ 2 surviving fingerprints.
+    *
+    * Plan shape: ONE corpus shuffle on fp that the df aggregate, the
+    * stop-fp semi join, and the a⋈b self-join all reuse (same key ⇒
+    * Catalyst reuses the exchange), then the pair aggregate's shuffle on
+    * (doc_a, doc_b). The fingerprint frame is CacheScope-persisted: four
+    * plan branches read it, and at 100 TB it is ~20 longs per document —
+    * two orders smaller than the corpus it summarizes.
+    */
+  private val q67 = Q(
+    "q67_fp_candidates",
+    (s, d) => {
+      import org.apache.spark.sql.graftglue.ExprGlue
+      val fps = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("ws"))
+          .filter(size(col("ws")) >= 8)
+          .select(col("doc_id"),
+            explode(ExprGlue.column(graft.expr.WinnowFingerprint(
+              ExprGlue.expression(col("ws"))))).as("fp")))
+      val stop = fps.groupBy("fp").agg(count(lit(1)).as("dfreq"))
+        .filter(col("dfreq") <= 20)
+      val keep = fps.join(stop.select("fp"), Seq("fp"), "left_semi")
+      val a = keep.select(col("fp"), col("doc_id").as("doc_a"))
+      val b = keep.select(col("fp"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      h AS (SELECT doc_id,
+              list_transform(ws, tok ->
+                CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1),
+                  i -> ascii(substr(tok, i, 1)) * $PowSql[i])) % 1048573 AS BIGINT)) AS th
+            FROM t WHERE len(ws) >= 8),
+      g AS (SELECT doc_id,
+              list_transform(range(1, len(th) - 2), i ->
+                ((((th[i] * 1000003 + th[i + 1]) % 2147483647)
+                   * 1000003 + th[i + 2]) % 2147483647
+                   * 1000003 + th[i + 3]) % 2147483647) AS gh
+            FROM h),
+      w AS (SELECT doc_id, CAST(unnest(list_distinct(list_transform(range(5, len(gh) + 1),
+              j -> list_aggregate(gh[j-4:j], 'min')))) AS BIGINT) AS fp
+            FROM g),
+      df AS (SELECT fp FROM w GROUP BY fp HAVING count(*) <= 20),
+      keep AS (SELECT w.doc_id, w.fp FROM w JOIN df USING (fp)),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+                FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+      ORDER BY doc_a, doc_b
+    """),
+    doc = "near-dup candidate pairs from winnow fingerprints: stop-fp df " +
+      "cap bounds the self-join fan-out; >= 2 shared fps per pair")
+
+  val all: Seq[Q] = Seq(q65, q66, q67)
 }

@@ -97,4 +97,28 @@ class PackFingerprintSpec extends SparkSpec {
       .orderBy("doc_id").select("kept_blocks").as[Long].head()
     assert(first >= 1)
   }
+
+  test("q67: pairs are ordered, thresholded, and honest about shared fps") {
+    val pairs = Catalog.queries("q67_fp_candidates")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    graft.ops.CacheScope.drain()
+    assert(pairs.nonEmpty, "sf0.001 corpus should contain near-dup pairs")
+    pairs.foreach { case (a, b, n) =>
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(n >= 2, s"pair ($a,$b) below the 2-shared-fp threshold")
+    }
+    // the reported count can never exceed the UNFILTERED shared-fp count
+    // (stop-fp dropping only removes shared fingerprints)
+    val (a, b, n) = pairs.maxBy(_._3)
+    val byDoc = queries.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(a, b))
+      .select(col("doc_id"), filter(split(lower(col("text")), "\\W+"),
+        t => length(t) > 0).as("ws"))
+      .select(col("doc_id"), ExprGlue.column(WinnowFingerprint(
+        ExprGlue.expression(col("ws")))).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val shared = byDoc(a).toSet.intersect(byDoc(b).toSet).size
+    assert(n <= shared,
+      s"pair ($a,$b) claims $n shared fps but the docs share only $shared")
+  }
 }

@@ -274,6 +274,24 @@ class PlanSpec extends SparkSpec {
       s"reassembly must broadcast-join the per-doc totals:\n$p")
   }
 
+  test("q67: fingerprint frame is scope-cached; pairing never goes cartesian") {
+    val p = plan("q67_fp_candidates")
+    try {
+      assert(p.contains("InMemoryRelation"),
+        s"the fp frame must be CacheScope-persisted (4 plan branches read it):\n$p")
+      assert(p.contains("winnow_fp"),
+        s"the cached frame must be built by the native expression:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"stop-fp capping exists precisely to avoid pair blowup:\n$p")
+      // exchanges: df-agg (fp), pair-agg, and at most one fp-join side —
+      // the corpus-sized fp frame must never shuffle more than that
+      // (broadcast-vs-SMJ choice varies with session state at test scale)
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 3,
+        s"fp frame shuffling more than df-agg + pair-agg + one join side:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
