@@ -52,7 +52,8 @@ object Catalog {
       PackJoin.all ++ PackWindow.all ++ PackTime.all ++ PackText.all ++
       PackText2.all ++ PackAsof.all ++ PackAnn.all ++ PackDedup2.all ++
       PackSample.all ++ PackScale.all ++ PackCorpus.all ++ PackCluster.all ++
-      PackDecon.all ++ PackGraph.all ++ PackMix.all ++ PackFingerprint.all
+      PackDecon.all ++ PackGraph.all ++ PackMix.all ++ PackFingerprint.all ++
+      PackCurate.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

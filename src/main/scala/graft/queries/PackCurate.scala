@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q68–q70 — curation + corpus-analysis signals (round 10): the three
+  * knobs a corpus build turns between "filtered" and "mixed" —
+  * source-balanced subsampling under a hard budget, collocation mining
+  * over the token stream, and a byte-level redundancy signal the n-gram
+  * quality gates can't see.
+  *
+  * q68/q69 are oracle-gated (all arithmetic exact BIGINT — MEMORY
+  * oracle-parity-trapdoors); q70 is rows-only because no SQL engine
+  * exposes deflate (same declaration as q27/q35).
+  */
+object PackCurate {
+
+  /** Shared tokenizer — identical to q38/q40/q48's (parity proven there). */
+  private def toks = filter(split(lower(col("text")), "\\W+"),
+    t => length(t) > 0)
+
+  /** q68 — proportional source quotas under a hard budget (largest-
+    * remainder rounding), then the top-quota documents per source by a
+    * deterministic priority (longest first, doc_id tiebreak): the
+    * "cap-per-domain" curation pass every web-scale corpus runs so one
+    * crawler-friendly site cannot dominate the mixture, made exact — the
+    * quotas sum to EXACTLY the budget (floor-divide alone undershoots,
+    * ceil overshoots; largest-remainder is the standard apportionment
+    * fix, and it is pure integer arithmetic: base = B·n div N, then +1
+    * for the `B − Σbase` largest remainders, ties broken by source name).
+    *
+    * Plan shape: the quota computation lives entirely on the SOURCE-
+    * cardinality histogram (groupBy(source) partial-aggregates map-side;
+    * the 1-row totals and the remainder-ranking window both run on that
+    * tiny dim frame — the global window is over #sources rows, never the
+    * corpus). The quota frame broadcast-joins back onto the corpus and
+    * the per-source priority rank is the corpus's ONE shuffle; the
+    * literal `rk <= B` conjunct alongside `rk <= quota` is what lets
+    * Spark push a WindowGroupLimit below the exchange (a per-source
+    * column bound alone is not pushable — at 100 TB the pushed limit
+    * means each map partition forwards at most B rows per source instead
+    * of the whole source).
+    */
+  private val B = 200 // document budget for the balanced subsample
+
+  private val q68 = Q(
+    "q68_source_quota",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // The histogram feeds three derivations (base/rem, Σbase, the quota
+      // frame); persisting it caps the corpus at ONE aggregation scan —
+      // unpersisted, each branch re-reads the corpus (seen in the plan).
+      val counts = graft.ops.CacheScope.persisted(
+        docs.groupBy("source").agg(count(lit(1)).as("n")))
+      val totals = counts.agg(sum("n").as("nn"))
+      val based = counts.crossJoin(broadcast(totals))
+        .select(col("source"), col("n"),
+          expr(s"($B * n) div nn").as("base"),
+          expr(s"($B * n) % nn").as("rem"))
+      val extra = based.agg((lit(B) - sum("base")).as("extra"))
+      val quota = based.crossJoin(broadcast(extra))
+        .withColumn("rr",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"),
+          (col("base") + when(col("rr") <= col("extra"), 1).otherwise(0))
+            .as("quota"))
+      docs.join(broadcast(quota), "source")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rk") <= lit(B) && col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("quota"), col("rk"))
+        .orderBy("source", "rk")
+    },
+    Some(s"""
+      WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+      b AS (SELECT source, n, ($B * n) // nn AS base, ($B * n) % nn AS rem
+            FROM c CROSS JOIN t),
+      e AS (SELECT $B - CAST(sum(base) AS BIGINT) AS extra FROM b),
+      q AS (SELECT source,
+                   base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                               <= extra THEN 1 ELSE 0 END AS quota
+            FROM b CROSS JOIN e),
+      r AS (SELECT d.doc_id, d.source, q.quota,
+                   row_number() OVER (PARTITION BY d.source
+                                      ORDER BY d.n_chars DESC, d.doc_id) AS rk
+            FROM documents d JOIN q USING (source))
+      SELECT doc_id, source, quota, CAST(rk AS INTEGER) AS rk
+      FROM r WHERE rk <= quota ORDER BY source, rk
+    """),
+    doc = "per-source quotas by largest-remainder apportionment (sum = " +
+      "budget exactly), top-quota docs per source by deterministic priority")
+
+  /** q69 — collocation mining: token pairs co-occurring within distance
+    * ≤ 3 inside a document, scored by integer lift — the corpus-analysis
+    * operator behind phrase detection and tokenizer-merge candidates
+    * (PMI ranking's exact-arithmetic sibling: lift = P(ab)/(P(a)P(b)) is
+    * the same ratio PMI logs, so ORDER is identical and
+    * `lift_bp = 10⁴·n_ab·N div (n_a·n_b)` keeps the oracle bit-exact
+    * where log() could not be).
+    *
+    * Plan shape: one posexplode over the corpus, persisted once and read
+    * three ways (totals, unigram counts, both sides of the pair join).
+    * The pair join is keyed on doc_id — uniformly distributed, fan-out
+    * hard-bounded at 3 rows per token position by the band predicate —
+    * so there is no hot-token skew to mitigate (contrast q49, where the
+    * shuffle key IS the token); the hot tokens only meet in the pair
+    * AGGREGATE, which partial-aggregates map-side. Unigram counts
+    * (vocab-cardinality) and the 1-row total broadcast onto the pair
+    * frame. Overflow: 10⁴·n_ab·N needs log₂(3·10⁴·N²) bits — fine in
+    * BIGINT through ~10¹⁴ total tokens; past that the same plan runs
+    * with the one multiply cast to decimal(38,0) on both engines.
+    */
+  private val q69 = Q(
+    "q69_cooccur_lift",
+    (s, d) => {
+      val pos = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok"))))
+      val totals = pos.agg(count(lit(1)).as("nn"))
+      val uni = pos.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      val a = pos.select(col("doc_id"), col("pos").as("pa"), col("tok").as("ta"))
+      val b = pos.select(col("doc_id"), col("pos").as("pb"), col("tok").as("tb"))
+      val pairs = a.join(b, Seq("doc_id"))
+        .filter(col("pb") > col("pa") && col("pb") <= col("pa") + 3)
+        .select(least(col("ta"), col("tb")).as("tok_a"),
+          greatest(col("ta"), col("tb")).as("tok_b"))
+        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 30)
+      pairs
+        .join(broadcast(uni.select(col("tok").as("tok_a"), col("n_tok").as("n_a"))),
+          Seq("tok_a"))
+        .join(broadcast(uni.select(col("tok").as("tok_b"), col("n_tok").as("n_b"))),
+          Seq("tok_b"))
+        .crossJoin(broadcast(totals))
+        .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("10000 * n_ab * nn div (n_a * n_b)").as("lift_bp"))
+        .orderBy("tok_a", "tok_b")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      p AS (SELECT doc_id, unnest(ws) AS tok, unnest(range(1, len(ws) + 1)) AS pos FROM t),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM p),
+      u AS (SELECT tok, count(*) AS n_tok FROM p GROUP BY tok),
+      pr AS (SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b,
+                    count(*) AS n_ab
+             FROM p a JOIN p b
+               ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+             GROUP BY 1, 2)
+      SELECT pr.tok_a, pr.tok_b, pr.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+             10000 * pr.n_ab * nn.nn // (ua.n_tok * ub.n_tok) AS lift_bp
+      FROM pr CROSS JOIN nn
+      JOIN u ua ON ua.tok = pr.tok_a
+      JOIN u ub ON ub.tok = pr.tok_b
+      WHERE pr.n_ab >= 30
+      ORDER BY tok_a, tok_b
+    """),
+    doc = "windowed co-occurrence pairs with exact integer lift: doc-keyed " +
+      "positional self-join (no token skew), broadcast unigram counts")
+
+  /** q70 — compression-ratio quality signal: raw-DEFLATE length of each
+    * document's UTF-8 bytes over its raw byte count, in basis points,
+    * plus the repetitive-document flag a curation pass filters on. The
+    * byte-level complement to q30 (heuristic ratios) and q51 (n-gram
+    * repetition counters): long-range and structural repetition that
+    * 2-gram counting can't see still compresses away, and natural prose
+    * reliably does not. Rows-only (no SQL engine exposes deflate);
+    * correctness is invariant-gated in PackCurateSpec — determinism,
+    * agreement with a directly-driven java.util.zip stream, and the
+    * repetitive-vs-prose separation the flag exists for.
+    *
+    * Scale posture: a stateless codegen'd projection (one native
+    * expression over a thread-local zlib stream — [[graft.expr.DeflateLength]]),
+    * no shuffle until the oracle sort; at 100 TB this rides the same
+    * scan as the other per-document signals.
+    */
+  private val q70 = Q(
+    "q70_compress_ratio",
+    (s, d) => {
+      import org.apache.spark.sql.graftglue.ExprGlue
+      Tables.documents(s, d)
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+          ExprGlue.column(graft.expr.DeflateLength(
+            ExprGlue.expression(col("text")))).as("n_deflate"))
+        .filter(col("n_bytes") > 0)
+        .select(col("doc_id"), col("n_bytes"), col("n_deflate"),
+          expr("cast(n_deflate as bigint) * 10000 div n_bytes").as("ratio_bp"))
+        .withColumn("repetitive", col("ratio_bp") < 2500)
+        .orderBy("doc_id")
+    },
+    None,
+    doc = "deflate-ratio redundancy signal (rows-only): native thread-local " +
+      "zlib expression, stateless projection, no shuffle before the sort")
+
+  val all: Seq[Q] = Seq(q68, q69, q70)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.queries.{Catalog, Tables}
+
+/** q68–q70 curation pack: the properties the oracle hash can't see
+  * (q68's apportionment identity, q69's agreement with an independent
+  * in-memory recount) and the whole gate for rows-only q70 (determinism,
+  * zlib ground truth, the repetitive/prose separation).
+  */
+class PackCurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = Catalog.queries(name)(spark, sf)
+
+  test("q68: quotas sum to exactly the budget; each source fills its quota") {
+    val rows = run("q68_source_quota")
+      .as[(Long, String, Long, Int)].collect()
+    val quotaBySource = rows.map(r => r._2 -> r._3).toMap
+    assert(quotaBySource.values.sum === 200L, "largest-remainder must hit B exactly")
+    // every source has >= quota docs at this sf, so kept == quota per source
+    val kept = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    kept.foreach { case (src, k) => assert(k === quotaBySource(src), src) }
+    // ranks are dense 1..quota
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length), src)
+    }
+  }
+
+  test("q68: kept docs are the top-priority docs of their source") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").as[(Long, String, Long)].collect()
+    val rows = run("q68_source_quota").as[(Long, String, Long, Int)].collect()
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val expect = docs.filter(_._2 == src)
+        .sortBy(t => (-t._3, t._1)).take(rs.length).map(_._1).toSet
+      assert(rs.map(_._1).toSet === expect, src)
+    }
+  }
+
+  test("q69: pairs and lift agree with an independent in-memory recount") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tokenized = docs.map { case (_, t) =>
+      t.toLowerCase.split("\\W+").filter(_.nonEmpty) }
+    val nn = tokenized.map(_.length.toLong).sum
+    val uni = tokenized.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCounts = collection.mutable.Map.empty[(String, String), Long]
+    tokenized.foreach { ws =>
+      for (i <- ws.indices; j <- (i + 1) until math.min(i + 4, ws.length)) {
+        val k = if (ws(i) <= ws(j)) (ws(i), ws(j)) else (ws(j), ws(i))
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val expect = pairCounts.filter(_._2 >= 30L).map { case ((a, b), nab) =>
+      (a, b, nab, uni(a), uni(b), 10000L * nab * nn / (uni(a) * uni(b)))
+    }.toSet
+    val got = run("q69_cooccur_lift")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "sf0.001 must produce pairs above min support")
+  }
+
+  test("q70: deflate length matches a directly-driven zlib stream; deterministic") {
+    val rows = run("q70_compress_ratio")
+      .as[(Long, Int, Int, Long, Boolean)].collect()
+    assert(rows.length === 500)
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.take(20).foreach { case (id, nBytes, nDef, ratio, _) =>
+      val in = texts(id).getBytes("UTF-8")
+      assert(nBytes === in.length, s"doc $id byte count")
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(in); d.finish()
+      val buf = new Array[Byte](65536)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      assert(nDef === total, s"doc $id deflate length")
+      assert(ratio === nDef.toLong * 10000L / nBytes, s"doc $id ratio")
+    }
+    val again = run("q70_compress_ratio")
+      .as[(Long, Int, Int, Long, Boolean)].collect()
+    assert(rows.sameElements(again), "signal must be bit-reproducible")
+  }
+
+  test("q70: repetitive text compresses far below high-entropy text") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftglue.ExprGlue
+    val rep = "the cat sat on the mat " * 80
+    // deterministic pseudo-random word salad (LCG over a 4096-word space)
+    val rnd = Iterator.iterate(1L)(x => (x * 1103515245L + 12345L) % 2147483648L)
+      .take(480).map(x => s"w${x % 4096}").mkString(" ")
+    val df = Seq(("rep", rep), ("rnd", rnd)).toDF("k", "text")
+      .select(col("k"), ExprGlue.column(graft.expr.DeflateLength(
+        ExprGlue.expression(col("text")))).as("dlen"),
+        octet_length(col("text")).as("nb"))
+    val m = df.as[(String, Int, Int)].collect()
+      .map(r => r._1 -> (r._2.toLong * 10000L / r._3)).toMap
+    assert(m("rep") < 1000L, s"repetitive ratio ${m("rep")} should be tiny")
+    assert(m("rnd") > 2L * m("rep"),
+      s"separation too weak: rep=${m("rep")} rnd=${m("rnd")}")
+  }
+}

@@ -292,6 +292,46 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q68: priority rank pushes down (literal-bound WindowGroupLimit); quota broadcasts") {
+    val p = plan("q68_source_quota")
+    try {
+      // the `rk <= B` literal conjunct exists precisely to make this fire:
+      // a per-source column bound alone is not pushable, and without the
+      // pushed limit every map partition forwards whole sources
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"priority rank must group-limit below the source exchange:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the source-cardinality quota frame must broadcast:\n$p")
+      assert(p.contains("InMemoryRelation"),
+        s"the histogram must be scope-cached (3 branches derive from it):\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q69: one shared posexplode; pair join never goes cartesian") {
+    val p = plan("q69_cooccur_lift")
+    try {
+      assert(p.contains("InMemoryRelation"),
+        s"the position frame must be CacheScope-persisted (4 branches):\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"the pair join must stay keyed on doc_id:\n$p")
+      // the band predicate must ride the doc_id join, not a post-filter
+      // over a wider product
+      assert(p.contains("(pb") && p.contains("pa"),
+        s"positional band condition missing from the join:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q70: stateless projection — native deflate, one exchange (the sort's)") {
+    val p = plan("q70_compress_ratio")
+    assert(p.contains("deflate_len"),
+      s"the native expression must be in the plan:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1,
+      s"only the oracle sort may exchange, got $exchanges:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
