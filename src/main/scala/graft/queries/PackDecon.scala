@@ -19,14 +19,16 @@ object PackDecon {
 
   private val M = 1 << 17 // bloom bits (16 KiB bitmap — k·n/m ≈ 0.1 at 5k grams)
   private val Words = M / 64 // 2048 bigint words
-  private val K = 3 // probes per shingle
+  private[graft] val K = 3 // probes per shingle
 
   /** Shared tokenizer — identical to q38/q40's (parity proven there). */
   private def toks = filter(split(lower(col("text")), "\\W+"),
     t => length(t) > 0)
 
-  /** Distinct 5-word shingles, one pass (q40 uses the 4-word form). */
-  private def shingles5 =
+  /** Distinct 5-word shingles, one pass (q40 uses the 4-word form).
+    * `private[graft]`: the streaming twin shingles identically.
+    */
+  private[graft] def shingles5 =
     org.apache.spark.sql.graftglue.ExprGlue.column(
       graft.expr.WordShingleStrings(
         org.apache.spark.sql.graftglue.ExprGlue.expression(toks), 5))
@@ -35,12 +37,29 @@ object PackDecon {
     * bitmap column: hash to one of M bit positions, test that bit.
     * Build and probe share this — shared code is what makes the
     * no-false-negative property structural rather than hoped-for.
+    * `private[graft]`: batch q59 and the streaming twin probe the SAME
+    * bitmap with the SAME hash family, so neither can drift alone.
     */
   private def pos(i: Int): Column = pmod(xxhash64(col("sh"), lit(i)), lit(M.toLong))
 
-  private def hit(i: Int): Column = expr(
+  private[graft] def hit(i: Int): Column = expr(
     s"(element_at(bm, cast(pmod(xxhash64(sh, $i), $M) div 64 as int) + 1)" +
       s" & shiftleft(cast(1 as bigint), cast(pmod(xxhash64(sh, $i), $M) % 64 as int))) != 0")
+
+  /** The 1-row dense bitmap frame (`bm: array<bigint>`) for a frame of
+    * distinct eval shingles in column `sh` — aggregation only, never a
+    * driver-side sketch. Shared by batch q59 and the streaming twin.
+    */
+  private[graft] def bitmapOf(evalShingles: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    evalShingles
+      .select(explode(array((1 to K).map(pos): _*)).as("pos"))
+      .select(expr("pos div 64").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .agg(map_from_arrays(collect_list("w"), collect_list("bits")).as("wm"))
+      .select(transform(sequence(lit(0L), lit((Words - 1).toLong)),
+        i => coalesce(element_at(col("wm"), i), lit(0L))).as("bm"))
 
   /** q59 — bloom-prefiltered decontamination. q40's exact broadcast join
     * ships every eval shingle STRING to every executor — fine for one
@@ -70,14 +89,7 @@ object PackDecon {
       val corpus = docs.filter(col("doc_id") >= 50)
         .select(col("doc_id"), explode(shingles5).as("sh"))
       // bitmap: positions → per-word bit_or → one dense array<bigint> row
-      val bitmap = eval
-        .select(explode(array((1 to K).map(pos): _*)).as("pos"))
-        .select(expr("pos div 64").as("w"),
-          expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("b"))
-        .groupBy("w").agg(expr("bit_or(b)").as("bits"))
-        .agg(map_from_arrays(collect_list("w"), collect_list("bits")).as("wm"))
-        .select(transform(sequence(lit(0L), lit((Words - 1).toLong)),
-          i => coalesce(element_at(col("wm"), i), lit(0L))).as("bm"))
+      val bitmap = bitmapOf(eval)
       val candidates = corpus
         .crossJoin(broadcast(bitmap))
         .filter((1 to K).map(hit).reduce(_ && _))

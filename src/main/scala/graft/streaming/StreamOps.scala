@@ -327,6 +327,46 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Streaming twin of q59's bloom-prefiltered decontamination: documents
+    * arrive as a stream and are probed against a STATIC eval suite — the
+    * production shape of eval safety (the corpus streams in continuously;
+    * the benchmark set changes rarely and is fixed per run).
+    *
+    * The machinery is literally q59's (`PackDecon.shingles5 / bitmapOf /
+    * hit` — same tokenizer, same hash family, same bitmap builder), so
+    * the no-false-negative contract carries over structurally: bloom
+    * prefilter + exact confirm ≡ the plain exact join, row for row, and
+    * the MemoryStream test pins the stream's output to batch q59's.
+    *
+    * Every per-shingle step is STATELESS in streaming terms — the bitmap
+    * arrives broadcast via a stream-static join, the bloom probe is a
+    * codegen'd filter, the confirm is a stream-static equi-join (no
+    * buffering: the static side is a hashed relation). State appears only
+    * at the end and is bounded twice by the watermark: the per-(doc,
+    * shingle) dedup (countDistinct is not streamable; first-wins dedup +
+    * count is its streaming form) and the windowed per-doc count, both
+    * evicted as event time passes. `docs` columns: (doc_id long,
+    * ts timestamp, text string); eval docs are a static frame.
+    */
+  def bloomDeconStream(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      delay: String = "10 minutes"): DataFrame = {
+    import graft.queries.PackDecon
+    val eval = evalDocs.select(explode(PackDecon.shingles5).as("sh")).distinct()
+    val bitmap = PackDecon.bitmapOf(eval)
+    docs.withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"), explode(PackDecon.shingles5).as("sh"))
+      .join(broadcast(bitmap)) // 1-row static bitmap: stream-static cross
+      .filter((1 to PackDecon.K).map(PackDecon.hit).reduce(_ && _))
+      .select(col("doc_id"), col("ts"), col("sh"))
+      .join(broadcast(eval), Seq("sh")) // exact confirm: kills false positives
+      .dropDuplicatesWithinWatermark("doc_id", "sh")
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("window.start").as("w_start"), col("doc_id"), col("n_hits"))
+  }
+
   /** Stateful streaming dedup: first occurrence of `keys` wins; state for
     * a key is dropped once the watermark passes it (bounded state — the
     * streaming form of F4's seen-set, extract.py:87-97).

@@ -144,6 +144,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom decon: stream output equals batch q59, row for row") {
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val evalDocs = docs.filter($"doc_id" < 50)
+    val corpus = docs.filter($"doc_id" >= 50)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.bloomDeconStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), evalDocs, delay = "10 minutes")
+      .writeStream.format("memory").queryName("t_bloom")
+      .outputMode("append").start()
+    try {
+      // feed the corpus across two micro-batches inside one event hour
+      val (b1, b2) = corpus.splitAt(corpus.length / 2)
+      ms.addData(b1.map { case (id, t) => (id, ts("2024-01-01 00:10:00"), t) }.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.map { case (id, t) => (id, ts("2024-01-01 00:40:00"), t) }.toSeq: _*)
+      q.processAllAvailable()
+      // sentinel far past the hour: advances the watermark, finalizes it
+      ms.addData((999999L, ts("2024-01-01 05:00:00"), "x"))
+      q.processAllAvailable()
+      val got = spark.table("t_bloom")
+        .select("doc_id", "n_hits").as[(Long, Long)].collect().sorted.toSeq
+      val batch = graft.queries.Catalog.queries("q59_bloom_decon")(spark, sf)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(batch.nonEmpty, "sf0.001 must produce contaminated docs")
+      assert(got === batch,
+        "the streaming twin must reproduce batch q59 exactly")
+    } finally q.stop()
+  }
+
   test("file-source streaming twin of Tables.events reads the testdata") {
     val dir = "/root/testdata/sf0.001"
     // copy events.parquet into an isolated stream dir so the file source
