@@ -3,13 +3,13 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** q68–q70 — curation + corpus-analysis signals (round 10): the three
-  * knobs a corpus build turns between "filtered" and "mixed" —
-  * source-balanced subsampling under a hard budget, collocation mining
-  * over the token stream, and a byte-level redundancy signal the n-gram
-  * quality gates can't see.
+/** q68–q71 — curation + corpus-analysis signals (round 10): the knobs a
+  * corpus build turns between "filtered" and "mixed" — source-balanced
+  * subsampling under a hard budget, collocation mining over the token
+  * stream, a byte-level redundancy signal the n-gram quality gates can't
+  * see, and the pair statistic tokenizer induction maximizes.
   *
-  * q68/q69 are oracle-gated (all arithmetic exact BIGINT — MEMORY
+  * q68/q69/q71 are oracle-gated (all arithmetic exact BIGINT — MEMORY
   * oracle-parity-trapdoors); q70 is rows-only because no SQL engine
   * exposes deflate (same declaration as q27/q35).
   */
@@ -193,5 +193,49 @@ object PackCurate {
     doc = "deflate-ratio redundancy signal (rows-only): native thread-local " +
       "zlib expression, stateless projection, no shuffle before the sort")
 
-  val all: Seq[Q] = Seq(q68, q69, q70)
+  /** q71 — BPE merge candidates (tokenizer induction, round 0): adjacent
+    * character-pair frequencies over the corpus, weighted by word
+    * occurrence — exactly the statistic byte-pair encoding maximizes to
+    * pick its first merge, and the reason a tokenizer build is a corpus
+    * job at all. Top-20 pairs, count-desc with a lexical tiebreak, so the
+    * head of the list IS the first merge an induction run would take.
+    *
+    * Scale posture: the corpus is touched by ONE aggregation — the token
+    * count (q38's shape, partial-aggregated map-side); everything after
+    * runs on the VOCAB-cardinality frame (pair explode ×(len−1), pair
+    * aggregate, TakeOrderedAndProject top-k — pinned). This is the whole
+    * trick of distributed BPE: fold the corpus to (word, count) once,
+    * then iterate merges over the vocabulary, never re-reading the
+    * corpus. Repeated pairs inside a word count once per overlap
+    * position ("aaa" → "aa" twice), matching the BPE objective.
+    */
+  private val q71 = Q(
+    "q71_bpe_pairs",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n_w"))
+      vocab
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), " +
+            "i -> concat(substring(tok, i, 1), substring(tok, i + 1, 1)))"))
+          .as("pair"), col("n_w"))
+        .groupBy("pair").agg(sum("n_w").as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair")).limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      v AS (SELECT unnest(ws) AS tok FROM t),
+      w AS (SELECT tok, count(*) AS n_w FROM v GROUP BY tok),
+      p AS (SELECT unnest(list_transform(range(1, length(tok)),
+                     i -> substr(tok, i, 1) || substr(tok, i + 1, 1))) AS pair,
+                   n_w
+            FROM w WHERE length(tok) >= 2)
+      SELECT pair, CAST(sum(n_w) AS BIGINT) AS n_pair
+      FROM p GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 20
+    """),
+    doc = "BPE first-merge candidates: corpus folds to vocab once, pair " +
+      "counting runs vocab-local, top-k via TakeOrderedAndProject")
+
+  val all: Seq[Q] = Seq(q68, q69, q70, q71)
 }

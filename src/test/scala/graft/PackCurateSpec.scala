@@ -84,6 +84,21 @@ class PackCurateSpec extends SparkSpec {
     assert(rows.sameElements(again), "signal must be bit-reproducible")
   }
 
+  test("q71: top pairs agree with an independent in-memory BPE count") {
+    val docs = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+    val counts = collection.mutable.Map.empty[String, Long]
+    docs.flatMap(_.toLowerCase.split("\\W+")).filter(_.nonEmpty).foreach { w =>
+      for (i <- 0 until w.length - 1)
+        counts(w.substring(i, i + 2)) = counts.getOrElse(w.substring(i, i + 2), 0L) + 1L
+    }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = run("q71_bpe_pairs").as[(String, Long)].collect().toSeq
+    assert(got === expect)
+    // the head of the list is the first merge a BPE run would take
+    assert(got.head._2 >= got.last._2)
+  }
+
   test("q70: repetitive text compresses far below high-entropy text") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftglue.ExprGlue

@@ -332,6 +332,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
   }
 
+  test("q71: one corpus aggregation; top-k is TakeOrderedAndProject") {
+    val p = plan("q71_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pair top-k must not global-sort:\n$p")
+    // corpus shuffles once (the token count); the pair aggregate runs on
+    // the vocab-cardinality frame — 2 hash exchanges total
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 2,
+      s"expected token-count + pair-agg exchanges only, got $exchanges:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
