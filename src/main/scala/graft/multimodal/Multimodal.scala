@@ -323,13 +323,52 @@ object Multimodal {
       .toDF("path", "features", "zcr", "decoded")
   }
 
+  /** REAL frame decode for animated GIF: the one video-ish container the
+    * JDK ships a complete codec for (LZW + palette in ImageIO's GIF
+    * reader). Every `step`-th stored frame is decoded to pixels and
+    * re-encoded PNG — downstream feature extraction gets a standalone
+    * still per frame, same contract as [[aviFrames]]'s JPEG/BMP output.
+    *
+    * Frames are decoded AS STORED: a GIF frame may be a sub-rectangle
+    * delta over the previous canvas (disposal methods); compositing to
+    * full canvases is a policy choice deliberately left to callers —
+    * for frame-level features the stored delta is the information-
+    * bearing region. Nil when the bytes are not a GIF or the reader
+    * can't open them — callers fall back, never throw.
+    */
+  def gifFrames(bytes: Array[Byte], step: Int): Seq[Array[Byte]] = {
+    if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != '8') return Nil
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return Nil
+      val r = readers.next()
+      r.setInput(in, false, true)
+      try {
+        val n = r.getNumImages(true) // allowSearch: bytes are in memory
+        val st = math.max(step, 1)
+        (0 until n by st).flatMap { i =>
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(r.read(i), "png", bos)
+            Some(bos.toByteArray)
+          } catch { case _: Exception => None } // one bad frame ≠ no video
+        }
+      } finally r.dispose()
+    } catch { case _: Exception => Nil }
+    finally in.close()
+  }
+
   /** Frame sampling for opaque "video" bytes: a RIFF AVI yields its REAL
-    * REAL frames (every `step`-th, [[aviFrames]] — MJPEG `dc` chunks as
+    * frames (every `step`-th, [[aviFrames]] — MJPEG `dc` chunks as
     * standalone JPEGs, uncompressed BI_RGB `db` chunks wrapped as valid
-    * BMPs); any other content
-    * falls back to the byte-chunk shape (every `step`-th `chunk`-byte
-    * slice) so the array<binary> column contract holds for codecs the
-    * JDK cannot open.
+    * BMPs); an animated GIF yields its REAL frames decoded through the
+    * JDK's complete GIF codec and re-encoded PNG ([[gifFrames]]); any
+    * other content falls back to the byte-chunk shape (every `step`-th
+    * `chunk`-byte slice) so the array<binary> column contract holds for
+    * codecs the JDK cannot open.
     */
   def sampleFrames(df: DataFrame, bytesCol: String, chunk: Int,
       step: Int): DataFrame = {
@@ -339,9 +378,11 @@ object Multimodal {
         greatest((length(b) / (chunk * step)).cast("int") - 1, lit(0))),
       i => b.substr(i * chunk * step + 1, lit(chunk)))
     val avi = udf((bytes: Array[Byte]) => mjpegFrames(bytes, step))
+    val gif = udf((bytes: Array[Byte]) => gifFrames(bytes, step))
     df.withColumn("frames",
       when(b.substr(1, 4) === lit("RIFF".getBytes) &&
         b.substr(9, 4) === lit("AVI ".getBytes), avi(b))
+        .when(b.substr(1, 4) === lit("GIF8".getBytes), gif(b))
         .otherwise(chunked))
   }
 }

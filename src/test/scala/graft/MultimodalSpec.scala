@@ -170,6 +170,49 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.mjpegFrames(evil, 1) // must not throw (long-math guard)
   }
 
+  test("S3: animated GIF frames decode through the JDK codec, re-encoded PNG") {
+    def frame(c: java.awt.Color): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(c); g.fillRect(0, 0, 8, 6); g.dispose()
+      img
+    }
+    // solid primaries survive GIF's palette quantization exactly
+    val colors = Seq(
+      new java.awt.Color(255, 0, 0), new java.awt.Color(0, 255, 0),
+      new java.awt.Color(0, 0, 255), new java.awt.Color(255, 255, 255))
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    colors.foreach(c => w.writeToSequence(
+      new javax.imageio.IIOImage(frame(c), null, null), null))
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val gif = bos.toByteArray
+    assert(new String(gif, 0, 4, "US-ASCII") === "GIF8")
+
+    // step=2 → stored frames 0 and 2, decoded + PNG re-encoded
+    val got = Multimodal.sampleFrames(
+      Seq(("v1", gif)).toDF("id", "content"), "content", 10, 2)
+      .select("frames").as[Seq[Array[Byte]]].head()
+    assert(got.length === 2)
+    Seq(0, 2).zip(got).foreach { case (i, png) =>
+      assert((png(0) & 0xFF) == 0x89 && png(1) == 'P', "PNG signature")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth === 8 && img.getHeight === 6)
+      assert(new java.awt.Color(img.getRGB(4, 3)) === colors(i), s"frame $i")
+    }
+    // truncations and junk return cleanly — fewer/no frames, no throw
+    (0 to gif.length by 5).foreach { n =>
+      Multimodal.gifFrames(java.util.Arrays.copyOf(gif, n), 1)
+    }
+    assert(Multimodal.gifFrames("GIF8junk-not-a-gif".getBytes, 1).isEmpty)
+    assert(Multimodal.gifFrames(Array[Byte](1, 2, 3), 1).isEmpty)
+  }
+
   test("S3: uncompressed BI_RGB AVI frames decode as real BMPs (dims, orientation, color)") {
     def chunk(id: String, data: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
