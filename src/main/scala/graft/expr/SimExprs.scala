@@ -139,6 +139,65 @@ object WordShingleStrings {
   }
 }
 
+/** `WordShingleSeq(words, k)` — ALL k-word windows in positional order,
+  * duplicates kept: element i is the shingle starting at token i. The
+  * positional twin of [[WordShingleStrings]] for operators that need the
+  * shingle's OFFSET (contamination span reporting: a `posexplode` over
+  * this array yields (position, shingle) pairs) — the distinct form
+  * destroys exactly the information those operators aggregate.
+  */
+case class WordShingleSeq(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_shingle_seq"
+
+  override protected def nullSafeEval(a: Any): Any =
+    WordShingleSeq.compute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.WordShingleSeq.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleSeq {
+  def compute(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val w = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      w(i) = if (words.isNullAt(i)) "" else words.getUTF8String(i).toString
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** `MinHashSigs(shingles, perms)` — the MinHash signature: for each of
   * `perms` seeded 64-bit mixes, the minimum over the shingle set. One pass
   * over the input computes every permutation's minimum; the composable form

@@ -152,5 +152,78 @@ object PackDecon {
     doc = "deterministic hash split: md5 hex buckets, stateless and " +
       "stable across corpus rebuilds")
 
-  val all: Seq[Q] = Seq(q59, q60)
+  /** q72 — contamination SPAN report: for every (corpus doc, eval doc)
+    * pair sharing ≥ 3 5-gram shingles, the total shared-shingle count AND
+    * the longest run of CONSECUTIVE shared positions, reported as a token
+    * span — the difference between "this doc brushed the eval set" (q40/
+    * q59's per-doc hit count) and "this doc contains a verbatim 60-token
+    * copy of eval item 17", which is what a decontamination review
+    * actually adjudicates. Run detection is the islands-and-gaps device:
+    * within a pair, `pos − row_number(order by pos)` is constant exactly
+    * on consecutive-position runs.
+    *
+    * Scale posture: q40's — the eval side distinct-compresses and
+    * broadcasts; the corpus streams through the broadcast-hash join with
+    * no corpus-side shuffle before the (doc, eval) aggregation, whose
+    * key cardinality is bounded by actual contamination (matched pairs),
+    * not corpus size. The positional shingle array is ONE native pass
+    * ([[graft.expr.WordShingleSeq]] — the distinct form destroys the
+    * offsets this operator exists to aggregate); the islands window
+    * partitions by (doc, eval) pair — matched positions per pair, never
+    * a corpus-wide window.
+    */
+  private val q72 = Q(
+    "q72_contam_span",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.graftglue.ExprGlue
+      def toksOf = filter(split(lower(col("text")), "\\W+"),
+        t => length(t) > 0)
+      val shingled = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(ExprGlue.column(graft.expr.WordShingleSeq(
+            ExprGlue.expression(toksOf), 5))).as(Seq("pos", "sh")))
+      val eval = shingled.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("eval_id"), col("sh")).distinct()
+      val corpus = shingled.filter(col("doc_id") >= 50)
+      corpus.join(broadcast(eval), Seq("sh"))
+        .select(col("doc_id"), col("eval_id"), col("pos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id", "eval_id").orderBy("pos")))
+        .withColumn("grp", col("pos") - col("rn"))
+        .groupBy("doc_id", "eval_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("doc_id", "eval_id")
+        .agg(sum("len").as("n_shared"), (max("len") + 4).as("span_tokens"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("doc_id", "eval_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+               unnest(range(1, len(ws) - 3)) AS pos,
+               unnest(list_transform(range(1, len(ws) - 3),
+                 i -> array_to_string(ws[i:i+4], ' '))) AS sh
+        FROM w WHERE len(ws) >= 5),
+      e AS (SELECT DISTINCT doc_id AS eval_id, sh FROM p WHERE doc_id < 50),
+      m AS (SELECT c.doc_id, e.eval_id, c.pos
+            FROM p c JOIN e USING (sh) WHERE c.doc_id >= 50),
+      r AS (SELECT doc_id, eval_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id, eval_id
+                                            ORDER BY pos) AS grp
+            FROM m),
+      g AS (SELECT doc_id, eval_id, grp, count(*) AS len
+            FROM r GROUP BY 1, 2, 3)
+      SELECT doc_id, eval_id, CAST(sum(len) AS BIGINT) AS n_shared,
+             CAST(max(len) + 4 AS BIGINT) AS span_tokens
+      FROM g GROUP BY 1, 2 HAVING sum(len) >= 3
+      ORDER BY doc_id, eval_id
+    """),
+    doc = "contamination spans per (corpus, eval) pair: shared 5-gram " +
+      "count + longest consecutive run as a token span")
+
+  val all: Seq[Q] = Seq(q59, q60, q72)
 }

@@ -169,27 +169,32 @@ object PackFingerprint {
     * plan branches read it, and at 100 TB it is ~20 longs per document —
     * two orders smaller than the corpus it summarizes.
     */
+  /** The q67 candidate frame (unsorted): shared by q67 (which sorts and
+    * returns it) and q73 (which verifies each candidate exactly).
+    */
+  private def candidates(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftglue.ExprGlue
+    val fps = graft.ops.CacheScope.persisted(
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"),
+          explode(ExprGlue.column(graft.expr.WinnowFingerprint(
+            ExprGlue.expression(col("ws"))))).as("fp")))
+    val stop = fps.groupBy("fp").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= 20)
+    val keep = fps.join(stop.select("fp"), Seq("fp"), "left_semi")
+    val a = keep.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = keep.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
   private val q67 = Q(
     "q67_fp_candidates",
-    (s, d) => {
-      import org.apache.spark.sql.graftglue.ExprGlue
-      val fps = graft.ops.CacheScope.persisted(
-        Tables.documents(s, d)
-          .select(col("doc_id"), toks.as("ws"))
-          .filter(size(col("ws")) >= 8)
-          .select(col("doc_id"),
-            explode(ExprGlue.column(graft.expr.WinnowFingerprint(
-              ExprGlue.expression(col("ws"))))).as("fp")))
-      val stop = fps.groupBy("fp").agg(count(lit(1)).as("dfreq"))
-        .filter(col("dfreq") <= 20)
-      val keep = fps.join(stop.select("fp"), Seq("fp"), "left_semi")
-      val a = keep.select(col("fp"), col("doc_id").as("doc_a"))
-      val b = keep.select(col("fp"), col("doc_id").as("doc_b"))
-      a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, d) => candidates(s, d).orderBy("doc_a", "doc_b"),
     Some(s"""
       WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
       h AS (SELECT doc_id,
@@ -217,5 +222,84 @@ object PackFingerprint {
     doc = "near-dup candidate pairs from winnow fingerprints: stop-fp df " +
       "cap bounds the self-join fan-out; >= 2 shared fps per pair")
 
-  val all: Seq[Q] = Seq(q65, q66, q67)
+  /** q73 — exact verification of q67's candidates: per candidate pair,
+    * the TRUE word-4-gram Jaccard (distinct shingle sets, exact integer
+    * basis points) — the "verify" half of the candidate→verify contract
+    * every sketch-based dedup pipeline ends with (q27/q67 generate
+    * cheaply and may admit false positives; a drop decision needs the
+    * real resemblance, computed ONLY for candidates — never all pairs).
+    *
+    * Scale posture: the candidate frame is orders smaller than the
+    * corpus (bounded by q67's df cap), so the two text-fetch joins stay
+    * broadcast-hash (the planner picks the smaller side from stats —
+    * candidates at corpus scale; at test scale it inverts, same plan
+    * class either way, never a cartesian) and the per-pair intersection
+    * is one native expression over the two shingle arrays
+    * ([[graft.expr.ArrayIntersectCount]]) — ~doc-sized work per
+    * CANDIDATE, not per pair of documents.
+    */
+  private val q73 = Q(
+    "q73_candidate_verify",
+    (s, d) => {
+      import org.apache.spark.sql.graftglue.ExprGlue
+      def g4 = ExprGlue.column(graft.expr.WordShingleStrings(
+        ExprGlue.expression(toks), 4))
+      val sets = Tables.documents(s, d).select(col("doc_id"), g4.as("g"))
+      candidates(s, d)
+        .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")),
+          Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          ExprGlue.column(graft.expr.ArrayIntersectCount(
+            ExprGlue.expression(col("ga")), ExprGlue.expression(col("gb"))))
+            .cast("bigint").as("n_common"),
+          (size(col("ga")) + size(col("gb"))).cast("bigint").as("sz"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_common"),
+          (col("sz") - col("n_common")).as("n_union"),
+          expr("n_common * 10000 div (sz - n_common)").as("jaccard_bp"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      h AS (SELECT doc_id,
+              list_transform(ws, tok ->
+                CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1),
+                  i -> ascii(substr(tok, i, 1)) * $PowSql[i])) % 1048573 AS BIGINT)) AS th
+            FROM t WHERE len(ws) >= 8),
+      g AS (SELECT doc_id,
+              list_transform(range(1, len(th) - 2), i ->
+                ((((th[i] * 1000003 + th[i + 1]) % 2147483647)
+                   * 1000003 + th[i + 2]) % 2147483647
+                   * 1000003 + th[i + 3]) % 2147483647) AS gh
+            FROM h),
+      w AS (SELECT doc_id, CAST(unnest(list_distinct(list_transform(range(5, len(gh) + 1),
+              j -> list_aggregate(gh[j-4:j], 'min')))) AS BIGINT) AS fp
+            FROM g),
+      df AS (SELECT fp FROM w GROUP BY fp HAVING count(*) <= 20),
+      keep AS (SELECT w.doc_id, w.fp FROM w JOIN df USING (fp)),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+                FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+      s4 AS (SELECT doc_id,
+               CASE WHEN len(ws) >= 4
+                 THEN list_distinct(list_transform(range(1, len(ws) - 2),
+                   i -> array_to_string(ws[i:i+3], ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END AS g
+             FROM t)
+      SELECT p.doc_a, p.doc_b, p.n_shared,
+             CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_common,
+             CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS BIGINT) AS n_union,
+             CAST(len(list_intersect(a.g, b.g)) * 10000
+                  // (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS BIGINT) AS jaccard_bp
+      FROM pairs p
+      JOIN s4 a ON a.doc_id = p.doc_a
+      JOIN s4 b ON b.doc_id = p.doc_b
+      ORDER BY p.doc_a, p.doc_b
+    """),
+    doc = "exact 4-gram Jaccard for q67's candidate pairs only — the " +
+      "verify half of sketch-candidate dedup; candidates broadcast, " +
+      "corpus never shuffles")
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q73)
 }

@@ -45,6 +45,39 @@ class PackDeconSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("q72: spans agree with an independent in-memory recount") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Seq[String] = {
+      val ws = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      if (ws.length < 5) Nil else ws.sliding(5).map(_.mkString(" ")).toSeq
+    }
+    val evalSet = docs.filter(_._1 < 50)
+      .flatMap { case (id, t) => shingles(t).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    docs.filter(_._1 >= 50).foreach { case (cid, t) =>
+      val matches = shingles(t).zipWithIndex.flatMap { case (sh, pos) =>
+        evalSet.getOrElse(sh, Set.empty).map(eid => (eid, pos)) }
+      matches.groupBy(_._1).foreach { case (eid, ps) =>
+        val positions = ps.map(_._2).distinct.sorted
+        // longest consecutive run, directly
+        var best = 0; var cur = 0; var prev = Int.MinValue
+        positions.foreach { p =>
+          cur = if (p == prev + 1) cur + 1 else 1
+          best = math.max(best, cur); prev = p
+        }
+        if (positions.length >= 3)
+          expect((cid, eid)) = (positions.length.toLong, best.toLong + 4L)
+      }
+    }
+    val got = run("q72_contam_span")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got === expect.toMap)
+    assert(got.nonEmpty, "sf0.001 must contain contaminated spans")
+  }
+
   test("q60: every doc lands in exactly one split, roughly 80/10/10") {
     val rows = run("q60_split_assign").as[(Long, String)].collect()
     val n = Tables.documents(spark, sf).count()

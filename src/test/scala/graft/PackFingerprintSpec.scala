@@ -121,4 +121,29 @@ class PackFingerprintSpec extends SparkSpec {
     assert(n <= shared,
       s"pair ($a,$b) claims $n shared fps but the docs share only $shared")
   }
+
+  test("q73: exact Jaccard agrees with an in-memory recount per candidate") {
+    val texts = queries.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def g4(t: String): Set[String] = {
+      val ws = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      if (ws.length < 4) Set.empty
+      else ws.sliding(4).map(_.mkString(" ")).toSet
+    }
+    val rows = Catalog.queries("q73_candidate_verify")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    graft.ops.CacheScope.drain()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, _, nc, nu, bp) =>
+      val (ga, gb) = (g4(texts(a)), g4(texts(b)))
+      val inter = ga.intersect(gb).size.toLong
+      val union = (ga.size + gb.size).toLong - inter
+      assert(nc === inter, s"pair ($a,$b) n_common")
+      assert(nu === union, s"pair ($a,$b) n_union")
+      assert(bp === inter * 10000L / union, s"pair ($a,$b) jaccard_bp")
+    }
+    // candidates generated by the sketch, verified exactly: the verify
+    // column is what a drop decision thresholds on
+    assert(rows.map(_._6).max <= 10000L)
+  }
 }

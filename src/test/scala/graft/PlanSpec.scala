@@ -343,6 +343,34 @@ class PlanSpec extends SparkSpec {
       s"expected token-count + pair-agg exchanges only, got $exchanges:\n$p")
   }
 
+  test("q72: eval side broadcasts; ONE corpus exchange feeds window + both aggs") {
+    val p = plan("q72_contam_span")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the distinct eval shingles must broadcast (q40's posture):\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("word_shingle_seq"),
+      s"positional shingling must be the native one-pass expression:\n$p")
+    // the corpus path shuffles ONCE on (doc_id, eval_id): the islands
+    // window's exchange satisfies both downstream aggregations (their
+    // keys are supersets/equal — ClusteredDistribution reuse)
+    val corpusEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id"))
+    assert(corpusEx === 1,
+      s"window + aggs must ride one corpus exchange, got $corpusEx:\n$p")
+  }
+
+  test("q73: candidate verify reuses the cached fp frame, no cartesian") {
+    val p = plan("q73_candidate_verify")
+    try {
+      assert(p.contains("InMemoryRelation"),
+        s"candidates must come from the scope-cached fp frame:\n$p")
+      assert(p.contains("array_intersect_count"),
+        s"the per-pair intersection must be the native expression:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"verification must touch candidates only:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
