@@ -126,4 +126,54 @@ class StreamRestartSpec extends SparkSpec {
     assert(got === Seq((7L, 3), (8L, 1)),
       s"stale update must stay suppressed across restart: $got")
   }
+
+  test("bloom-decon dedup state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val evalDocs = docs.filter(col("doc_id") < 50)
+    val batch = graft.queries.Catalog.queries("q59_bloom_decon")(spark, sf)
+      .as[(Long, Long)].collect()
+    val (cid, expected) = (batch.head._1, batch.head._2)
+    val text = docs.filter(col("doc_id") === cid)
+      .select("text").as[String].head()
+
+    val in = Files.createTempDirectory("bd-in").toString
+    val out = Files.createTempDirectory("bd-out").toString
+    val ckpt = Files.createTempDirectory("bd-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def startQuery() = StreamOps.bloomDeconStream(
+      spark.readStream.schema(schema).parquet(in), evalDocs)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    // run 1: the contaminated doc arrives once
+    Seq((cid, ts("2024-01-01 00:10:00"), text))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2: the SAME doc replays (same shingles, same hour) — dropping
+    // the duplicates requires the (doc, shingle) dedup state recovered
+    // from the checkpoint; the far-future sentinel finalizes the window
+    Seq((cid, ts("2024-01-01 00:20:00"), text),
+      (999999L, ts("2024-01-01 05:00:00"), "x"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .filter(col("doc_id") === cid)
+      .select("n_hits").as[Long].collect().toSeq
+    assert(got === Seq(expected),
+      s"replayed shingles must dedup against recovered state " +
+        s"(expected one row of $expected, got $got)")
+  }
 }
