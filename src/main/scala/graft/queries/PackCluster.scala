@@ -165,5 +165,113 @@ object PackCluster {
     doc = "global-threshold quality gate: 1-row percentile agg broadcast " +
       "back as the row filter (approx_percentile is the 100 TB swap-in)")
 
-  val all: Seq[Q] = Seq(q56, q57)
+  /** q74 — product quantization: split each 64-dim embedding into 4
+    * subspaces of 16 dims, learn a tiny per-subspace codebook (one Lloyd
+    * iteration from deterministic seeds — q56's machinery, keyed by
+    * subspace), and encode every vector as 4 code ids plus its total
+    * quantization distortion. PQ is the MEMORY side of ANN at scale:
+    * 64 floats become S small ints per vector (here 4×2 bits of id
+    * space; production = 8–16 subspaces × 256 codes = 8–16 bytes), so
+    * the billion-vector index fits in RAM and IVF (q33) search scans
+    * codes, reconstructing distances from per-query lookup tables.
+    *
+    * Scale posture: codebooks are S·K tiny rows broadcast to a
+    * subspace-keyed join (the embeddings never shuffle for them); the
+    * per-(vector, subspace) argmin is the map-side-combined
+    * `min(struct)` — the assignment shuffle carries S rows per vector;
+    * the codebook update is bounded at S·K·subdim cells per map
+    * partition. All arithmetic integer milli-units — every distance an
+    * exact BIGINT, ties to the smaller code id (q56's parity contract).
+    */
+  private val S = 4       // subspaces
+  private val SubDim = 16 // dims per subspace (64 / S)
+  private val PQK = 4     // codes per subspace
+
+  private val q74 = Q(
+    "q74_pq_encode",
+    (s, d) => {
+      val q = quantized(s, d)
+      val sub = q.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${S - 1}), " +
+          s"s -> struct(s as sub, slice(v, s * $SubDim + 1, $SubDim) as sv))"))
+        .as("e"))
+        .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      val c0 = sub.filter(col("vec_id") < PQK)
+        .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+      def assignSub(c: DataFrame): DataFrame =
+        sub.join(broadcast(c), Seq("sub"))
+          .select(col("vec_id"), col("sub"), col("cid"),
+            aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("d"))
+          .groupBy("vec_id", "sub")
+          .agg(min(struct(col("d"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("sub"),
+            col("m.cid").as("cid"), col("m.d").as("d"))
+      val c1 = assignSub(c0).join(sub, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("sub", "cid", "i").agg(avg("x").as("av"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("av")))),
+          t => round(t("av")).cast("long")).as("cv"))
+      assignSub(c1).groupBy("vec_id")
+        .agg(
+          max(when(col("sub") === 0, col("cid"))).as("code0"),
+          max(when(col("sub") === 1, col("cid"))).as("code1"),
+          max(when(col("sub") === 2, col("cid"))).as("code2"),
+          max(when(col("sub") === 3, col("cid"))).as("code3"),
+          sum("d").as("distortion"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, s.s AS sub,
+               v[s.s * $SubDim + 1 : s.s * $SubDim + $SubDim] AS sv
+        FROM q CROSS JOIN generate_series(0, ${S - 1}) s(s)),
+      c0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PQK),
+      d1 AS (
+        SELECT t.vec_id, t.sub, c.cid,
+               sum((t.sv[g.i] - c.cv[g.i]) * (t.sv[g.i] - c.cv[g.i])) AS d
+        FROM sub t JOIN c0 c USING (sub)
+        CROSS JOIN generate_series(1, $SubDim) g(i)
+        GROUP BY 1, 2, 3),
+      a1 AS (
+        SELECT vec_id, sub, cid, d FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY d, cid) rn FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT sub, cid, list(CAST(round(av) AS BIGINT) ORDER BY i) AS cv
+        FROM (SELECT a1.sub, a1.cid, g.i, avg(t.sv[g.i]) AS av
+              FROM a1 JOIN sub t USING (vec_id, sub)
+              CROSS JOIN generate_series(1, $SubDim) g(i)
+              GROUP BY 1, 2, 3)
+        GROUP BY sub, cid),
+      d2 AS (
+        SELECT t.vec_id, t.sub, c.cid,
+               sum((t.sv[g.i] - c.cv[g.i]) * (t.sv[g.i] - c.cv[g.i])) AS d
+        FROM sub t JOIN c1 c USING (sub)
+        CROSS JOIN generate_series(1, $SubDim) g(i)
+        GROUP BY 1, 2, 3),
+      a2 AS (
+        SELECT vec_id, sub, cid, d FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY d, cid) rn FROM d2)
+        WHERE rn = 1)
+      SELECT vec_id,
+             max(CASE WHEN sub = 0 THEN cid END) AS code0,
+             max(CASE WHEN sub = 1 THEN cid END) AS code1,
+             max(CASE WHEN sub = 2 THEN cid END) AS code2,
+             max(CASE WHEN sub = 3 THEN cid END) AS code3,
+             CAST(sum(d) AS BIGINT) AS distortion
+      FROM a2 GROUP BY vec_id ORDER BY vec_id
+    """),
+    doc = "product quantization: per-subspace codebooks (broadcast), " +
+      "4 code ids + exact distortion per vector — ANN memory compression")
+
+  val all: Seq[Q] = Seq(q56, q57, q74)
 }

@@ -88,4 +88,34 @@ class PackClusterSpec extends SparkSpec {
         s"doc $id (score $sc) dropped but inside the kept band [$lo, $hi]")
     }
   }
+
+  test("q74: codes in range, one row per vector, Lloyd step reduced distortion") {
+    val rows = run("q74_pq_encode")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong === nVec)
+    rows.foreach { case (id, c0, c1, c2, c3, dist) =>
+      Seq(c0, c1, c2, c3).foreach(c => assert(c >= 0 && c < 4, s"vec $id"))
+      assert(dist >= 0, s"vec $id")
+    }
+    // one Lloyd iteration must not increase total distortion vs assigning
+    // straight to the seed codebook (recomputed independently in memory)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val seedTotal = vecs.iterator.map { case (_, v) =>
+      (0 until 4).map { s =>
+        val sv = v.slice(s * 16, s * 16 + 16)
+        (0L until 4L).map { cid =>
+          val cv = vecs(cid).slice(s * 16, s * 16 + 16)
+          sv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.min
+      }.sum
+    }.sum
+    val learnedTotal = rows.map(_._6).sum
+    assert(learnedTotal <= seedTotal,
+      s"Lloyd update worsened total distortion: $learnedTotal > $seedTotal")
+  }
 }

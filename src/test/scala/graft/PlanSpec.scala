@@ -371,6 +371,13 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q74: codebooks broadcast to the subspace join; never SMJ/cartesian") {
+    val p = plan("q74_pq_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the S·K codebook must broadcast (embeddings never reshuffle):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
