@@ -187,33 +187,47 @@ object PackCluster {
   private val SubDim = 16 // dims per subspace (64 / S)
   private val PQK = 4     // codes per subspace
 
+  /** Per-(vector, subspace) slices of the quantized embeddings. */
+  private def subVectors(s: org.apache.spark.sql.SparkSession, d: String) =
+    quantized(s, d).select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${S - 1}), " +
+        s"s -> struct(s as sub, slice(v, s * $SubDim + 1, $SubDim) as sv))"))
+      .as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  /** Nearest codeword per (vector, subspace) against codebook `c`. */
+  private def assignSub(sub: DataFrame, c: DataFrame): DataFrame =
+    sub.join(broadcast(c), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+        col("m.cid").as("cid"), col("m.d").as("d"))
+
+  /** The learned per-subspace codebook (seeds → one Lloyd update) and
+    * the final per-(vector, subspace) code assignment — shared by q74
+    * (encode) and q75 (ADC search over the codes).
+    */
+  private def pqModel(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val sub = subVectors(s, d)
+    val c0 = sub.filter(col("vec_id") < PQK)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+    val c1 = assignSub(sub, c0).join(sub, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy("sub", "cid", "i").agg(avg("x").as("av"))
+      .groupBy("sub", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("av")))),
+        t => round(t("av")).cast("long")).as("cv"))
+    (c1, assignSub(sub, c1))
+  }
+
   private val q74 = Q(
     "q74_pq_encode",
     (s, d) => {
-      val q = quantized(s, d)
-      val sub = q.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${S - 1}), " +
-          s"s -> struct(s as sub, slice(v, s * $SubDim + 1, $SubDim) as sv))"))
-        .as("e"))
-        .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-      val c0 = sub.filter(col("vec_id") < PQK)
-        .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
-      def assignSub(c: DataFrame): DataFrame =
-        sub.join(broadcast(c), Seq("sub"))
-          .select(col("vec_id"), col("sub"), col("cid"),
-            aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x).as("d"))
-          .groupBy("vec_id", "sub")
-          .agg(min(struct(col("d"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("sub"),
-            col("m.cid").as("cid"), col("m.d").as("d"))
-      val c1 = assignSub(c0).join(sub, Seq("vec_id", "sub"))
-        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("i", "x")))
-        .groupBy("sub", "cid", "i").agg(avg("x").as("av"))
-        .groupBy("sub", "cid")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("av")))),
-          t => round(t("av")).cast("long")).as("cv"))
-      assignSub(c1).groupBy("vec_id")
+      pqModel(s, d)._2.groupBy("vec_id")
         .agg(
           max(when(col("sub") === 0, col("cid"))).as("code0"),
           max(when(col("sub") === 1, col("cid"))).as("code1"),
@@ -273,5 +287,107 @@ object PackCluster {
     doc = "product quantization: per-subspace codebooks (broadcast), " +
       "4 code ids + exact distortion per vector — ANN memory compression")
 
-  val all: Seq[Q] = Seq(q56, q57, q74)
+  /** q75 — asymmetric-distance PQ search: top-3 neighbors per query
+    * over the CODES q74 produced, never the raw vectors — the read path
+    * that justifies PQ's existence. Per query: a lookup table of exact
+    * partial distances to every codeword (S·K cells), then each database
+    * vector's approximate distance is S table lookups summed — the ADC
+    * estimate of Jégou et al.'s PQ paper, here in exact integer
+    * milli-units so the oracle matches bit for bit.
+    *
+    * Scale posture: the LUT frame is queries × S·K rows — broadcast;
+    * the database side touches only the CODE frame (S small ints per
+    * vector, the 100 TB point: distance evaluation never re-reads the
+    * 64-dim floats); per-query top-3 is rank-limited below the exchange
+    * (WindowGroupLimit, pinned). Queries here are the 5 held-out lowest
+    * ids; the database is everything else.
+    */
+  private val NQ = 5 // query vectors (held out of the database side)
+
+  private val q75 = Q(
+    "q75_pq_search",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (c1, a2) = pqModel(s, d)
+      val lut = subVectors(s, d).filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("sub"), col("sv"))
+        .join(broadcast(c1), Seq("sub"))
+        .select(col("q_id"), col("sub"), col("cid"),
+          aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("pd"))
+      a2.filter(col("vec_id") >= NQ)
+        .select(col("vec_id"), col("sub"), col("cid"))
+        .join(broadcast(lut), Seq("sub", "cid"))
+        .groupBy("q_id", "vec_id").agg(sum("pd").as("adist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("adist"))
+        .orderBy("q_id", "rk")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, s.s AS sub,
+               v[s.s * $SubDim + 1 : s.s * $SubDim + $SubDim] AS sv
+        FROM q CROSS JOIN generate_series(0, ${S - 1}) s(s)),
+      c0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PQK),
+      d1 AS (
+        SELECT t.vec_id, t.sub, c.cid,
+               sum((t.sv[g.i] - c.cv[g.i]) * (t.sv[g.i] - c.cv[g.i])) AS d
+        FROM sub t JOIN c0 c USING (sub)
+        CROSS JOIN generate_series(1, $SubDim) g(i)
+        GROUP BY 1, 2, 3),
+      a1 AS (
+        SELECT vec_id, sub, cid, d FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY d, cid) rn FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT sub, cid, list(CAST(round(av) AS BIGINT) ORDER BY i) AS cv
+        FROM (SELECT a1.sub, a1.cid, g.i, avg(t.sv[g.i]) AS av
+              FROM a1 JOIN sub t USING (vec_id, sub)
+              CROSS JOIN generate_series(1, $SubDim) g(i)
+              GROUP BY 1, 2, 3)
+        GROUP BY sub, cid),
+      d2 AS (
+        SELECT t.vec_id, t.sub, c.cid,
+               sum((t.sv[g.i] - c.cv[g.i]) * (t.sv[g.i] - c.cv[g.i])) AS d
+        FROM sub t JOIN c1 c USING (sub)
+        CROSS JOIN generate_series(1, $SubDim) g(i)
+        GROUP BY 1, 2, 3),
+      a2 AS (
+        SELECT vec_id, sub, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY d, cid) rn FROM d2)
+        WHERE rn = 1),
+      lut AS (
+        SELECT t.vec_id AS q_id, t.sub, c.cid,
+               sum((t.sv[g.i] - c.cv[g.i]) * (t.sv[g.i] - c.cv[g.i])) AS pd
+        FROM sub t JOIN c1 c USING (sub)
+        CROSS JOIN generate_series(1, $SubDim) g(i)
+        WHERE t.vec_id < $NQ
+        GROUP BY 1, 2, 3),
+      adc AS (
+        SELECT l.q_id, a.vec_id, sum(l.pd) AS adist
+        FROM a2 a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+        WHERE a.vec_id >= $NQ
+        GROUP BY 1, 2),
+      r AS (
+        SELECT q_id, vec_id, adist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adist, vec_id) AS rk
+        FROM adc)
+      SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, CAST(adist AS BIGINT) AS adist
+      FROM r WHERE rk <= 3 ORDER BY q_id, rk
+    """),
+    doc = "PQ ADC search: per-query codeword lookup tables broadcast " +
+      "over the code frame; top-3 via WindowGroupLimit — distance " +
+      "evaluation never re-reads the raw vectors")
+
+  val all: Seq[Q] = Seq(q56, q57, q74, q75)
 }

@@ -118,4 +118,30 @@ class PackClusterSpec extends SparkSpec {
     assert(learnedTotal <= seedTotal,
       s"Lloyd update worsened total distortion: $learnedTotal > $seedTotal")
   }
+
+  test("q75: dense top-3 per query; ADC results are genuinely near") {
+    val rows = run("q75_pq_search")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(rows.length === 15) // 5 queries x top-3
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1, 2, 3), s"query $q")
+      assert(rs.forall(_._3 >= 5), s"query $q matched a held-out query vec")
+    }
+    // recall sanity: the ADC top-1's TRUE distance beats the median true
+    // distance — the approximation must actually find near vectors, not
+    // just rank consistently
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def trueDist(a: Long, b: Long): Long =
+      vecs(a).zip(vecs(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.filter(_._2 == 1).foreach { case (q, _, top1, _) =>
+      val dists = vecs.keys.filter(_ >= 5).map(trueDist(q, _)).toSeq.sorted
+      val median = dists(dists.length / 2)
+      assert(trueDist(q, top1) < median,
+        s"query $q: ADC top-1 ($top1) no better than median true distance")
+    }
+  }
 }

@@ -378,6 +378,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q75: LUT broadcasts over the code frame; per-query top-3 rank-limits") {
+    val p = plan("q75_pq_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the queries x S·K lookup table must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-3 must rank-limit below the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
