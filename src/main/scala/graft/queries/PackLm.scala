@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** q76–q77 — statistical-LM corpus machinery (round 10): the n-gram
+  * count tables a Kneser–Ney language model trains from, and the
+  * bigram-probability fluency score that statistical LMs contribute to
+  * quality filtering (the CCNet-family device: score documents by how
+  * probable their token sequences are under a model trained on the
+  * corpus itself — improbable sequences flag gibberish, shuffled text,
+  * and OCR noise that per-doc heuristics (q30) and repetition counters
+  * (q51) both miss).
+  *
+  * Both oracle-gated; every probability is an exact integer basis-point
+  * ratio (MEMORY oracle-parity-trapdoors — no log/float in the gate).
+  */
+object PackLm {
+
+  /** Shared tokenizer — identical to q38/q40/q48's (parity proven there). */
+  private def toks = filter(split(lower(col("text")), "\\W+"),
+    t => length(t) > 0)
+
+  /** Per-document bigram stream: one HOF pass per row, exploded. */
+  private def bigrams(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** q76 — Kneser–Ney count tables: for the corpus's top-30 bigrams (by
+    * raw count, lexical tiebreak), the four statistics KN smoothing
+    * interpolates — the raw bigram count c(w1,w2), the predecessor
+    * total c(w1,·), and the CONTINUATION counts N1+(·,w2) (distinct
+    * predecessors of w2) and N1+(w1,·) (distinct successors of w1).
+    * Continuation counting is the KN insight — "how many contexts does
+    * this word complete" — and is precisely a distinct-count
+    * aggregation, which is why n-gram LM training was the canonical
+    * MapReduce job a decade before neural LMs.
+    *
+    * Scale posture: the corpus folds ONCE to the bigram frame (one
+    * shuffle on (w1, w2), partial-aggregated map-side); the predecessor
+    * totals and both continuation tables are VOCAB-cardinality
+    * aggregations over that frame, broadcast back onto the top-k. The
+    * top-30 is TakeOrderedAndProject (pinned). At 100 TB the bigram
+    * frame is the thing you shard (hash by (w1, w2) is uniform —
+    * Zipf skew lives in the COUNTS, not the keys).
+    */
+  private val q76 = Q(
+    "q76_kn_counts",
+    (s, d) => {
+      val b = graft.ops.CacheScope.persisted(
+        bigrams(s, d).select("w1", "w2"))
+      val big = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val pred = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val contW2 = b.groupBy("w2").agg(countDistinct("w1").as("n_cont"))
+      val succW1 = b.groupBy("w1").agg(countDistinct("w2").as("n_succ"))
+      big
+        .join(broadcast(pred), Seq("w1"))
+        .join(broadcast(contW2), Seq("w2"))
+        .join(broadcast(succW1), Seq("w1"))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("n_cont"), col("n_succ"))
+        .orderBy(col("c12").desc, col("w1"), col("w2")).limit(30)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      b AS (SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+            FROM t WHERE len(ws) >= 2),
+      big AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+      pred AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+      cont AS (SELECT w2, count(DISTINCT w1) AS n_cont FROM b GROUP BY 1),
+      succ AS (SELECT w1, count(DISTINCT w2) AS n_succ FROM b GROUP BY 1)
+      SELECT big.w1, big.w2, big.c12, pred.c1, cont.n_cont, succ.n_succ
+      FROM big
+      JOIN pred USING (w1) JOIN cont USING (w2) JOIN succ USING (w1)
+      ORDER BY c12 DESC, w1, w2 LIMIT 30
+    """),
+    doc = "Kneser-Ney count tables: bigram counts + predecessor totals + " +
+      "both continuation counts; corpus folds once, rest is vocab-local")
+
+  /** q77 — bigram-LM fluency score: train the maximum-likelihood bigram
+    * model on the corpus itself (p(w2|w1) = c(w1,w2)/c(w1,·), in exact
+    * basis points), then score every document by its MEAN bigram
+    * probability — integer throughout, so the oracle is bit-exact where
+    * a log-perplexity would not be (the mean-prob ORDER is what the
+    * bottom-decile cut consumes, and monotonicity is all a filter
+    * needs). Self-trained ⇒ the model join always hits; a doc full of
+    * common transitions scores high, shuffled or noisy text scores low.
+    *
+    * Scale posture: two aggregations over the bigram frame build the
+    * model (same fold as q76); scoring joins the corpus's bigram stream
+    * to the model on (w1, w2) — vocab²-bounded build side, the
+    * planner's broadcast-vs-shuffle choice is stats-driven (at 100 TB:
+    * prune the model to top-M rows + a backoff constant, same plan).
+    * The per-doc mean rides the doc_id aggregation the output sort
+    * needs anyway.
+    */
+  private val q77 = Q(
+    "q77_lm_score",
+    (s, d) => {
+      val docBi = graft.ops.CacheScope.persisted(bigrams(s, d))
+      val big = docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val pred = docBi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val model = big.join(broadcast(pred), Seq("w1"))
+        .select(col("w1"), col("w2"),
+          expr("c12 * 10000 div c1").as("p_bp"))
+      docBi.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_bp) div count(1)").as("score_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      b AS (SELECT doc_id,
+                   unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+            FROM t WHERE len(ws) >= 2),
+      big AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+      pred AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+      m AS (SELECT big.w1, big.w2, big.c12 * 10000 // pred.c1 AS p_bp
+            FROM big JOIN pred USING (w1))
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             CAST(sum(m.p_bp) // count(*) AS BIGINT) AS score_bp
+      FROM b JOIN m USING (w1, w2)
+      GROUP BY b.doc_id ORDER BY b.doc_id
+    """),
+    doc = "bigram-LM fluency score: self-trained ML model in integer bp, " +
+      "per-doc mean bigram probability — the perplexity-proxy quality gate")
+
+  val all: Seq[Q] = Seq(q76, q77)
+}

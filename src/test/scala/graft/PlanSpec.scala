@@ -387,6 +387,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q76: one cached bigram fold; top-30 is TakeOrderedAndProject") {
+    val p = plan("q76_kn_counts")
+    try {
+      assert(p.contains("InMemoryRelation"),
+        s"the bigram frame must be scope-cached (4 aggregations read it):\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"the top-30 must not global-sort:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q77: model joins stay hash joins over the cached bigram stream") {
+    val p = plan("q77_lm_score")
+    try {
+      assert(p.contains("InMemoryRelation"),
+        s"model training and scoring must share one bigram fold:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
