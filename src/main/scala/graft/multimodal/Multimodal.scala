@@ -339,9 +339,16 @@ object Multimodal {
   def gifFrames(bytes: Array[Byte], step: Int): Seq[Array[Byte]] = {
     if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'I' ||
       bytes(2) != 'F' || bytes(3) != '8') return Nil
-    val in = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    // createImageInputStream sits INSIDE the try: with the default
+    // ImageIO file cache it creates a temp file and throws when tmpdir
+    // is unwritable/full (a real executor-container condition), and it
+    // can return null when no SPI matches — both must fall back to Nil,
+    // not fail the scan stage
+    var in: javax.imageio.stream.ImageInputStream = null
     try {
+      in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (in == null) return Nil
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (!readers.hasNext) return Nil
       val r = readers.next()
@@ -358,7 +365,9 @@ object Multimodal {
         }
       } finally r.dispose()
     } catch { case _: Exception => Nil }
-    finally in.close()
+    finally if (in != null) {
+      try in.close() catch { case _: Exception => () }
+    }
   }
 
   /** Frame sampling for opaque "video" bytes: a RIFF AVI yields its REAL

@@ -206,13 +206,16 @@ object PackCluster {
       .select(col("vec_id"), col("sub"),
         col("m.cid").as("cid"), col("m.d").as("d"))
 
-  /** The learned per-subspace codebook (seeds → one Lloyd update) and
-    * the final per-(vector, subspace) code assignment — shared by q74
-    * (encode) and q75 (ADC search over the codes).
+  /** The persisted subspace frame, the learned per-subspace codebook
+    * (seeds → one Lloyd update), and the final per-(vector, subspace)
+    * code assignment — shared by q74 (encode) and q75 (ADC search).
+    * `sub` is CacheScope-persisted: seeds, both assignment passes, the
+    * codebook update, and q75's query LUT all read it — unpersisted,
+    * each branch re-scans and re-explodes the embeddings.
     */
   private def pqModel(s: org.apache.spark.sql.SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
-    val sub = subVectors(s, d)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sub = graft.ops.CacheScope.persisted(subVectors(s, d))
     val c0 = sub.filter(col("vec_id") < PQK)
       .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
     val c1 = assignSub(sub, c0).join(sub, Seq("vec_id", "sub"))
@@ -221,13 +224,13 @@ object PackCluster {
       .groupBy("sub", "cid")
       .agg(transform(array_sort(collect_list(struct(col("i"), col("av")))),
         t => round(t("av")).cast("long")).as("cv"))
-    (c1, assignSub(sub, c1))
+    (sub, c1, assignSub(sub, c1))
   }
 
   private val q74 = Q(
     "q74_pq_encode",
     (s, d) => {
-      pqModel(s, d)._2.groupBy("vec_id")
+      pqModel(s, d)._3.groupBy("vec_id")
         .agg(
           max(when(col("sub") === 0, col("cid"))).as("code0"),
           max(when(col("sub") === 1, col("cid"))).as("code1"),
@@ -308,8 +311,8 @@ object PackCluster {
     "q75_pq_search",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val (c1, a2) = pqModel(s, d)
-      val lut = subVectors(s, d).filter(col("vec_id") < NQ)
+      val (sub, c1, a2) = pqModel(s, d)
+      val lut = sub.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("q_id"), col("sub"), col("sv"))
         .join(broadcast(c1), Seq("sub"))
         .select(col("q_id"), col("sub"), col("cid"),

@@ -100,32 +100,40 @@ object PackCurate {
     * `lift_bp = 10⁴·n_ab·N div (n_a·n_b)` keeps the oracle bit-exact
     * where log() could not be).
     *
-    * Plan shape: one posexplode over the corpus, persisted once and read
-    * three ways (totals, unigram counts, both sides of the pair join).
-    * The pair join is keyed on doc_id — uniformly distributed, fan-out
-    * hard-bounded at 3 rows per token position by the band predicate —
-    * so there is no hot-token skew to mitigate (contrast q49, where the
-    * shuffle key IS the token); the hot tokens only meet in the pair
-    * AGGREGATE, which partial-aggregates map-side. Unigram counts
-    * (vocab-cardinality) and the 1-row total broadcast onto the pair
-    * frame. Overflow: 10⁴·n_ab·N needs log₂(3·10⁴·N²) bits — fine in
-    * BIGINT through ~10¹⁴ total tokens; past that the same plan runs
-    * with the one multiply cast to decimal(38,0) on both engines.
+    * Plan shape: pair instances generate DOCUMENT-LOCALLY — a per-row
+    * HOF emits (token i, token j) for j in i+1..i+3, O(3·T) work per
+    * document with no join at all (a doc_id-keyed positional self-join
+    * gets the same rows but evaluates its band predicate on all T² hash
+    * matches per document — quadratic join work for linear output;
+    * PackLm.bigrams is the same device at distance 1). There is no
+    * hot-token skew anywhere: the pair AGGREGATE partial-aggregates
+    * map-side, and its shuffle key is the pair. Unigram counts
+    * (vocab-cardinality) and the 1-row total come from one persisted
+    * token stream and broadcast onto the pair frame. Overflow:
+    * 10⁴·n_ab·N needs log₂(3·10⁴·N²) bits — fine in BIGINT through
+    * ~10¹⁴ total tokens; past that the same plan runs with the one
+    * multiply cast to decimal(38,0) on both engines.
     */
   private val q69 = Q(
     "q69_cooccur_lift",
     (s, d) => {
-      val pos = graft.ops.CacheScope.persisted(
-        Tables.documents(s, d)
-          .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok"))))
-      val totals = pos.agg(count(lit(1)).as("nn"))
-      val uni = pos.groupBy("tok").agg(count(lit(1)).as("n_tok"))
-      val a = pos.select(col("doc_id"), col("pos").as("pa"), col("tok").as("ta"))
-      val b = pos.select(col("doc_id"), col("pos").as("pb"), col("tok").as("tb"))
-      val pairs = a.join(b, Seq("doc_id"))
-        .filter(col("pb") > col("pa") && col("pb") <= col("pa") + 3)
-        .select(least(col("ta"), col("tb")).as("tok_a"),
-          greatest(col("ta"), col("tb")).as("tok_b"))
+      val tok = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d).select(explode(toks).as("tok")))
+      val totals = tok.agg(count(lit(1)).as("nn"))
+      // vocab-cardinality, persisted: BOTH pair-join sides broadcast it —
+      // unpersisted, each branch re-aggregates the token stream
+      val uni = graft.ops.CacheScope.persisted(
+        tok.groupBy("tok").agg(count(lit(1)).as("n_tok")))
+      val pairs = Tables.documents(s, d)
+        .select(toks.as("ws"))
+        .filter(size(col("ws")) >= 2) // sequence(2, 1) would DESCEND
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ws) - 1), i -> " +
+            "transform(sequence(i + 1, least(i + 3, size(ws))), j -> " +
+            "struct(element_at(ws, i) as ta, element_at(ws, j) as tb))))"))
+          .as("p"))
+        .select(least(col("p.ta"), col("p.tb")).as("tok_a"),
+          greatest(col("p.ta"), col("p.tb")).as("tok_b"))
         .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 30)
       pairs
@@ -216,6 +224,11 @@ object PackCurate {
         .select(explode(toks).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n_w"))
       vocab
+        // 1-char tokens have no pairs — and MUST be filtered before the
+        // transform: Spark's sequence(1, 0) is DESCENDING [1, 0], so an
+        // unguarded transform fabricates phantom pairs for them
+        // (substring at index 0 re-reads the first char)
+        .filter(length(col("tok")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(tok) - 1), " +
             "i -> concat(substring(tok, i, 1), substring(tok, i + 1, 1)))"))

@@ -177,12 +177,10 @@ object PackDecon {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.graftglue.ExprGlue
-      def toksOf = filter(split(lower(col("text")), "\\W+"),
-        t => length(t) > 0)
       val shingled = Tables.documents(s, d)
         .select(col("doc_id"),
           posexplode(ExprGlue.column(graft.expr.WordShingleSeq(
-            ExprGlue.expression(toksOf), 5))).as(Seq("pos", "sh")))
+            ExprGlue.expression(toks), 5))).as(Seq("pos", "sh")))
       val eval = shingled.filter(col("doc_id") < 50)
         .select(col("doc_id").as("eval_id"), col("sh")).distinct()
       val corpus = shingled.filter(col("doc_id") >= 50)

@@ -58,13 +58,16 @@ object PackLm {
       val pred = b.groupBy("w1").agg(count(lit(1)).as("c1"))
       val contW2 = b.groupBy("w2").agg(countDistinct("w1").as("n_cont"))
       val succW1 = b.groupBy("w1").agg(countDistinct("w2").as("n_succ"))
-      big
+      // the top-30 depends on c12 alone and the stat joins are 1:1 (all
+      // derived from the same frame), so LIMIT FIRST: the three joins
+      // then touch 30 rows, not every bigram
+      big.orderBy(col("c12").desc, col("w1"), col("w2")).limit(30)
         .join(broadcast(pred), Seq("w1"))
         .join(broadcast(contW2), Seq("w2"))
         .join(broadcast(succW1), Seq("w1"))
         .select(col("w1"), col("w2"), col("c12"), col("c1"),
           col("n_cont"), col("n_succ"))
-        .orderBy(col("c12").desc, col("w1"), col("w2")).limit(30)
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
     },
     Some("""
       WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),

@@ -95,6 +95,10 @@ class PackCurateSpec extends SparkSpec {
     val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
     val got = run("q71_bpe_pairs").as[(String, Long)].collect().toSeq
     assert(got === expect)
+    // every pair is exactly 2 chars: a 1-char "pair" is the signature of
+    // the descending-sequence phantom (sequence(1,0) = [1,0]) leaking
+    // single-char tokens into the transform
+    assert(got.forall(_._1.length == 2), s"malformed pair in $got")
     // the head of the list is the first merge a BPE run would take
     assert(got.head._2 >= got.last._2)
   }

@@ -308,17 +308,24 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
-  test("q69: one shared posexplode; pair join never goes cartesian") {
+  test("q69: document-local pair generation — no self-join, two aggregations") {
     val p = plan("q69_cooccur_lift")
     try {
       assert(p.contains("InMemoryRelation"),
-        s"the position frame must be CacheScope-persisted (4 branches):\n$p")
-      assert(!p.contains("CartesianProduct"),
-        s"the pair join must stay keyed on doc_id:\n$p")
-      // the band predicate must ride the doc_id join, not a post-filter
-      // over a wider product
-      assert(p.contains("(pb") && p.contains("pa"),
-        s"positional band condition missing from the join:\n$p")
+        s"the token stream must be CacheScope-persisted (2 readers):\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+      // pair instances come from a per-row HOF (explode over flatten/
+      // transform), never a positional self-join; the only LIVE corpus
+      // exchange is the pair aggregate's. (Exchanges printed inside
+      // InMemoryRelation subtrees are the cache-build plan, rendered
+      // once per read — not executed per query — so count the pair key
+      // specifically rather than every Exchange line.)
+      assert(p.contains("explode(flatten(transform"),
+        s"pair generation must be the document-local HOF:\n$p")
+      val pairEx = p.linesIterator
+        .count(_.contains("Exchange hashpartitioning(tok_a"))
+      assert(pairEx === 1,
+        s"expected exactly one pair-aggregate exchange, got $pairEx:\n$p")
     } finally graft.ops.CacheScope.drain()
   }
 
