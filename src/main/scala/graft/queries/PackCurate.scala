@@ -107,9 +107,10 @@ object PackCurate {
     * matches per document — quadratic join work for linear output;
     * PackLm.bigrams is the same device at distance 1). There is no
     * hot-token skew anywhere: the pair AGGREGATE partial-aggregates
-    * map-side, and its shuffle key is the pair. Unigram counts
-    * (vocab-cardinality) and the 1-row total come from one persisted
-    * token stream and broadcast onto the pair frame. Overflow:
+    * map-side, and its shuffle key is the pair. Unigram counts fold to
+    * a persisted VOCAB-cardinality table in one corpus aggregation (the
+    * 1-row total is its sum — nothing corpus-sized is ever cached) and
+    * broadcast onto the pair frame. Overflow:
     * 10⁴·n_ab·N needs log₂(3·10⁴·N²) bits — fine in BIGINT through
     * ~10¹⁴ total tokens; past that the same plan runs with the one
     * multiply cast to decimal(38,0) on both engines.
@@ -117,13 +118,15 @@ object PackCurate {
   private val q69 = Q(
     "q69_cooccur_lift",
     (s, d) => {
-      val tok = graft.ops.CacheScope.persisted(
-        Tables.documents(s, d).select(explode(toks).as("tok")))
-      val totals = tok.agg(count(lit(1)).as("nn"))
-      // vocab-cardinality, persisted: BOTH pair-join sides broadcast it —
-      // unpersisted, each branch re-aggregates the token stream
+      // ONE corpus aggregation folds the token stream to the VOCAB-
+      // cardinality unigram table; the grand total derives from it by
+      // summing counts — never cache a corpus-sized stream when every
+      // consumer wants an aggregate of it (the cached frame here is
+      // vocab-sized: three readers — totals and both pair-join sides)
       val uni = graft.ops.CacheScope.persisted(
-        tok.groupBy("tok").agg(count(lit(1)).as("n_tok")))
+        Tables.documents(s, d).select(explode(toks).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n_tok")))
+      val totals = uni.agg(sum("n_tok").as("nn"))
       val pairs = Tables.documents(s, d)
         .select(toks.as("ws"))
         .filter(size(col("ws")) >= 2) // sequence(2, 1) would DESCEND

@@ -52,12 +52,17 @@ object PackLm {
   private val q76 = Q(
     "q76_kn_counts",
     (s, d) => {
-      val b = graft.ops.CacheScope.persisted(
-        bigrams(s, d).select("w1", "w2"))
-      val big = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val pred = b.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val contW2 = b.groupBy("w2").agg(countDistinct("w1").as("n_cont"))
-      val succW1 = b.groupBy("w1").agg(countDistinct("w2").as("n_succ"))
+      // ONE corpus aggregation to the vocab²-bounded bigram table; every
+      // other statistic is an aggregate OF that table — predecessor
+      // totals are sums of its counts, and both KN continuation counts
+      // are its row counts per side (one row per distinct (w1, w2) by
+      // construction, so count(*) IS count(distinct)). Nothing
+      // corpus-sized is cached or re-scanned.
+      val big = graft.ops.CacheScope.persisted(
+        bigrams(s, d).groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+      val pred = big.groupBy("w1").agg(sum("c12").as("c1"))
+      val contW2 = big.groupBy("w2").agg(count(lit(1)).as("n_cont"))
+      val succW1 = big.groupBy("w1").agg(count(lit(1)).as("n_succ"))
       // the top-30 depends on c12 alone and the stat joins are 1:1 (all
       // derived from the same frame), so LIMIT FIRST: the three joins
       // then touch 30 rows, not every bigram
@@ -105,13 +110,18 @@ object PackLm {
   private val q77 = Q(
     "q77_lm_score",
     (s, d) => {
-      val docBi = graft.ops.CacheScope.persisted(bigrams(s, d))
-      val big = docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val pred = docBi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      // model = aggregates of the cached vocab²-bounded bigram table
+      // (predecessor totals are sums of its counts); the doc-keyed
+      // bigram stream is NOT cached — at scale, re-reading the text
+      // column beats materializing a corpus-sized stream, and the
+      // scoring pass reads it exactly once
+      val big = graft.ops.CacheScope.persisted(
+        bigrams(s, d).groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+      val pred = big.groupBy("w1").agg(sum("c12").as("c1"))
       val model = big.join(broadcast(pred), Seq("w1"))
         .select(col("w1"), col("w2"),
           expr("c12 * 10000 div c1").as("p_bp"))
-      docBi.join(model, Seq("w1", "w2"))
+      bigrams(s, d).join(model, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           expr("sum(p_bp) div count(1)").as("score_bp"))
