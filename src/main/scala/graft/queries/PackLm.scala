@@ -20,16 +20,39 @@ object PackLm {
   private def toks = filter(split(lower(col("text")), "\\W+"),
     t => length(t) > 0)
 
+  /** Per-document bigram stream over any frame with a `text` column:
+    * one HOF pass per row, exploded; every other column rides along
+    * (doc_id batch-side; doc_id + ts for the streaming twin).
+    * `private[graft]`: the streaming twin tokenizes identically.
+    */
+  private[graft] def bigramsOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("ws", toks)
+      .filter(size(col("ws")) >= 2)
+      .withColumn("b", explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))")))
+      .withColumn("w1", col("b.w1")).withColumn("w2", col("b.w2"))
+      .drop("b", "ws", "text")
+
   /** Per-document bigram stream: one HOF pass per row, exploded. */
   private def bigrams(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.documents(s, d)
-      .select(col("doc_id"), toks.as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))"))
-        .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    bigramsOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** The maximum-likelihood bigram model (w1, w2, p_bp) trained on a
+    * documents frame — q77's model, shared with the streaming twin so
+    * stream and batch scores agree by construction. The vocab²-bounded
+    * bigram table is CacheScope-persisted (two aggregations read it).
+    */
+  private[graft] def modelOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val big = graft.ops.CacheScope.persisted(
+      bigramsOf(docs.select(col("text")))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val pred = big.groupBy("w1").agg(sum("c12").as("c1"))
+    big.join(broadcast(pred), Seq("w1"))
+      .select(col("w1"), col("w2"), expr("c12 * 10000 div c1").as("p_bp"))
+  }
 
   /** q76 — Kneser–Ney count tables: for the corpus's top-30 bigrams (by
     * raw count, lexical tiebreak), the four statistics KN smoothing
@@ -111,16 +134,11 @@ object PackLm {
     "q77_lm_score",
     (s, d) => {
       // model = aggregates of the cached vocab²-bounded bigram table
-      // (predecessor totals are sums of its counts); the doc-keyed
-      // bigram stream is NOT cached — at scale, re-reading the text
-      // column beats materializing a corpus-sized stream, and the
-      // scoring pass reads it exactly once
-      val big = graft.ops.CacheScope.persisted(
-        bigrams(s, d).groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
-      val pred = big.groupBy("w1").agg(sum("c12").as("c1"))
-      val model = big.join(broadcast(pred), Seq("w1"))
-        .select(col("w1"), col("w2"),
-          expr("c12 * 10000 div c1").as("p_bp"))
+      // (predecessor totals are sums of its counts — [[modelOf]]); the
+      // doc-keyed bigram stream is NOT cached — at scale, re-reading
+      // the text column beats materializing a corpus-sized stream, and
+      // the scoring pass reads it exactly once
+      val model = modelOf(Tables.documents(s, d))
       bigrams(s, d).join(model, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),

@@ -367,6 +367,41 @@ object StreamOps {
       .select(col("window.start").as("w_start"), col("doc_id"), col("n_hits"))
   }
 
+  /** Streaming twin of q77's bigram-LM fluency scoring: documents stream
+    * in and are scored against a model trained batch-side on a STATIC
+    * corpus — the production "model refresh" shape (the model retrains
+    * rarely; the corpus arrives continuously, and each batch's documents
+    * are gated before they enter the corpus).
+    *
+    * The machinery is literally q77's (`PackLm.bigramsOf / modelOf` —
+    * same tokenizer, same model arithmetic), so stream and batch scores
+    * agree by construction when the stream's documents were in the
+    * training corpus (pinned by the MemoryStream test). A streamed
+    * bigram UNSEEN in the model is dropped by the inner stream-static
+    * join — exactly the batch semantics, where self-training makes the
+    * join total; with a stale model, n_bigrams reports the SCORED count,
+    * so downstream can gate on coverage too.
+    *
+    * Per-bigram work is stateless (the model arrives broadcast via a
+    * stream-static join); the only state is the watermark-bounded
+    * windowed per-doc aggregation. `docs` columns: (doc_id long,
+    * ts timestamp, text string); `trainDocs` is a static frame with a
+    * `text` column.
+    */
+  def lmScoreStream(
+      docs: DataFrame,
+      trainDocs: DataFrame,
+      delay: String = "10 minutes"): DataFrame = {
+    val model = graft.queries.PackLm.modelOf(trainDocs)
+    graft.queries.PackLm.bigramsOf(docs.withWatermark("ts", delay))
+      .join(broadcast(model), Seq("w1", "w2")) // stream-static, stateless
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_bp) div count(1)").as("score_bp"))
+      .select(col("window.start").as("w_start"), col("doc_id"),
+        col("n_bigrams"), col("score_bp"))
+  }
+
   /** Stateful streaming dedup: first occurrence of `keys` wins; state for
     * a key is dropped once the watermark passes it (bounded state — the
     * streaming form of F4's seen-set, extract.py:87-97).

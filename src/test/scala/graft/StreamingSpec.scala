@@ -176,6 +176,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM score: stream output equals batch q77, row for row") {
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val train = graft.queries.Tables.documents(spark, sf)
+    val corpus = train.select($"doc_id", $"text").as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.lmScoreStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), train, delay = "10 minutes")
+      .writeStream.format("memory").queryName("t_lm")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = corpus.splitAt(corpus.length / 2)
+      ms.addData(b1.map { case (id, t) => (id, ts("2024-01-01 00:10:00"), t) }.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.map { case (id, t) => (id, ts("2024-01-01 00:40:00"), t) }.toSeq: _*)
+      q.processAllAvailable()
+      // watermark sentinel — must carry >= 2 tokens: Catalyst pushes the
+      // size(ws) >= 2 filter below the watermark node, so a shorter text
+      // would be dropped before it can advance the watermark
+      ms.addData((999999L, ts("2024-01-01 05:00:00"), "x y z"))
+      q.processAllAvailable()
+      val got = spark.table("t_lm")
+        .select("doc_id", "n_bigrams", "score_bp")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val batch = graft.queries.Catalog.queries("q77_lm_score")(spark, sf)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      graft.ops.CacheScope.drain()
+      assert(batch.nonEmpty)
+      assert(got === batch,
+        "the streaming twin must reproduce batch q77 exactly")
+    } finally q.stop()
+  }
+
   test("file-source streaming twin of Tables.events reads the testdata") {
     val dir = "/root/testdata/sf0.001"
     // copy events.parquet into an isolated stream dir so the file source
