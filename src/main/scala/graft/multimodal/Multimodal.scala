@@ -375,9 +375,12 @@ object Multimodal {
     * standalone JPEGs, uncompressed BI_RGB `db` chunks wrapped as valid
     * BMPs); an animated GIF yields its REAL frames decoded through the
     * JDK's complete GIF codec and re-encoded PNG ([[gifFrames]]); any
-    * other content falls back to the byte-chunk shape (every `step`-th
-    * `chunk`-byte slice) so the array<binary> column contract holds for
-    * codecs the JDK cannot open.
+    * other content — INCLUDING a RIFF/GIF header whose body the decoder
+    * cannot open (corrupt stream → zero decoded frames) — falls back to
+    * the byte-chunk shape (every `step`-th `chunk`-byte slice) so the
+    * array<binary> column contract holds for content the JDK cannot
+    * open. (ADVICE r10: a corrupt 'GIF8' blob used to yield an EMPTY
+    * frame array instead of the documented fallback.)
     */
   def sampleFrames(df: DataFrame, bytesCol: String, chunk: Int,
       step: Int): DataFrame = {
@@ -388,10 +391,12 @@ object Multimodal {
       i => b.substr(i * chunk * step + 1, lit(chunk)))
     val avi = udf((bytes: Array[Byte]) => mjpegFrames(bytes, step))
     val gif = udf((bytes: Array[Byte]) => gifFrames(bytes, step))
-    df.withColumn("frames",
-      when(b.substr(1, 4) === lit("RIFF".getBytes) &&
-        b.substr(9, 4) === lit("AVI ".getBytes), avi(b))
-        .when(b.substr(1, 4) === lit("GIF8".getBytes), gif(b))
-        .otherwise(chunked))
+    // real = null for non-container bytes, and may be EMPTY for a
+    // recognized container with no decodable frames; both take chunked
+    // (size(null) is null → the outer when falls through to otherwise)
+    val real = when(b.substr(1, 4) === lit("RIFF".getBytes) &&
+      b.substr(9, 4) === lit("AVI ".getBytes), avi(b))
+      .when(b.substr(1, 4) === lit("GIF8".getBytes), gif(b))
+    df.withColumn("frames", when(size(real) > 0, real).otherwise(chunked))
   }
 }

@@ -110,10 +110,13 @@ object PackCurate {
     * map-side, and its shuffle key is the pair. Unigram counts fold to
     * a persisted VOCAB-cardinality table in one corpus aggregation (the
     * 1-row total is its sum — nothing corpus-sized is ever cached) and
-    * broadcast onto the pair frame. Overflow:
-    * 10⁴·n_ab·N needs log₂(3·10⁴·N²) bits — fine in BIGINT through
-    * ~10¹⁴ total tokens; past that the same plan runs with the one
-    * multiply cast to decimal(38,0) on both engines.
+    * broadcast onto the pair frame. Overflow: the lift arithmetic runs
+    * in 128-bit unconditionally — decimal(38,0) Spark-side, HUGEINT in
+    * the oracle — because 10⁴·n_ab·N wraps BIGINT silently past ~10¹⁴
+    * total tokens under non-ANSI Spark (ADVICE r10), and n_a·n_b in the
+    * denominator wraps even earlier for stopword pairs. decimal(38,0)
+    * covers ~10³⁴ total tokens; `div` on decimals still returns BIGINT,
+    * so the output schema is unchanged.
     */
   private val q69 = Q(
     "q69_cooccur_lift",
@@ -146,7 +149,8 @@ object PackCurate {
           Seq("tok_b"))
         .crossJoin(broadcast(totals))
         .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
-          expr("10000 * n_ab * nn div (n_a * n_b)").as("lift_bp"))
+          expr("(cast(10000 as decimal(38,0)) * n_ab * nn) div " +
+            "(cast(n_a as decimal(38,0)) * n_b)").as("lift_bp"))
         .orderBy("tok_a", "tok_b")
     },
     Some("""
@@ -160,7 +164,8 @@ object PackCurate {
                ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
              GROUP BY 1, 2)
       SELECT pr.tok_a, pr.tok_b, pr.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
-             10000 * pr.n_ab * nn.nn // (ua.n_tok * ub.n_tok) AS lift_bp
+             CAST(CAST(10000 AS HUGEINT) * pr.n_ab * nn.nn
+                  // (CAST(ua.n_tok AS HUGEINT) * ub.n_tok) AS BIGINT) AS lift_bp
       FROM pr CROSS JOIN nn
       JOIN u ua ON ua.tok = pr.tok_a
       JOIN u ub ON ub.tok = pr.tok_b

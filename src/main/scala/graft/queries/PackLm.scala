@@ -43,6 +43,16 @@ object PackLm {
     * documents frame — q77's model, shared with the streaming twin so
     * stream and batch scores agree by construction. The vocab²-bounded
     * bigram table is CacheScope-persisted (two aggregations read it).
+    *
+    * Cache ownership (ADVICE r10): the persisted bigram table registers
+    * with the CALLING thread's [[graft.ops.CacheScope]]; whoever
+    * materializes the returned plan owns the drain. Batch runners drain
+    * per query; streaming callers ([[graft.streaming.StreamOps.lmScoreStream]])
+    * additionally persist the FINAL model frame at stream definition and
+    * drain the defining thread's scope after the stream stops — without
+    * that, each stream (re)definition in a long-lived app stacks another
+    * cached bigram table, and the model projection re-evaluates per
+    * micro-batch.
     */
   private[graft] def modelOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

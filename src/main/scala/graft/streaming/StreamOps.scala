@@ -347,14 +347,23 @@ object StreamOps {
     * count is its streaming form) and the windowed per-doc count, both
     * evicted as event time passes. `docs` columns: (doc_id long,
     * ts timestamp, text string); eval docs are a static frame.
+    *
+    * The static side is PERSISTED at stream definition: Spark re-executes
+    * the static sub-plan of a stream-static join on every micro-batch, so
+    * an unpersisted eval/bitmap would pay two full eval-corpus
+    * aggregations per batch (ADVICE r10). Cache ownership: the frames
+    * register with the DEFINING thread's [[graft.ops.CacheScope]] — the
+    * caller drains that scope after the stream stops (the tests do; a
+    * long-lived app that redefines streams must too, or caches stack).
     */
   def bloomDeconStream(
       docs: DataFrame,
       evalDocs: DataFrame,
       delay: String = "10 minutes"): DataFrame = {
     import graft.queries.PackDecon
-    val eval = evalDocs.select(explode(PackDecon.shingles5).as("sh")).distinct()
-    val bitmap = PackDecon.bitmapOf(eval)
+    val eval = graft.ops.CacheScope.persisted(
+      evalDocs.select(explode(PackDecon.shingles5).as("sh")).distinct())
+    val bitmap = graft.ops.CacheScope.persisted(PackDecon.bitmapOf(eval))
     docs.withWatermark("ts", delay)
       .select(col("doc_id"), col("ts"), explode(PackDecon.shingles5).as("sh"))
       .join(broadcast(bitmap)) // 1-row static bitmap: stream-static cross
@@ -387,12 +396,22 @@ object StreamOps {
     * windowed per-doc aggregation. `docs` columns: (doc_id long,
     * ts timestamp, text string); `trainDocs` is a static frame with a
     * `text` column.
+    *
+    * The FINAL model frame is persisted (not just modelOf's intermediate
+    * bigram table): the static sub-plan of a stream-static join re-runs
+    * per micro-batch, and without this the model projection + broadcast
+    * build would recompute every batch (ADVICE r10). Cache ownership:
+    * both frames register with the DEFINING thread's
+    * [[graft.ops.CacheScope]] — the caller drains that scope after the
+    * stream stops; a long-lived app that redefines streams must drain
+    * between definitions or cached models accumulate.
     */
   def lmScoreStream(
       docs: DataFrame,
       trainDocs: DataFrame,
       delay: String = "10 minutes"): DataFrame = {
-    val model = graft.queries.PackLm.modelOf(trainDocs)
+    val model = graft.ops.CacheScope.persisted(
+      graft.queries.PackLm.modelOf(trainDocs))
     graft.queries.PackLm.bigramsOf(docs.withWatermark("ts", delay))
       .join(broadcast(model), Seq("w1", "w2")) // stream-static, stateless
       .groupBy(window(col("ts"), "1 hour"), col("doc_id"))

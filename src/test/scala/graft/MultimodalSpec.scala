@@ -107,6 +107,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1).head === 20.toByte) // frame i starts at i*chunk*step
   }
 
+  test("S3: corrupt GIF8 header falls back to byte chunks, not empty frames") {
+    // ADVICE r10: a 'GIF8' blob the decoder can't open used to yield an
+    // EMPTY frames array; the documented contract is the chunk fallback
+    val junk = ("GIF8" + "x" * 96).getBytes("US-ASCII") // 100 bytes, no GIF body
+    val df = Seq(("bad", junk)).toDF("id", "content")
+    val frames = Multimodal.sampleFrames(df, "content", 10, 2)
+      .select("frames").as[Seq[Array[Byte]]].head()
+    assert(frames.length === 5) // same shape as the plain-bytes fallback
+    assert(frames.forall(_.length === 10))
+  }
+
   test("S3: MJPEG-AVI yields its real JPEG frames (RIFF walk, no codec)") {
     // hand-rolled minimal AVI: RIFF(AVI  LIST(movi 00dc... )) — MJPEG
     // stores each frame as a standalone JPEG chunk
