@@ -54,7 +54,7 @@ object Profile {
     val planted2 = emb.filter(col("vec_id") % 25 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("e"))
     def corpus2 = emb.unionByName(planted2)
-      .withColumn("sig", SimOps.hyperplaneSig(col("e"), 64, 32, seed = 7L))
+      .withColumn("sig", SimOps.quantSignSig(col("e")))
 
     time("q36 sig only") { noop(corpus2) }
     time("q36 full") {

@@ -108,18 +108,21 @@ object GraftFunctions {
     ("gram3_jaccard_counts",
       "_FUNC_(t1, t2) - common/total 3-gram counts of two strings",
       es => GramJaccardCounts(es.head, es(1), 3)),
-    ("simhash64",
-      "_FUNC_(hashes) - 64-bit SimHash of token hashes",
-      es => SimHash64(es.head)),
-    ("word_shingles",
-      "_FUNC_(words, k) - distinct k-word-window hashes",
-      es => WordShingles(es.head, litInt(es(1)))),
+    ("simhash_poly",
+      "_FUNC_(words) - 48-bit SimHash over the affine-parity bit family",
+      es => SimHashPoly(es.head)),
+    ("poly_shingles",
+      "_FUNC_(words, k) - distinct k-gram polynomial shingle hashes",
+      es => PolyShingles(es.head, litInt(es(1)))),
     ("word_shingle_strings",
       "_FUNC_(words, k) - distinct k-word windows, space-joined",
       es => WordShingleStrings(es.head, litInt(es(1)))),
-    ("minhash_sigs",
-      "_FUNC_(shingles, perms) - MinHash signature minima",
-      es => MinHashSigs(es.head, litInt(es(1)))),
+    ("affine_minhash",
+      "_FUNC_(shingles, perms) - MinHash minima over the affine family",
+      es => AffineMinHash(es.head, litInt(es(1)))),
+    ("quant_sign_sig",
+      "_FUNC_(vec) - 32-plane sign-LSH signature over quantized embeddings",
+      es => QuantSignSig(es.head)),
     ("float_dot",
       "_FUNC_(a, b) - double-accumulated dot product of numeric arrays",
       es => FloatDot(es.head, es(1))),

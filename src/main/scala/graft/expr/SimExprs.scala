@@ -17,68 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * 3-fold cosine evaluations. Each kernel here is one pass over the input
   * in a static helper that whole-stage codegen calls directly.
   *
-  * Hash mixes are engine-specific by design (the LSH queries are rows-only
-  * checks; unit tests pin the similarity properties, not hash values).
+  * The hash-valued LSH kernels moved to [[PolyHashExprs]] in round 11,
+  * rebuilt on explicit-arithmetic families so the q27/q35/q36 oracles can
+  * recompute their values; what stays here is hash-free (literal shingles,
+  * dot products, gram counts).
   */
-
-/** `WordShingles(words, k)` — distinct order-preserving hashes of the k-word
-  * windows of a string array. Replaces
-  * `array_distinct(transform(sequence(...), i => hash(concat_ws(" ", slice(words, i, k)))))`
-  * which allocates a slice array and a joined string per window.
-  */
-case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
-  require(k >= 1, s"shingle size must be >= 1, got $k")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string>, got ${other.catalogString}")
-  }
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-
-  override def prettyName: String = "word_shingles"
-
-  override protected def nullSafeEval(a: Any): Any =
-    WordShingles.compute(a.asInstanceOf[ArrayData], k)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.WordShingles.compute($c, $k)")
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object WordShingles {
-  def compute(words: ArrayData, k: Int): ArrayData = {
-    val n = words.numElements()
-    if (n < k) return new GenericArrayData(Array.empty[Int])
-    // hash each word once, then roll a window combine over the hashes
-    val wh = new Array[Int](n)
-    var i = 0
-    while (i < n) {
-      wh(i) = if (words.isNullAt(i)) 0 else words.getUTF8String(i).hashCode()
-      i += 1
-    }
-    val seen = new java.util.LinkedHashSet[Integer](Math.max(8, n * 2))
-    i = 0
-    while (i <= n - k) {
-      var h = 1
-      var j = 0
-      while (j < k) { h = h * 31 + wh(i + j); j += 1 }
-      seen.add(h)
-      i += 1
-    }
-    val out = new Array[Int](seen.size())
-    val it = seen.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
-  }
-}
 
 /** `WordShingleStrings(words, k)` — the distinct k-word windows themselves
-  * (space-joined), order-preserving. The string twin of [[WordShingles]]
+  * (space-joined), order-preserving. The string twin of [[PolyShingles]]
   * for operators whose cross-engine oracle needs the literal shingle (the
   * decontamination join) — same single pass, no per-window slice/concat
   * expression chain.
@@ -195,68 +141,6 @@ object WordShingleSeq {
       i += 1
     }
     new GenericArrayData(out)
-  }
-}
-
-/** `MinHashSigs(shingles, perms)` — the MinHash signature: for each of
-  * `perms` seeded 64-bit mixes, the minimum over the shingle set. One pass
-  * over the input computes every permutation's minimum; the composable form
-  * is `perms` separate `transform`+`array_min` passes. Empty shingle sets
-  * yield all-null signatures (matching `array_min` of an empty transform).
-  */
-case class MinHashSigs(child: Expression, perms: Int) extends UnaryExpression {
-  require(perms >= 1 && perms <= 64, s"perms must be in [1, 64], got $perms")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<int>, got ${other.catalogString}")
-  }
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
-
-  override def prettyName: String = "minhash_sigs"
-
-  override protected def nullSafeEval(a: Any): Any =
-    MinHashSigs.compute(a.asInstanceOf[ArrayData], perms)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.MinHashSigs.compute($c, $perms)")
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object MinHashSigs {
-  /** murmur3 fmix64 over (shingle, perm) — a distinct 64-bit permutation
-    * family per seed, cheap enough to inline in the hot loop.
-    */
-  private def mix(x: Int, p: Int): Long = {
-    var h = x.toLong * 0x9E3779B97F4A7C15L + (p + 1).toLong * 0xC2B2AE3D27D4EB4FL
-    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
-    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
-    h ^= h >>> 33
-    h
-  }
-
-  def compute(shingles: ArrayData, perms: Int): ArrayData = {
-    val n = shingles.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](perms)) // all null
-    val mins = Array.fill(perms)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      if (!shingles.isNullAt(i)) {
-        val x = shingles.getInt(i)
-        var p = 0
-        while (p < perms) {
-          val v = mix(x, p)
-          if (v < mins(p)) mins(p) = v
-          p += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
   }
 }
 

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftglue.ExprGlue
-import graft.expr.{FloatDot, MinHashSigs, WordShingles}
+import graft.expr.{AffineMinHash, FloatDot, PolyHash, PolyShingles, QuantSignSig, SimHashPoly}
 
 /** Similarity / embedding operators (SURVEY.md §2.9 extension surface).
   *
@@ -37,67 +37,62 @@ object SimOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
-  /** Word-level k-gram shingle hashes: one murmur3 per k-word window.
-    * Far more discriminative than character shingles on natural text
-    * (char k-grams recur across unrelated documents sharing vocabulary,
-    * which floods LSH buckets with false candidates), and linear in text
-    * length. Preferred fingerprint for near-dup detection.
+  /** Word-level k-gram shingle hashes — EXPLICIT polynomial arithmetic
+    * (q65's winnowing device, round 11): \W+ tokenize, ≤8-char char-poly
+    * token hash mod 2²⁰, base-B k-gram fold mod 2³¹−1, distinct. Far
+    * more discriminative than character shingles on natural text (char
+    * k-grams recur across unrelated documents sharing vocabulary, which
+    * floods LSH buckets with false candidates), linear in text length,
+    * and — unlike the r10 murmur mix — recomputable digit for digit by
+    * the DuckDB oracle, which is what lets q27 be hash-gated.
     */
   def wordShingleHashes(text: Column, k: Int): Column =
-    ExprGlue.column(
-      WordShingles(ExprGlue.expression(split(text, "\\s+")), k))
-
-  def shingleHashes(text: Column, k: Int): Column =
-    // guard: sequence(1, n) DESCENDS when n < 1, so short texts must map to
-    // an empty shingle set, not a bogus [1, 0] index walk
-    when(length(text) >= k,
-      transform(
-        sequence(lit(1), length(text) - (k - 1)),
-        i => hash(text.substr(i, lit(k)))))
-      .otherwise(array().cast("array<int>"))
+    ExprGlue.column(PolyShingles(ExprGlue.expression(
+      filter(split(text, "\\W+"), t => length(t) > 0)), k))
 
   /** MinHash signature: for each of `perms` permutations, the minimum of
-    * `xxhash64(seed, shingle)` over the shingle set. Band-grouping over
+    * the affine hash (A(p)·h + C(p)) mod 2³¹−1 over the shingle set —
+    * an explicit family both engines compute exactly
+    * ([[graft.expr.PolyHash]]; was xxhash64 in r10). Band-grouping over
     * signature slices gives LSH buckets — candidate pairs come from a
     * bucket equi-join (groupBy/join on band hash), NEVER an all-pairs
     * cross join; that is the property that keeps near-dup detection
     * shuffle-bounded at 100 TB.
     */
   def minhashSignature(shingles: Column, perms: Int): Column =
-    ExprGlue.column(MinHashSigs(ExprGlue.expression(shingles), perms))
+    ExprGlue.column(AffineMinHash(ExprGlue.expression(shingles), perms))
 
-  /** LSH band keys: the signature split into `bands` slices, each hashed;
-    * docs sharing any band key are near-dup candidates.
+  /** LSH band keys: the signature split into `bands` slices, each folded
+    * to one key with the same explicit base-B-mod-M arithmetic as the
+    * shingle hashes (no engine `hash()` — the oracle recomputes these),
+    * offset by band·M so keys from different bands never collide; docs
+    * sharing any band key are near-dup candidates.
     */
   def lshBands(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
-      hash(lit(b), slice(sig, lit(b * rows + 1), lit(rows)))
+      val folded = (1 until rows).foldLeft(element_at(sig, b * rows + 1)) {
+        (acc, r) => (acc * PolyHash.B + element_at(sig, b * rows + r + 1)) % PolyHash.M
+      }
+      lit(b * PolyHash.M) + folded
     }: _*)
 
-  /** Token hashes for SimHash fingerprinting (array<bigint>); the
-    * signature itself is the native expression graft.expr.SimHash64
-    * (`simhash64(...)` once GraftFunctions.register ran) — a composable
-    * 64-fold HOF form costs one interpreted pass per bit.
+  /** 48-bit SimHash over \W+ tokens — explicit affine-parity bit family
+    * ([[graft.expr.SimHashPoly]]; was xxhash64 token hashes + 64-bit
+    * majority in r10, which no oracle could recompute).
     */
-  def tokenHashes(tokens: Column): Column =
-    transform(tokens, t => xxhash64(t))
+  def simhashPoly(tokens: Column): Column =
+    ExprGlue.column(SimHashPoly(ExprGlue.expression(tokens)))
 
-  /** Random-hyperplane (cosine) LSH signature: bit j = sign of the dot
-    * product with a fixed pseudo-random Gaussian plane (seeded driver-side
-    * — deterministic across runs). Vectors with high cosine similarity
-    * agree on most bits; shared [[intSigBands]] keys make them near-dup
-    * candidates. Long-typed so up to 63 planes bit-pack without sign
-    * overflow.
+  /** Sign-LSH (cosine) signature over QUANTIZED embeddings and
+    * deterministic ±1 planes ([[graft.expr.QuantSignSig]]): bit j = sign
+    * of the integer dot product with the Rademacher plane drawn from the
+    * affine-parity family. Same collision geometry as the r10 Gaussian
+    * hyperplanes (sign-LSH needs symmetric zero-mean entries, not
+    * normality), but engine-exact: the oracle recomputes every bit.
+    * 32 planes bit-packed in a long.
     */
-  def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
-    require(nPlanes <= 63, s"bit-packed signature holds at most 63 planes, got $nPlanes")
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    planes.zipWithIndex.map { case (p, j) =>
-      val d = fsum(zip_with(vec, lit(p), (x, w) => x.cast("double") * w))
-      when(d > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-  }
+  def quantSignSig(vec: Column): Column =
+    ExprGlue.column(QuantSignSig(ExprGlue.expression(vec)))
 
   /** Band keys over a bit-packed hyperplane signature: band b is bit slice
     * [b*rows, (b+1)*rows), offset by the band index so keys from different

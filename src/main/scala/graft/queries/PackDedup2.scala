@@ -5,45 +5,76 @@ import graft.ops.SimOps
 
 /** q35/q36 — the remaining near-dup modalities (north-star dedup family:
   * exact q24, MinHash-LSH q27, n-gram Jaccard q28, SimHash q35,
-  * embedding-cosine q36). Both ⊘ oracle (hash-derived signatures are
-  * engine-specific); driver records rows-only checks, unit tests pin the
-  * semantics.
+  * embedding-cosine q36). Both ORACLE-GATED as of round 11 (VERDICT r10
+  * "Next round" #1): the signatures run on the explicit-arithmetic
+  * affine/polynomial hash family ([[graft.expr.PolyHash]], q65's
+  * device), which both engines compute exactly.
   */
 object PackDedup2 {
 
-  /** q35 — SimHash near-dup: 64-bit per-token-bit majority signature,
-    * hamming distance over adjacent doc pairs. Per-row projection + one
-    * equi-join; the signature is 8 bytes per document however long the
-    * text — the classic web-scale dedup fingerprint.
+  import graft.expr.PolyHash
+
+  /** q35 — SimHash near-dup: 48-bit per-token-bit majority signature
+    * over the affine-parity family ([[graft.expr.SimHashPoly]]; 48 not
+    * 64 so the oracle's bit-weight sums stay inside a signed BIGINT —
+    * DuckDB errors on overflow), hamming distance over adjacent doc
+    * pairs, near-dup flag at ≤ 9 of 48 bits (the r10 threshold 12/64,
+    * scaled). Per-row projection + one equi-join; the signature is 8
+    * bytes per document however long the text — the classic web-scale
+    * dedup fingerprint.
     */
   private val q35 = Q(
     "q35_simhash",
     (s, d) => {
-      graft.expr.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
       val sig = docs
-        .withColumn("hs",
-          SimOps.tokenHashes(split(lower(col("text")), "\\W+")))
-        .select(col("doc_id"), expr("simhash64(hs)").as("sig"))
+        .withColumn("ws",
+          filter(split(lower(col("text")), "\\W+"), t => length(t) > 0))
+        .select(col("doc_id"), SimOps.simhashPoly(col("ws")).as("sig"))
       sig.join(
         sig.select((col("doc_id") - 1).as("doc_id"), col("sig").as("sig2")),
         "doc_id")
         .select(
           col("doc_id"),
           bit_count(col("sig").bitwiseXOR(col("sig2"))).as("hamming"))
-        .withColumn("near_dup", col("hamming") <= 12)
+        .withColumn("near_dup", col("hamming") <= 9)
         .orderBy("doc_id")
     },
-    None,
-    doc = "SimHash-64 fingerprints + hamming distance for adjacent pairs")
+    Some(s"""
+      WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      th AS (SELECT doc_id,
+               list_transform(ws, tok ->
+                 CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1),
+                   i -> ascii(substr(tok, i, 1)) * ${PolyHash.sqlPow31}[i])) % ${PolyHash.CharMod} AS BIGINT)) AS th
+             FROM tok),
+      sig AS (SELECT doc_id,
+                CAST(coalesce(list_sum(list_transform(range(0, 48), b ->
+                  CASE WHEN 2 * len(list_filter(th, h ->
+                         ((${PolyHash.sqlA(PolyHash.SimHashOff, 48)}[b + 1] * h
+                           + ${PolyHash.sqlC(PolyHash.SimHashOff, 48)}[b + 1]) % ${PolyHash.M}) % 2 = 1))
+                       > len(th)
+                  THEN 1::BIGINT << b ELSE 0 END)), 0) AS BIGINT) AS sig
+              FROM th)
+      SELECT a.doc_id,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming,
+             bit_count(xor(a.sig, b.sig)) <= 9 AS near_dup
+      FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+      ORDER BY a.doc_id
+    """),
+    doc = "SimHash-48 fingerprints + hamming distance for adjacent pairs " +
+      "(affine-parity bit family — oracle-exact)")
 
-  /** q36 — embedding-cosine near-dup via random-hyperplane LSH: 32-plane
-    * sign signature, bucketed by 4 bands × 8 bits — a true near-dup
-    * (cosine ≈ 0.97) that flips a few signature bits still shares every
+  /** q36 — embedding-cosine near-dup via sign-LSH: 32-plane signature
+    * over QUANTIZED embeddings and deterministic ±1 planes
+    * ([[graft.expr.QuantSignSig]]; was driver-seeded Gaussian planes in
+    * r10 — same sign-LSH collision geometry, but integer dot products
+    * both engines compute exactly), bucketed by 4 bands × 8 bits — a
+    * true near-dup that flips a few signature bits still shares every
     * clean band, fixing r2's full-signature recall cliff. Cosine is
-    * verified only within candidate buckets — never an all-pairs join over
-    * the corpus. Cache is scoped: the runner drains it after
-    * materialization.
+    * verified only within candidate buckets — never an all-pairs join
+    * over the corpus — and reported rounded to 4 decimals (the q31
+    * device: float cosine round-parity is proven there). Cache is
+    * scoped: the runner drains it after materialization.
     */
   private val q36 = Q(
     "q36_cosine_neardup",
@@ -54,7 +85,7 @@ object PackDedup2 {
         .select((col("vec_id") + 100000).as("vec_id"), col("e"))
       val corpus = graft.ops.CacheScope.persisted(
         emb.unionByName(planted)
-          .withColumn("sig", SimOps.hyperplaneSig(col("e"), 64, 32, seed = 7L)))
+          .withColumn("sig", SimOps.quantSignSig(col("e"))))
       val banded = corpus.select(col("vec_id"), col("sig"),
         explode(SimOps.intSigBands(col("sig"), 4, 8)).as("band"))
       // hamming prefilter before the exact verify: cosine >= 0.95 flips an
@@ -76,8 +107,40 @@ object PackDedup2 {
         .select(col("vec_id"), col("vec_id2"), col("cos"))
         .orderBy("vec_id", "vec_id2")
     },
-    None,
-    doc = "cosine near-dup: banded hyperplane-LSH buckets + in-bucket verify")
+    Some(s"""
+      WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      corpus AS (
+        SELECT vec_id, e FROM e0
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, e FROM e0 WHERE vec_id % 25 = 0),
+      q AS (SELECT vec_id, e,
+              list_transform(e, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
+            FROM corpus),
+      sig AS (SELECT vec_id, e,
+                CAST(list_sum(list_transform(range(0, 32), j ->
+                  CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), k ->
+                         qv[k] * (CASE WHEN (${PolyHash.sqlA(PolyHash.PlaneOff, 32)}[j + 1] * k
+                                            + ${PolyHash.sqlC(PolyHash.PlaneOff, 32)}[j + 1]) % ${PolyHash.M} % 2 = 1
+                                  THEN 1 ELSE -1 END))) > 0
+                  THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS sig
+              FROM q),
+      band AS (SELECT vec_id, sig, unnest(list_transform(range(0, 4), b ->
+                 b * 256 + ((sig >> (b * 8)) & 255))) AS band
+               FROM sig),
+      pairs AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS vec_id2
+                FROM band a JOIN band b
+                  ON a.band = b.band AND a.vec_id < b.vec_id
+                     AND bit_count(xor(a.sig, b.sig)) <= 10),
+      v AS (SELECT p.vec_id, p.vec_id2,
+              round(list_cosine_similarity(c1.e, c2.e), 4) AS cos
+            FROM pairs p
+            JOIN sig c1 ON c1.vec_id = p.vec_id
+            JOIN sig c2 ON c2.vec_id = p.vec_id2)
+      SELECT vec_id, vec_id2, cos FROM v WHERE cos >= 0.95
+      ORDER BY vec_id, vec_id2
+    """),
+    doc = "cosine near-dup: banded sign-LSH buckets over quantized " +
+      "embeddings + in-bucket verify (oracle-exact signatures)")
 
   /** q37 — token counting, whitespace vs BPE-ish: the GPT-2-style
     * pre-tokenizer regex (contractions, letter runs, digit runs,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.expr.PolyHash
 import graft.ops.SimOps
 
 /** Extended LLM-data-pipeline pack — q27–q31 (north-star surface beyond
@@ -29,10 +30,16 @@ object PackText2 {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** q27 — MinHash-LSH near-dup candidates (⊘ oracle: hash functions are
-    * engine-specific; driver records the rows-only check, the unit suite
-    * covers signature/band semantics). A variant corpus with planted
-    * near-duplicates guarantees recall is observable.
+  /** q27 — MinHash-LSH near-dup candidates, ORACLE-GATED as of round 11
+    * (VERDICT r10 "Next round" #1): the whole hash chain — word-trigram
+    * polynomial shingles, affine-family minhash, base-B band folds — is
+    * explicit integer arithmetic ([[graft.ops.SimOps]] /
+    * [[graft.expr.PolyHash]], q65's device), so the DuckDB oracle
+    * recomputes every signature digit for digit and the driver's
+    * rows+schema+hash gate applies. Jaccard reports as exact integer
+    * basis points (n_common·10⁴ div n_union) — no float in the gate.
+    * A variant corpus with planted near-duplicates guarantees recall is
+    * observable.
     */
   private val q27 = Q(
     "q27_minhash_lsh",
@@ -51,7 +58,8 @@ object PackText2 {
       // and the runner drains the cache after materialization.
       val corpus = graft.ops.CacheScope.persisted(
         base.unionByName(planted)
-          .withColumn("sh", SimOps.wordShingleHashes(col("t"), 3)))
+          .withColumn("sh", SimOps.wordShingleHashes(col("t"), 3))
+          .filter(size(col("sh")) > 0))
       val banded = corpus.withColumn("band",
         explode(SimOps.lshBands(
           SimOps.minhashSignature(col("sh"), 8), 4, 2)))
@@ -59,19 +67,60 @@ object PackText2 {
         .join(banded.select(col("doc_id").as("doc_id2"), col("band")), "band")
         .filter(col("doc_id") < col("doc_id2"))
         .select("doc_id", "doc_id2").distinct()
+      // n_union arithmetically (|A|+|B|−|A∩B|): both engines dedupe an
+      // intersection, but union-builtin duplicate semantics differ
       pairs
         .join(corpus.select(col("doc_id"), col("sh").as("sh1")), "doc_id")
         .join(corpus.select(col("doc_id").as("doc_id2"), col("sh").as("sh2")),
           "doc_id2")
-        .withColumn("jaccard",
-          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-            size(array_union(col("sh1"), col("sh2"))), 4))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_id"), col("doc_id2"), col("jaccard"))
+        .withColumn("n_common", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("jaccard_bp", expr(
+          "(n_common * 10000) div (size(sh1) + size(sh2) - n_common)"))
+        .filter(col("jaccard_bp") >= 5000)
+        .select(col("doc_id"), col("doc_id2"), col("jaccard_bp"))
         .orderBy("doc_id", "doc_id2")
     },
-    None,
-    doc = "MinHash-LSH band-bucket near-dup candidates + in-bucket verify")
+    Some(s"""
+      WITH corpus0 AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, 'near duplicate head ' || lower(text) AS t
+        FROM documents WHERE doc_id % 10 = 0),
+      tok AS (SELECT doc_id, list_filter(string_split_regex(t, '\\W+'), x -> len(x) > 0) AS ws FROM corpus0),
+      th AS (SELECT doc_id,
+               list_transform(ws, tok ->
+                 CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1),
+                   i -> ascii(substr(tok, i, 1)) * ${PolyHash.sqlPow31}[i])) % ${PolyHash.CharMod} AS BIGINT)) AS th
+             FROM tok),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(th) - 1), i ->
+                 ((th[i] * ${PolyHash.B} + th[i + 1]) % ${PolyHash.M}
+                    * ${PolyHash.B} + th[i + 2]) % ${PolyHash.M})) AS sh
+             FROM th WHERE len(th) >= 3),
+      sig AS (SELECT doc_id, sh,
+                list_transform(range(0, 8), p ->
+                  list_aggregate(list_transform(sh, h ->
+                    (${PolyHash.sqlA(PolyHash.MinHashOff, 8)}[p + 1] * h
+                     + ${PolyHash.sqlC(PolyHash.MinHashOff, 8)}[p + 1]) % ${PolyHash.M}), 'min')) AS sig
+              FROM sh WHERE len(sh) > 0),
+      band AS (SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+                 b * ${PolyHash.M} + (sig[2 * b + 1] * ${PolyHash.B} + sig[2 * b + 2]) % ${PolyHash.M})) AS band
+               FROM sig),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_id2
+                FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id),
+      v AS (SELECT p.doc_id, p.doc_id2,
+              CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_common,
+              CAST(len(s1.sh) + len(s2.sh) AS BIGINT) AS n_both
+            FROM pairs p
+            JOIN sig s1 ON s1.doc_id = p.doc_id
+            JOIN sig s2 ON s2.doc_id = p.doc_id2)
+      SELECT doc_id, doc_id2,
+             (n_common * 10000) // (n_both - n_common) AS jaccard_bp
+      FROM v WHERE (n_common * 10000) // (n_both - n_common) >= 5000
+      ORDER BY doc_id, doc_id2
+    """),
+    doc = "MinHash-LSH band-bucket near-dup candidates + in-bucket verify " +
+      "(explicit poly/affine hash family — oracle-exact)")
 
   /** q28 — n-gram (3-char shingle) Jaccard similarity for adjacent doc
     * pairs, fully DuckDB-expressible.

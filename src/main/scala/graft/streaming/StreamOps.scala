@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
 object StreamOps {
 
   final case class BandedDoc(
-      band: Int, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
+      band: Long, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
   /** Per-band state: canonicals OLDEST-FIRST (first-wins attribution) as
     * one list of (doc_id, signature) pairs — parallel lists would have to
     * mutate in lockstep — plus the largest event time ever seen, so a

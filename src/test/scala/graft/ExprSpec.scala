@@ -76,8 +76,8 @@ class ExprSpec extends SparkSpec {
   test("round-3 native functions are SQL-addressable") {
     val r = spark.sql("""
       SELECT
-        size(word_shingles(array('a','b','c','d'), 3)) AS n_sh,
-        size(minhash_sigs(word_shingles(array('a','b','c','d'), 3), 8)) AS n_mh,
+        size(poly_shingles(array('a','b','c','d'), 3)) AS n_sh,
+        size(affine_minhash(poly_shingles(array('a','b','c','d'), 3), 8)) AS n_mh,
         float_dot(array(cast(1.0 AS float), cast(2.0 AS float)),
                   array(cast(3.0 AS float), cast(4.0 AS float))) AS dot,
         size(html_table_rows('<table><tr><td>x</td><td>y</td></tr></table>')) AS n_rows,
@@ -122,11 +122,15 @@ class ExprSpec extends SparkSpec {
       val r = s2.sql("""
         SELECT float_dot(array(cast(1.0 AS float), cast(2.0 AS float)),
                          array(cast(3.0 AS float), cast(4.0 AS float))) AS d,
-               simhash64(array(cast(5 AS bigint))) AS sh,
+               simhash_poly(array('alpha')) AS sh,
                image_dims(unhex('47494638396107000800')).height AS gif_h
       """).head()
       assert(r.getAs[Double]("d") === 11.0)
-      assert(r.getAs[Long]("sh") === 5L) // single hash votes its own bits
+      // single token: majority = that token's own 48 parity bits
+      assert(r.getAs[Long]("sh") ===
+        graft.expr.SimHashPoly.compute(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("alpha")))))
       assert(r.getAs[Int]("gif_h") === 8)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(prev)
@@ -161,10 +165,12 @@ class ExprSpec extends SparkSpec {
         .as("c"),
       expr("array_intersect_count(array(cast(id AS string), 'x'), array('x'))")
         .as("n"),
-      expr("simhash64(array(id))").as("sh"),
-      expr("word_shingles(array('a', cast(id AS string), 'b'), 2)").as("ws"),
-      expr("minhash_sigs(word_shingles(array('a', cast(id AS string), 'b'), 2), 4)")
+      expr("simhash_poly(array(cast(id AS string)))").as("sh"),
+      expr("poly_shingles(array('a', cast(id AS string), 'b'), 2)").as("ws"),
+      expr("affine_minhash(poly_shingles(array('a', cast(id AS string), 'b'), 2), 4)")
         .as("mh"),
+      expr("quant_sign_sig(array(cast(id AS double), cast(1.0 AS double)))")
+        .as("qs"),
       expr("float_dot(array(cast(id AS double)), array(cast(2.0 AS double)))")
         .as("d"),
       expr("size(html_table_rows(concat('<table><tr><td>', id, '</td></tr></table>')))")
