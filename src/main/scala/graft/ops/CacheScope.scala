@@ -39,6 +39,12 @@ object CacheScope {
     p
   }
 
+  /** How many frames this thread's scope currently holds — lets tests pin
+    * "cached exactly once" without parsing plan strings (expr-id suffixes
+    * make InMemoryRelation lines render uniquely per scan).
+    */
+  private[graft] def liveCount: Int = live.get().size()
+
   /** Unpersist everything this THREAD registered since its last drain.
     * Non-blocking: executors free the blocks asynchronously while the next
     * query plans.

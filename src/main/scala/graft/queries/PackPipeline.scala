@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+/** q78 — the END-TO-END fuzzy-dedup pipeline (round 11, VERDICT r10
+  * "Next round" #2): the five separately-gated stages of the dedup chain
+  * composed into ONE oracle-gated job, the way a real corpus build runs
+  * them —
+  *
+  *   q65 winnow fingerprints → q67 candidate pairs (stop-fp df cap)
+  *   → q73 exact 4-gram Jaccard verify (drop threshold 8000 bp = the
+  *   classic 0.8) → q48-style connected components over the VERIFIED
+  *   edges → q62-style per-cluster canonical selection
+  *
+  * returning the deduplicated corpus: one row per surviving document
+  * (its cluster label, quality score, and how many duplicates it
+  * absorbed). Every document survives either as its own singleton
+  * cluster or as the argmax-quality representative of a dup cluster.
+  *
+  * What composing proves that five separate gates cannot: the stage
+  * frames actually line up (q67's (doc_a, doc_b, n_shared) is exactly
+  * what the verify join consumes; the verified pairs are exactly
+  * GraphOps.connectedComponents' edge frame), the fingerprint cache is
+  * scoped to ONE query run, and one Catalyst plan carries the whole
+  * chain without a cartesian anywhere (pinned in PlanSpec).
+  *
+  * Scale posture (each inherited from the stage that proved it): the
+  * fingerprint frame is CacheScope-persisted once and read by four plan
+  * branches (~20 longs/doc — two orders smaller than the corpus); the
+  * df ≤ 20 stop-fingerprint cap bounds the self-join fan-out; exact
+  * Jaccard runs per CANDIDATE, never per pair of documents; CC runs
+  * hook+shortcut rounds over the label frame (edges = verified pairs,
+  * orders smaller than the corpus); the canonical pick is a plain
+  * min(struct) aggregate with map-side partial merge, not a corpus-wide
+  * window. The oracle is the five stages as CTEs — candidates, verify,
+  * recursive transitive closure (q48's spec device), windowed argmax.
+  */
+object PackPipeline {
+
+  /** Shared tokenizer — identical to q38/q40/q48/q65's (parity proven). */
+  private def toks = filter(split(lower(col("text")), "\\W+"),
+    t => length(t) > 0)
+
+  private val PowSql = "[27512614111, 887503681, 28629151, 923521, 29791, 961, 31, 1]"
+
+  /** Stages 1–3 as one frame: winnow fingerprints (cached once) →
+    * stop-fp-capped candidate pairs → exact-Jaccard-verified edges
+    * (a, b). Exposed for PlanSpec: this is the plan that must show the
+    * single fp cache and no cartesian — the composed query consumes it
+    * inside the CC loop (localCheckpoint), so the final plan can't.
+    */
+  private[graft] def verifiedEdges(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftglue.ExprGlue
+    val docs = Tables.documents(s, d)
+
+    // stage 1 (q65): winnow fingerprints, cached once for the four
+    // downstream branches (df agg, stop-fp semi join, both pair sides)
+    val fps = graft.ops.CacheScope.persisted(
+      docs.select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"),
+          explode(ExprGlue.column(graft.expr.WinnowFingerprint(
+            ExprGlue.expression(col("ws"))))).as("fp")))
+
+    // stage 2 (q67): candidate pairs — stop-fp cap, ≥ 2 shared fps
+    val stop = fps.groupBy("fp").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= 20)
+    val keep = fps.join(stop.select("fp"), Seq("fp"), "left_semi")
+    val cand = keep.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(keep.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+
+    // stage 3 (q73): exact 4-gram Jaccard on candidates only; an edge
+    // survives at ≥ 8000 basis points
+    def g4 = ExprGlue.column(graft.expr.WordShingleStrings(
+      ExprGlue.expression(toks), 4))
+    val sets = docs.select(col("doc_id"), g4.as("g"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        ExprGlue.column(graft.expr.ArrayIntersectCount(
+          ExprGlue.expression(col("ga")), ExprGlue.expression(col("gb"))))
+          .cast("bigint").as("n_common"),
+        (size(col("ga")) + size(col("gb"))).cast("bigint").as("sz"))
+      .filter(expr("n_common * 10000 div (sz - n_common)") >= 8000)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+  }
+
+  private val q78 = Q(
+    "q78_dedup_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+
+      // stage 4 (q48): connected components over the verified edges —
+      // every document is a node, so unpaired docs label themselves
+      val lbl = GraphOps.connectedComponents(
+        docs.select(col("doc_id").as("id")), verifiedEdges(s, d))
+
+      // stage 5 (q62): per-cluster argmax quality (distinct-token share
+      // in basis points), min doc_id on ties — the survivor frame
+      val scored = docs.select(col("doc_id"), toks.as("ws"))
+        .select(col("doc_id"),
+          expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)")
+            .as("score"))
+      lbl.select(col("id").as("doc_id"), col("comp"))
+        .join(scored, "doc_id")
+        .groupBy("comp")
+        .agg(min(struct((-col("score")).as("ns"), col("doc_id"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("comp"), col("m.doc_id").as("keep_doc"),
+          (-col("m.ns")).as("score"), col("n_members"))
+        .orderBy("comp")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      h AS (SELECT doc_id,
+              list_transform(ws, tok ->
+                CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1),
+                  i -> ascii(substr(tok, i, 1)) * $PowSql[i])) % 1048573 AS BIGINT)) AS th
+            FROM t WHERE len(ws) >= 8),
+      g AS (SELECT doc_id,
+              list_transform(range(1, len(th) - 2), i ->
+                ((((th[i] * 1000003 + th[i + 1]) % 2147483647)
+                   * 1000003 + th[i + 2]) % 2147483647
+                   * 1000003 + th[i + 3]) % 2147483647) AS gh
+            FROM h),
+      w AS (SELECT doc_id, CAST(unnest(list_distinct(list_transform(range(5, len(gh) + 1),
+              j -> list_aggregate(gh[j-4:j], 'min')))) AS BIGINT) AS fp
+            FROM g),
+      df AS (SELECT fp FROM w GROUP BY fp HAVING count(*) <= 20),
+      keep AS (SELECT w.doc_id, w.fp FROM w JOIN df USING (fp)),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+      s4 AS (SELECT doc_id,
+               CASE WHEN len(ws) >= 4
+                 THEN list_distinct(list_transform(range(1, len(ws) - 2),
+                   i -> array_to_string(ws[i:i+3], ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END AS g
+             FROM t),
+      v AS (SELECT p.doc_a, p.doc_b
+            FROM pairs p JOIN s4 a ON a.doc_id = p.doc_a
+                         JOIN s4 b ON b.doc_id = p.doc_b
+            WHERE len(list_intersect(a.g, b.g)) * 10000
+                    // (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 8000),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM v
+            UNION SELECT doc_b AS a, doc_a AS b FROM v),
+      r(src, dst) AS (SELECT doc_id, doc_id FROM documents
+                      UNION
+                      SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a),
+      comp AS (SELECT src AS doc_id, min(dst) AS comp FROM r GROUP BY src),
+      sc AS (SELECT doc_id,
+               CAST(len(list_distinct(ws)) AS BIGINT) * 10000
+                 // greatest(len(ws), 1) AS score
+             FROM t),
+      b2 AS (SELECT comp.comp, comp.doc_id, sc.score,
+                    row_number() OVER (PARTITION BY comp.comp
+                      ORDER BY sc.score DESC, comp.doc_id) AS rn,
+                    count(*) OVER (PARTITION BY comp.comp) AS nm
+             FROM comp JOIN sc USING (doc_id))
+      SELECT comp, doc_id AS keep_doc, score, CAST(nm AS BIGINT) AS n_members
+      FROM b2 WHERE rn = 1 ORDER BY comp
+    """),
+    doc = "end-to-end fuzzy-dedup pipeline: fingerprint → candidates → " +
+      "exact verify (8000 bp) → CC over verified edges → argmax-quality " +
+      "canonical per cluster — the five-stage chain as one plan")
+
+  val all: Seq[Q] = Seq(q78)
+}

@@ -378,6 +378,30 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q78: composed dedup chain — fp cached ONCE, no stage plans a cartesian") {
+    // the composed query runs CC eagerly (localCheckpoint), so the final
+    // plan can't show the fp cache — pin the stage-1..3 frame directly
+    val ep = graft.queries.PackPipeline.verifiedEdges(spark, sf)
+      .queryExecution.executedPlan.toString
+    try {
+      val caches = ep.linesIterator.count(_.contains("InMemoryTableScan"))
+      assert(caches >= 2,
+        s"fp frame must be scope-cached and read by several branches:\n$ep")
+      assert(graft.ops.CacheScope.liveCount === 1,
+        s"exactly ONE cache (the fp frame), not one per stage:\n$ep")
+      assert(ep.contains("winnow_fp") && ep.contains("array_intersect_count"),
+        s"fingerprint + verify must be the native expressions:\n$ep")
+      assert(!ep.contains("CartesianProduct"),
+        s"cartesian in the candidate/verify stages:\n$ep")
+      // ...and the full composed query (CC + canonical pick included)
+      // stays cartesian-free end to end
+      val p = plan("q78_dedup_pipeline")
+      assert(!p.contains("CartesianProduct"), s"cartesian in q78:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"canonical pick must be the argmax aggregate:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q74: codebooks broadcast to the subspace join; never SMJ/cartesian") {
     val p = plan("q74_pq_encode")
     assert(p.contains("BroadcastHashJoin"),
