@@ -103,6 +103,52 @@ class PackCurateSpec extends SparkSpec {
     assert(got.head._2 >= got.last._2)
   }
 
+  test("q79: three merge rounds agree with an independent in-memory BPE run") {
+    // reference implementation: vocab fold, then per round count weighted
+    // adjacent pairs, pick (count desc, "a|b" asc), apply the merge with a
+    // greedy non-overlapping left-to-right scan — the same semantics the
+    // query's literal "(a)(b)"→"(ab)" replace has
+    val words = collection.mutable.Map.empty[List[String], Long]
+    Tables.documents(spark, sf).select("text").as[String].collect()
+      .flatMap(_.toLowerCase.split("\\W+")).filter(_.nonEmpty)
+      .foreach { w =>
+        val k = w.map(_.toString).toList
+        words(k) = words.getOrElse(k, 0L) + 1L
+      }
+    def pairCounts = {
+      val c = collection.mutable.Map.empty[String, Long]
+      words.foreach { case (sy, n) =>
+        sy.zip(sy.tail).foreach { case (a, b) =>
+          c(s"$a|$b") = c.getOrElse(s"$a|$b", 0L) + n
+        }
+      }
+      c
+    }
+    def applyMerge(sy: List[String], a: String, b: String): List[String] = {
+      val out = collection.mutable.ListBuffer.empty[String]
+      var rest = sy
+      while (rest.nonEmpty) rest match {
+        case x :: y :: tl if x == a && y == b => out += (a + b); rest = tl
+        case x :: tl => out += x; rest = tl
+        case Nil => ()
+      }
+      out.toList
+    }
+    val expectMerges = (1 to 3).map { r =>
+      val (pair, n) = pairCounts.toSeq.minBy { case (p, c) => (-c, p) }
+      val Array(a, b) = pair.split("\\|", 2)
+      val rewritten = words.toSeq.map { case (sy, c) => applyMerge(sy, a, b) -> c }
+      words.clear()
+      rewritten.foreach { case (sy, c) => words(sy) = words.getOrElse(sy, 0L) + c }
+      ("merge", r, pair, n)
+    }
+    val expectNext = pairCounts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(10).zipWithIndex.map { case ((p, c), i) => ("next", i + 1, p, c) }
+    val got = run("q79_bpe_iterate").as[(String, Int, String, Long)]
+      .collect().toSeq
+    assert(got === (expectMerges ++ expectNext))
+  }
+
   test("q70: repetitive text compresses far below high-entropy text") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftglue.ExprGlue

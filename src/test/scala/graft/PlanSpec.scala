@@ -402,6 +402,23 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q79: BPE rounds iterate over cached vocab frames; merges broadcast") {
+    val p = plan("q79_bpe_iterate")
+    try {
+      // the corpus folds to vocab ONCE and each merge round materializes
+      // its rewritten vocab once — four scoped caches, no fifth
+      assert(graft.ops.CacheScope.liveCount === 4,
+        s"expected v0..v3 cached (corpus folded once, one frame per round)")
+      assert(p.contains("InMemoryTableScan"),
+        s"the final pair count must read a cached vocab frame:\n$p")
+      // each chosen merge arrives as a broadcast 1-row frame, never a
+      // shuffle and never a driver collect
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"merge pairs must crossJoin broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in q79:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q74: codebooks broadcast to the subspace join; never SMJ/cartesian") {
     val p = plan("q74_pq_encode")
     assert(p.contains("BroadcastHashJoin"),
