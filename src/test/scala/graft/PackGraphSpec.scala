@@ -39,10 +39,26 @@ class PackGraphSpec extends SparkSpec {
     assert(ranks.map(_._2).distinct.length === 1, ranks.mkString(","))
   }
 
+  test("pageRank: sink mass is redistributed, not dropped") {
+    // chain 0→1→2 with 2 a SINK, scale 1e6, one iteration, by hand:
+    // base = (1000000/3)*15/100 = 49999; dang = r0(2) = 333333,
+    // share = 111111; r1(0) = 49999 + 111111*85/100    = 144443,
+    // r1(1) = r1(2) = 49999 + (333333+111111)*85/100   = 427776.
+    // Without redistribution node 2's third of the mass would decay
+    // out of the graph (total 666662, not 999995).
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val got = GraphOps.pageRank(edges, nodes, iters = 1, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 144443L, 1L -> 427776L, 2L -> 427776L))
+    assert(got.values.sum >= 1000000L - 10,
+      s"mass must survive the sink: ${got.values.sum}")
+  }
+
   test("q61: rank mass is conserved up to integer truncation") {
-    // every synthesized dst is a valid doc (mod n_docs), so no rank
-    // leaks: sum(rank) after 2 iterations ≈ scale, short only the
-    // sub-unit floor losses (≲ a few per node)
+    // every synthesized dst is a valid doc (mod n_docs) and sink-held
+    // rank redistributes, so no rank leaks: sum(rank) after 2
+    // iterations ≈ scale, short only the sub-unit floor losses
     val ranks = run("q61_pagerank").as[(Long, Long)].collect()
     val n = Tables.documents(spark, sf).count()
     assert(ranks.length.toLong === n)

@@ -127,6 +127,100 @@ class StreamRestartSpec extends SparkSpec {
       s"stale update must stay suppressed across restart: $got")
   }
 
+  test("sequence-packing shard fill state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val in = Files.createTempDirectory("pk-in").toString
+    val out = Files.createTempDirectory("pk-out").toString
+    val ckpt = Files.createTempDirectory("pk-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("shard", IntegerType), StructField("doc_id", LongType),
+      StructField("start", IntegerType), StructField("n_ctok", IntegerType)))
+    def startQuery() = StreamOps.packStream(
+      spark.readStream.schema(schema).parquet(in), budget = 256)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    // run 1: a 200-token chunk opens bin 0 and fills it to 200
+    Seq((0, 1L, 0, 200)).toDF("shard", "doc_id", "start", "n_ctok")
+      .write.mode("append").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2: a 100-token chunk does NOT fit (200 + 100 > 256) — rolling
+    // to bin 1 requires the (bin, fill) recovered from the checkpoint;
+    // lost state would silently restart at (0, 0) and corrupt the layout
+    // by co-locating it with chunk 1. The 50-token chunk then rides bin 1.
+    Seq((0, 2L, 0, 100), (0, 3L, 10, 50))
+      .toDF("shard", "doc_id", "start", "n_ctok")
+      .write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "bin").as[(Long, Int)].collect().toSeq.sorted
+    assert(got === Seq((1L, 0), (2L, 1), (3L, 1)),
+      s"restart must resume the open bin at fill 200, not restart at 0: $got")
+  }
+
+  test("LM-scoring window state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val train = graft.queries.Tables.documents(spark, sf)
+    val batch = graft.queries.Catalog.queries("q77_lm_score")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val (cid, nb, score) = batch.head
+    val text = train.filter(col("doc_id") === cid)
+      .select("text").as[String].head()
+
+    val in = Files.createTempDirectory("lm-in").toString
+    val out = Files.createTempDirectory("lm-out").toString
+    val ckpt = Files.createTempDirectory("lm-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def startQuery() = StreamOps.lmScoreStream(
+      spark.readStream.schema(schema).parquet(in), train)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    try {
+      // run 1: the doc is scored into the 00:00 window's agg state; the
+      // watermark hasn't passed, so nothing emits — the partial sum/count
+      // live ONLY in the checkpointed state store
+      Seq((cid, ts("2024-01-01 00:10:00"), text))
+        .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      assert(spark.read.schema(
+        "w_start timestamp, doc_id long, n_bigrams long, score_bp long")
+        .parquet(out).count() === 0, "window must still be open at stop")
+
+      // run 2: the SAME text replays into the SAME window, then a
+      // far-future sentinel closes it. n_bigrams doubling (and the mean
+      // holding) proves run 1's partial agg merged from recovered state —
+      // lost state would report exactly nb.
+      Seq((cid, ts("2024-01-01 00:20:00"), text),
+        (999999L, ts("2024-01-01 05:00:00"), "x y z"))
+        .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(out)
+        .filter(col("doc_id") === cid)
+        .select("n_bigrams", "score_bp").as[(Long, Long)].collect().toSeq
+      assert(got === Seq((2 * nb, score)),
+        s"expected the merged window (${2 * nb} bigrams, score $score): $got")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("bloom-decon dedup state survives a checkpointed restart") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.col
