@@ -33,18 +33,21 @@ object PackDecon {
       graft.expr.WordShingleStrings(
         org.apache.spark.sql.graftglue.ExprGlue.expression(toks), 5))
 
-  /** Probe i of the bloom test for the `sh` column against the `bm`
-    * bitmap column: hash to one of M bit positions, test that bit.
-    * Build and probe share this — shared code is what makes the
-    * no-false-negative property structural rather than hoped-for.
+  /** Probe i's bit position for the `sh` column — the ONE definition of
+    * the hash family, which build ([[bitmapOf]] via [[pos]]) and probe
+    * ([[hit]]) both derive from (VERDICT r10 cosmetic: the Column and
+    * SQL-string forms used to restate the hash independently — a drift
+    * risk between build and probe that shared text removes).
     * `private[graft]`: batch q59 and the streaming twin probe the SAME
     * bitmap with the SAME hash family, so neither can drift alone.
     */
-  private def pos(i: Int): Column = pmod(xxhash64(col("sh"), lit(i)), lit(M.toLong))
+  private def posSql(i: Int): String = s"pmod(xxhash64(sh, $i), $M)"
+
+  private def pos(i: Int): Column = expr(posSql(i))
 
   private[graft] def hit(i: Int): Column = expr(
-    s"(element_at(bm, cast(pmod(xxhash64(sh, $i), $M) div 64 as int) + 1)" +
-      s" & shiftleft(cast(1 as bigint), cast(pmod(xxhash64(sh, $i), $M) % 64 as int))) != 0")
+    s"(element_at(bm, cast(${posSql(i)} div 64 as int) + 1)" +
+      s" & shiftleft(cast(1 as bigint), cast(${posSql(i)} % 64 as int))) != 0")
 
   /** The 1-row dense bitmap frame (`bm: array<bigint>`) for a frame of
     * distinct eval shingles in column `sh` — aggregation only, never a
