@@ -99,10 +99,20 @@ object PackPipeline {
     (s, d) => {
       val docs = Tables.documents(s, d)
 
-      // stage 4 (q48): connected components over the verified edges —
-      // every document is a node, so unpaired docs label themselves
-      val lbl = GraphOps.connectedComponents(
-        docs.select(col("doc_id").as("id")), verifiedEdges(s, d))
+      // stage 4 (q48): connected components over the verified edges
+      // ONLY — a doc outside every verified pair is a singleton by
+      // construction, so the CC node (and label) frames are
+      // candidate-cardinality, orders smaller than the corpus at
+      // 100 TB; singletons rejoin as comp = own id below. (Running CC
+      // over all corpus nodes would drag the full corpus through every
+      // hook/shortcut round for labels that provably never change.)
+      // The edge frame is persisted: it is read twice here (endpoints +
+      // the CC edge list) and costs the whole stage-1..3 chain to
+      // recompute, while holding only the verified pairs.
+      val edges = graft.ops.CacheScope.persisted(verifiedEdges(s, d))
+      val endpoints = edges.select(col("a").as("id"))
+        .unionByName(edges.select(col("b").as("id"))).distinct()
+      val lbl = GraphOps.connectedComponents(endpoints, edges)
 
       // stage 5 (q62): per-cluster argmax quality (distinct-token share
       // in basis points), min doc_id on ties — the survivor frame
@@ -110,7 +120,10 @@ object PackPipeline {
         .select(col("doc_id"),
           expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)")
             .as("score"))
-      lbl.select(col("id").as("doc_id"), col("comp"))
+      docs.select(col("doc_id"))
+        .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
         .join(scored, "doc_id")
         .groupBy("comp")
         .agg(min(struct((-col("score")).as("ns"), col("doc_id"))).as("m"),
