@@ -149,6 +149,25 @@ class PackCurateSpec extends SparkSpec {
     assert(got === (expectMerges ++ expectNext))
   }
 
+  test("q79 merge device: replace is greedy non-overlapping left-to-right") {
+    // the property the whole oracle parity rests on: applying merge
+    // (a, a) to "aaa" must give "(aa)(a)" — BPE's greedy order — and to
+    // "aaaa" must give "(aa)(aa)", never re-matching inside a produced
+    // symbol; a Spark upgrade changing replace()'s scan semantics would
+    // corrupt q79 silently, so pin it
+    val r = spark.sql("""
+      SELECT replace('(a)(a)(a)', '(a)(a)', '(aa)') AS three,
+             replace('(a)(a)(a)(a)', '(a)(a)', '(aa)') AS four,
+             replace('(x)(a)(a)', '(a)(a)', '(aa)') AS offset,
+             replace('(xa)(b)', '(a)(b)', '(ab)') AS bounded
+    """).head()
+    assert(r.getAs[String]("three") === "(aa)(a)")
+    assert(r.getAs[String]("four") === "(aa)(aa)")
+    assert(r.getAs[String]("offset") === "(x)(aa)")
+    // delimiters make cross-symbol matches impossible
+    assert(r.getAs[String]("bounded") === "(xa)(b)")
+  }
+
   test("q70: repetitive text compresses far below high-entropy text") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftglue.ExprGlue
