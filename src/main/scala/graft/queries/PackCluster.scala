@@ -392,5 +392,129 @@ object PackCluster {
       "over the code frame; top-3 via WindowGroupLimit — distance " +
       "evaluation never re-reads the raw vectors")
 
-  val all: Seq[Q] = Seq(q56, q57, q74, q75)
+  /** q83 — SEMANTIC dedup (SemDeDup, Abbas et al.): cluster the
+    * embedding space, then inside each cluster drop every vector whose
+    * cosine to a LOWER-ID clustermate clears the duplicate threshold —
+    * the embedding-space complement of the text-side fuzzy chain (q78):
+    * paraphrases and re-renders that share no n-grams still collapse to
+    * the same region of embedding space. Output: every vector with its
+    * cluster, the id it duplicates (−1 if none), and the keep verdict.
+    *
+    * The corpus plants a perturbed copy of every 25th vector (±3
+    * milli-units per dimension, deterministic integer perturbation both
+    * engines compute identically — q36's planted-dup device, upgraded
+    * from exact copies so the threshold actually discriminates).
+    *
+    * Scale posture — the whole point of SemDeDup: the only pairwise work
+    * is WITHIN cells (self-join on the cell id; k chosen at scale so
+    * cells stay bounded — the same fan-out contract as q27's LSH
+    * buckets and q67's df cap), never corpus × corpus. Pairing is
+    * MULTI-PROBE: every vector pairs inside its TOP-2 nearest cells,
+    * not just the argmin — a near-dup pair straddling a Voronoi
+    * boundary (measured at sf0.001: a planted copy at cosine 0.9999
+    * landed one cell over from its original) still meets in the second
+    * probe. IVF's standard recall device (q33's probe list), costing 2×
+    * the pairing work for recall the single cell provably loses; the
+    * probe rank is literal-bounded so WindowGroupLimit prunes below the
+    * exchange. Centroids travel broadcast (q56's machinery). Threshold
+    * compare is EXACT: cos ≥ 0.95 evaluated as
+    * dot > 0 ∧ dot²·10⁸ ≥ 9500²·|a|²·|b|² in decimal(38,0)/HUGEINT —
+    * no sqrt, no float ties (q69's overflow posture).
+    */
+  private val SdBp = 9500L // cosine threshold, basis points
+
+  private val q83 = Q(
+    "q83_semdedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = quantized(s, d)
+      val planted = base.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"),
+          expr("transform(v, (x, i) -> x + pmod(vec_id + i, 7) - 3)").as("v"))
+        .select((col("vec_id") + 100000).as("vec_id"), col("v"))
+      val corpus = graft.ops.CacheScope.persisted(base.unionByName(planted))
+      val c0 = base.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val probes = corpus.crossJoin(broadcast(c0))
+        .select(col("vec_id"), col("cid"),
+          aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") <= 2)
+      val av = graft.ops.CacheScope.persisted(
+        probes.join(corpus, "vec_id")
+          .select(col("cid"), col("rn"), col("vec_id"), col("v"),
+            expr("aggregate(v, cast(0 as bigint), (a, x) -> a + x * x)")
+              .as("n2")))
+      val dupOf = av
+        .join(av.select(col("cid"), col("vec_id").as("vec_id2"),
+          col("v").as("v2"), col("n2").as("n2b")), "cid")
+        .filter(col("vec_id") < col("vec_id2"))
+        .select(col("vec_id"), col("vec_id2"), col("n2"), col("n2b"),
+          aggregate(zip_with(col("v"), col("v2"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("dot"))
+        .filter(col("dot") > 0 && expr(
+          s"cast(dot as decimal(38,0)) * dot * 100000000 >= " +
+            s"cast($SdBp as decimal(38,0)) * $SdBp * n2 * n2b"))
+        .groupBy("vec_id2").agg(min("vec_id").as("dup_of"))
+      av.filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cluster"))
+        .join(dupOf.withColumnRenamed("vec_id2", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .withColumn("kept", col("dup_of") === -1L)
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      corpus AS (
+        SELECT vec_id, v FROM q
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(range(1, len(v) + 1),
+                 i -> v[i] + (vec_id + i - 1) % 7 - 3) AS v
+        FROM q WHERE vec_id % 25 = 0),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $K),
+      dist AS (
+        SELECT t.vec_id, c.cid,
+               sum((t.v[g.i] - c.cv[g.i]) * (t.v[g.i] - c.cv[g.i])) AS d
+        FROM corpus t CROSS JOIN c0 c CROSS JOIN generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      a AS (
+        SELECT vec_id, cid, rn FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+           FROM dist)
+        WHERE rn <= 2),
+      av AS (
+        SELECT a.cid, a.rn, a.vec_id, t.v,
+               list_sum(list_transform(t.v, x -> x * x)) AS n2
+        FROM a JOIN corpus t USING (vec_id)),
+      dup AS (
+        SELECT y.vec_id AS vec_id2, min(x.vec_id) AS dup_of
+        FROM av x JOIN av y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE list_sum(list_transform(range(1, len(x.v) + 1),
+                i -> x.v[i] * y.v[i])) > 0
+          AND CAST(list_sum(list_transform(range(1, len(x.v) + 1),
+                i -> x.v[i] * y.v[i])) AS HUGEINT)
+              * list_sum(list_transform(range(1, len(x.v) + 1),
+                i -> x.v[i] * y.v[i])) * 100000000
+              >= CAST($SdBp AS HUGEINT) * $SdBp * x.n2 * y.n2
+        GROUP BY y.vec_id)
+      SELECT av.vec_id, av.cid AS cluster,
+             coalesce(dup.dup_of, -1) AS dup_of,
+             coalesce(dup.dup_of, -1) = -1 AS kept
+      FROM av LEFT JOIN dup ON dup.vec_id2 = av.vec_id
+      WHERE av.rn = 1
+      ORDER BY av.vec_id
+    """),
+    doc = "SemDeDup with multi-probe recall: top-2 cell assignment " +
+      "(broadcast centroids), in-cell cosine near-dup pruning with " +
+      "exact integer threshold compare — pairwise work bounded by " +
+      "cell size, never corpus x corpus")
+
+  val all: Seq[Q] = Seq(q56, q57, q74, q75, q83)
 }

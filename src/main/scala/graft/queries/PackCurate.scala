@@ -258,6 +258,86 @@ object PackCurate {
     doc = "BPE first-merge candidates: corpus folds to vocab once, pair " +
       "counting runs vocab-local, top-k via TakeOrderedAndProject")
 
+  /** Shared BPE-induction machinery (q79 learn, q80 encode): the corpus
+    * folds ONCE to a cached (tok, n_w, symbol-string) vocab frame; merges
+    * learn and apply over that frame only. `tok` rides along untouched so
+    * the encode path (q80) can join the rewritten symbols back onto the
+    * corpus token stream — the learn path (q79) never reads it.
+    */
+  private object Bpe {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+
+    def vocab0(s: SparkSession, d: String): DataFrame =
+      graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(explode(toks).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n_w"))
+          .select(col("tok"), col("n_w"),
+            regexp_replace(col("tok"), "(.)", "($1)").as("s")))
+
+    /** adjacent symbol-pair counts of a delimited-vocab frame */
+    def pairsOf(v: DataFrame): DataFrame = v
+      .withColumn("sy",
+        expr("split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')"))
+      .filter(size(col("sy")) >= 2)
+      .select(col("n_w"), explode(expr(
+        "transform(sequence(1, size(sy) - 1), " +
+          "i -> concat(element_at(sy, i), '|', element_at(sy, i + 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("n_w").as("n_pair"))
+
+    def bestOf(p: DataFrame): DataFrame =
+      p.orderBy(col("n_pair").desc, col("pair")).limit(1)
+
+    /** one greedy merge, broadcast onto every word's symbol string */
+    def applied(v: DataFrame, best: DataFrame): DataFrame =
+      graft.ops.CacheScope.persisted(
+        v.crossJoin(broadcast(best.select(col("pair").as("mp"))))
+          .select(col("tok"), col("n_w"), expr(
+            "replace(s, concat('(', substring_index(mp, '|', 1), ')(', " +
+              "substring_index(mp, '|', -1), ')'), " +
+              "concat('(', substring_index(mp, '|', 1), " +
+              "substring_index(mp, '|', -1), ')'))").as("s")))
+
+    /** three learned merges + the vocab frame after each is applied */
+    def learn3(s: SparkSession, d: String)
+        : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      val v0 = vocab0(s, d)
+      val b1 = bestOf(pairsOf(v0)); val v1 = applied(v0, b1)
+      val b2 = bestOf(pairsOf(v1)); val v2 = applied(v1, b2)
+      val b3 = bestOf(pairsOf(v2)); val v3 = applied(v2, b3)
+      (b1, b2, b3, v3)
+    }
+
+    /** The oracle twin of the chain above — the shared CTE prefix both
+      * q79's and q80's oracle strings open with (one definition, so the
+      * build and probe sides can never drift — the PackDecon.pos lesson).
+      * Defines t (tokenized docs), w, v0, p1..b3, v3; `tok` carried.
+      */
+    private def pairCte(p: String, v: String): String =
+      s"""$p AS (SELECT pair, CAST(sum(n_w) AS BIGINT) AS n_pair FROM (
+               SELECT n_w, unnest(list_transform(range(1, len(sy)), i -> sy[i] || '|' || sy[i + 1])) AS pair
+               FROM (SELECT n_w, string_split(substr(s, 2, length(s) - 2), ')(') AS sy FROM $v)
+               WHERE len(sy) >= 2) GROUP BY pair)"""
+
+    private def bestCte(b: String, p: String): String =
+      s"$b AS (SELECT pair, n_pair FROM $p ORDER BY n_pair DESC, pair LIMIT 1)"
+
+    private def applyCte(vNew: String, vOld: String, b: String): String =
+      s"$vNew AS (SELECT tok, n_w, replace(s, '(' || split_part(pair, '|', 1) || ')(' || split_part(pair, '|', 2) || ')', '(' || split_part(pair, '|', 1) || split_part(pair, '|', 2) || ')') AS s FROM $vOld, $b)"
+
+    val oracleCtes: String =
+      """t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      w AS (SELECT tok, count(*) AS n_w FROM (SELECT unnest(ws) AS tok FROM t) GROUP BY tok),
+      v0 AS (SELECT tok, n_w, regexp_replace(tok, '(.)', '(\1)', 'g') AS s FROM w),
+      """ +
+        Seq(
+          pairCte("p1", "v0"), bestCte("b1", "p1"), applyCte("v1", "v0", "b1"),
+          pairCte("p2", "v1"), bestCte("b2", "p2"), applyCte("v2", "v1", "b2"),
+          pairCte("p3", "v2"), bestCte("b3", "p3"), applyCte("v3", "v2", "b3"))
+          .mkString(",\n      ")
+  }
+
   /** q79 — ITERATED distributed BPE (round 11, VERDICT r10 "Next round"
     * #3): three unrolled merge rounds over the (word, count) vocab frame —
     * pick the max-count adjacent symbol pair, apply it to every word's
@@ -291,42 +371,9 @@ object PackCurate {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.DataFrame
-      val v0 = graft.ops.CacheScope.persisted(
-        Tables.documents(s, d)
-          .select(explode(toks).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("n_w"))
-          .select(col("n_w"),
-            regexp_replace(col("tok"), "(.)", "($1)").as("s")))
-
-      // adjacent symbol-pair counts of a delimited-vocab frame
-      def pairsOf(v: DataFrame): DataFrame = v
-        .withColumn("sy",
-          expr("split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')"))
-        .filter(size(col("sy")) >= 2)
-        .select(col("n_w"), explode(expr(
-          "transform(sequence(1, size(sy) - 1), " +
-            "i -> concat(element_at(sy, i), '|', element_at(sy, i + 1)))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum("n_w").as("n_pair"))
-
-      def bestOf(p: DataFrame): DataFrame =
-        p.orderBy(col("n_pair").desc, col("pair")).limit(1)
-
-      // one greedy merge, broadcast onto every word's symbol string
-      def applied(v: DataFrame, best: DataFrame): DataFrame =
-        graft.ops.CacheScope.persisted(
-          v.crossJoin(broadcast(best.select(col("pair").as("mp"))))
-            .select(col("n_w"), expr(
-              "replace(s, concat('(', substring_index(mp, '|', 1), ')(', " +
-                "substring_index(mp, '|', -1), ')'), " +
-                "concat('(', substring_index(mp, '|', 1), " +
-                "substring_index(mp, '|', -1), ')'))").as("s")))
-
-      val b1 = bestOf(pairsOf(v0)); val v1 = applied(v0, b1)
-      val b2 = bestOf(pairsOf(v1)); val v2 = applied(v1, b2)
-      val b3 = bestOf(pairsOf(v2)); val v3 = applied(v2, b3)
+      val (b1, b2, b3, v3) = Bpe.learn3(s, d)
       val w = Window.orderBy(col("n_pair").desc, col("pair"))
-      val top = pairsOf(v3)
+      val top = Bpe.pairsOf(v3)
         .orderBy(col("n_pair").desc, col("pair")).limit(10)
         .withColumn("rk", row_number().over(w))
         .select(lit("next").as("stage"), col("rk"), col("pair"), col("n_pair"))
@@ -337,28 +384,8 @@ object PackCurate {
         .unionByName(top)
         .orderBy("stage", "rk")
     },
-    Some("""
-      WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
-      w AS (SELECT tok, count(*) AS n_w FROM (SELECT unnest(ws) AS tok FROM t) GROUP BY tok),
-      v0 AS (SELECT n_w, regexp_replace(tok, '(.)', '(\1)', 'g') AS s FROM w),
-      p1 AS (SELECT pair, CAST(sum(n_w) AS BIGINT) AS n_pair FROM (
-               SELECT n_w, unnest(list_transform(range(1, len(sy)), i -> sy[i] || '|' || sy[i + 1])) AS pair
-               FROM (SELECT n_w, string_split(substr(s, 2, length(s) - 2), ')(') AS sy FROM v0)
-               WHERE len(sy) >= 2) GROUP BY pair),
-      b1 AS (SELECT pair, n_pair FROM p1 ORDER BY n_pair DESC, pair LIMIT 1),
-      v1 AS (SELECT n_w, replace(s, '(' || split_part(pair, '|', 1) || ')(' || split_part(pair, '|', 2) || ')', '(' || split_part(pair, '|', 1) || split_part(pair, '|', 2) || ')') AS s FROM v0, b1),
-      p2 AS (SELECT pair, CAST(sum(n_w) AS BIGINT) AS n_pair FROM (
-               SELECT n_w, unnest(list_transform(range(1, len(sy)), i -> sy[i] || '|' || sy[i + 1])) AS pair
-               FROM (SELECT n_w, string_split(substr(s, 2, length(s) - 2), ')(') AS sy FROM v1)
-               WHERE len(sy) >= 2) GROUP BY pair),
-      b2 AS (SELECT pair, n_pair FROM p2 ORDER BY n_pair DESC, pair LIMIT 1),
-      v2 AS (SELECT n_w, replace(s, '(' || split_part(pair, '|', 1) || ')(' || split_part(pair, '|', 2) || ')', '(' || split_part(pair, '|', 1) || split_part(pair, '|', 2) || ')') AS s FROM v1, b2),
-      p3 AS (SELECT pair, CAST(sum(n_w) AS BIGINT) AS n_pair FROM (
-               SELECT n_w, unnest(list_transform(range(1, len(sy)), i -> sy[i] || '|' || sy[i + 1])) AS pair
-               FROM (SELECT n_w, string_split(substr(s, 2, length(s) - 2), ')(') AS sy FROM v2)
-               WHERE len(sy) >= 2) GROUP BY pair),
-      b3 AS (SELECT pair, n_pair FROM p3 ORDER BY n_pair DESC, pair LIMIT 1),
-      v3 AS (SELECT n_w, replace(s, '(' || split_part(pair, '|', 1) || ')(' || split_part(pair, '|', 2) || ')', '(' || split_part(pair, '|', 1) || split_part(pair, '|', 2) || ')') AS s FROM v2, b3),
+    Some(s"""
+      WITH ${Bpe.oracleCtes},
       p4 AS (SELECT pair, CAST(sum(n_w) AS BIGINT) AS n_pair FROM (
                SELECT n_w, unnest(list_transform(range(1, len(sy)), i -> sy[i] || '|' || sy[i + 1])) AS pair
                FROM (SELECT n_w, string_split(substr(s, 2, length(s) - 2), ')(') AS sy FROM v3)
@@ -376,5 +403,64 @@ object PackCurate {
       "frame (corpus folded once); greedy merge = literal replace on " +
       "delimiter-wrapped symbol strings; oracle = unrolled CTEs")
 
-  val all: Seq[Q] = Seq(q68, q69, q70, q71, q79)
+  /** q80 — BPE ENCODE (round 11): apply the three merges q79 learned to
+    * tokenize the corpus, completing the tokenizer-induction story as a
+    * pipeline — induce (q79) → encode (q80) → pack into training bins
+    * (q58). Output per document: token count, total encoding units
+    * before any merge (= characters) and after the three merges, and the
+    * compression ratio in basis points — the statistic a tokenizer-build
+    * run reports to decide whether the merge budget is paying for itself.
+    *
+    * The key scale fact this query exercises: ENCODING never re-touches
+    * the induction machinery per document. The learned merges rewrite
+    * the VOCAB frame (q79's cached rounds, vocab-cardinality work), and
+    * the corpus is encoded by a BROADCAST join from token to its
+    * rewritten symbol count — each corpus token costs one hash probe,
+    * not a merge-loop evaluation. At 100 TB: the vocab-with-symbols
+    * frame is ~10⁶ rows whatever the corpus size; the only corpus-scale
+    * work is the probe + per-doc aggregation (one shuffle, map-side
+    * combined).
+    *
+    * Oracle: the SAME shared CTE prefix as q79 ([[Bpe.oracleCtes]] — one
+    * definition, zero drift) plus the encode tail.
+    */
+  private val q80 = Q(
+    "q80_bpe_encode",
+    (s, d) => {
+      val (_, _, _, v3) = Bpe.learn3(s, d)
+      val enc = v3.select(col("tok"),
+        length(col("tok")).as("n_chr"),
+        size(expr("split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')"))
+          .as("n_sym"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .join(broadcast(enc), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum("n_chr").as("n_units_char"),
+          sum("n_sym").as("n_units_bpe"))
+        .select(col("doc_id"), col("n_toks"),
+          col("n_units_char"), col("n_units_bpe"),
+          expr("n_units_bpe * 10000 div n_units_char").as("ratio_bp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ${Bpe.oracleCtes},
+      enc AS (SELECT tok, length(tok) AS n_chr,
+                     len(string_split(substr(s, 2, length(s) - 2), ')(')) AS n_sym
+              FROM v3),
+      p AS (SELECT doc_id, unnest(ws) AS tok FROM t)
+      SELECT p.doc_id, count(*) AS n_toks,
+             CAST(sum(e.n_chr) AS BIGINT) AS n_units_char,
+             CAST(sum(e.n_sym) AS BIGINT) AS n_units_bpe,
+             CAST(sum(e.n_sym) AS BIGINT) * 10000 // CAST(sum(e.n_chr) AS BIGINT) AS ratio_bp
+      FROM p JOIN enc e USING (tok)
+      GROUP BY p.doc_id ORDER BY doc_id
+    """),
+    doc = "BPE encode by the learned merges: vocab rewritten once " +
+      "(q79's cached rounds), corpus encoded via a broadcast " +
+      "token-to-symbol-count probe — induction work never scales " +
+      "with corpus size")
+
+  val all: Seq[Q] = Seq(q68, q69, q70, q71, q79, q80)
 }

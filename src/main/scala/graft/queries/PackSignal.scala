@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** q81/q82/q84 — corpus-signal pack (round 11): per-document signals
+  * computed against CORPUS-LEVEL statistics, the family of passes a
+  * training-data build runs between cleaning and mixing —
+  *
+  *  - q81: cross-document n-gram NOVELTY (how much of a document the
+  *    corpus has already seen — the per-doc complement of q66's block
+  *    dedup and the signal behind "dedup pressure" dashboards),
+  *  - q82: DSIR-style IMPORTANCE WEIGHTS (hashed-feature likelihood
+  *    ratios against a target distribution — Xie et al.'s data-selection
+  *    device, here with exact integer arithmetic),
+  *  - q84: the POLICY GATE (blocklist / language / length) every
+  *    web-scale corpus runs first (C4's badwords filter shape), with the
+  *    audit columns a review needs.
+  *
+  * All three oracle-gated; every ratio is integer basis points (MEMORY
+  * oracle-parity-trapdoors — float ties differ across engines).
+  */
+object PackSignal {
+
+  /** Shared tokenizer — identical to q38/q48/q68's (parity proven there). */
+  private def toks = filter(split(lower(col("text")), "\\W+"),
+    t => length(t) > 0)
+
+  /** q81 — n-gram novelty: for each document, the share of its DISTINCT
+    * word 4-grams whose corpus-wide FIRST occurrence (minimum doc_id
+    * holding the gram) is this document. A corpus that re-crawls the
+    * same content shows novelty collapsing toward zero for late doc_ids;
+    * a healthy crawl stays high — the memorization-risk signal
+    * deduplication work is prioritized by.
+    *
+    * Plan shape: grams deduplicate DOCUMENT-LOCALLY (array_distinct
+    * before the explode — no shuffle spent on per-doc dedup), then ONE
+    * gram-keyed aggregation derives each gram's first holder. The
+    * first-holder frame joins back to the gram stream on the gram key;
+    * hot grams are harmless on the build side (map-side partial min
+    * forwards one row per gram per partition) and fan out 1:1 on the
+    * probe side. The per-doc roll-up is the one doc-keyed shuffle.
+    * At 100 TB the gram key is the natural partitioner and nothing is
+    * ever corpus × corpus.
+    */
+  private val q81 = Q(
+    "q81_ngram_novelty",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(ws) - 3), " +
+            "i -> array_join(slice(ws, i, 4), ' ')))")).as("gram"))
+      val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+      grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("n_novel * 10000 div n_grams").as("novelty_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+                     i -> array_to_string(ws[i:i+3], ' ')))) AS gram
+            FROM t WHERE len(ws) >= 4),
+      f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+      SELECT g.doc_id, count(*) AS n_grams,
+             CAST(count(*) FILTER (f.first_doc = g.doc_id) AS BIGINT) AS n_novel,
+             CAST(count(*) FILTER (f.first_doc = g.doc_id) AS BIGINT) * 10000
+               // count(*) AS novelty_bp
+      FROM g JOIN f USING (gram)
+      GROUP BY g.doc_id ORDER BY doc_id
+    """),
+    doc = "per-doc first-occurrence 4-gram novelty: document-local gram " +
+      "dedup, one gram-keyed min aggregation, skew-safe probe join")
+
+  /** q82 — DSIR-style importance weights: hash every token into a small
+    * feature-bucket space (the explicit-arithmetic char hash of
+    * [[graft.expr.PolyHash]] — q65's proven oracle device), estimate the
+    * target and raw distributions over buckets, and score each document
+    * by its mean add-one-smoothed likelihood ratio in basis points. The
+    * target here is the English slice of the corpus; > 10⁴ means
+    * "more target-like than the average token". This is the hashed-
+    * n-gram importance-resampling selector of Xie et al. (DSIR), with
+    * the log-likelihood sum swapped for the exact-integer mean ratio —
+    * same feature space, same per-bucket statistics, oracle-exact (a
+    * production build that wants the log form changes only the final
+    * projection).
+    *
+    * Plan shape: TWO corpus scans, no corpus-sized cache (q77's trade:
+    * every consumer wants an aggregate of the token stream, so caching
+    * it buys nothing) — one folds to the 64-row bucket histogram (both
+    * distributions in ONE pass via conditional aggregation), one scores.
+    * The weight table is 64 rows broadcast; the per-doc roll-up is the
+    * one corpus-keyed shuffle. Ratio arithmetic runs decimal(38,0) /
+    * HUGEINT unconditionally (q69's overflow lesson: 10⁴·n_tgt·R wraps
+    * BIGINT past ~10¹⁴ corpus tokens).
+    */
+  private val NB = 64 // feature buckets
+
+  private def bucketSpark: String = {
+    val pow = graft.expr.PolyHash.Pow31.mkString("array(", ", ", ")")
+    s"aggregate(transform(sequence(1, least(length(tok), 8)), " +
+      s"i -> ascii(substring(tok, i, 1)) * element_at($pow, i)), " +
+      s"cast(0 as bigint), (a, x) -> a + x) " +
+      s"% ${graft.expr.PolyHash.CharMod} % $NB"
+  }
+
+  private def bucketSql: String =
+    s"CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1), " +
+      s"i -> ascii(substr(tok, i, 1)) * ${graft.expr.PolyHash.sqlPow31}[i])) " +
+      s"% ${graft.expr.PolyHash.CharMod} % $NB AS BIGINT)"
+
+  private val q82 = Q(
+    "q82_dsir_weights",
+    (s, d) => {
+      def tokBuckets = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+        .withColumn("b", expr(bucketSpark))
+      val hist = tokBuckets.groupBy("b").agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))
+      val totals = hist.agg(sum("n_raw").as("rr"), sum("n_tgt").as("tt"))
+      val weights = hist.crossJoin(broadcast(totals))
+        .select(col("b"),
+          expr(s"(cast(10000 as decimal(38,0)) * (n_tgt + 1) * (rr + $NB)) " +
+            s"div (cast(n_raw + 1 as decimal(38,0)) * (tt + $NB))").as("w_bp"))
+      tokBuckets.join(broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_toks"), sum("w_bp").as("sw"))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          expr("sw div n_toks").as("score_bp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      p AS (SELECT doc_id, lang, unnest(ws) AS tok FROM t),
+      pb AS (SELECT doc_id, lang, $bucketSql AS b FROM p),
+      h AS (SELECT b, count(*) AS n_raw,
+                   count(*) FILTER (lang = 'en') AS n_tgt
+            FROM pb GROUP BY b),
+      tt AS (SELECT CAST(sum(n_raw) AS BIGINT) AS rr,
+                    CAST(sum(n_tgt) AS BIGINT) AS tt FROM h),
+      w AS (SELECT b,
+                   CAST((CAST(10000 AS HUGEINT) * (n_tgt + 1) * (rr + $NB))
+                        // (CAST(n_raw + 1 AS HUGEINT) * (tt + $NB)) AS BIGINT) AS w_bp
+            FROM h CROSS JOIN tt)
+      SELECT pb.doc_id, pb.lang, count(*) AS n_toks,
+             CAST(sum(w.w_bp) AS BIGINT) // count(*) AS score_bp
+      FROM pb JOIN w USING (b)
+      GROUP BY pb.doc_id, pb.lang ORDER BY doc_id
+    """),
+    doc = "DSIR importance weights: explicit-hash token buckets, one-pass " +
+      "dual histogram, 64-row weight table broadcast back — exact " +
+      "integer likelihood ratios")
+
+  /** q84 — corpus policy gate (C4's cleaning shape): first-matching-rule
+    * verdict per document — non-target language, too short, blocklisted-
+    * term share over threshold, else ok — with the audit columns a
+    * filtering review adjudicates (matched terms, share in basis
+    * points). Deliberately a stateless projection: at 100 TB this gate
+    * rides the ingest scan and costs no shuffle before the output sort,
+    * which is why policy filters run FIRST in every corpus build.
+    */
+  private val Blocklist = Seq("slow", "dup")
+  private val AllowLangs = Seq("en", "es", "de", "fr")
+  private val ShareBp = 250L // blocked-share gate, basis points
+
+  private val q84 = Q(
+    "q84_policy_gate",
+    (s, d) => {
+      val bl = Blocklist.map(t => s"'$t'").mkString("array(", ", ", ")")
+      val al = AllowLangs.map(l => s"'$l'").mkString(", ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), toks.as("ws"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("cast(size(ws) as bigint)").as("n_toks"),
+          expr(s"cast(size(filter(ws, t -> array_contains($bl, t))) as bigint)")
+            .as("n_blocked"),
+          expr(s"array_sort(array_distinct(filter(ws, t -> array_contains($bl, t))))")
+            .as("matched"))
+        .withColumn("share_bp",
+          expr("n_blocked * 10000 div greatest(n_toks, 1)"))
+        .withColumn("verdict",
+          when(not(expr(s"lang in ($al)")), "lang")
+            .when(col("n_chars") < 60, "short")
+            .when(col("share_bp") > ShareBp, "blocked")
+            .otherwise("ok"))
+        .select("doc_id", "lang", "n_toks", "n_blocked", "share_bp",
+          "matched", "verdict")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang, n_chars, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      b AS (SELECT doc_id, lang, n_chars,
+                   CAST(len(ws) AS BIGINT) AS n_toks,
+                   CAST(len(list_filter(ws, x -> list_contains(${Blocklist.map(t => s"'$t'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS n_blocked,
+                   list_sort(list_distinct(list_filter(ws, x -> list_contains(${Blocklist.map(t => s"'$t'").mkString("[", ", ", "]")}, x)))) AS matched
+            FROM t)
+      SELECT doc_id, lang, n_toks, n_blocked,
+             n_blocked * 10000 // greatest(n_toks, 1) AS share_bp, matched,
+             CASE WHEN lang NOT IN (${AllowLangs.map(l => s"'$l'").mkString(", ")}) THEN 'lang'
+                  WHEN n_chars < 60 THEN 'short'
+                  WHEN n_blocked * 10000 // greatest(n_toks, 1) > $ShareBp THEN 'blocked'
+                  ELSE 'ok' END AS verdict
+      FROM b ORDER BY doc_id
+    """),
+    doc = "policy gate: blocklist / language / length verdicts with audit " +
+      "columns — stateless projection, rides the ingest scan")
+
+  val all: Seq[Q] = Seq(q81, q82, q84)
+}

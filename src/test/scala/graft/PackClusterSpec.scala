@@ -144,4 +144,36 @@ class PackClusterSpec extends SparkSpec {
         s"query $q: ADC top-1 ($top1) no better than median true distance")
     }
   }
+
+  test("q83: every planted near-copy is caught, every original survives") {
+    val rows = run("q83_semdedup").as[(Long, Long, Long, Boolean)].collect()
+    val n = Tables.embeddings(spark, sf).count()
+    val planted = rows.filter(_._1 >= 100000L)
+    assert(rows.length.toLong === n + n / 25, "corpus + planted copies")
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, _, dupOf, kept) =>
+      assert(dupOf === id - 100000L,
+        s"planted $id must trace to its original, got $dupOf")
+      assert(!kept)
+    }
+    rows.filter(_._1 < 100000L).foreach { case (id, _, dupOf, kept) =>
+      assert(kept && dupOf === -1L,
+        s"original $id wrongly pruned (max natural cosine is ~0.49)")
+    }
+  }
+
+  test("q83: the perturbed copies are near-but-not-exact duplicates") {
+    // the threshold must discriminate, not just match bit-identical rows:
+    // each planted vector differs from its original in some dimension
+    val q = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+    val orig = q.filter(col("vec_id") % 25 === 0)
+      .as[(Long, Seq[Long])].collect().toMap
+    val perturbed = orig.map { case (id, v) =>
+      id -> v.zipWithIndex.map { case (x, i) => x + (id + i) % 7 - 3 }
+    }
+    assert(perturbed.forall { case (id, pv) => pv != orig(id) },
+      "perturbation must change every planted vector")
+  }
 }

@@ -149,6 +149,51 @@ class PackCurateSpec extends SparkSpec {
     assert(got === (expectMerges ++ expectNext))
   }
 
+  test("q80: encoding agrees with an in-memory learn-then-encode run") {
+    // independent reference: learn 3 merges exactly as q79's recount
+    // does, then encode every document by the final symbol table and
+    // compare the per-doc unit sums the query reports
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tokenized = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty) }
+    var symbols: Map[String, List[String]] = tokenized.flatMap(_._2).distinct
+      .map(w => w -> w.map(_.toString).toList).toMap
+    val counts = tokenized.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    def applyMerge(sy: List[String], a: String, b: String): List[String] = {
+      val out = collection.mutable.ListBuffer.empty[String]
+      var rest = sy
+      while (rest.nonEmpty) rest match {
+        case x :: y :: tl if x == a && y == b => out += (a + b); rest = tl
+        case x :: tl => out += x; rest = tl
+        case Nil => ()
+      }
+      out.toList
+    }
+    (1 to 3).foreach { _ =>
+      val pc = collection.mutable.Map.empty[String, Long]
+      symbols.foreach { case (w, sy) =>
+        sy.zip(sy.tail).foreach { case (a, b) =>
+          pc(s"$a|$b") = pc.getOrElse(s"$a|$b", 0L) + counts(w)
+        }
+      }
+      val (pair, _) = pc.toSeq.minBy { case (p, c) => (-c, p) }
+      val Array(a, b) = pair.split("\\|", 2)
+      symbols = symbols.view.mapValues(applyMerge(_, a, b)).toMap
+    }
+    val expect = tokenized.map { case (id, ws) =>
+      val nChr = ws.map(_.length.toLong).sum
+      val nBpe = ws.map(w => symbols(w).length.toLong).sum
+      (id, ws.length.toLong, nChr, nBpe, nBpe * 10000L / nChr)
+    }.sortBy(_._1).toSeq
+    val got = run("q80_bpe_encode").as[(Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got === expect)
+    // the merges must actually pay: every document strictly shrinks
+    assert(got.forall(r => r._4 < r._3), "3 merges must shrink every doc")
+  }
+
   test("q79 merge device: replace is greedy non-overlapping left-to-right") {
     // the property the whole oracle parity rests on: applying merge
     // (a, a) to "aaa" must give "(aa)(a)" — BPE's greedy order — and to

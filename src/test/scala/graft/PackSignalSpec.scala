@@ -1,0 +1,96 @@
+package graft
+
+import graft.queries.{Catalog, Tables}
+
+/** q81/q82/q84 corpus-signal pack: exact in-memory recounts of every
+  * statistic (the oracle hash proves engine parity; these prove the
+  * SEMANTICS — that the queries compute what their scaladoc claims).
+  */
+class PackSignalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = Catalog.queries(name)(spark, sf)
+
+  private def tokenized: Seq[(Long, String, Array[String])] =
+    Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+      .toSeq
+      .map { case (id, lang, t) =>
+        (id, lang, t.toLowerCase.split("\\W+").filter(_.nonEmpty))
+      }
+
+  test("q81: novelty agrees with an independent first-occurrence recount") {
+    val docs = tokenized
+    val grams = docs.map { case (id, _, ws) =>
+      id -> ws.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toArray.distinct
+    }
+    val firstDoc = collection.mutable.Map.empty[String, Long]
+    grams.sortBy(_._1).foreach { case (id, gs) =>
+      gs.foreach(g => if (!firstDoc.contains(g)) firstDoc(g) = id)
+    }
+    val expect = grams.filter(_._2.nonEmpty).map { case (id, gs) =>
+      val novel = gs.count(g => firstDoc(g) == id).toLong
+      (id, gs.length.toLong, novel, novel * 10000L / gs.length)
+    }.sortBy(_._1)
+    val got = run("q81_ngram_novelty").as[(Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got === expect)
+  }
+
+  test("q81: the earliest document is fully novel") {
+    val first = run("q81_ngram_novelty").as[(Long, Long, Long, Long)]
+      .collect().minBy(_._1)
+    assert(first._4 === 10000L, "doc 0 can have no earlier occurrence")
+  }
+
+  test("q82: importance weights agree with an exact in-memory recount") {
+    val docs = tokenized
+    val bucket = (tok: String) => graft.expr.PolyHash.tokenHash(tok) % 64
+    val nRaw = collection.mutable.Map.empty[Long, Long]
+    val nTgt = collection.mutable.Map.empty[Long, Long]
+    docs.foreach { case (_, lang, ws) =>
+      ws.foreach { t =>
+        val b = bucket(t)
+        nRaw(b) = nRaw.getOrElse(b, 0L) + 1
+        if (lang == "en") nTgt(b) = nTgt.getOrElse(b, 0L) + 1
+      }
+    }
+    val rr = nRaw.values.sum; val tt = nTgt.values.sum
+    val wBp = nRaw.keys.map { b =>
+      b -> (BigInt(10000) * (nTgt.getOrElse(b, 0L) + 1) * (rr + 64) /
+        (BigInt(nRaw(b) + 1) * (tt + 64))).toLong
+    }.toMap
+    val expect = docs.map { case (id, lang, ws) =>
+      val sw = ws.map(t => wBp(bucket(t))).sum
+      (id, lang, ws.length.toLong, sw / ws.length)
+    }.sortBy(_._1)
+    val got = run("q82_dsir_weights").as[(Long, String, Long, Long)]
+      .collect().toSeq
+    assert(got === expect)
+  }
+
+  test("q84: verdicts agree with a rule-by-rule recount; all four appear") {
+    val meta = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val block = Set("slow", "dup")
+    val allow = Set("en", "es", "de", "fr")
+    val expect = tokenized.map { case (id, lang, ws) =>
+      val matched = ws.filter(block).distinct.sorted.toSeq
+      val nb = ws.count(block).toLong
+      val share = nb * 10000L / math.max(ws.length.toLong, 1L)
+      val verdict =
+        if (!allow(lang)) "lang"
+        else if (meta(id) < 60) "short"
+        else if (share > 250) "blocked"
+        else "ok"
+      (id, lang, ws.length.toLong, nb, share, matched, verdict)
+    }.sortBy(_._1)
+    val got = run("q84_policy_gate")
+      .as[(Long, String, Long, Long, Long, Seq[String], String)]
+      .collect().toSeq
+    assert(got === expect)
+    assert(got.map(_._7).toSet === Set("lang", "short", "blocked", "ok"),
+      "the gate thresholds must exercise every rule at this sf")
+  }
+}

@@ -455,6 +455,62 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q80: encode probes the rewritten vocab broadcast; induction caches shared") {
+    val p = plan("q80_bpe_encode")
+    try {
+      // the corpus-side encode is ONE broadcast probe — the vocab frame
+      // with its symbol counts never forces a corpus shuffle
+      assert(p.contains("BroadcastHashJoin"),
+        s"token->symbol-count must broadcast:\n$p")
+      // q79's induction machinery runs unchanged underneath: corpus
+      // folded once + one cached frame per merge round
+      assert(graft.ops.CacheScope.liveCount === 4,
+        "expected v0..v3 cached (induction never re-reads the corpus)")
+      assert(!p.contains("CartesianProduct"), s"cartesian in q80:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q81: gram dedup is document-local; no corpus cartesian, no window") {
+    val p = plan("q81_ngram_novelty")
+    // per-doc gram dedup happens in the array (array_distinct before the
+    // explode) — a (doc, gram) distinct shuffle would double the exchange
+    // count and is the plan this pin exists to prevent
+    assert(p.contains("array_distinct"),
+      s"gram dedup must be document-local:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3,
+      s"first-holder agg + probe + doc rollup bound the exchanges at 3:\n$p")
+  }
+
+  test("q82: the 64-row weight table broadcasts back over the token stream") {
+    val p = plan("q82_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket weights must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals must broadcast onto the histogram:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q83: centroids broadcast; pairwise work never leaves the cell key") {
+    val p = plan("q83_semdedup")
+    try {
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"seed centroids must crossJoin broadcast (q56's shape):\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"the literal probe bound (rn <= 2) must prune below the exchange:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"in-cell pairing must be an equi-join on cid:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q84: stateless gate — no aggregation exchange before the sort") {
+    val p = plan("q84_policy_gate")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 0, s"the policy gate must ride the scan:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a per-row gate:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
