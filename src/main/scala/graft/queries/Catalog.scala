@@ -53,7 +53,8 @@ object Catalog {
       PackText2.all ++ PackAsof.all ++ PackAnn.all ++ PackDedup2.all ++
       PackSample.all ++ PackScale.all ++ PackCorpus.all ++ PackCluster.all ++
       PackDecon.all ++ PackGraph.all ++ PackMix.all ++ PackFingerprint.all ++
-      PackCurate.all ++ PackLm.all ++ PackPipeline.all ++ PackSignal.all
+      PackCurate.all ++ PackLm.all ++ PackPipeline.all ++ PackSignal.all ++
+      PackRetrieval.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

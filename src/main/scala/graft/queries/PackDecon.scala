@@ -226,5 +226,103 @@ object PackDecon {
     doc = "contamination spans per (corpus, eval) pair: shared 5-gram " +
       "count + longest consecutive run as a token span")
 
-  val all: Seq[Q] = Seq(q59, q60, q72)
+  /** q87 — FUZZY decontamination: near-duplicate detection between the
+    * training corpus and a (small) eval suite — the pass that catches
+    * what q59's exact-shingle gate can't: an eval item that was lightly
+    * rephrased, re-wrapped, or re-rendered before landing in the crawl.
+    * Eval side = every 37th document with a rephrase prefix prepended
+    * (near- but not exact duplicate — the q83 planted-copy device in
+    * text space), so recall is observable: every planted item MUST be
+    * flagged against its source document.
+    *
+    * Machinery is q27's oracle-proven explicit-arithmetic MinHash chain
+    * (poly token hash → trigram shingles → 8-perm affine minhash → 4×2
+    * band folds), but the SIDES ARE ASYMMETRIC and that is the scale
+    * story: the eval suite is fixed and small, so its banded signatures
+    * BROADCAST — the 100 TB corpus computes signatures in its scan
+    * partitions and probes the broadcast band table with NO corpus
+    * shuffle before the (candidate-sized) distinct. Exact shingle-set
+    * Jaccard verify runs on candidates only (q73's contract), again
+    * against the broadcast eval side.
+    */
+  private val q87 = Q(
+    "q87_fuzzy_decon",
+    (s, d) => {
+      import graft.ops.SimOps
+      def chain(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("sh", SimOps.wordShingleHashes(col("t"), 3))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", SimOps.minhashSignature(col("sh"), 8))
+      val train = graft.ops.CacheScope.persisted(chain(
+        Tables.documents(s, d)
+          .select(col("doc_id"), lower(col("text")).as("t"))))
+      val ev = graft.ops.CacheScope.persisted(chain(
+        Tables.documents(s, d).filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("eval_id"),
+            concat(lit("eval rephrase "), lower(col("text"))).as("t"))))
+      val tb = train.select(col("doc_id"),
+        explode(SimOps.lshBands(col("sig"), 4, 2)).as("band"))
+      val eb = ev.select(col("eval_id"),
+        explode(SimOps.lshBands(col("sig"), 4, 2)).as("band"))
+      val cand = tb.join(broadcast(eb), "band")
+        .select("doc_id", "eval_id").distinct()
+      cand
+        .join(train.select(col("doc_id"), col("sh").as("sh1")), "doc_id")
+        .join(broadcast(ev.select(col("eval_id"), col("sh").as("sh2"))),
+          "eval_id")
+        .withColumn("n_common", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("jaccard_bp", expr(
+          "(n_common * 10000) div (size(sh1) + size(sh2) - n_common)"))
+        .filter(col("jaccard_bp") >= 5000)
+        .select(col("doc_id"), col("eval_id"), col("jaccard_bp"))
+        .orderBy("doc_id", "eval_id")
+    },
+    Some {
+      import graft.expr.PolyHash
+      s"""
+      WITH u AS (
+        SELECT 0 AS side, doc_id AS id, lower(text) AS t FROM documents
+        UNION ALL
+        SELECT 1 AS side, doc_id AS id, 'eval rephrase ' || lower(text) AS t
+        FROM documents WHERE doc_id % 37 = 0),
+      tok AS (SELECT side, id, list_filter(string_split_regex(t, '\\W+'), x -> len(x) > 0) AS ws FROM u),
+      th AS (SELECT side, id,
+               list_transform(ws, tok ->
+                 CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1),
+                   i -> ascii(substr(tok, i, 1)) * ${PolyHash.sqlPow31}[i])) % ${PolyHash.CharMod} AS BIGINT)) AS th
+             FROM tok),
+      sh AS (SELECT side, id,
+               list_distinct(list_transform(range(1, len(th) - 1), i ->
+                 ((th[i] * ${PolyHash.B} + th[i + 1]) % ${PolyHash.M}
+                    * ${PolyHash.B} + th[i + 2]) % ${PolyHash.M})) AS sh
+             FROM th WHERE len(th) >= 3),
+      sig AS (SELECT side, id, sh,
+                list_transform(range(0, 8), p ->
+                  list_aggregate(list_transform(sh, h ->
+                    (${PolyHash.sqlA(PolyHash.MinHashOff, 8)}[p + 1] * h
+                     + ${PolyHash.sqlC(PolyHash.MinHashOff, 8)}[p + 1]) % ${PolyHash.M}), 'min')) AS sig
+              FROM sh WHERE len(sh) > 0),
+      band AS (SELECT side, id, unnest(list_transform(range(0, 4), b ->
+                 b * ${PolyHash.M} + (sig[2 * b + 1] * ${PolyHash.B} + sig[2 * b + 2]) % ${PolyHash.M})) AS band
+               FROM sig),
+      pairs AS (SELECT DISTINCT a.id AS doc_id, b.id AS eval_id
+                FROM band a JOIN band b ON a.band = b.band
+                WHERE a.side = 0 AND b.side = 1),
+      v AS (SELECT p.doc_id, p.eval_id,
+              CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_common,
+              CAST(len(s1.sh) + len(s2.sh) AS BIGINT) AS n_both
+            FROM pairs p
+            JOIN sig s1 ON s1.id = p.doc_id AND s1.side = 0
+            JOIN sig s2 ON s2.id = p.eval_id AND s2.side = 1)
+      SELECT doc_id, eval_id,
+             (n_common * 10000) // (n_both - n_common) AS jaccard_bp
+      FROM v WHERE (n_common * 10000) // (n_both - n_common) >= 5000
+      ORDER BY doc_id, eval_id
+    """
+    },
+    doc = "fuzzy decontamination: q27's explicit MinHash chain with an " +
+      "asymmetric broadcast eval side — corpus probes banded eval " +
+      "signatures shuffle-free, exact Jaccard verify on candidates only")
+
+  val all: Seq[Q] = Seq(q59, q60, q72, q87)
 }

@@ -212,5 +212,69 @@ object PackSignal {
     doc = "policy gate: blocklist / language / length verdicts with audit " +
       "columns — stateless projection, rides the ingest scan")
 
-  val all: Seq[Q] = Seq(q81, q82, q84)
+  /** q85 — span-level dedup (the C4/CCNet paragraph-dedup shape): segment
+    * each document into consecutive 10-token spans, keep each span's
+    * corpus-wide FIRST occurrence (lexicographic (doc_id, span_idx)) and
+    * drop every later copy, then report per document how much text
+    * survives plus a hash of the rebuilt text. This is dedup at
+    * SUB-document granularity — the pass that strips boilerplate
+    * headers/footers exact whole-doc dedup (q24) can't see, run by every
+    * web-corpus build between exact and fuzzy dedup.
+    *
+    * Plan shape: q81's skew-safe device on the span key — ONE span-keyed
+    * aggregation derives each span's first holder as min(doc_id·10⁶ +
+    * span_idx) (integer-encoded lexicographic min; sound while doc_id
+    * < 9.2·10¹², documented), the probe join fans back 1:1, and the
+    * per-doc roll-up is the one doc-keyed shuffle. Hot spans (true
+    * boilerplate — the exact rows this query exists for) are harmless:
+    * the build side partial-aggregates map-side, the probe side is 1:1.
+    * The rebuilt text orders kept spans by position via sort_array over
+    * (span_idx, span) structs — deterministic in both engines.
+    */
+  private val q85 = Q(
+    "q85_span_dedup",
+    (s, d) => {
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(ws) - 1) div 10), " +
+            "i -> array_join(slice(ws, i * 10 + 1, 10), ' '))")))
+        .withColumnRenamed("pos", "span_idx")
+        .withColumnRenamed("col", "span")
+        .withColumn("k", col("doc_id") * 1000000L + col("span_idx"))
+      val first = spans.groupBy("span").agg(min("k").as("fk"))
+      spans.join(first, "span")
+        .withColumn("kept", col("k") === col("fk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          substring(sha2(array_join(transform(
+            sort_array(collect_list(when(col("kept"),
+              struct(col("span_idx").as("i"), col("span").as("sp"))))),
+            x => x.getField("sp")), " "), 256), 1, 16).as("rebuilt16"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      sp0 AS (SELECT doc_id,
+                unnest(list_transform(range(0, (len(ws) - 1) // 10 + 1),
+                  i -> {'i': i, 'sp': array_to_string(ws[i*10+1 : i*10+10], ' ')})) AS u
+              FROM t WHERE len(ws) >= 1),
+      sp AS (SELECT doc_id, CAST(u.i AS BIGINT) AS span_idx, u.sp AS span FROM sp0),
+      f AS (SELECT span, min(doc_id * 1000000 + span_idx) AS fk FROM sp GROUP BY span),
+      j AS (SELECT sp.doc_id, sp.span_idx, sp.span,
+                   sp.doc_id * 1000000 + sp.span_idx = f.fk AS kept
+            FROM sp JOIN f USING (span))
+      SELECT doc_id, count(*) AS n_spans,
+             CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+             substr(sha256(coalesce(array_to_string(
+               list(span ORDER BY span_idx) FILTER (kept), ' '), '')), 1, 16)
+               AS rebuilt16
+      FROM j GROUP BY doc_id ORDER BY doc_id
+    """),
+    doc = "C4-style span dedup: 10-token spans, corpus-wide first-wins " +
+      "via integer-encoded min, skew-safe probe join, rebuilt-text hash")
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85)
 }

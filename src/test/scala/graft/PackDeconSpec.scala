@@ -109,4 +109,26 @@ class PackDeconSpec extends SparkSpec {
       case (id, split) => assert(split === expectedSplit(id), s"doc $id")
     }
   }
+
+  test("q87: every planted eval rephrase is flagged against its source doc") {
+    val got = run("q87_fuzzy_decon").as[(Long, Long, Long)].collect()
+    graft.ops.CacheScope.drain()
+    val evalIds = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 37 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(evalIds.nonEmpty)
+    // recall: the rephrased twin of doc k must surface as (k, k)
+    val self = got.filter(r => r._1 == r._2)
+    assert(self.map(_._1).toSet === evalIds,
+      "every eval item must be traced to its own source document")
+    // the rephrase is near- but NOT exact: high Jaccard, never 10000
+    self.foreach { case (id, _, bp) =>
+      assert(bp >= 8000 && bp < 10000,
+        s"doc $id self-match jaccard $bp outside the planted-rephrase band")
+    }
+    // precision floor: everything reported clears the verify threshold
+    got.foreach { case (a, b, bp) =>
+      assert(bp >= 5000, s"pair ($a,$b) below the verify threshold")
+    }
+  }
 }

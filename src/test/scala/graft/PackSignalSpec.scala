@@ -93,4 +93,37 @@ class PackSignalSpec extends SparkSpec {
     assert(got.map(_._7).toSet === Set("lang", "short", "blocked", "ok"),
       "the gate thresholds must exercise every rule at this sf")
   }
+
+  test("q85: span dedup agrees with an in-memory first-occurrence recount") {
+    val docs = tokenized.map { case (id, _, ws) => (id, ws) }
+      .filter(_._2.nonEmpty)
+    val spans = docs.flatMap { case (id, ws) =>
+      ws.grouped(10).zipWithIndex.map {
+        case (g, i) => (id, i.toLong, g.mkString(" "))
+      }
+    }
+    val firstK = collection.mutable.Map.empty[String, Long]
+    spans.foreach { case (id, i, sp) =>
+      val k = id * 1000000L + i
+      if (firstK.get(sp).forall(_ > k)) firstK(sp) = k
+    }
+    val expect = spans.groupBy(_._1).toSeq.map { case (id, ss) =>
+      val kept = ss.filter { case (d2, i, sp) =>
+        firstK(sp) == d2 * 1000000L + i
+      }.sortBy(_._2)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(kept.map(_._3).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      (id, ss.length.toLong, kept.length.toLong, sha)
+    }.sortBy(_._1)
+    val got = run("q85_span_dedup").as[(Long, Long, Long, String)]
+      .collect().toSeq
+    assert(got === expect)
+    // the pass must have something to do at this sf, and must never
+    // drop a document entirely unless every one of its spans recurred
+    assert(expect.exists(r => r._3 < r._2),
+      "corpus must contain repeated spans for the dedup to be observable")
+    assert(got.map(_._1) === docs.map(_._1).sorted,
+      "every tokenizable document reports a row")
+  }
 }

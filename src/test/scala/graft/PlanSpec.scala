@@ -511,6 +511,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs in a per-row gate:\n$p")
   }
 
+  test("q85: span-keyed first-holder agg + probe + doc rollup, nothing quadratic") {
+    val p = plan("q85_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"span dedup is agg+join only:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 3,
+      s"first-holder agg + probe + doc rollup bound the exchanges at 3:\n$p")
+  }
+
+  test("q86: pruned token stream, broadcast weights, literal rank bound") {
+    val p = plan("q86_bm25_topk")
+    try {
+      assert(p.contains("BroadcastHashJoin"),
+        s"query terms / df must broadcast onto the token stream:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"the literal rk <= 5 must prune below the exchange:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+      // the dl and tq caches cap the corpus at TWO parquet scans — the
+      // uncached plan re-derived every consumer from the file (4 scans).
+      // (A literal FileScan count over the printed tree is unreliable:
+      // cached subtrees print their child scan once per REFERENCE.)
+      assert(p.contains("InMemoryTableScan"),
+        s"df/stats/scoring must read the dl+tq caches, not re-scan:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 2,
+        "expected exactly the dl and tq frames cached")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q87: banded eval side broadcasts — corpus probes shuffle-free") {
+    val p = plan("q87_fuzzy_decon")
+    try {
+      assert(p.contains("BroadcastHashJoin"),
+        s"the band probe and verify joins must broadcast the eval side:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+      // the only hash exchange is the candidate-pair distinct — the
+      // corpus-sized signature stream never shuffles
+      val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx <= 1,
+        s"corpus signatures must reach the band probe without a shuffle:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
