@@ -320,3 +320,33 @@ object QuantSignSig {
     sig
   }
 }
+
+/** `poly_token_hash(tok)` — the ≤8-char positional polynomial char hash
+  * mod 2²⁰'s prime ([[PolyHash.tokenHash]]) as a native codegen'd scalar.
+  * q82 evaluates this once per corpus token on BOTH of its scans; the
+  * composable HOF form (`aggregate(transform(sequence(...)))`) is three
+  * nested CodegenFallback expressions allocating two arrays per token —
+  * measured at sf0.1 that interpretation dominated the query. The SQL
+  * oracle keeps the list_sum HOF (DuckDB vectorizes it natively).
+  */
+case class PolyTokenHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "poly_token_hash"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PolyHash.tokenHash(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.PolyHash.tokenHash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

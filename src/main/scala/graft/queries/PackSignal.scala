@@ -102,13 +102,16 @@ object PackSignal {
     */
   private val NB = 64 // feature buckets
 
-  private def bucketSpark: String = {
-    val pow = graft.expr.PolyHash.Pow31.mkString("array(", ", ", ")")
-    s"aggregate(transform(sequence(1, least(length(tok), 8)), " +
-      s"i -> ascii(substring(tok, i, 1)) * element_at($pow, i)), " +
-      s"cast(0 as bigint), (a, x) -> a + x) " +
-      s"% ${graft.expr.PolyHash.CharMod} % $NB"
-  }
+  /** Native codegen'd token hash ([[graft.expr.PolyTokenHash]]) — the HOF
+    * form was three nested CodegenFallback exprs per token, paid on both
+    * corpus scans; the arithmetic is identical ([[bucketSql]] recomputes
+    * it as a list HOF, and PackSignalSpec's in-memory twin re-derives it
+    * via `PolyHash.tokenHash`).
+    */
+  private def bucketCol: org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftglue.ExprGlue.column(graft.expr.PolyTokenHash(
+      org.apache.spark.sql.graftglue.ExprGlue.expression(col("tok"))))
+      .%(NB)
 
   private def bucketSql: String =
     s"CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1), " +
@@ -120,7 +123,7 @@ object PackSignal {
     (s, d) => {
       def tokBuckets = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
-        .withColumn("b", expr(bucketSpark))
+        .withColumn("b", bucketCol)
       val hist = tokBuckets.groupBy("b").agg(
         count(lit(1)).as("n_raw"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))
