@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-lifecycle pack (round 11): the operations a corpus build runs
+  * when data ARRIVES or LEAVES — cleaning a new crawl increment against
+  * the existing corpus (q88) and assigning train/val/test splits that
+  * duplicate clusters cannot leak across (q90). Both are composition
+  * shapes: q88 is q24's exact gate + q85's span dedup run ASYMMETRICALLY
+  * (existing corpus = reference side, increment = probe side), q90 is
+  * q60's hash split applied to GROUP labels instead of doc ids.
+  *
+  * Both queries plant their own duplicates (q83/q87's device) so the
+  * interesting verdicts are observable and test-assertable at every sf:
+  * synthetic increment/copy rows derive from the corpus inside the
+  * query, with re-mapped ids high above the real id range.
+  */
+object PackRefresh {
+
+  /** Shared tokenizer — identical to q38/q48/q85's (parity proven). */
+  private def toks = filter(split(lower(col("text")), "\\W+"),
+    t => length(t) > 0)
+
+  /** 10-token span segmentation of `ws` — q85's device, verbatim. */
+  private val spanExpr =
+    "transform(sequence(0, (size(ws) - 1) div 10), " +
+      "i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"
+
+  /** q88 — INCREMENTAL ingest cleaning: a new crawl batch lands next to
+    * an existing 100 TB corpus, and every batch document gets a verdict —
+    * `exact_dup` (byte-identical to an existing doc), `stale` (most of
+    * its text already exists at span granularity: a re-crawl, a light
+    * re-wrap, a syndicated copy), or `keep` — plus the span-novelty audit
+    * numbers a review reads. This is THE recurring production dedup job:
+    * the corpus is cleaned once, but increments arrive forever.
+    *
+    * The increment here is synthesized from the corpus so every verdict
+    * class is planted and observable: docs with id%10=7 play the "new
+    * crawl" (the rest are the existing corpus), id%50=1 corpus docs
+    * re-enter byte-identical (exact_dup must fire), id%50=21 corpus docs
+    * re-enter with a 1-token trailer appended (almost every span stale —
+    * the `stale` verdict must fire; the trailer perturbs at most the
+    * final span, so span novelty ≤ 1/n — the inclusive ≤ 5000 bp gate
+    * catches it down to n = 2 spans).
+    *
+    * Scale posture — the corpus side NEVER shuffles: the increment is
+    * orders of magnitude smaller than the corpus, so its hash set and
+    * span set BROADCAST; the corpus is scanned once per granularity
+    * (hash probe, span probe), each scan left-semi-joins the broadcast
+    * set in its map partitions and emits only the (increment-bounded)
+    * matched keys. Every subsequent join runs on increment-sized frames
+    * with the matched sets broadcast back. Compare q87 (the same
+    * asymmetry in MinHash space); here the granularity is exact spans,
+    * which is what a re-crawl actually produces.
+    */
+  private val q88 = Q(
+    "q88_increment_clean",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+      val corpus = base.filter(col("doc_id") % 10 =!= 7)
+      val inc0 = base.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("new_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 50 === 1)
+          .select((col("doc_id") + 500000L).as("new_id"), col("text")))
+        .unionByName(corpus.filter(col("doc_id") % 50 === 21)
+          .select((col("doc_id") + 600000L).as("new_id"),
+            concat(col("text"), lit(" zz")).as("text")))
+      // the increment frame is read by three consumers (hash set, span
+      // stream, verdict assembly) and is tiny by contract — persist it
+      val inc = graft.ops.CacheScope.persisted(
+        inc0.withColumn("h", sha2(col("text"), 256))
+          .withColumn("ws", toks)
+          .filter(size(col("ws")) >= 1)
+          .select(col("new_id"), col("h"), expr(spanExpr).as("spans")))
+      val incSpans = inc.select(col("new_id"),
+        explode(col("spans")).as("span"))
+
+      // corpus scan 1: which increment HASHES exist? (≤ |inc| rows out)
+      val hitH = corpus.select(sha2(col("text"), 256).as("h"))
+        .join(broadcast(inc.select("h").distinct()), Seq("h"), "left_semi")
+        .distinct()
+      // corpus scan 2: which increment SPANS exist? (≤ |inc spans| out)
+      val hitSpan = corpus.select(col("text"))
+        .select(toks.as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(explode(expr(spanExpr)).as("span"))
+        .join(broadcast(incSpans.select("span").distinct()),
+          Seq("span"), "left_semi")
+        .distinct()
+
+      val novelty = incSpans
+        .join(broadcast(hitSpan.withColumn("stale", lit(1L))),
+          Seq("span"), "left")
+        .groupBy("new_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("stale").isNotNull, 0L).otherwise(1L)).as("n_new"))
+      inc.select(col("new_id"), col("h"))
+        .join(broadcast(hitH.withColumn("isdup", lit(1L))), Seq("h"), "left")
+        .join(novelty, "new_id")
+        .select(col("new_id"), col("n_spans"), col("n_new"),
+          expr("n_new * 10000 div n_spans").as("novelty_bp"),
+          when(col("isdup").isNotNull, "exact_dup")
+            .when(expr("n_new * 10000 div n_spans") <= 5000, "stale")
+            .otherwise("keep").as("verdict"))
+        .orderBy("new_id")
+    },
+    Some("""
+      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+      inc0 AS (
+        SELECT doc_id AS new_id, text FROM documents WHERE doc_id % 10 = 7
+        UNION ALL
+        SELECT doc_id + 500000, text FROM corpus WHERE doc_id % 50 = 1
+        UNION ALL
+        SELECT doc_id + 600000, text || ' zz' FROM corpus WHERE doc_id % 50 = 21),
+      inc AS (SELECT new_id, sha256(text) AS h,
+                list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws
+              FROM inc0),
+      incs AS (SELECT new_id, h,
+                 list_transform(range(0, (len(ws) - 1) // 10 + 1),
+                   i -> array_to_string(ws[i*10+1 : i*10+10], ' ')) AS spans
+               FROM inc WHERE len(ws) >= 1),
+      isp AS (SELECT new_id, unnest(spans) AS span FROM incs),
+      hith AS (SELECT DISTINCT c.h FROM (SELECT sha256(text) AS h FROM corpus) c
+               WHERE c.h IN (SELECT h FROM incs)),
+      cs AS (SELECT unnest(list_transform(range(0, (len(ws) - 1) // 10 + 1),
+                 i -> array_to_string(ws[i*10+1 : i*10+10], ' '))) AS span
+             FROM (SELECT list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws
+                   FROM corpus) WHERE len(ws) >= 1),
+      hitspan AS (SELECT DISTINCT span FROM cs
+                  WHERE span IN (SELECT span FROM isp)),
+      nov AS (SELECT new_id, count(*) AS n_spans,
+                CAST(count(*) FILTER (span NOT IN (SELECT span FROM hitspan)) AS BIGINT) AS n_new
+              FROM isp GROUP BY new_id)
+      SELECT i.new_id, n.n_spans, n.n_new,
+             n.n_new * 10000 // n.n_spans AS novelty_bp,
+             CASE WHEN i.h IN (SELECT h FROM hith) THEN 'exact_dup'
+                  WHEN n.n_new * 10000 // n.n_spans <= 5000 THEN 'stale'
+                  ELSE 'keep' END AS verdict
+      FROM incs i JOIN nov n USING (new_id)
+      ORDER BY new_id
+    """),
+    doc = "incremental ingest cleaning: new batch vs existing corpus — " +
+      "exact-hash gate + span-novelty gate, increment sets broadcast so " +
+      "the corpus side never shuffles")
+
+  /** q90 — LEAKAGE-SAFE train/val/test split: q60's deterministic md5
+    * split assigns buckets per DOCUMENT, which silently leaks the moment
+    * the corpus holds duplicates — two copies of the same text land in
+    * train and test and the eval measures memorization of the training
+    * set. The fix every serious build ships: split by DUPLICATE-CLUSTER
+    * label, so a cluster moves as one unit. Planted copies (q83's
+    * device) make the hazard observable: the output carries, per doc,
+    * the naive per-doc split AND a `would_leak` flag marking clusters
+    * the naive split would have torn across buckets.
+    *
+    * Cluster definition here is exact content (sha2 groups — q24's
+    * gate); the same plan composes unchanged with q78's fuzzy CC labels
+    * — swap the label frame, nothing else moves. Plan: ONE content-hash
+    * aggregation derives each group's label (min doc_id) and its
+    * naive-split disagreement; the corpus joins back on the uniform
+    * hash key — two corpus-sized exchanges total, map-side combined.
+    */
+  private val q90 = Q(
+    "q90_leakage_safe_split",
+    (s, d) => {
+      def bucket(c: org.apache.spark.sql.Column) = {
+        val h = substring(md5(c.cast("string")), 1, 2)
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+      }
+      val base = Tables.documents(s, d)
+      val docs = base.select(col("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 40 === 3)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+        .withColumn("h", sha2(col("text"), 256))
+        .withColumn("naive", bucket(col("doc_id")))
+      // would_leak = group members disagree on the naive split; max≠min
+      // detects ">1 distinct" in ONE aggregation phase — countDistinct
+      // plans a two-phase (h, naive)→(h) aggregate, a second
+      // corpus-sized exchange for a 3-valued column
+      val groups = docs.groupBy("h").agg(
+        min("doc_id").as("gmin"),
+        count(lit(1)).as("n_group"),
+        (max("naive") =!= min("naive")).as("would_leak"))
+      docs.join(groups, "h")
+        .select(col("doc_id"), col("gmin"), col("n_group"),
+          bucket(col("gmin")).as("split"), col("naive"), col("would_leak"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 700000, text FROM documents WHERE doc_id % 40 = 3),
+      h AS (SELECT doc_id, sha256(text) AS h,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                   ELSE 'test' END AS naive
+            FROM docs),
+      g AS (SELECT h, min(doc_id) AS gmin, count(*) AS n_group,
+                   max(naive) <> min(naive) AS would_leak
+            FROM h GROUP BY h)
+      SELECT doc_id, gmin, n_group,
+             CASE WHEN substr(md5(CAST(gmin AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(gmin AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+             naive, would_leak
+      FROM h JOIN g USING (h)
+      ORDER BY doc_id
+    """),
+    doc = "leakage-safe split: md5 buckets assigned per duplicate-cluster " +
+      "label (min doc_id of the sha2 group), with the naive per-doc " +
+      "split and a would-leak audit flag — composes with q78's CC labels")
+
+  val all: Seq[Q] = Seq(q88, q90)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Catalog, Tables}
+
+/** q88 increment cleaning / q90 leakage-safe split: in-memory recounts of
+  * the full verdict/split assignment, plus the planted-row guarantees the
+  * queries exist to provide — every planted exact copy is caught, every
+  * planted near copy is stale, and no duplicate cluster straddles splits.
+  */
+class PackRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = Catalog.queries(name)(spark, sf)
+
+  private def docs: Seq[(Long, String)] = Tables.documents(spark, sf)
+    .select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+  private def words(t: String): Array[String] =
+    t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+
+  private def spans(ws: Array[String]): Seq[String] =
+    ws.grouped(10).map(_.mkString(" ")).toSeq
+
+  test("q88: verdicts agree with an in-memory recount; plants are caught") {
+    val corpus = docs.filter(_._1 % 10 != 7)
+    val inc = docs.filter(_._1 % 10 == 7)
+      .map { case (id, t) => (id, t) } ++
+      corpus.filter(_._1 % 50 == 1)
+        .map { case (id, t) => (id + 500000L, t) } ++
+      corpus.filter(_._1 % 50 == 21)
+        .map { case (id, t) => (id + 600000L, t + " zz") }
+    val corpusHashes = corpus.map { case (_, t) =>
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.toSet
+    val corpusSpans = corpus.flatMap { case (_, t) =>
+      val ws = words(t); if (ws.isEmpty) Nil else spans(ws)
+    }.toSet
+    val expect = inc.flatMap { case (id, t) =>
+      val ws = words(t)
+      if (ws.isEmpty) None
+      else {
+        val sp = spans(ws)
+        val nNew = sp.count(s => !corpusSpans.contains(s)).toLong
+        val bp = nNew * 10000L / sp.length
+        val h = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val verdict =
+          if (corpusHashes.contains(h)) "exact_dup"
+          else if (bp <= 5000) "stale" else "keep"
+        Some((id, sp.length.toLong, nNew, bp, verdict))
+      }
+    }.sortBy(_._1)
+    val got = run("q88_increment_clean")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === expect)
+    // the planted rows force every verdict class to be observable:
+    val byId = got.map(r => r._1 -> r._5).toMap
+    val exactPlants = got.map(_._1).filter(id => id >= 500000L && id < 600000L)
+    assert(exactPlants.nonEmpty)
+    exactPlants.foreach(id => assert(byId(id) === "exact_dup", s"plant $id"))
+    // a trailer-append perturbs only the final span: any plant with at
+    // least two spans is majority-stale and must be dropped (a 1-span
+    // plant legitimately reads as fully-new text at span granularity)
+    val nSpans = got.map(r => r._1 -> r._2).toMap
+    val nearPlants = got.map(_._1).filter(_ >= 600000L)
+    assert(nearPlants.count(nSpans(_) >= 2) > 0)
+    nearPlants.filter(nSpans(_) >= 2)
+      .foreach(id => assert(byId(id) === "stale", s"plant $id"))
+    assert(got.exists(r => r._1 < 500000L && r._5 === "keep"),
+      "some genuinely new documents must survive")
+  }
+
+  test("q90: no duplicate cluster straddles splits; plants follow their source") {
+    val got = run("q90_leakage_safe_split")
+      .as[(Long, Long, Long, String, String, Boolean)].collect().toSeq
+    // (doc_id, gmin, n_group, split, naive, would_leak)
+    // 1. one split per group, and it is the md5 bucket of the label
+    def bucket(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(2)
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    got.groupBy(_._2).foreach { case (gmin, members) =>
+      assert(members.map(_._4).distinct.length === 1,
+        s"group $gmin split across buckets")
+      assert(members.head._4 === bucket(gmin), s"group $gmin wrong bucket")
+      assert(members.map(_._3).distinct === Seq(members.length.toLong),
+        s"group $gmin bad n_group")
+      // would_leak iff the naive per-doc buckets disagree
+      val leak = members.map(_._5).distinct.length > 1
+      assert(members.forall(_._6 === leak), s"group $gmin leak flag")
+    }
+    // 2. every planted copy shares a group - and therefore a split - with
+    //    its source document
+    val byId = got.map(r => r._1 -> r).toMap
+    val plants = got.map(_._1).filter(_ >= 700000L)
+    assert(plants.nonEmpty)
+    plants.foreach { id =>
+      assert(byId(id)._2 === byId(id - 700000L)._2, s"plant $id group")
+      assert(byId(id)._4 === byId(id - 700000L)._4, s"plant $id split")
+    }
+    // 3. the hazard is real at this sf: the naive split WOULD have torn
+    //    at least one cluster apart
+    assert(got.exists(_._6), "no observable leak - plants ineffective")
+    // 4. naive column matches the per-doc bucket (audit parity with q60)
+    got.foreach(r => assert(r._5 === bucket(r._1)))
+  }
+}

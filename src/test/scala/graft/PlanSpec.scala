@@ -553,6 +553,33 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q88: corpus probes broadcast increment sets — no SMJ, no cartesian") {
+    val p = plan("q88_increment_clean")
+    try {
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+      // both corpus scans (hash probe, span probe) feed LeftSemi
+      // broadcast joins directly — the corpus never shuffles; every
+      // hash exchange below sits on an increment-bounded frame
+      assert(p.linesIterator.count(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi")) === 2,
+        s"expected the two semi-join corpus probes:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"the increment frame must be cached across its three readers:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1)
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q90: one single-phase group aggregation, join back, nothing else") {
+    val p = plan("q90_leakage_safe_split")
+    assert(!p.contains("CartesianProduct"))
+    // max≠min keeps would_leak in ONE aggregation phase: exactly one
+    // hash exchange on h (the group agg; the join back broadcasts at
+    // this sf and stays on h at scale) + the output range sort
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2,
+      s"countDistinct-style two-phase agg crept back in:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
