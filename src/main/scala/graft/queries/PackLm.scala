@@ -172,5 +172,62 @@ object PackLm {
     doc = "bigram-LM fluency score: self-trained ML model in integer bp, " +
       "per-doc mean bigram probability — the perplexity-proxy quality gate")
 
-  val all: Seq[Q] = Seq(q76, q77)
+  /** q91 — token frequency SPECTRUM (count-of-counts): for every
+    * occurrence count c, how many vocabulary types occur exactly c
+    * times and what share of types / of running tokens they carry.
+    * This is the corpus-health panel every tokenizer / LM build reads
+    * first — a healthy natural corpus is Zipfian (hapax-heavy: n₁
+    * dominates types while high-c rows dominate tokens), a duplicated
+    * corpus shows mass piling into high-c rows — and its first two
+    * rows ARE the Good–Turing / Kneser–Ney machinery: the absolute
+    * discount D = n₁/(n₁+2n₂) that q76's count tables get smoothed by
+    * (asserted in PackLmSpec).
+    *
+    * Plan shape: corpus folds ONCE to the vocab frame (q38's shape,
+    * uniform token key, map-side combined), the vocab folds to the
+    * spectrum (≤ distinct-count-cardinality — tiny), and the 1-row
+    * totals broadcast back. Shares computed decimal(38,0): c·n_types
+    * reaches 10¹⁸ at 10¹⁴ corpus tokens (q69's overflow posture).
+    */
+  private val q91 = Q(
+    "q91_freq_spectrum",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      // the spectrum is ≤ distinct-count-cardinality (tiny); persisting
+      // it keeps the corpus→vocab fold at ONE run — uncached, the
+      // totals branch re-plans the whole fold from the parquet
+      val spec = graft.ops.CacheScope.persisted(
+        vocab.groupBy("c").agg(count(lit(1)).as("n_types")))
+      val tot = spec.agg(sum("n_types").as("tv"),
+        sum(expr("cast(c as decimal(38,0)) * n_types")).as("tt"))
+      spec.crossJoin(broadcast(tot))
+        .select(col("c").as("freq"), col("n_types"),
+          expr("c * n_types").as("n_tokens"),
+          expr("cast(n_types * 10000 div tv as bigint)").as("types_share_bp"),
+          expr("cast(cast(c as decimal(38,0)) * n_types * 10000 div tt " +
+            "as bigint)").as("tokens_share_bp"))
+        .orderBy("freq")
+    },
+    Some("""
+      WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      v AS (SELECT tok, count(*) AS c
+            FROM (SELECT unnest(ws) AS tok FROM t) GROUP BY tok),
+      sp AS (SELECT c, count(*) AS n_types FROM v GROUP BY c),
+      tot AS (SELECT CAST(sum(n_types) AS BIGINT) AS tv,
+                     CAST(sum(CAST(c AS HUGEINT) * n_types) AS HUGEINT) AS tt
+              FROM sp)
+      SELECT c AS freq, n_types, c * n_types AS n_tokens,
+             CAST(n_types * 10000 // tv AS BIGINT) AS types_share_bp,
+             CAST(CAST(c AS HUGEINT) * n_types * 10000 // tt AS BIGINT)
+               AS tokens_share_bp
+      FROM sp CROSS JOIN tot
+      ORDER BY freq
+    """),
+    doc = "token frequency spectrum: count-of-counts with type and token " +
+      "shares — the Zipf/dedup health panel; rows n1, n2 are the KN " +
+      "discount's inputs")
+
+  val all: Seq[Q] = Seq(q76, q77, q91)
 }

@@ -279,5 +279,70 @@ object PackSignal {
     doc = "C4-style span dedup: 10-token spans, corpus-wide first-wins " +
       "via integer-encoded min, skew-safe probe join, rebuilt-text hash")
 
-  val all: Seq[Q] = Seq(q81, q82, q84, q85)
+  /** q89 — source-cell reputation with empirical-Bayes shrinkage: score
+    * every (source, lang) cell by its documents' mean quality, SHRUNK
+    * toward the corpus-wide prior in proportion to how little evidence
+    * the cell holds — shrunk = (Σscore + k·prior) / (n + k), k = 5 —
+    * and propagate the cell verdict back onto every document. This is
+    * the per-domain gate of CCNet/RefinedWeb-class builds done
+    * honestly: a domain seen 3 times must NOT be credited with its raw
+    * mean (3 lucky documents would whitelist it; 3 unlucky ones would
+    * ban it) — it earns trust as evidence accumulates. All arithmetic
+    * exact-integer basis points, so the oracle gates the shrinkage
+    * math itself.
+    *
+    * Plan shape: the per-doc score frame (doc-cardinality, text-free —
+    * q86's dl posture) is CacheScope-persisted and read twice: once
+    * folding to the ≤ |sources|·|langs| cell histogram, once as the
+    * output's left side. Cell reputation + the 1-row prior broadcast
+    * back; the only corpus-sized exchanges are the score fold and the
+    * output sort.
+    */
+  private val q89 = Q(
+    "q89_source_reputation",
+    (s, d) => {
+      val scored = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), toks.as("ws"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)")
+              .as("score_bp")))
+      val cells = scored.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_cell"), sum("score_bp").as("ss"))
+      val prior = cells.agg(
+        expr("sum(ss) div sum(n_cell)").as("prior_bp"))
+      val rep = cells.crossJoin(broadcast(prior))
+        .select(col("source"), col("lang"), col("n_cell"),
+          expr("(ss + 5 * prior_bp) div (n_cell + 5)").as("shrunk_bp"),
+          col("prior_bp"))
+      scored.join(broadcast(rep), Seq("source", "lang"))
+        .select(col("doc_id"), col("source"), col("lang"), col("score_bp"),
+          col("n_cell"), col("shrunk_bp"),
+          (col("shrunk_bp") >= 5000L).as("source_ok"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, lang, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      sc AS (SELECT doc_id, source, lang,
+               CAST(len(list_distinct(ws)) AS BIGINT) * 10000
+                 // greatest(len(ws), 1) AS score_bp
+             FROM t),
+      cells AS (SELECT source, lang, count(*) AS n_cell,
+                       CAST(sum(score_bp) AS BIGINT) AS ss
+                FROM sc GROUP BY source, lang),
+      pr AS (SELECT CAST(sum(ss) AS BIGINT) // sum(n_cell) AS prior_bp FROM cells),
+      rep AS (SELECT source, lang, n_cell,
+                     CAST((ss + 5 * prior_bp) // (n_cell + 5) AS BIGINT)
+                       AS shrunk_bp
+              FROM cells CROSS JOIN pr)
+      SELECT sc.doc_id, sc.source, sc.lang, sc.score_bp,
+             rep.n_cell, rep.shrunk_bp, rep.shrunk_bp >= 5000 AS source_ok
+      FROM sc JOIN rep USING (source, lang)
+      ORDER BY doc_id
+    """),
+    doc = "empirical-Bayes source reputation: (source, lang) cell means " +
+      "shrunk toward the corpus prior by evidence mass, broadcast back " +
+      "per doc — exact-integer shrinkage, oracle-gated")
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85, q89)
 }

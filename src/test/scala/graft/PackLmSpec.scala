@@ -42,6 +42,36 @@ class PackLmSpec extends SparkSpec {
     assert(below <= 30, "a higher-count bigram was left out of the top-30")
   }
 
+  test("q91: spectrum agrees with a recount and carries the KN discount") {
+    val ws = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.toLowerCase.split("\\W+").filter(_.nonEmpty))
+    val vocab = ws.groupBy(identity).map { case (_, g) => g.length.toLong }
+    val spectrum = vocab.groupBy(identity)
+      .map { case (c, g) => c -> g.size.toLong }
+    val tv = spectrum.values.sum
+    val tt = spectrum.map { case (c, n) => c * n }.sum
+    val expect = spectrum.toSeq.sortBy(_._1).map { case (c, n) =>
+      (c, n, c * n, n * 10000L / tv, c * n * 10000L / tt)
+    }
+    val got = run("q91_freq_spectrum")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === expect)
+    // conservation: the spectrum partitions both the vocabulary and the
+    // running tokens exactly
+    assert(got.map(_._2).sum === vocab.size.toLong)
+    assert(got.map(_._3).sum === ws.length.toLong)
+    // the first two rows are the KN/Good-Turing discount inputs; the
+    // discount q76's tables get smoothed by must be a proper fraction
+    val n1 = got.find(_._1 == 1L).map(_._2).getOrElse(0L)
+    val n2 = got.find(_._1 == 2L).map(_._2).getOrElse(0L)
+    if (n1 > 0) {
+      val dBp = n1 * 10000L / (n1 + 2L * n2)
+      assert(dBp > 0 && dBp < 10000, s"degenerate KN discount $dBp")
+    }
+  }
+
   test("q77: score is the exact mean bigram probability per document") {
     val b = corpusBigrams()
     val c12 = b.map(t => (t._2, t._3)).groupBy(identity)

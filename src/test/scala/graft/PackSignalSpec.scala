@@ -94,6 +94,43 @@ class PackSignalSpec extends SparkSpec {
       "the gate thresholds must exercise every rule at this sf")
   }
 
+  test("q89: shrinkage agrees with an exact recount; pull is toward the prior") {
+    val docs = tokenized
+    val scores = docs.map { case (id, lang, ws) =>
+      (id, lang, if (ws.isEmpty) 0L
+        else ws.distinct.length.toLong * 10000L / ws.length)
+    }
+    val srcOf = Tables.documents(spark, sf)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val cells = scores.groupBy { case (id, lang, _) => (srcOf(id), lang) }
+      .map { case (k, g) => k -> (g.length.toLong, g.map(_._3).sum) }
+    val prior = cells.values.map(_._2).sum / cells.values.map(_._1).sum
+    val expect = scores.map { case (id, lang, sc) =>
+      val (n, ss) = cells((srcOf(id), lang))
+      val shrunk = (ss + 5L * prior) / (n + 5L)
+      (id, srcOf(id), lang, sc, n, shrunk, shrunk >= 5000L)
+    }.sortBy(_._1)
+    val got = run("q89_source_reputation")
+      .as[(Long, String, String, Long, Long, Long, Boolean)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === expect)
+    // shrinkage is a CONTRACTION toward the prior: every cell's shrunk
+    // score sits between its raw mean and the prior (rounding slack 1)
+    cells.foreach { case ((src, lang), (n, ss)) =>
+      val mean = ss / n
+      val shrunk = (ss + 5L * prior) / (n + 5L)
+      val lo = math.min(mean, prior) - 1
+      val hi = math.max(mean, prior) + 1
+      assert(shrunk >= lo && shrunk <= hi, s"cell ($src,$lang) escaped")
+    }
+    // both verdicts must be live, and evidence must matter: some cell
+    // whose raw mean clears the gate is still held back by shrinkage
+    assert(got.exists(_._7) && got.exists(!_._7))
+    assert(cells.exists { case (_, (n, ss)) =>
+      ss / n >= 5000L && (ss + 5L * prior) / (n + 5L) < 5000L },
+      "no cell where shrinkage overrides the raw mean — gate toothless")
+  }
+
   test("q85: span dedup agrees with an in-memory first-occurrence recount") {
     val docs = tokenized.map { case (id, _, ws) => (id, ws) }
       .filter(_._2.nonEmpty)

@@ -580,6 +580,33 @@ class PlanSpec extends SparkSpec {
       s"countDistinct-style two-phase agg crept back in:\n$p")
   }
 
+  test("q89: score frame cached once; cell reputation broadcasts back") {
+    val p = plan("q89_source_reputation")
+    try {
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+      assert(p.contains("BroadcastHashJoin"),
+        s"cell reputation must broadcast onto the doc frame:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"the doc-score frame must be cached across its readers:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1)
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q91: one corpus fold feeds the spectrum; totals ride the cache") {
+    val p = plan("q91_freq_spectrum")
+    try {
+      assert(!p.contains("CartesianProduct"))
+      // both the share projection and the totals branch must read the
+      // CACHED spectrum — uncached, each re-plans the corpus→vocab
+      // fold from the parquet. (A literal exchange count over the
+      // printed tree is unreliable: cached subtrees print their child
+      // plan once per reference — the q86 lesson.)
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"a spectrum consumer bypassed the cache:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1)
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
