@@ -421,6 +421,86 @@ object StreamOps {
         col("n_bigrams"), col("score_bp"))
   }
 
+  /** One 10-token span of an arriving document. */
+  final case class SpanRow(span: String, doc_id: Long, span_idx: Long,
+      ts: java.sql.Timestamp)
+
+  /** Per-span state: the first holder's encoded key + the newest event
+    * time touching the span (monotone, drives the eviction timeout).
+    */
+  final case class SpanSeen(maxTs: Long, firstK: Long)
+
+  /** The verdict for one (doc, span): kept = this doc is the span's
+    * first holder; dropped spans carry the holder's encoded key
+    * (doc·10⁶ + idx — q85's encoding) for lineage.
+    */
+  final case class SpanVerdict(doc_id: Long, span_idx: Long, span: String,
+      kept: Boolean, first_k: Long, ts: java.sql.Timestamp)
+
+  /** Streaming twin of q85's span-level dedup: documents arrive
+    * continuously, segment into 10-token spans (q85's device verbatim),
+    * and each span's corpus-wide FIRST holder keeps it — later copies
+    * emit kept = false with the holder's key. The streaming form of the
+    * C4 boilerplate strip: the seen-span set IS the keyed state store,
+    * one long per span (RocksDB-ready at scale), so the stripping runs
+    * on the live crawl instead of in a nightly batch.
+    *
+    * Ordering contract (packStream's): within a micro-batch rows apply
+    * in encoded-key order, so feeding documents in doc_id order
+    * reproduces batch q85's lexicographic-min first-wins exactly
+    * (equivalence + checkpointed-restart pinned in StreamingSpec /
+    * StreamRestartSpec). Out of order across batches, first-ARRIVAL
+    * wins — the honest streaming semantics, same trade
+    * dedupWithinWatermark makes for F4.
+    *
+    * State is evicted once the watermark passes a span untouched for
+    * `delay` — a boilerplate span re-arriving after eviction
+    * re-registers (bounded state trades recall at the horizon;
+    * nearDupStream's posture, documented there).
+    *
+    * `docs` columns: (doc_id: long, ts: timestamp, text: string).
+    */
+  def spanDedupStream(docs: DataFrame, delay: String = "10 minutes")
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val spans = docs.withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        filter(split(lower(col("text")), "\\W+"),
+          t => length(t) > 0).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), col("ts"), posexplode(expr(
+        "transform(sequence(0, (size(ws) - 1) div 10), " +
+          "i -> array_join(slice(ws, i * 10 + 1, 10), ' '))")))
+      .select(col("col").as("span"), col("doc_id"),
+        col("pos").cast("long").as("span_idx"), col("ts"))
+      .as[SpanRow]
+    spans.groupByKey(_.span)
+      .flatMapGroupsWithState[SpanSeen, SpanVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (span, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cur = state.getOption.getOrElse(SpanSeen(Long.MinValue, -1L))
+            val out = rows.toSeq
+              .sortBy(r => r.doc_id * 1000000L + r.span_idx)
+              .map { r =>
+                val k = r.doc_id * 1000000L + r.span_idx
+                val first = cur.firstK < 0
+                if (first) cur = cur.copy(firstK = k)
+                cur = cur.copy(maxTs = math.max(cur.maxTs, r.ts.getTime))
+                SpanVerdict(r.doc_id, r.span_idx, span, first, cur.firstK,
+                  r.ts)
+              }
+            state.update(cur)
+            if (cur.maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(cur.maxTs, delay)
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Stateful streaming dedup: first occurrence of `keys` wins; state for
     * a key is dropped once the watermark passes it (bounded state — the
     * streaming form of F4's seen-set, extract.py:87-97).

@@ -165,6 +165,51 @@ class StreamRestartSpec extends SparkSpec {
       s"restart must resume the open bin at fill 200, not restart at 0: $got")
   }
 
+  test("span-dedup first-holder state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val in = Files.createTempDirectory("sd-in").toString
+    val out = Files.createTempDirectory("sd-out").toString
+    val ckpt = Files.createTempDirectory("sd-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 12 tokens → two spans (10 + 2)
+    val boiler = "a b c d e f g h i j k l"
+    def startQuery() = StreamOps.spanDedupStream(
+      spark.readStream.schema(schema).parquet(in), delay = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    // run 1: doc 1 registers both spans as first holder
+    Seq((1L, ts("2024-01-01 00:00:00"), boiler))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2: doc 2 repeats the boilerplate — dropping its spans requires
+    // doc 1's first-holder keys recovered from the checkpoint (lost
+    // state would re-register them as kept and the strip silently stops
+    // stripping); doc 3's fresh text proves the restarted query keeps
+    Seq((2L, ts("2024-01-01 00:01:00"), boiler),
+      (3L, ts("2024-01-01 00:01:00"), "totally fresh words here"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "span_idx", "kept", "first_k")
+      .as[(Long, Long, Boolean, Long)].collect().toSeq.sorted
+    assert(got === Seq(
+      (1L, 0L, true, 1000000L), (1L, 1L, true, 1000001L),
+      (2L, 0L, false, 1000000L), (2L, 1L, false, 1000001L),
+      (3L, 0L, true, 3000000L)),
+      s"doc 2's spans must attribute to doc 1 across the restart: $got")
+  }
+
   test("LM-scoring window state survives a checkpointed restart") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.col

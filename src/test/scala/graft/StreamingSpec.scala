@@ -176,6 +176,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span dedup: in-order feed reproduces batch q85 exactly") {
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.queries.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.spanDedupStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), delay = "10 minutes")
+      .writeStream.format("memory").queryName("t_span")
+      .outputMode("append").start()
+    try {
+      // in doc_id order (the ordering contract) across two micro-batches
+      val (b1, b2) = corpus.splitAt(corpus.length / 2)
+      ms.addData(b1.map { case (id, t) => (id, ts("2024-01-01 00:10:00"), t) }.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.map { case (id, t) => (id, ts("2024-01-01 00:20:00"), t) }.toSeq: _*)
+      q.processAllAvailable()
+      val verdicts = spark.table("t_span")
+        .select("doc_id", "span_idx", "span", "kept")
+        .as[(Long, Long, String, Boolean)].collect().toSeq
+      // roll the verdict stream up to q85's per-doc shape, hash included
+      val got = verdicts.groupBy(_._1).toSeq.map { case (id, vs) =>
+        val kept = vs.filter(_._4).sortBy(_._2)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(kept.map(_._3).mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        (id, vs.length.toLong, kept.length.toLong, sha)
+      }.sortBy(_._1)
+      val batch = graft.queries.Catalog.queries("q85_span_dedup")(spark, sf)
+        .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+      assert(batch.exists(r => r._3 < r._2),
+        "corpus must contain repeated spans")
+      assert(got === batch,
+        "the streaming twin must reproduce batch q85's rollup and hash")
+    } finally q.stop()
+  }
+
   test("streaming LM score: stream output equals batch q77, row for row") {
     implicit val ctx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
