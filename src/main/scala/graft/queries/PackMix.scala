@@ -108,5 +108,54 @@ object PackMix {
     doc = "weighted-repetition epoch: floor copies + deterministic " +
       "LCG-draw stochastic rounding, amplification after the broadcast join")
 
-  val all: Seq[Q] = Seq(q63, q64)
+  /** q92 — curriculum ordering: the deterministic TRAINING-ORDER schedule
+    * between mixture design (q63/q64) and shard packing (q58) — band
+    * every document into a fixed difficulty band by its quality score
+    * (score_bp div 1000: a stateless projection, NOT a global rank — a
+    * corpus-wide row_number is a single-partition window no 100 TB job
+    * can run, and band membership is what a curriculum actually
+    * consumes), then order easy-first across bands with q55's LCG
+    * deterministic shuffle WITHIN each band (adjacent-document
+    * correlation is what the shuffle exists to break; determinism is
+    * what makes the run reproducible and resumable). The output ORDER
+    * is the curriculum; rerunning on a grown corpus preserves every
+    * document's band (thresholds are absolute, not rank-relative — the
+    * q60 stability argument applied to difficulty).
+    *
+    * Plan shape: one stateless pass (score, band, LCG draw) over the
+    * corpus, then the output sort — no aggregation, no join, no window;
+    * the sort is the only exchange, and it is the product being built.
+    */
+  private val q92 = Q(
+    "q92_curriculum_order",
+    (s, d) => {
+      val toks = filter(split(lower(col("text")), "\\W+"),
+        t => length(t) > 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ws"))
+        .select(col("doc_id"),
+          expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)")
+            .as("score_bp"))
+        .withColumn("band", expr("score_bp div 1000"))
+        // q55's LCG: overflow-safe affine draw, bit-reproducible
+        .withColumn("ord",
+          expr("pmod(doc_id * 1103515245L + 12345L, 2147483648L)"))
+        .orderBy(col("band").desc, col("ord"), col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      sc AS (SELECT doc_id,
+               CAST(len(list_distinct(ws)) AS BIGINT) * 10000
+                 // greatest(len(ws), 1) AS score_bp
+             FROM t)
+      SELECT doc_id, score_bp, score_bp // 1000 AS band,
+             (doc_id * 1103515245 + 12345) % 2147483648 AS ord
+      FROM sc
+      ORDER BY band DESC, ord, doc_id
+    """),
+    doc = "curriculum training order: absolute difficulty bands (stateless," +
+      " rank-free) + deterministic LCG shuffle within band — easy-first, " +
+      "reproducible, resumable")
+
+  val all: Seq[Q] = Seq(q63, q64, q92)
 }

@@ -216,5 +216,94 @@ object PackScale {
     """),
     doc = "schema'd JSON extraction (one-pass from_json) + aggregation")
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47)
+  /** q93 — count-min-sketch heavy hitters: build the 4×256 CMS counter
+    * table over the token stream and report, for the top-20 TRUE tokens,
+    * the exact count next to the sketch estimate (min over the 4 hashed
+    * cells) and the overestimate in basis points. The sketch is the
+    * fixed-footprint answer to frequency tracking when the key space
+    * doesn't fit anywhere — URLs, hosts, n-grams at 100 TB — and this
+    * query gates its two structural guarantees as data: est ≥ true
+    * (one-sided error, every row) and est = min of the 4 cells.
+    *
+    * The hash rows are affine over [[graft.expr.PolyHash.tokenHash]]
+    * (q65's oracle device) with literal constants interpolated into
+    * BOTH engines — the sketch content is deterministic, so the oracle
+    * hash-gates the sketch itself, not just the readout.
+    *
+    * Plan shape — the scale story is that sketch construction is
+    * VOCAB-cardinality work: the corpus folds ONCE to (token, count)
+    * (q38's shape, the only corpus exchange), the 4 cell keys derive
+    * per vocab row and aggregate to ≤ 1024 cells (map-side combined,
+    * mergeable across shards by construction — the sketch of a union
+    * is the sum of the sketches), and the top-20 probe joins its 4
+    * cells broadcast. Nothing but the readout's 20 rows leaves the
+    * executors after the vocab fold.
+    */
+  private val q93 = Q(
+    "q93_cms_heavy_hitters",
+    (s, d) => {
+      val D = 4; val W = 256L; val M = 2147483647L
+      def a(j: Int) = (j + 7) * 1103515245L % M
+      def c(j: Int) = (j + 7) * 2654435761L % M
+      val toks = filter(split(lower(col("text")), "\\W+"),
+        t => length(t) > 0)
+      val vocab = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(explode(toks).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .withColumn("th", org.apache.spark.sql.graftglue.ExprGlue.column(
+            graft.expr.PolyTokenHash(
+              org.apache.spark.sql.graftglue.ExprGlue.expression(col("tok"))))))
+      val cellsOf = (0 until D).map(j =>
+        expr(s"(($j * ${W}L) + (th * ${a(j)}L + ${c(j)}L) % ${M}L % ${W}L)")
+          .as(s"k$j"))
+      val cms = vocab
+        .select((col("c") +: cellsOf): _*)
+        .select(col("c"), explode(array((0 until D).map(j => col(s"k$j")): _*))
+          .as("cell"))
+        .groupBy("cell").agg(sum("c").as("cnt"))
+      val top = vocab.orderBy(col("c").desc, col("tok")).limit(20)
+        .select((col("tok") +: col("c").as("true_c") +: cellsOf): _*)
+      top
+        .select(col("tok"), col("true_c"),
+          explode(array((0 until D).map(j => col(s"k$j")): _*)).as("cell"))
+        .join(broadcast(cms), "cell")
+        .groupBy("tok", "true_c")
+        .agg(min("cnt").as("est_c"))
+        .select(col("tok"), col("true_c"), col("est_c"),
+          expr("(est_c - true_c) * 10000 div true_c").as("over_bp"))
+        .orderBy(col("true_c").desc, col("tok"))
+    },
+    Some {
+      val M = 2147483647L; val W = 256L
+      val aSql = (0 until 4).map(j => (j + 7) * 1103515245L % M)
+      val cSql = (0 until 4).map(j => (j + 7) * 2654435761L % M)
+      s"""
+      WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      v AS (SELECT tok, count(*) AS c,
+              CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1),
+                i -> ascii(substr(tok, i, 1)) * ${graft.expr.PolyHash.sqlPow31}[i]))
+                % ${graft.expr.PolyHash.CharMod} AS BIGINT) AS th
+            FROM (SELECT unnest(ws) AS tok FROM t) GROUP BY tok),
+      cells AS (SELECT c, unnest([${(0 until 4).map(j =>
+        s"($j * $W) + (th * ${aSql(j)} + ${cSql(j)}) % $M % $W").mkString(", ")}]) AS cell
+                FROM v),
+      cms AS (SELECT cell, CAST(sum(c) AS BIGINT) AS cnt FROM cells GROUP BY cell),
+      top AS (SELECT tok, c AS true_c, th FROM v ORDER BY c DESC, tok LIMIT 20),
+      probe AS (SELECT tok, true_c,
+                  unnest([${(0 until 4).map(j =>
+        s"($j * $W) + (th * ${aSql(j)} + ${cSql(j)}) % $M % $W").mkString(", ")}]) AS cell
+                FROM top)
+      SELECT p.tok, p.true_c, min(cms.cnt) AS est_c,
+             (min(cms.cnt) - p.true_c) * 10000 // p.true_c AS over_bp
+      FROM probe p JOIN cms USING (cell)
+      GROUP BY p.tok, p.true_c
+      ORDER BY true_c DESC, tok
+    """
+    },
+    doc = "count-min sketch: 4x256 counter table built at vocab " +
+      "cardinality (mergeable by construction), top-20 readout gates " +
+      "est >= true and est = min-of-cells as data")
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q93)
 }

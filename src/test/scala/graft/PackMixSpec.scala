@@ -55,4 +55,26 @@ class PackMixSpec extends SparkSpec {
     val b = run("q64_epoch_expand").as[(Long, Int)].collect()
     assert(a.sameElements(b))
   }
+
+  test("q92: bands, draws, and order agree with a recount; schedule is stable") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val expect = docs.map { case (id, t) =>
+      val ws = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val score = if (ws.isEmpty) 0L
+        else ws.distinct.length.toLong * 10000L / ws.length
+      (id, score, score / 1000L, (id * 1103515245L + 12345L) % 2147483648L)
+    }.sortBy { case (id, _, band, ord) => (-band, ord, id) }
+    val got = run("q92_curriculum_order")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // a curriculum needs more than one band, and the shuffle must break
+    // doc_id order within at least one band (the LCG actually permutes)
+    assert(got.map(_._3).distinct.length >= 3)
+    val inBand = got.filter(_._3 === got.head._3).map(_._1)
+    assert(inBand !== inBand.sorted, "LCG draw left a band in id order")
+    // absolute thresholds: a document's band never depends on the rest
+    // of the corpus (rank-free — the stability contract)
+    expect.foreach { case (_, score, band, _) => assert(band === score / 1000L) }
+  }
 }

@@ -10,6 +10,7 @@ class PackScaleSpec extends SparkSpec {
   import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = Catalog.queries(name)(spark, sf)
 
   test("q44: approx percentiles sit inside the group range, ordered") {
     val got = Catalog.queries("q44_approx_percentiles")(spark, sf)
@@ -40,5 +41,36 @@ class PackScaleSpec extends SparkSpec {
       assert(math.abs(approx(st) - e) / e < 0.05,
         s"$st: approx ${approx(st)} vs exact $e")
     }
+  }
+
+  test("q93: CMS recount exact; one-sided error; collisions observable") {
+    import graft.expr.PolyHash
+    val M = 2147483647L; val W = 256L
+    def a(j: Int) = (j + 7) * 1103515245L % M
+    def c(j: Int) = (j + 7) * 2654435761L % M
+    val toks = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.toLowerCase.split("\\W+").filter(_.nonEmpty))
+    val vocab = toks.groupBy(identity)
+      .map { case (t, g) => (t, g.length.toLong, PolyHash.tokenHash(t)) }.toSeq
+    val cms = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    vocab.foreach { case (_, cnt, th) =>
+      (0 until 4).foreach { j =>
+        cms(j * W + (th * a(j) + c(j)) % M % W) += cnt
+      }
+    }
+    val expect = vocab.sortBy { case (t, cnt, _) => (-cnt, t) }.take(20)
+      .map { case (t, cnt, th) =>
+        val est = (0 until 4).map(j => cms(j * W + (th * a(j) + c(j)) % M % W)).min
+        (t, cnt, est, (est - cnt) * 10000L / cnt)
+      }.sortBy { case (t, cnt, _, _) => (-cnt, t) }
+    val got = run("q93_cms_heavy_hitters")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === expect)
+    // the sketch's structural guarantee: never an underestimate
+    got.foreach { case (t, tc, ec, _) => assert(ec >= tc, s"token $t") }
+    // and the error is real at this sf: some cell collided
+    assert(got.exists(_._4 > 0), "no collision observed - sketch toothless")
   }
 }

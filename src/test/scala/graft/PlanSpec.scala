@@ -607,6 +607,31 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q92: rank-free curriculum — no window, no join, no aggregation") {
+    val p = plan("q92_curriculum_order")
+    assert(!p.contains("Window") && !p.contains("Join") &&
+      !p.contains("HashAggregate"),
+      s"banding must stay a stateless projection:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the output sort is the only exchange:\n$p")
+  }
+
+  test("q93: sketch built on the cached vocab; readout joins broadcast") {
+    val p = plan("q93_cms_heavy_hitters")
+    try {
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+      assert(p.contains("BroadcastHashJoin"),
+        s"the 1024-cell sketch must broadcast to the top-20 probe:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"the top-20 true tokens must rank without a global sort:\n$p")
+      // both the cell fold and the top-20 probe read the CACHED vocab —
+      // uncached, each re-plans the corpus fold from the parquet
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"a vocab consumer bypassed the cache:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1)
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
