@@ -632,6 +632,21 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q94: prefix-filter join — cached shingle frame, no cartesian") {
+    val p = plan("q94_setsim_join")
+    try {
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"every join must be key-equi (prefix key / doc id):\n$p")
+      // the df fold, the prefix build, and both verify sides all read the
+      // ONE cached shingle projection — uncached, each re-tokenizes the
+      // corpus from the parquet
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"a consumer bypassed the shingle cache:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1)
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
