@@ -239,24 +239,41 @@ object PackScale {
     * cells broadcast. Nothing but the readout's 20 rows leaves the
     * executors after the vocab fold.
     */
+  /** q93's sketch kernel, shared with the streaming twin
+    * ([[graft.streaming.StreamOps.cmsStream]]): same tokenizer, same
+    * explicit affine hash family over [[graft.expr.PolyTokenHash]], same
+    * 4×256 geometry — so the stream's counter table equals the batch
+    * sketch over the same rows, cell for cell, by construction.
+    */
+  private[graft] object Cms {
+    val D = 4; val W = 256L; val M = 2147483647L
+    def a(j: Int): Long = (j + 7) * 1103515245L % M
+    def c(j: Int): Long = (j + 7) * 2654435761L % M
+    def toks = filter(split(lower(col("text")), "\\W+"),
+      t => length(t) > 0)
+    /** Token hash column for a frame carrying `tok`. */
+    def th = org.apache.spark.sql.graftglue.ExprGlue.column(
+      graft.expr.PolyTokenHash(
+        org.apache.spark.sql.graftglue.ExprGlue.expression(col("tok"))))
+    /** The D cell ids (k0..k3) for a frame carrying `th`. */
+    def cellsOf: Seq[org.apache.spark.sql.Column] = (0 until D).map(j =>
+      expr(s"(($j * ${W}L) + (th * ${a(j)}L + ${c(j)}L) % ${M}L % ${W}L)")
+        .as(s"k$j"))
+    /** All D cells exploded, for a frame carrying k0..k3. */
+    def cellExplode: org.apache.spark.sql.Column =
+      explode(array((0 until D).map(j => col(s"k$j")): _*))
+  }
+
   private val q93 = Q(
     "q93_cms_heavy_hitters",
     (s, d) => {
-      val D = 4; val W = 256L; val M = 2147483647L
-      def a(j: Int) = (j + 7) * 1103515245L % M
-      def c(j: Int) = (j + 7) * 2654435761L % M
-      val toks = filter(split(lower(col("text")), "\\W+"),
-        t => length(t) > 0)
+      val D = Cms.D
       val vocab = graft.ops.CacheScope.persisted(
         Tables.documents(s, d)
-          .select(explode(toks).as("tok"))
+          .select(explode(Cms.toks).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c"))
-          .withColumn("th", org.apache.spark.sql.graftglue.ExprGlue.column(
-            graft.expr.PolyTokenHash(
-              org.apache.spark.sql.graftglue.ExprGlue.expression(col("tok"))))))
-      val cellsOf = (0 until D).map(j =>
-        expr(s"(($j * ${W}L) + (th * ${a(j)}L + ${c(j)}L) % ${M}L % ${W}L)")
-          .as(s"k$j"))
+          .withColumn("th", Cms.th))
+      val cellsOf = Cms.cellsOf
       val cms = vocab
         .select((col("c") +: cellsOf): _*)
         .select(col("c"), explode(array((0 until D).map(j => col(s"k$j")): _*))

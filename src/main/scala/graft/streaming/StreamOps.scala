@@ -501,6 +501,34 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Streaming twin of q93's count-min sketch: documents stream in and
+    * the 4×256 counter table maintains itself as a plain streaming
+    * aggregation on the cell key. The kernel — tokenizer, affine hash
+    * family, geometry — is literally q93's
+    * ([[graft.queries.PackScale.Cms]]), so over the same rows the
+    * stream's final table equals the batch sketch cell for cell (the
+    * MemoryStream test pins exactly that, and re-derives q93's top-20
+    * estimates from the streamed cells).
+    *
+    * Alone among the twins this one needs NO watermark and no eviction:
+    * the state IS the sketch — ≤ D·W = 1024 cells whatever streams past
+    * — which is precisely why CMS is the streaming answer to frequency
+    * tracking (exact per-token state grows with the vocabulary; the
+    * sketch's footprint is a constant). Complete-mode output emits the
+    * current table each trigger; tables from parallel streams or shards
+    * merge by addition (the sketch of a union is the sum of the
+    * sketches — the batch query's shard-mergeability, unchanged).
+    * `docs` columns: (doc_id long, text string); only text is read.
+    */
+  def cmsStream(docs: DataFrame): DataFrame = {
+    import graft.queries.PackScale.Cms
+    docs.select(explode(Cms.toks).as("tok"))
+      .withColumn("th", Cms.th)
+      .select(Cms.cellsOf: _*)
+      .select(Cms.cellExplode.as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Stateful streaming dedup: first occurrence of `keys` wins; state for
     * a key is dropped once the watermark passes it (bounded state — the
     * streaming form of F4's seen-set, extract.py:87-97).

@@ -315,4 +315,47 @@ class StreamRestartSpec extends SparkSpec {
       s"replayed shingles must dedup against recovered state " +
         s"(expected one row of $expected, got $got)")
   }
+
+  test("CMS counter state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // uninterrupted ground truth: the same kernel as one batch pass
+    val expected = StreamOps.cmsStream(
+      graft.queries.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")))
+      .as[(Long, Long)].collect().toMap
+
+    val in = Files.createTempDirectory("cms-in").toString
+    val ckpt = Files.createTempDirectory("cms-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def startQuery(name: String) = StreamOps.cmsStream(
+      spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+
+    // run 1: half the corpus lands in the counter state, then the query
+    // stops — the partial counts live only in the checkpointed state store
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    b1.toSeq.toDF("doc_id", "text").write.mode("append").parquet(in)
+    val q1 = startQuery("t_cms_r1")
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2: the other half arrives after restart; the final table must
+    // equal the uninterrupted sketch — lost state would undercount every
+    // cell the first half touched
+    b2.toSeq.toDF("doc_id", "text").write.mode("append").parquet(in)
+    val q2 = startQuery("t_cms_r2")
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.table("t_cms_r2").as[(Long, Long)].collect().toMap
+    assert(got === expected,
+      "restarted sketch must merge recovered counter state with new rows")
+  }
 }

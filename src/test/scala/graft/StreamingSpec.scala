@@ -435,4 +435,49 @@ class StreamingSpec extends SparkSpec {
           s"(${state.size} vs ${batch.size} docs)")
     } finally q.stop()
   }
+
+  test("streaming CMS equals the batch sketch; q93's estimates re-derive from it") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.cmsStream(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("t_cms")
+      .outputMode("complete").start()
+    try {
+      // the corpus arrives across two micro-batches; the second trigger's
+      // table must reflect BOTH (state accumulates, not per-batch counts)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("t_cms").as[(Long, Long)].collect().toMap
+      assert(got.size <= 1024, "state is the sketch: at most D*W cells")
+      // batch ground truth: the SAME kernel executed as one batch pass
+      val exp = StreamOps.cmsStream(
+        graft.queries.Tables.documents(spark, sf).select($"doc_id", $"text"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === exp, "stream and batch sketches must match cell for cell")
+      // and the GATED query's readout re-derives from the streamed cells:
+      // est_c = min over the token's 4 cells of the streamed counter
+      val readout = graft.queries.Catalog.queries("q93_cms_heavy_hitters")(spark, sf)
+        .select("tok", "est_c").as[(String, Long)].collect()
+      val cells = readout.map(_._1).toSeq.toDF("tok")
+        .withColumn("th", graft.queries.PackScale.Cms.th)
+        .select(($"tok" +: graft.queries.PackScale.Cms.cellsOf): _*)
+        .select($"tok", graft.queries.PackScale.Cms.cellExplode.as("cell"))
+        .as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      readout.foreach { case (tok, est) =>
+        assert(cells(tok).map(got).min === est,
+          s"token '$tok': streamed cells disagree with q93's estimate")
+      }
+    } finally {
+      q.stop()
+      graft.ops.CacheScope.drain() // q93's vocab cache
+    }
+  }
 }
