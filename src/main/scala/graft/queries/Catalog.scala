@@ -54,7 +54,8 @@ object Catalog {
       PackSample.all ++ PackScale.all ++ PackCorpus.all ++ PackCluster.all ++
       PackDecon.all ++ PackGraph.all ++ PackMix.all ++ PackFingerprint.all ++
       PackCurate.all ++ PackLm.all ++ PackPipeline.all ++ PackSignal.all ++
-      PackRetrieval.all ++ PackRefresh.all ++ PackSetSim.all
+      PackRetrieval.all ++ PackRefresh.all ++ PackSetSim.all ++
+      PackRelease.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q95 — the corpus RELEASE pipeline: the five separately-gated release
+  * stages composed into one oracle-gated job, the q78 composition story
+  * applied to the curation side. A real corpus release is not five jobs
+  * — it is one plan in which each stage consumes the previous stage's
+  * survivors:
+  *
+  *   quality gate (q57's global p10/p90 band) →
+  *   exact dedup (q24's sha2 first-wins) →
+  *   decontamination (q40's eval-shingle broadcast probe) →
+  *   source quotas (q68's largest-remainder apportionment) →
+  *   split assignment (q60's md5 buckets)
+  *
+  * returning the release manifest: one row per SHIPPED document with its
+  * audit numbers (score, per-source rank, quota, split). Composition is
+  * what the standalone gates cannot see: the percentile thresholds are
+  * computed over the corpus the release actually draws from (eval rows
+  * excluded), and the quotas apportion over the CLEANED corpus — dupes
+  * and contaminated docs no longer eat budget, which is exactly why the
+  * stages must run in this order in production.
+  *
+  * Scale posture, stage by stage (each inherited from the query that
+  * proved it): the quality pass is two corpus scans (threshold fold +
+  * survivor projection — q57's shape) feeding ONE survivor-cardinality
+  * cached frame carrying (sha2, shingles) that the dedup fold, the
+  * decon probe, the quota join, and the output all read; dedup shuffles
+  * on the uniform sha2 key; the eval shingle set distinct-compresses
+  * and BROADCASTS (the corpus never shuffles to meet it — q40/q88's
+  * asymmetry); quota math lives on the source-cardinality histogram
+  * (cached — q68) with the literal `rk <= B` conjunct keeping the
+  * WindowGroupLimit pushable below the rank exchange; the split is a
+  * stateless md5 projection. Caches: 2 (survivors, histogram), both
+  * scoped.
+  */
+object PackRelease {
+
+  private val B = 200 // release budget (q68's)
+
+  private def ws = filter(split(lower(col("text")), "\\W+"),
+    t => length(t) > 0)
+
+  private val q95 = Q(
+    "q95_release_pipeline",
+    (s, d) => {
+      import org.apache.spark.sql.graftglue.ExprGlue
+      def sh4 = ExprGlue.column(graft.expr.WordShingleStrings(
+        ExprGlue.expression(ws), 4))
+      val docsAll = Tables.documents(s, d)
+      val evalSh = docsAll.filter(col("doc_id") < 25)
+        .select(explode(sh4).as("sh")).distinct()
+      val corpus = docsAll.filter(col("doc_id") >= 25)
+      // stage 1: q57's score + global band — 1-row thresholds broadcast
+      val scored = corpus
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+          ws.as("ws"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+          expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)" +
+            " + length(text) * 100L div greatest(size(ws), 1)").as("score"))
+      val thresholds = scored.agg(
+        expr("percentile(score, 0.1)").as("lo"),
+        expr("percentile(score, 0.9)").as("hi"))
+      val base = graft.ops.CacheScope.persisted(
+        scored.crossJoin(broadcast(thresholds))
+          .filter(col("score") >= col("lo") && col("score") <= col("hi"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("score"), sha2(col("text"), 256).as("h"), sh4.as("shs")))
+      // stage 2: q24's first-wins exact dedup on the content hash
+      val canon = base.groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val dedup = base.join(canon, Seq("doc_id"), "left_semi")
+      // stage 3: q40's decontamination — any shared eval 4-gram drops the doc
+      val contam = dedup.select(col("doc_id"), explode(col("shs")).as("sh"))
+        .join(broadcast(evalSh), Seq("sh"))
+        .select("doc_id").distinct()
+      val clean = dedup.join(contam, Seq("doc_id"), "left_anti")
+      // stage 4: q68's largest-remainder quotas over the CLEANED corpus
+      val counts = graft.ops.CacheScope.persisted(
+        clean.groupBy("source").agg(count(lit(1)).as("n")))
+      val totals = counts.agg(sum("n").as("nn"))
+      val based = counts.crossJoin(broadcast(totals))
+        .select(col("source"), col("n"),
+          expr(s"($B * n) div nn").as("base"),
+          expr(s"($B * n) % nn").as("rem"))
+      val extra = based.agg((lit(B) - sum("base")).as("extra"))
+      val quota = based.crossJoin(broadcast(extra))
+        .withColumn("rr",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"),
+          (col("base") + when(col("rr") <= col("extra"), 1).otherwise(0))
+            .as("quota"))
+      val released = clean.join(broadcast(quota), "source")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rk") <= lit(B) && col("rk") <= col("quota"))
+      // stage 5: q60's deterministic md5 split on the shipped rows
+      val hx = substring(md5(col("doc_id").cast("string")), 1, 2)
+      released
+        .select(col("doc_id"), col("source"), col("score"),
+          col("quota"), col("rk"),
+          when(hx < "cc", "train").when(hx < "e6", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH w AS (SELECT doc_id, source, n_chars, text, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents WHERE doc_id >= 25),
+      s AS (SELECT doc_id, source, n_chars, text, ws, (CAST(len(list_distinct(ws)) AS BIGINT) * 10000) // greatest(len(ws), 1) + (CAST(length(text) AS BIGINT) * 100) // greatest(len(ws), 1) AS score FROM w),
+      t AS (SELECT quantile_cont(score, 0.1) AS lo, quantile_cont(score, 0.9) AS hi FROM s),
+      a AS (SELECT doc_id, source, n_chars, text, ws, score FROM s, t WHERE score >= lo AND score <= hi),
+      canon AS (SELECT min(doc_id) AS doc_id FROM a GROUP BY sha256(text)),
+      dd AS (SELECT a.* FROM a JOIN canon USING (doc_id)),
+      shc AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 4 THEN list_distinct(list_transform(range(1, len(ws) - 2), i -> array_to_string(list_slice(ws, i, i + 3), ' '))) ELSE [] END) AS sh FROM dd),
+      ev AS (SELECT DISTINCT unnest(CASE WHEN len(ws) >= 4 THEN list_distinct(list_transform(range(1, len(ws) - 2), i -> array_to_string(list_slice(ws, i, i + 3), ' '))) ELSE [] END) AS sh FROM (SELECT list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents WHERE doc_id < 25)),
+      contam AS (SELECT DISTINCT shc.doc_id FROM shc JOIN ev USING (sh)),
+      cln AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      c AS (SELECT source, count(*) AS n FROM cln GROUP BY source),
+      tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+      b AS (SELECT source, n, ($B * n) // nn AS base, ($B * n) % nn AS rem FROM c CROSS JOIN tt),
+      e AS (SELECT $B - CAST(sum(base) AS BIGINT) AS extra FROM b),
+      q AS (SELECT source, base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= extra THEN 1 ELSE 0 END AS quota FROM b CROSS JOIN e),
+      r AS (SELECT cln.doc_id, cln.source, cln.score, q.quota, row_number() OVER (PARTITION BY cln.source ORDER BY cln.n_chars DESC, cln.doc_id) AS rk FROM cln JOIN q USING (source))
+      SELECT doc_id, source, score, quota, CAST(rk AS INTEGER) AS rk,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r WHERE rk <= quota ORDER BY doc_id
+    """),
+    doc = "corpus release pipeline: quality band -> exact dedup -> " +
+      "decontamination -> largest-remainder quotas over the CLEANED " +
+      "corpus -> md5 split; one composed plan, audit columns throughout")
+
+  val all: Seq[Q] = Seq(q95)
+}

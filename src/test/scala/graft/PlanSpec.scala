@@ -647,6 +647,23 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q95: composed release plan — broadcasts, pushed limit, two caches") {
+    val p = plan("q95_release_pipeline")
+    try {
+      assert(!p.contains("CartesianProduct"),
+        s"only the 1-row broadcast crossJoins may plan nested-loop:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the eval shingle set and the quota frame must broadcast:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"the literal rk <= B conjunct must push the rank limit:\n$p")
+      // the survivor frame feeds dedup/decon/quota/output; the histogram
+      // feeds base/totals/extra — both cached, everything else rides them
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
+        s"a consumer bypassed the survivor or histogram cache:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 2)
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
