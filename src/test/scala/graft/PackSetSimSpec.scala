@@ -88,6 +88,40 @@ class PackSetSimSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("fuzz: prefix filtering stays complete on random skewed corpora") {
+    // Random corpora drawn from a SMALL vocabulary with skewed repetition
+    // — the regime where prefix buckets are largest and a subtly-wrong
+    // prefix length would finally lose a pair. Fixed seed: reproducible.
+    val rnd = new scala.util.Random(9402)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    var pairsSeen = 0
+    for (round <- 1 to 3) {
+      val prev = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      val docs = (1L to 60L).map { id =>
+        // half the docs clone an earlier doc with ~1-in-8 word edits:
+        // dense near-dup structure straddling the threshold, instead of
+        // the uniform-random nothing
+        val words: Seq[String] =
+          if (prev.nonEmpty && rnd.nextBoolean())
+            prev(rnd.nextInt(prev.size)).map(w =>
+              if (rnd.nextInt(8) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+          else Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        prev += words
+        (id, words.mkString(" "))
+      }
+      val dir = corpus(docs)
+      try {
+        val got = run(dir).as[(Long, Long, Long, Long, Long, Long)]
+          .collect().toSeq.sortBy(p => (p._1, p._2))
+        assert(got === brute(docs),
+          s"round $round: prefix filter diverged from brute force")
+        pairsSeen += got.size
+      } finally graft.ops.CacheScope.drain()
+    }
+    assert(pairsSeen > 0, "the clone structure must produce >= 0.6 pairs " +
+      "or the fuzz is vacuous")
+  }
+
   test("q94 certifies the fingerprint chain's recall at the 0.6 threshold") {
     // Every >= 0.6 pair q73 verifies out of q67's winnow candidates must
     // also be in q94's exact answer — and q94 may only ADD pairs the
