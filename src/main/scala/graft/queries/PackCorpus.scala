@@ -496,5 +496,72 @@ object PackCorpus {
     doc = "greedy 256-token sequence packing per training shard: the one " +
       "honest mapPartitions (sequential fill state), oracle via recursive CTE")
 
-  val all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q58)
+  /** q96 — global concatenation offsets via a DISTRIBUTED two-level
+    * prefix sum: lay every document's tokens end to end in doc_id order
+    * (the GPT-style "concatenate the corpus, then cut fixed windows"
+    * shard layout) and report each doc's absolute start offset and the
+    * 1024-token chunks it spans. The natural SQL is
+    * `sum(n) OVER (ORDER BY doc_id)` — an UNPARTITIONED window, i.e.
+    * every row through one reducer, the single shape this catalog
+    * refuses to run corpus-wide (q92's argument). The scalable form is
+    * the textbook two-level scan: bucket docs by `doc_id div 32`,
+    * (1) per-bucket token totals fold map-side to a BUCKET-cardinality
+    * frame, (2) the running total over that tiny frame is the only
+    * unpartitioned window (bucket count rows — q68's source-window
+    * argument; at 100 TB pick the divisor so bucket count stays ~10⁶,
+    * or recurse the same trick once more), (3) broadcast the bucket
+    * bases back and finish with a window PARTITIONED by bucket —
+    * bounded partitions, corpus-parallel. The oracle RUNS the naive
+    * global window (DuckDB is single-node — it's fine there), so the
+    * hash gate proves the two-level decomposition exact, row for row.
+    *
+    * Chunk math is pure integer follow-through: chunk_first =
+    * start div 1024, chunk_last = (start+n−1) div 1024 — the shard
+    * writer's manifest of which training windows touch which document
+    * (attribution/unlearning needs exactly this map).
+    */
+  private val q96 = Q(
+    "q96_pack_offsets",
+    (s, d) => {
+      val C = 1024L; val K = 32L
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .withColumn("b", expr(s"doc_id div $K"))
+      val bases = t.groupBy("b").agg(sum("n").as("bn"))
+        .withColumn("boff", coalesce(sum("bn").over(
+          Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("b", "boff")
+      t.withColumn("woff", coalesce(sum("n").over(
+          Window.partitionBy("b").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(broadcast(bases), Seq("b"))
+        .select(col("doc_id"), col("n"),
+          (col("boff") + col("woff")).as("start"))
+        .select(col("doc_id"), col("n"), col("start"),
+          (col("start") + col("n") - 1).as("end_off"),
+          expr(s"start div $C").as("chunk_first"),
+          expr(s"(start + n - 1) div $C").as("chunk_last"),
+          expr(s"(start + n - 1) div $C - start div $C + 1").as("n_chunks"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) AS BIGINT) AS n
+                 FROM documents),
+      p AS (SELECT doc_id, n,
+              CAST(COALESCE(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+            FROM t WHERE n > 0)
+      SELECT doc_id, n, start, start + n - 1 AS end_off,
+             start // 1024 AS chunk_first,
+             (start + n - 1) // 1024 AS chunk_last,
+             (start + n - 1) // 1024 - start // 1024 + 1 AS n_chunks
+      FROM p ORDER BY doc_id
+    """),
+    doc = "global concat offsets by two-level distributed prefix sum " +
+      "(bucket totals -> tiny running window -> partitioned finish); " +
+      "oracle runs the naive unpartitioned window")
+
+  val all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q58, q96)
 }

@@ -284,6 +284,43 @@ class PackCorpusSpec extends SparkSpec {
     assert(out.length === out.map(_._1).distinct.length)
   }
 
+  // ---- pack offsets -------------------------------------------------------
+
+  test("q96 offsets are gapless, ordered, and start at zero") {
+    val rows = run("q96_pack_offsets")
+      .select("doc_id", "n", "start", "end_off")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.head._3 === 0L, "the concatenation starts at offset 0")
+    rows.sliding(2).foreach {
+      case Seq((_, _, _, e), (id, _, s, _)) =>
+        assert(s === e + 1, s"doc $id must start right after its predecessor")
+      case _ =>
+    }
+    rows.foreach { case (id, n, s, e) =>
+      assert(e === s + n - 1, s"doc $id end offset")
+    }
+  }
+
+  test("q96 chunk spans: a boundary-straddling doc lands in both windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-off").toString
+    // 1000 + 50 + 2000 tokens: doc 2 straddles the first 1024 boundary
+    // (offsets 1000..1049), doc 3 spans chunks 1..2 (offsets 1050..3049)
+    val docs = Seq(
+      (1L, ("a " * 1000).trim), (2L, ("b " * 50).trim),
+      (3L, ("c " * 2000).trim))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Catalog.queries("q96_pack_offsets")(spark, dir)
+      .select("doc_id", "start", "chunk_first", "chunk_last", "n_chunks")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 0L, 1L),
+      (2L, 1000L, 0L, 1L, 2L),
+      (3L, 1050L, 1L, 2L, 2L)))
+  }
+
   // ---- interleave ---------------------------------------------------------
 
   test("q55 interleave is a permutation, balanced across sources") {

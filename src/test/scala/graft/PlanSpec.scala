@@ -664,6 +664,19 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q96: the corpus-sized window is partitioned; only the bucket frame funnels") {
+    val p = plan("q96_pack_offsets")
+    // the within-bucket running sum must shuffle on the bucket key (a
+    // bounded-partition window) — NOT funnel the corpus to one reducer
+    assert(p.contains("Exchange hashpartitioning(b"),
+      s"the corpus window lost its bucket partitioning:\n$p")
+    // exactly one single-partition funnel: the BUCKET-cardinality running
+    // total (tiny by construction) — a second would mean the corpus window
+    // regressed to the naive unpartitioned form the oracle runs
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) === 1,
+      s"expected one single-partition exchange (the bucket totals):\n$p")
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
