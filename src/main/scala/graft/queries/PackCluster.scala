@@ -516,5 +516,71 @@ object PackCluster {
       "exact integer threshold compare — pairwise work bounded by " +
       "cell size, never corpus x corpus")
 
-  val all: Seq[Q] = Seq(q56, q57, q74, q75, q83)
+  /** q97 — SQ8 scalar quantization + quantized-space search: learn a
+    * per-dimension [lo, hi] range over the corpus, encode every vector
+    * as 64 bytes (q = (x−lo)·255 div span — 4 bytes/float becomes 1),
+    * and run the top-5 nearest-neighbor search ENTIRELY in code space
+    * for 4 query vectors. SQ8 is PQ's (q74/q75) simpler sibling and the
+    * other standard memory-side ANN codec (FAISS's SQ8 / Lucene's
+    * scalar quantizer): no codebook training, distances directly on
+    * byte codes, ~4× memory down with near-exact ranking. All
+    * arithmetic is exact integers after q74's milli-unit conversion,
+    * so the oracle hash-gates the codec itself, not a float echo.
+    *
+    * Scale posture: the range learn is ONE posexplode fold that
+    * partial-aggregates to 64 rows map-side (the per-dim min/max is the
+    * classic mergeable stat — shard ranges combine by min/min,
+    * max/max); the 1-row range-array frame broadcasts back and encoding
+    * is a stateless zip_with projection — the corpus never shuffles to
+    * be encoded. The CODE frame (cached: the corpus probe side and the
+    * 4-row query side both read it) is what search touches — the
+    * original floats are never read again (q75's contract). Top-5 per
+    * query rides the literal rk ≤ 5 WindowGroupLimit.
+    */
+  private val q97 = Q(
+    "q97_sq8_search",
+    (s, d) => {
+      val m = quantized(s, d)
+      val e = m.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      val ranges = e.groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("lo")))).as("pl"),
+          sort_array(collect_list(struct(col("pos"), col("hi")))).as("ph"))
+        .select(
+          expr("transform(pl, p -> p.lo)").as("los"),
+          expr("transform(ph, p -> p.hi)").as("his"))
+      val codes = graft.ops.CacheScope.persisted(
+        m.crossJoin(broadcast(ranges))
+          .select(col("vec_id"), expr(
+            "zip_with(zip_with(v, los, (x, l) -> x - l)," +
+              " zip_with(his, los, (h, l) -> greatest(h - l, 1L))," +
+              " (dd, sp) -> dd * 255 div sp)").as("q")))
+      val qs = codes.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("q").as("qv"))
+      codes.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("aggregate(zip_with(q, qv, (a, b) -> (a - b) * (a - b))," +
+            " 0L, (acc, x) -> acc + x)").as("qdist"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("qdist"), col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .orderBy("qid", "rk")
+    },
+    Some("""
+      WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM embeddings),
+      e AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM m),
+      r AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos),
+      c AS (SELECT e.vec_id, e.pos, (e.x - r.lo) * 255 // greatest(r.hi - r.lo, 1) AS q FROM e JOIN r USING (pos)),
+      qd AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS qdist
+             FROM c a JOIN c b ON a.pos = b.pos AND a.vec_id < 4 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
+      t AS (SELECT qid, vec_id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, vec_id) AS rk FROM qd)
+      SELECT qid, vec_id, qdist, CAST(rk AS INTEGER) AS rk
+      FROM t WHERE rk <= 5 ORDER BY qid, rk
+    """),
+    doc = "SQ8 scalar quantization: 64-row mergeable range learn, " +
+      "broadcast ranges, stateless byte encode, top-5 search on codes " +
+      "only — PQ's no-training sibling")
+
+  val all: Seq[Q] = Seq(q56, q57, q74, q75, q83, q97)
 }

@@ -176,4 +176,45 @@ class PackClusterSpec extends SparkSpec {
     assert(perturbed.forall { case (id, pv) => pv != orig(id) },
       "perturbation must change every planted vector")
   }
+
+  test("q97: codes re-derive independently; quantized top-5 recalls exact neighbors") {
+    val rows = try run("q97_sq8_search").as[(Long, Long, Long, Int)].collect()
+    finally graft.ops.CacheScope.drain()
+    assert(rows.length === 20) // 4 queries x top-5
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === Seq(1, 2, 3, 4, 5), s"query $q")
+    }
+    // independent re-derivation: milli vectors -> per-dim ranges -> codes
+    // -> code-space distances, plain Scala
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val dims = vecs.values.head.length
+    val lo = (0 until dims).map(i => vecs.values.map(_(i)).min)
+    val hi = (0 until dims).map(i => vecs.values.map(_(i)).max)
+    def code(v: Seq[Long]): Seq[Long] = v.zipWithIndex.map { case (x, i) =>
+      (x - lo(i)) * 255 / math.max(hi(i) - lo(i), 1L)
+    }
+    val codes = vecs.view.mapValues(code).toMap
+    assert(codes.values.forall(_.forall(q => q >= 0 && q <= 255)),
+      "every code must fit one byte")
+    def qdist(a: Long, b: Long): Long =
+      codes(a).zip(codes(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.foreach { case (q, v, d, _) =>
+      assert(d === qdist(q, v), s"query $q, vec $v: code distance mismatch")
+    }
+    // recall vs the EXACT milli-space top-5: SQ8's pitch is near-exact
+    // ranking at 1/4 the memory — demand >= 3 of 5 true neighbors per query
+    def trueDist(a: Long, b: Long): Long =
+      vecs(a).zip(vecs(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val exact = vecs.keys.filter(_ != q).toSeq
+        .sortBy(v => (trueDist(q, v), v)).take(5).toSet
+      val got = rs.map(_._2).toSet
+      assert(got.intersect(exact).size >= 3,
+        s"query $q: quantized top-5 $got recalls <3 of exact $exact")
+    }
+  }
 }

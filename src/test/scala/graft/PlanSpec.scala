@@ -677,6 +677,21 @@ class PlanSpec extends SparkSpec {
       s"expected one single-partition exchange (the bucket totals):\n$p")
   }
 
+  test("q97: search reads cached codes only; top-5 rides WindowGroupLimit") {
+    val p = plan("q97_sq8_search")
+    try {
+      assert(!p.contains("SortMergeJoin"),
+        s"ranges and queries must broadcast, never shuffle the corpus:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"the literal rk <= 5 must push the rank limit:\n$p")
+      // both search sides (corpus probe + the 4 query rows) read the
+      // CACHED code frame — uncached, each re-encodes from the parquet
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"a search side bypassed the code cache:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1)
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("bucketed tables co-locate the join: no shuffle at all") {
     val orders = queries.Tables.orders(spark, sf)
     val lineitem = queries.Tables.lineitem(spark, sf)
