@@ -152,6 +152,75 @@ object PackFingerprint {
     doc = "corpus-wide 16-token-block first-wins dedup + doc reassembly " +
       "(C4 paragraph-dedup shape); one per-block shuffle")
 
+  /** q98 — boilerplate STRIP (drop-everywhere): blocks appearing in ≥ 3
+    * DISTINCT documents are removed from every holder — including the
+    * first — and documents reassemble from what survives. This is the
+    * C4/RefinedWeb boilerplate rule (navigation chrome, cookie banners,
+    * license footers), and it is deliberately the OPPOSITE policy to
+    * q66 one line up: dedup keeps one canonical copy because the
+    * content is wanted once; boilerplate is wanted ZERO times, so
+    * first-wins is the wrong rule for it. A real pipeline runs both —
+    * q98's df gate first, q66's first-wins on what remains.
+    *
+    * Scale posture: the distinct-doc df aggregation and the anti-join
+    * that applies the verdict share the block key, so ONE corpus
+    * exchange feeds both (q67's exchange-reuse device on the block
+    * text; at 100 TB the key narrows to its 256-bit hash — same plan);
+    * the df frame never broadcasts anywhere (it is corpus-derived and
+    * unbounded) — the anti join stays key-equi. Reassembly rides the
+    * doc_id aggregation the output sort needs anyway. Per-doc audit
+    * (n_blocks, boiler_blocks) makes the strip reviewable — a doc that
+    * was ALL chrome reports empty but counted, q66's contract.
+    */
+  private val q98 = Q(
+    "q98_boilerplate_strip",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) > 0)
+      val blocks = t
+        .select(col("doc_id"),
+          explode(expr("sequence(0, size(ws) - 1, 16)")).as("start"),
+          col("ws"))
+        .select(col("doc_id"), col("start"),
+          expr("array_join(slice(ws, start + 1, 16), ' ')").as("btxt"))
+      val boiler = blocks.groupBy("btxt")
+        .agg(countDistinct(col("doc_id")).as("dfreq"))
+        .filter(col("dfreq") >= 3).select("btxt")
+      val kept = blocks.join(boiler, Seq("btxt"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("kept_blocks"),
+          expr("array_join(transform(array_sort(collect_list(struct(start, btxt))), x -> x.btxt), ' ')")
+            .as("new_text"))
+      t.select(col("doc_id"),
+          expr("cast(size(sequence(0, size(ws) - 1, 16)) as bigint)").as("n_blocks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_blocks"),
+          (col("n_blocks") - coalesce(col("kept_blocks"), lit(0L)))
+            .as("boiler_blocks"),
+          coalesce(col("new_text"), lit("")).as("new_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) > 0),
+      b AS (SELECT doc_id, unnest(range(0, len(ws), 16)) AS start, ws FROM t),
+      blk AS (SELECT doc_id, start, array_to_string(ws[start + 1:start + 16], ' ') AS btxt FROM b),
+      boiler AS (SELECT btxt FROM blk GROUP BY btxt HAVING count(DISTINCT doc_id) >= 3),
+      kept AS (SELECT doc_id, count(*) AS kept_blocks,
+                      string_agg(btxt, ' ' ORDER BY start) AS new_text
+               FROM blk WHERE btxt NOT IN (SELECT btxt FROM boiler)
+               GROUP BY doc_id),
+      tot AS (SELECT doc_id, len(range(0, len(ws), 16)) AS n_blocks FROM t)
+      SELECT tot.doc_id, tot.n_blocks,
+             tot.n_blocks - coalesce(kept.kept_blocks, 0) AS boiler_blocks,
+             coalesce(kept.new_text, '') AS new_text
+      FROM tot LEFT JOIN kept USING (doc_id)
+      ORDER BY doc_id
+    """),
+    doc = "C4-style boilerplate strip: blocks in >= 3 distinct docs drop " +
+      "EVERYWHERE (the opposite policy to q66's first-wins dedup); one " +
+      "block-keyed exchange feeds df and the anti join")
+
   /** q67 — near-dup candidate pairs from winnow fingerprints: the join
     * that turns q65's per-doc fingerprints into the (doc_a, doc_b,
     * n_shared) frame q48's clustering consumes — the winnowing papers'
@@ -301,5 +370,5 @@ object PackFingerprint {
       "verify half of sketch-candidate dedup; candidates broadcast, " +
       "corpus never shuffles")
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q73)
+  val all: Seq[Q] = Seq(q65, q66, q67, q73, q98)
 }

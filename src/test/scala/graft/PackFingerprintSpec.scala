@@ -146,4 +146,48 @@ class PackFingerprintSpec extends SparkSpec {
     // column is what a drop decision thresholds on
     assert(rows.map(_._6).max <= 10000L)
   }
+
+  test("q98 vs q66: boilerplate drops everywhere, dedup keeps one copy") {
+    // One 16-token chrome block opens FOUR docs (df = 4 >= 3: boiler),
+    // one content block is shared by TWO docs (df = 2: below the gate,
+    // but q66 first-wins dedups it), and each doc carries a unique tail.
+    val chrome = (1 to 16).map(i => s"nav$i").mkString(" ")
+    val shared2 = (1 to 16).map(i => s"story$i").mkString(" ")
+    val uniq = (i: Long) => (1 to 16).map(j => s"own${i}x$j").mkString(" ")
+    val rows = Seq(
+      (1L, s"$chrome $shared2 ${uniq(1)}"),
+      (2L, s"$chrome $shared2 ${uniq(2)}"),
+      (3L, s"$chrome ${uniq(3)}"),
+      (4L, s"$chrome ${uniq(4)}"))
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val strip = Catalog.queries("q98_boilerplate_strip")(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val dedup = Catalog.queries("q66_block_dedup")(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // q98: chrome vanishes from EVERY doc, including the first holder
+    (1L to 4L).foreach { id =>
+      assert(!strip(id)._4.contains("nav1"),
+        s"doc $id still carries chrome after the strip")
+      assert(strip(id)._3 === 1L, s"doc $id must lose exactly its chrome block")
+    }
+    // df=2 content survives the strip in BOTH docs (below the gate)
+    assert(strip(1L)._4.contains("story1") && strip(2L)._4.contains("story1"))
+    // q66: the OPPOSITE on both counts — chrome survives once (doc 1),
+    // and the df=2 block dedups to its first holder only
+    assert(dedup(1L)._4.contains("nav1"),
+      "first-wins dedup must keep the chrome's first copy")
+    (2L to 4L).foreach(id => assert(!dedup(id)._4.contains("nav1")))
+    assert(dedup(1L)._4.contains("story1") && !dedup(2L)._4.contains("story1"))
+    // unique tails untouched by both policies
+    (1L to 4L).foreach { id =>
+      assert(strip(id)._4.contains(s"own${id}x1"))
+      assert(dedup(id)._4.contains(s"own${id}x1"))
+    }
+  }
 }
