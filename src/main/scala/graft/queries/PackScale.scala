@@ -322,5 +322,118 @@ object PackScale {
       "cardinality (mergeable by construction), top-20 readout gates " +
       "est >= true and est = min-of-cells as data")
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q93)
+  /** q99's sketch kernel, shared with the streaming twin
+    * ([[graft.streaming.StreamOps.histStream]]): the bin function over a
+    * [lo, hi] cents range is the whole codec, so stream and batch
+    * histograms over the same rows agree cell for cell by construction.
+    */
+  private[graft] object Hist {
+    val B = 1024L
+    /** Exact cents for a frame carrying `o_totalprice`: floor of the IEEE
+      * double ×100 — both engines read identical parquet doubles, compute
+      * the identical product, floor identically (MEMORY
+      * oracle-parity-trapdoors: a bare CAST truncates in Spark but ROUNDS
+      * in DuckDB, so the floor is load-bearing).
+      */
+    def cents = expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+    /** Bin id for a frame carrying `c`, `lo`, `hi` (all cents). Clamped
+      * BOTH ends: batch q99 learns [lo, hi] so the clamps are no-ops
+      * there, but the streaming twin fixes the range a priori and
+      * out-of-range rows must land in the edge bins, not vanish.
+      */
+    def bin = expr(s"greatest(0L, least(${B - 1}L, " +
+      s"(c - lo) * ${B}L div (hi - lo + 1)))")
+  }
+
+  /** q99 — mergeable histogram-quantile sketch, gated AS DATA: the
+    * deterministic sibling of q44's engine-specific `approx_percentile`.
+    * Per order status, build the fixed 1024-bin equal-width histogram
+    * over the price in exact cents and read p50/p90/p99 off the sketch
+    * (upper edge of the bin where the cumulative count crosses
+    * k = ⌈n·p/100⌉), next to the EXACT discrete percentile and the
+    * one-sided error — the row-level guarantee 0 ≤ err ≤ bin-width is
+    * what the sketch promises, and here the oracle hash-gates it (q93's
+    * device applied to quantiles: sketch content deterministic over
+    * explicit integer arithmetic, so the oracle checks the sketch, not
+    * just the readout).
+    *
+    * Plan shape — the scale story is the classic TWO-PASS histogram:
+    * pass 1 folds the corpus to per-group (min, max, n) — the mergeable
+    * range stats — and pass 2 bins against the broadcast range and folds
+    * to ≤ groups×1024 cells, map-side combined and mergeable across
+    * shards (the histogram of a union is the sum of the histograms; a
+    * production single-pass variant fixes [lo, hi] a priori — exactly
+    * what the streaming twin does). Readout windows run at SKETCH
+    * cardinality. The exact-percentile branch is the AUDIT, not the
+    * sketch: its value-keyed fold is what q42 already showed doesn't
+    * scale past a sorted-group materialization — at 100 TB only passes
+    * 1–2 and the sketch readout run.
+    */
+  private val q99 = Q(
+    "q99_hist_quantile_sketch",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = Hist.B
+      val cents = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("g"), Hist.cents.as("c"))
+      // pass 1's GROUP-cardinality stats frame is read by the bin pass,
+      // the target-k derivation, and the readout — cached (3 rows here;
+      // uncached, each consumer re-plans a full corpus min/max fold)
+      val range = graft.ops.CacheScope.persisted(
+        cents.groupBy("g").agg(
+          min("c").as("lo"), max("c").as("hi"), count(lit(1)).as("n")))
+      val sketch = cents.join(broadcast(range), "g")
+        .select(col("g"), Hist.bin.as("bin"))
+        .groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
+      val bcum = sketch.withColumn("cum",
+        sum("cnt").over(Window.partitionBy("g").orderBy("bin")))
+      val vals = cents.groupBy("g", "c").agg(count(lit(1)).as("cnt"))
+      val vcum = vals.withColumn("cum",
+        sum("cnt").over(Window.partitionBy("g").orderBy("c")))
+      val ks = range.select(col("g"), col("lo"), col("hi"), col("n"),
+        explode(expr("array(50, 90, 99)")).as("p"))
+        .withColumn("k", expr("(n * p + 99) div 100"))
+      val est = ks.join(bcum, "g").filter(col("cum") >= col("k"))
+        .groupBy("g", "p", "lo", "hi", "n")
+        .agg(min("bin").as("ebin"))
+        .select(col("g"), col("p"), col("n"), col("lo"), col("hi"),
+          expr(s"lo + ((ebin + 1) * (hi - lo + 1)) div ${B}L").as("est_c"))
+      val tru = ks.select("g", "p", "k").join(vcum, "g")
+        .filter(col("cum") >= col("k"))
+        .groupBy("g", "p").agg(min("c").as("true_c"))
+      est.join(broadcast(tru), Seq("g", "p"))
+        .select(col("g").as("o_orderstatus"), col("p"), col("n"),
+          col("est_c"), col("true_c"),
+          (col("est_c") - col("true_c")).as("err_c"),
+          expr(s"(hi - lo + ${B}L) div ${B}L").as("width_c"))
+        .orderBy("o_orderstatus", "p")
+    },
+    Some(s"""
+      WITH cents AS (SELECT o_orderstatus AS g, CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      r AS (SELECT g, min(c) AS lo, max(c) AS hi, count(*) AS n FROM cents GROUP BY g),
+      sk AS (SELECT g, bin, count(*) AS cnt FROM (
+               SELECT cents.g, least(1023, (c - lo) * 1024 // (hi - lo + 1)) AS bin
+               FROM cents JOIN r USING (g)) GROUP BY g, bin),
+      bcum AS (SELECT g, bin, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cum FROM sk),
+      vals AS (SELECT g, c, count(*) AS cnt FROM cents GROUP BY g, c),
+      vcum AS (SELECT g, c, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY c) AS BIGINT) AS cum FROM vals),
+      ks AS (SELECT g, lo, hi, n, p, (n * p + 99) // 100 AS k
+             FROM r CROSS JOIN (SELECT unnest([50, 90, 99]) AS p)),
+      est AS (SELECT ks.g AS g, p, n, lo, hi,
+                     lo + ((min(bin) + 1) * (hi - lo + 1)) // 1024 AS est_c
+              FROM ks JOIN bcum ON bcum.g = ks.g AND cum >= k
+              GROUP BY ks.g, p, n, lo, hi),
+      tru AS (SELECT ks.g AS g, p, min(c) AS true_c
+              FROM ks JOIN vcum ON vcum.g = ks.g AND cum >= k
+              GROUP BY ks.g, p)
+      SELECT est.g AS o_orderstatus, est.p AS p, n, est_c, true_c,
+             est_c - true_c AS err_c, (hi - lo + 1024) // 1024 AS width_c
+      FROM est JOIN tru ON tru.g = est.g AND tru.p = est.p
+      ORDER BY o_orderstatus, p
+    """),
+    doc = "1024-bin mergeable quantile sketch gated as data: two-pass " +
+      "range+bin folds (map-side combined), sketch-cardinality readout, " +
+      "exact-percentile audit column proving 0 <= err <= bin width")
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q93, q99)
 }

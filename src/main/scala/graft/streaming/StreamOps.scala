@@ -529,6 +529,32 @@ object StreamOps {
       .groupBy("cell").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming histogram-quantile sketch: the incremental twin of batch
+    * q99 ([[graft.queries.PackScale.Hist]] kernel — same cents
+    * projection, same bin function, same 1024-bin geometry, so the
+    * stream's counter table equals the batch sketch over the same rows
+    * cell for cell by construction). The per-group [lo, hi] cents range
+    * arrives as a STATIC frame `(g, lo, hi)` fixed a priori — the
+    * single-pass trade every production histogram makes: q99's batch
+    * form learns the range in its first pass, a stream cannot two-pass,
+    * so the range is configuration (rows outside it clamp into the edge
+    * bins, which is the documented failure mode of a misconfigured
+    * range, not silent loss). State is the per-(group, bin) counter
+    * table: ≤ groups × 1024 cells whatever streams past — q93's
+    * bounded-state argument applied to quantiles; complete-mode tables
+    * merge by addition, so no watermark/eviction is needed. The static
+    * side is a constant frame, not a corpus derivation, so per-batch
+    * re-evaluation costs nothing (the bloomDeconStream persist lesson
+    * does not arise).
+    */
+  def histStream(orders: DataFrame, range: DataFrame): DataFrame = {
+    import graft.queries.PackScale.Hist
+    orders.select(col("o_orderstatus").as("g"), Hist.cents.as("c"))
+      .join(broadcast(range), "g")
+      .select(col("g"), Hist.bin.as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Stateful streaming dedup: first occurrence of `keys` wins; state for
     * a key is dropped once the watermark passes it (bounded state — the
     * streaming form of F4's seen-set, extract.py:87-97).

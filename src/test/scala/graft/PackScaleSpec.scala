@@ -73,4 +73,51 @@ class PackScaleSpec extends SparkSpec {
     // and the error is real at this sf: some cell collided
     assert(got.exists(_._4 > 0), "no collision observed - sketch toothless")
   }
+
+  test("q99: sketch quantiles one-sided within a bin; exact audit exact") {
+    // independent in-memory re-derivation of BOTH sides of every row:
+    // the sketch estimate from a hand-built 1024-bin histogram and the
+    // exact discrete percentile from the sorted cents
+    val B = 1024L
+    val raw = Tables.orders(spark, sf)
+      .select("o_orderstatus", "o_totalprice").as[(String, Double)]
+      .collect()
+      .map { case (g, p) => (g, math.floor(p * 100).toLong) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val expect = raw.toSeq.flatMap { case (g, cs) =>
+      val (lo, hi, n) = (cs.head, cs.last, cs.size.toLong)
+      val w = hi - lo + 1
+      val hist = cs.groupBy(c => math.min(B - 1, (c - lo) * B / w))
+        .view.mapValues(_.size.toLong).toMap
+      Seq(50, 90, 99).map { p =>
+        val k = (n * p + 99) / 100
+        val ebin = (0L until B).find(b =>
+          (0L to b).map(hist.getOrElse(_, 0L)).sum >= k).get
+        val est = lo + (ebin + 1) * w / B
+        val tru = cs((k - 1).toInt)
+        (g, p, n, est, tru, est - tru, (hi - lo + B) / B)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = run("q99_hist_quantile_sketch")
+      .as[(String, Int, Long, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain() // q99's range cache
+    assert(got === expect)
+    // the gated guarantee, row for row: one-sided and inside one bin
+    got.foreach { case (g, p, _, est, tru, err, width) =>
+      assert(err >= 0 && err <= width && est >= tru,
+        s"($g, p$p): err=$err outside [0, $width]")
+    }
+    // mergeability — the scale claim: histogram of the union = sum of
+    // the halves' histograms, cell for cell (what lets shards combine)
+    raw.foreach { case (g, cs) =>
+      val (lo, hi) = (cs.head, cs.last)
+      val w = hi - lo + 1
+      def histOf(xs: Seq[Long]) = xs.groupBy(c =>
+        math.min(B - 1, (c - lo) * B / w)).view.mapValues(_.size.toLong).toMap
+      val (h1, h2) = cs.splitAt(cs.size / 2)
+      val merged = (histOf(h1).keySet ++ histOf(h2).keySet).map(b =>
+        b -> (histOf(h1).getOrElse(b, 0L) + histOf(h2).getOrElse(b, 0L))).toMap
+      assert(merged === histOf(cs), s"group $g: halves do not merge")
+    }
+  }
 }

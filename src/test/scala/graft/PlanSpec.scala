@@ -711,4 +711,19 @@ class PlanSpec extends SparkSpec {
       s"bucketed join must not shuffle:\n$p")
     assert(j.count() > 0)
   }
+
+  test("q99: range stats cached and broadcast; readout never SMJ/cartesian") {
+    val p = plan("q99_hist_quantile_sketch")
+    try {
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"every q99 join is a broadcast over group/sketch-sized frames:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the 3-row range frame must broadcast to the bin pass:\n$p")
+      // the bin pass, the target-k derivation, and the readout all read
+      // the CACHED range — uncached, each re-plans a corpus min/max fold
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"a range consumer bypassed the cache:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1)
+    } finally graft.ops.CacheScope.drain()
+  }
 }

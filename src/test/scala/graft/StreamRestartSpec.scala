@@ -358,4 +358,56 @@ class StreamRestartSpec extends SparkSpec {
     assert(got === expected,
       "restarted sketch must merge recovered counter state with new rows")
   }
+
+  test("histogram counter state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, expr, min, max}
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .as[(String, Double)].collect()
+    val range = graft.queries.Tables.orders(spark, sf)
+      .select(col("o_orderstatus").as("g"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("g").agg(min("c").as("lo"), max("c").as("hi"))
+    // uninterrupted ground truth: the same kernel as one batch pass
+    val expected = StreamOps.histStream(
+      graft.queries.Tables.orders(spark, sf)
+        .select(col("o_orderstatus"), col("o_totalprice")), range)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    val in = Files.createTempDirectory("hist-in").toString
+    val ckpt = Files.createTempDirectory("hist-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    def startQuery(name: String) = StreamOps.histStream(
+      spark.readStream.schema(schema).parquet(in), range)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+
+    // run 1: half the orders land in the bin counters, then the query
+    // stops — the partial counts live only in the checkpointed state
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    b1.toSeq.toDF("o_orderstatus", "o_totalprice")
+      .write.mode("append").parquet(in)
+    val q1 = startQuery("t_hist_r1")
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2: the rest arrives after restart; a lost state store would
+    // undercount every bin the first half touched
+    b2.toSeq.toDF("o_orderstatus", "o_totalprice")
+      .write.mode("append").parquet(in)
+    val q2 = startQuery("t_hist_r2")
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.table("t_hist_r2").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === expected,
+      "restarted sketch must merge recovered bin state with new rows")
+  }
 }

@@ -480,4 +480,58 @@ class StreamingSpec extends SparkSpec {
       graft.ops.CacheScope.drain() // q93's vocab cache
     }
   }
+
+  test("streaming histogram equals the batch sketch; q99 readout re-derives") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Tables.orders(spark, sf)
+      .select($"o_orderstatus", $"o_totalprice")
+      .as[(String, Double)].collect()
+    // the a-priori range the stream is configured with — here the true
+    // per-group range, so the streamed sketch must equal q99's internal one
+    val range = graft.queries.Tables.orders(spark, sf)
+      .select($"o_orderstatus".as("g"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("g").agg(min("c").as("lo"), max("c").as("hi"))
+    val ms = MemoryStream[(String, Double)]
+    val q = StreamOps.histStream(
+      ms.toDF.toDF("o_orderstatus", "o_totalprice"), range)
+      .writeStream.format("memory").queryName("t_hist")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("t_hist").as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got.size <= 3 * 1024, "state is the sketch: <= groups x B cells")
+      val exp = StreamOps.histStream(
+        graft.queries.Tables.orders(spark, sf)
+          .select($"o_orderstatus", $"o_totalprice"), range)
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === exp, "stream and batch sketches must match cell for cell")
+      // the GATED query's estimates re-derive from the streamed cells:
+      // same k = ceil(n*p/100) crossing, same upper-edge readout
+      val B = 1024L
+      val bounds = range.as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val readout = graft.queries.Catalog
+        .queries("q99_hist_quantile_sketch")(spark, sf)
+        .select("o_orderstatus", "p", "n", "est_c")
+        .as[(String, Int, Long, Long)].collect()
+      graft.ops.CacheScope.drain() // q99's range cache
+      readout.foreach { case (g, p, n, est) =>
+        val (lo, hi) = bounds(g)
+        val k = (n * p + 99) / 100
+        val ebin = (0L until B).find(b =>
+          (0L to b).map(x => got.getOrElse((g, x), 0L)).sum >= k).get
+        assert(lo + (ebin + 1) * (hi - lo + 1) / B === est,
+          s"($g, p$p): streamed cells disagree with q99's estimate")
+      }
+    } finally q.stop()
+  }
 }
