@@ -582,5 +582,81 @@ object PackCluster {
       "broadcast ranges, stateless byte encode, top-5 search on codes " +
       "only — PQ's no-training sibling")
 
-  val all: Seq[Q] = Seq(q56, q57, q74, q75, q83, q97)
+  /** q100 — per-label centroid drift: for each label, the cosine between
+    * its embedding centroid and the corpus-wide centroid — the
+    * domain-drift / slice-health panel a multi-source corpus watches
+    * (a slice whose centroid swings away from the corpus is the one to
+    * re-crawl or re-weight; SemDeDup's cluster geometry as a MONITOR
+    * instead of a filter). Cosine is scale-invariant, so SUM vectors
+    * stand in for centroids exactly — no division before the final
+    * ratio, everything integer. Output is the signed squared cosine in
+    * 10⁻⁸ units (q83's no-sqrt device: sign(dot)·dot²·10⁸ div
+    * (|a|²·|b|²) — float sqrt ties would differ across engines).
+    *
+    * Plan shape — the scale story is that a mean vector is THE
+    * mergeable distributed statistic: ONE corpus scan posexplodes to
+    * (label, dim) cells that partial-aggregate map-side to
+    * labels×64 rows; the global vector is a re-fold of those cells
+    * (64 rows, never a second corpus pass); the dim-keyed join runs at
+    * cell cardinality with the global side broadcast. Shard sums
+    * combine by addition — the same fold runs per-executor at 100 TB
+    * and merges in one reduce. Ratio arithmetic is decimal(38,0) /
+    * HUGEINT unconditionally (q69's overflow posture: dot² reaches
+    * 10²⁶ already at this sf; per-dim BIGINT sums hold to ~10¹⁵
+    * vectors).
+    */
+  private val q100 = Q(
+    "q100_centroid_drift",
+    (s, d) => {
+      // the labels×64 cell frame is read twice (global re-fold + the dim
+      // join) — cached, or the second consumer re-plans the corpus scan
+      val cells = graft.ops.CacheScope.persisted(
+        Tables.embeddings(s, d)
+          .select(col("label"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1000).cast("long")).as("v"))
+          .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("label", "dim")
+          .agg(sum("x").as("sv"), count(lit(1)).as("cnt")))
+      val glob = cells.groupBy("dim").agg(sum("sv").as("gv"))
+      cells.join(broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(max("cnt").as("n"),
+          sum(expr("cast(sv as decimal(38,0)) * gv")).as("dot"),
+          sum(expr("cast(sv as decimal(38,0)) * sv")).as("na2"),
+          sum(expr("cast(gv as decimal(38,0)) * gv")).as("nb2"))
+        .select(col("label"), col("n"),
+          expr("cast((case when dot < 0 then -1 else 1 end) * " +
+            "((dot * dot * 100000000) div (na2 * nb2)) as bigint)")
+            .as("cos2_e8"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH m AS (SELECT label,
+                   list_transform(cast(embedding AS DOUBLE[]),
+                     x -> CAST(round(x * 1000) AS BIGINT)) AS v
+                 FROM embeddings),
+      cells AS (SELECT label, dim, CAST(sum(x) AS BIGINT) AS sv,
+                       count(*) AS cnt
+                FROM (SELECT label, unnest(v) AS x,
+                             generate_subscripts(v, 1) - 1 AS dim FROM m)
+                GROUP BY label, dim),
+      gtot AS (SELECT dim, CAST(sum(sv) AS BIGINT) AS gv
+               FROM cells GROUP BY dim),
+      j AS (SELECT label, max(cnt) AS n,
+                   sum(CAST(sv AS HUGEINT) * gv) AS dot,
+                   sum(CAST(sv AS HUGEINT) * sv) AS na2,
+                   sum(CAST(gv AS HUGEINT) * gv) AS nb2
+            FROM cells JOIN gtot USING (dim) GROUP BY label)
+      SELECT label, n,
+             CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+                  ((dot * dot * 100000000) // (na2 * nb2)) AS BIGINT)
+               AS cos2_e8
+      FROM j ORDER BY label
+    """),
+    doc = "per-label centroid vs corpus centroid, signed squared cosine " +
+      "in 1e-8 units: one posexplode fold to mergeable (label, dim) " +
+      "sums, global vector re-folded from cells, broadcast dim join")
+
+  val all: Seq[Q] = Seq(q56, q57, q74, q75, q83, q97, q100)
 }

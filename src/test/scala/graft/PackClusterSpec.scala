@@ -217,4 +217,36 @@ class PackClusterSpec extends SparkSpec {
         s"query $q: quantized top-5 $got recalls <3 of exact $exact")
     }
   }
+
+  test("q100: cosines re-derive from raw vectors; sums merge across shards") {
+    val raw = Tables.embeddings(spark, sf)
+      .select($"label", $"embedding").as[(String, Seq[Double])].collect()
+      .map { case (l, e) => (l, e.map(x => math.round(x * 1000))) }
+    val dims = raw.head._2.size
+    def sumVec(vs: Seq[Seq[Long]]): Seq[BigInt] =
+      (0 until dims).map(i => vs.map(v => BigInt(v(i))).sum)
+    val byLabel = raw.groupBy(_._1).view.mapValues(g => g.map(_._2).toSeq).toMap
+    val g = sumVec(raw.map(_._2).toSeq)
+    val expect = byLabel.toSeq.map { case (l, vs) =>
+      val s = sumVec(vs)
+      val dot = s.zip(g).map { case (a, b) => a * b }.sum
+      val na2 = s.map(a => a * a).sum
+      val nb2 = g.map(b => b * b).sum
+      val sign = if (dot < 0) BigInt(-1) else BigInt(1)
+      (l, vs.size.toLong, (sign * (dot * dot * 100000000L / (na2 * nb2))).toLong)
+    }.sortBy(_._1)
+    val got = run("q100_centroid_drift")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // the 1e-8 units are meaningful: every |cos²| inside the unit ball
+    got.foreach { case (l, _, c) =>
+      assert(math.abs(c) <= 100000000L, s"label $l: cos2_e8=$c out of range")
+    }
+    // mergeability — the 100 TB claim: shard sum-vectors add cell-wise
+    byLabel.foreach { case (l, vs) =>
+      val (h1, h2) = vs.splitAt(vs.size / 2)
+      val merged = sumVec(h1).zip(sumVec(h2)).map { case (a, b) => a + b }
+      assert(merged === sumVec(vs), s"label $l: shard sums do not merge")
+    }
+  }
 }

@@ -712,6 +712,21 @@ class PlanSpec extends SparkSpec {
     assert(j.count() > 0)
   }
 
+  test("q100: one corpus scan; cells cached; global vector broadcasts") {
+    val p = plan("q100_centroid_drift")
+    try {
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"the dim join runs at cell cardinality with a broadcast side:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the 64-row global vector must broadcast to the cell join:\n$p")
+      // the global re-fold and the dim join both read the CACHED cell
+      // frame — uncached, each re-plans the corpus posexplode fold
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"a cell consumer bypassed the cache:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1)
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q99: range stats cached and broadcast; readout never SMJ/cartesian") {
     val p = plan("q99_hist_quantile_sketch")
     try {
