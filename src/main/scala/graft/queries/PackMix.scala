@@ -157,5 +157,58 @@ object PackMix {
       " rank-free) + deterministic LCG shuffle within band — easy-first, " +
       "reproducible, resumable")
 
-  val all: Seq[Q] = Seq(q63, q64, q92)
+  /** q101 — temperature-scaled mixture weights: the multilingual sampling
+    * rule p(lang) ∝ n(lang)^α at α = 0.5 (the XLM/mBERT exponent) —
+    * BETWEEN q63's uniform target (α = 0) and raw proportions (α = 1):
+    * rare languages upsample, but frequency still matters, which is the
+    * balance every multilingual pretraining mix actually ships. Exact
+    * integer arithmetic throughout: s = ⌊√(n·10⁸)⌋ (≈ 10⁴·√n) is exact
+    * because IEEE sqrt is correctly rounded and n·10⁸ < 2⁵³ — a
+    * non-perfect-square's true root sits ≥ 1 ulp-margin below the next
+    * integer, so the floor can never cross (at corpus scale where n·10⁸
+    * would overflow the double mantissa, drop the 10⁸ fidelity factor —
+    * √n alone has 1/√n relative precision, plenty at 10¹² docs).
+    * Outputs per language: the α-share in bp, the raw share in bp, and
+    * boost_bp = their ratio — the "how much does temperature up/down-
+    * sample this slice" audit column.
+    *
+    * Plan shape: q63's exactly — one partial-aggregated histogram fold,
+    * a 1-row totals aggregate broadcast back (the sqrt-score total),
+    * language-cardinality arithmetic. Nothing corpus-sized moves.
+    */
+  private val q101 = Q(
+    "q101_temp_mixture",
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        .withColumn("sc",
+          expr("CAST(floor(sqrt(CAST(n_lang * 100000000 AS DOUBLE))) AS BIGINT)"))
+      val totals = hist.agg(sum("n_lang").as("n_docs"),
+        sum("sc").as("sc_tot"))
+      hist.crossJoin(broadcast(totals))
+        .select(col("lang"), col("n_lang"),
+          expr("sc * 10000 div sc_tot").as("temp_bp"),
+          expr("n_lang * 10000 div n_docs").as("raw_bp"))
+        .withColumn("boost_bp",
+          expr("temp_bp * 10000 div greatest(raw_bp, 1)"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH hist AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      h AS (SELECT lang, n_lang,
+                   CAST(floor(sqrt(CAST(n_lang * 100000000 AS DOUBLE))) AS BIGINT) AS sc
+            FROM hist),
+      t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_docs,
+                   CAST(sum(sc) AS BIGINT) AS sc_tot FROM h)
+      SELECT lang, n_lang, sc * 10000 // sc_tot AS temp_bp,
+             n_lang * 10000 // n_docs AS raw_bp,
+             (sc * 10000 // sc_tot) * 10000
+               // greatest(n_lang * 10000 // n_docs, 1) AS boost_bp
+      FROM h CROSS JOIN t
+      ORDER BY lang
+    """),
+    doc = "alpha=0.5 temperature mixture: exact-integer sqrt scores, " +
+      "1-row totals broadcast, language-cardinality arithmetic only")
+
+  val all: Seq[Q] = Seq(q63, q64, q92, q101)
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.queries.{Catalog, Tables}
 
 /** q63/q64 mixture pack: the properties the oracle hash can't see — the
@@ -76,5 +77,41 @@ class PackMixSpec extends SparkSpec {
     // absolute thresholds: a document's band never depends on the rest
     // of the corpus (rank-free — the stability contract)
     expect.foreach { case (_, score, band, _) => assert(band === score / 1000L) }
+  }
+
+  test("q101: sqrt scores exact; temp share sits between uniform and raw") {
+    val hist = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val nDocs = hist.values.sum
+    def isqrt(x: BigInt): BigInt = { // exact integer sqrt, no doubles
+      var (lo, hi) = (BigInt(0), x + 1)
+      while (hi - lo > 1) { val m = (lo + hi) / 2
+        if (m * m <= x) lo = m else hi = m }
+      lo
+    }
+    val sc = hist.view.mapValues(n => isqrt(BigInt(n) * 100000000L)).toMap
+    val scTot = sc.values.sum
+    val got = run("q101_temp_mixture")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1).toSet === hist.keySet)
+    got.foreach { case (lang, n, tempBp, rawBp, boostBp) =>
+      assert(n === hist(lang))
+      // the query's double-sqrt floor equals the exact BigInt isqrt —
+      // the correctly-rounded-IEEE argument, verified not assumed
+      assert(BigInt(tempBp) === sc(lang) * 10000 / scTot, s"$lang sqrt")
+      assert(rawBp === n * 10000 / nDocs)
+      assert(boostBp === tempBp * 10000 / math.max(rawBp, 1))
+      // alpha in (0,1): the power-mean bound — temperature lands the
+      // share between the uniform and raw extremes (+-1 bp rounding)
+      val uniBp = 10000L / hist.size
+      assert(tempBp >= math.min(uniBp, rawBp) - 1 &&
+        tempBp <= math.max(uniBp, rawBp) + 1,
+        s"$lang: temp=$tempBp outside [$uniBp, $rawBp]")
+    }
+    // rare slices boost, common slices damp — monotone in n
+    val byN = got.sortBy(_._2)
+    assert(byN.map(_._5) === byN.map(_._5).sorted.reverse,
+      "boost_bp must be non-increasing in slice size")
   }
 }
