@@ -344,5 +344,67 @@ object PackSignal {
       "shrunk toward the corpus prior by evidence mass, broadcast back " +
       "per doc — exact-integer shrinkage, oracle-gated")
 
-  val all: Seq[Q] = Seq(q81, q82, q84, q85, q89)
+  /** q102 — per-source score calibration: each document's quality score
+    * mapped to its WITHIN-SOURCE percentile rank (exact integer bp) plus
+    * the keep verdict at the bottom-decile cut. Sources score on
+    * different scales — a boilerplate-heavy source's median can sit
+    * below a clean source's p10 — so a single global threshold (q57)
+    * over-prunes one source and under-prunes another; ranking within
+    * source first is the cross-source calibration every multi-source
+    * gate runs before mixing (q89's shrinkage answers "how good is this
+    * source"; this answers "how good is this doc FOR its source").
+    * pct_bp = (rank − 1)·10⁴ div (n − 1) with rank deterministically
+    * tie-broken by doc_id; n = 1 pins to 0.
+    *
+    * Plan shape: one stateless scoring pass, then ONE window exchange
+    * partitioned by source — rank and the partition count share the
+    * same window spec, so one shuffle serves both. A corpus-wide
+    * (unpartitioned) rank is the thing no 100 TB job can run (q92's
+    * argument); partitioned by source it is embarrassingly parallel,
+    * with the caveat that a mega-source concentrates on one reducer —
+    * the documented swap-in is q99's histogram sketch per source
+    * (percentile from bin counts, no sort), which changes the readout
+    * and nothing else.
+    */
+  private val q102 = Q(
+    "q102_source_calibrate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), toks.as("ws"))
+        .select(col("doc_id"), col("source"),
+          expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)")
+            .as("score_bp"))
+      scored
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("score_bp"), col("doc_id"))))
+        .withColumn("n_src", count(lit(1)).over(w))
+        .select(col("doc_id"), col("source"), col("score_bp"),
+          expr("(rk - 1) * 10000 div greatest(n_src - 1, 1)").as("pct_bp"))
+        .withColumn("keep", col("pct_bp") >= 1000)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws
+                 FROM documents),
+      sc AS (SELECT doc_id, source,
+               CAST(len(list_distinct(ws)) AS BIGINT) * 10000
+                 // greatest(len(ws), 1) AS score_bp
+             FROM t),
+      rk AS (SELECT doc_id, source, score_bp,
+               row_number() OVER (PARTITION BY source ORDER BY score_bp, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n_src
+             FROM sc)
+      SELECT doc_id, source, score_bp,
+             (rk - 1) * 10000 // greatest(n_src - 1, 1) AS pct_bp,
+             (rk - 1) * 10000 // greatest(n_src - 1, 1) >= 1000 AS keep
+      FROM rk ORDER BY doc_id
+    """),
+    doc = "within-source percentile calibration: one scoring pass + ONE " +
+      "source-partitioned window (rank + count share the shuffle); " +
+      "bottom-decile cut per source, not per corpus")
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85, q89, q102)
 }

@@ -163,4 +163,30 @@ class PackSignalSpec extends SparkSpec {
     assert(got.map(_._1) === docs.map(_._1).sorted,
       "every tokenizable document reports a row")
   }
+
+  test("q102: per-source percentiles exact; calibration differs from global") {
+    val got = run("q102_source_calibrate")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    // exact in-memory recount of rank and percentile per source
+    val bySrc = got.groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      val ranked = rows.sortBy(r => (r._3, r._1)).zipWithIndex
+      val n = rows.size.toLong
+      ranked.foreach { case ((id, _, _, pct, keep), i) =>
+        val exp = i.toLong * 10000L / math.max(n - 1, 1)
+        assert(pct === exp, s"$src doc $id: pct $pct != $exp")
+        assert(keep === (exp >= 1000L))
+      }
+      // endpoints: the best doc of every source lands at exactly 10^4
+      assert(rows.map(_._4).max === 10000L, s"$src: top doc not at 10000")
+      assert(rows.map(_._4).min === 0L, s"$src: bottom doc not at 0")
+    }
+    // the REASON the op exists: the per-source cut keeps a different set
+    // than the global bottom-decile cut — some source's local p10 sits
+    // above the corpus p10 (or below), so calibration changes verdicts
+    val globalCut = got.map(_._3).sorted.apply((got.size / 10) - 1)
+    val globalKeep = got.map(r => r._1 -> (r._3 > globalCut)).toMap
+    assert(got.exists(r => globalKeep(r._1) !== r._5),
+      "per-source and global cuts agree everywhere - calibration vacuous")
+  }
 }
