@@ -399,4 +399,106 @@ object Multimodal {
       .when(b.substr(1, 4) === lit("GIF8".getBytes), gif(b))
     df.withColumn("frames", when(size(real) > 0, real).otherwise(chunked))
   }
+
+  /** 64-bit perceptual hash (pHash family) for decodable image bytes:
+    * decode → area-mean resample to 32×32 BT.601 luma → 2D DCT-II →
+    * keep the top-left 8×8 low-frequency block → bit i = coefficient >
+    * median-of-64. Robust to re-encoding, scaling, and mild
+    * brightness/noise edits (those perturb high frequencies and overall
+    * gain, which the low-pass + median threshold discard) while distinct
+    * content flips ~half the bits — the image twin of SimHash (q35),
+    * and the dedup primitive a multimodal corpus runs where text uses
+    * shingles. Undecodable bytes → None (callers keep the row and fall
+    * back to exact byte dedup; the pipeline never drops rows).
+    *
+    * Everything is deterministic double math on one JVM image — no
+    * cross-engine parity needed (no DuckDB image codec exists; this is
+    * the documented ⊘ surface, spec-gated like the rest of the module).
+    */
+  def pHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val N = 32
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    // area-mean resample: each target cell averages its source block —
+    // resolution-independent and alias-free for downscale
+    val luma = Array.tabulate(N, N) { (ty, tx) =>
+      val x0 = tx.toLong * w / N; val x1 = math.max(x0 + 1, (tx + 1L) * w / N)
+      val y0 = ty.toLong * h / N; val y1 = math.max(y0 + 1, (ty + 1L) * h / N)
+      var sum = 0.0; var n = 0
+      var y = y0.toInt
+      while (y < y1) {
+        var x = x0.toInt
+        while (x < x1) {
+          val rgb = px(y * w + x)
+          sum += 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      sum / n
+    }
+    // separable 2D DCT-II, O(N^3) per axis — 32^3 ops, negligible per row
+    val cosT = Array.tabulate(N, N)((k, i) =>
+      math.cos((2 * i + 1) * k * math.Pi / (2.0 * N)))
+    val rows = Array.tabulate(N, 8) { (y, k) =>
+      var s = 0.0; var i = 0
+      while (i < N) { s += luma(y)(i) * cosT(k)(i); i += 1 }; s
+    }
+    val dct = Array.tabulate(8, 8) { (ky, kx) =>
+      var s = 0.0; var y = 0
+      while (y < N) { s += rows(y)(kx) * cosT(ky)(y); y += 1 }; s
+    }
+    val flat = (for (ky <- 0 until 8; kx <- 0 until 8) yield dct(ky)(kx)).toArray
+    // median over the 63 AC coefficients only: the DC term carries mean
+    // brightness, and excluding it makes a global brightness shift a
+    // near-no-op on the hash (bit 0 is fixed 0, not information)
+    val sorted = flat.drop(1).sorted
+    val median = sorted(31)
+    var hash = 0L
+    var i = 1
+    while (i < 64) { if (flat(i) > median) hash |= (1L << i); i += 1 }
+    Some(hash)
+  }
+
+  /** Banded image near-dup over a (path, content) frame: pHash each
+    * image (partition-wise, the one decoder pass), band the 64-bit hash
+    * into 4×16-bit bands, bucket-join on (band, value) and verify exact
+    * Hamming ≤ `maxHamming` on candidates only. Pigeonhole guarantee:
+    * ≤ 3 differing bits cannot touch all 4 bands, so every pair within
+    * distance 3 shares a band — no recall loss at the default
+    * threshold; the corpus is never all-pairs joined (q27's LSH shape
+    * with the signature already being the hash). Undecodable rows drop
+    * out of the banding (no hash → no near-dup claim) — exact byte
+    * dedup (q24's shape) is their path.
+    *
+    * Output: (path_a, path_b, hamming), path_a < path_b, one row per
+    * caught pair.
+    */
+  def imageNearDup(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, b) => pHash64(b).map(p -> _) })
+      .toDF("path", "ph")
+    val banded = hashed.select(col("path"), col("ph"),
+      explode(expr("transform(sequence(0, 3), " +
+        "b -> struct(b as band, shiftright(ph, b * 16) & 65535 as v))"))
+        .as("e"))
+      .select(col("path"), col("ph"), col("e.band").as("band"),
+        col("e.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.path") < col("b.path"))
+      .select(col("a.path").as("path_a"), col("b.path").as("path_b"),
+        expr("bit_count(a.ph ^ b.ph)").as("hamming"))
+      .distinct() // a pair may share several bands
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("path_a", "path_b")
+  }
 }

@@ -404,4 +404,81 @@ class MultimodalSpec extends SparkSpec {
     val back = CaseJson.read(spark, s"$dir/*.json").as[FailureCase].head()
     assert(back === fc)
   }
+
+  /** A photo-like test scene rendered at any resolution: a seeded coarse
+    * 9×9 gray grid, bilinearly interpolated — content is resolution-
+    * independent by construction (a "resized copy" is the same scene,
+    * not a rescale artifact) and its spectrum fills the low-frequency
+    * block pHash thresholds over, the way natural images do. A sparse
+    * synthetic scene (a sinusoid + checkerboard) leaves most AC
+    * coefficients at ≈0, where sign bits flip on any perturbation —
+    * a fixture pathology, not a hash property. `shift` brightens every
+    * pixel (range stays inside [0, 230] so +12 never clips — clipping
+    * would be a genuine content change); `seed` changes the content.
+    */
+  private def scene(w: Int, h: Int, shift: Int = 0,
+      seed: Int = 0): Array[Byte] = {
+    val rng = new scala.util.Random(seed * 7919 + 17)
+    val grid = Array.fill(9, 9)(40 + rng.nextInt(176))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach { x =>
+      (0 until h).foreach { y =>
+        val (gx, gy) = ((x + 0.5) / w * 8, (y + 0.5) / h * 8)
+        val (i, j) = (math.min(7, gx.toInt), math.min(7, gy.toInt))
+        val (fx, fy) = (gx - i, gy - j)
+        val base =
+          grid(j)(i) * (1 - fx) * (1 - fy) + grid(j)(i + 1) * fx * (1 - fy) +
+            grid(j + 1)(i) * (1 - fx) * fy + grid(j + 1)(i + 1) * fx * fy
+        val g = math.max(0, math.min(255, base.toInt + shift))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("pHash: invariant to resize/brightness, far for distinct content") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val orig = Multimodal.pHash64(scene(64, 64)).get
+    // determinism
+    assert(Multimodal.pHash64(scene(64, 64)).get === orig)
+    // the SAME scene at a different resolution: area-resample + low-pass
+    // must keep the hash within the near-dup threshold
+    val resized = Multimodal.pHash64(scene(96, 96)).get
+    assert(ham(orig, resized) <= 3, s"resize moved ${ham(orig, resized)} bits")
+    // a global brightness shift only moves the (excluded) DC term
+    val bright = Multimodal.pHash64(scene(64, 64, shift = 12)).get
+    assert(ham(orig, bright) <= 3, s"brightness moved ${ham(orig, bright)} bits")
+    // DIFFERENT content must be far — near half the 63 informative bits
+    val other = Multimodal.pHash64(scene(64, 64, seed = 3)).get
+    assert(ham(orig, other) > 10, s"distinct content only ${ham(orig, other)} apart")
+    // undecodable bytes: None, no crash, caller keeps the row
+    assert(Multimodal.pHash64(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.pHash64(Array.empty[Byte]) === None)
+  }
+
+  test("imageNearDup: banded join catches the plants, skips distinct pairs") {
+    val dir = Files.createTempDirectory("phash").toString
+    Files.write(Paths.get(dir, "orig.png"), scene(64, 64))
+    Files.write(Paths.get(dir, "resized.png"), scene(96, 96))
+    Files.write(Paths.get(dir, "bright.png"), scene(64, 64, shift = 12))
+    Files.write(Paths.get(dir, "other.png"), scene(64, 64, seed = 3))
+    Files.write(Paths.get(dir, "corrupt.bin"), Array[Byte](9, 9, 9))
+    val df = Multimodal.readBinaryDir(spark, dir)
+    val pairs = Multimodal.imageNearDup(df, maxHamming = 3)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1.split('/').last, r._2.split('/').last, r._3)).toSeq
+    val caught = pairs.map(p => Set(p._1, p._2))
+    // all three variants of the scene pair up with each other...
+    assert(caught.contains(Set("orig.png", "resized.png")))
+    assert(caught.contains(Set("orig.png", "bright.png")))
+    assert(caught.contains(Set("bright.png", "resized.png")))
+    // ...the distinct scene and the undecodable file pair with nothing
+    assert(!pairs.exists(p => p._1.contains("other") || p._2.contains("other")))
+    assert(!pairs.exists(p => p._1.contains("corrupt") || p._2.contains("corrupt")))
+    // and every reported distance respects the threshold
+    pairs.foreach { case (a, b, d) => assert(d <= 3, s"($a,$b) at $d") }
+  }
 }
