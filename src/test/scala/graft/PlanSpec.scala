@@ -727,6 +727,16 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q103: shard assignment is a pure projection — sort is the only exchange") {
+    val p = plan("q103_rendezvous_shard")
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      s"the argmax must evaluate as an array HOF per row, not explode+agg:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      s"no aggregation or window belongs in a map-shaped operator:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1,
+      s"the output sort must be the only exchange:\n$p")
+  }
+
   test("q99: range stats cached and broadcast; readout never SMJ/cartesian") {
     val p = plan("q99_hist_quantile_sketch")
     try {
