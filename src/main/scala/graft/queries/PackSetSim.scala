@@ -111,5 +111,81 @@ object PackSetSim {
     doc = "exact Jaccard >= 0.6 set-similarity self-join via df-ordered " +
       "prefix filtering (AllPairs/PPJoin) — complete, no LSH miss")
 
-  val all: Seq[Q] = Seq(q94)
+  /** q105 — source-overlap matrix: for every pair of sources, how many
+    * distinct word-4-gram shingles they share, and the overlap
+    * coefficient (shared · 10⁴ div the smaller source's shingle count)
+    * — the "who mirrors whom" crawl diagnostic: a pair at high overlap
+    * is a mirror / syndication / scraper relationship, the thing a
+    * crawl budget reallocates around and a dedup run prioritizes.
+    * Shingles present in > 10 sources are STOP shingles (q67's cap
+    * applied at source granularity): they carry no pair information —
+    * they're everywhere — and capping them bounds the pair fan-out at
+    * C(10,2) per shingle; universal boilerplate degrades the CAP, never
+    * the correctness of what's reported (and the cap is observable:
+    * n_shared counts capped shingles out on both sides of the ratio).
+    *
+    * Plan shape: corpus → distinct (source, shingle) (doc-local
+    * distinct via the native shingle expression, then one shingle-
+    * source fold); per-shingle sorted source LISTS fold at shingle
+    * cardinality; pair fan-out is a document-local array HOF (q69's
+    * pair device — never a self-join); the pair count partial-
+    * aggregates map-side (hot pairs are exactly the signal); source
+    * sizes are a SOURCE-cardinality dim broadcast back twice. At 100 TB
+    * nothing exceeds shingle-keyed shuffles + a bounded fan-out.
+    */
+  private val q105 = Q(
+    "q105_source_overlap",
+    (s, d) => {
+      import org.apache.spark.sql.graftglue.ExprGlue
+      def g4 = ExprGlue.column(graft.expr.WordShingleStrings(
+        ExprGlue.expression(toks), 4))
+      val sh = Tables.documents(s, d)
+        .select(col("source"), explode(g4).as("shingle"))
+        .distinct()
+      val srcs = sh.groupBy("shingle")
+        .agg(sort_array(collect_set("source")).as("ss"))
+        .filter(size(col("ss")).between(2, 10))
+      val pairs = srcs.select(explode(expr(
+        "flatten(transform(sequence(0, size(ss) - 2), " +
+          "i -> transform(sequence(i + 1, size(ss) - 1), " +
+          "j -> struct(element_at(ss, i + 1) as a, " +
+          "element_at(ss, j + 1) as b))))")).as("p"))
+        .select(col("p.a").as("src_a"), col("p.b").as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n_sh").as("n_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n_sh").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          expr("n_shared * 10000 div least(n_a, n_b)").as("overlap_bp"))
+        .orderBy("src_a", "src_b")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w FROM documents),
+      g AS (SELECT source, list_distinct(list_transform(range(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS ws FROM t WHERE len(w) >= 4),
+      sh AS (SELECT DISTINCT source, unnest(ws) AS shingle FROM g),
+      srcs AS (SELECT shingle, list_sort(list(source)) AS ss
+               FROM sh GROUP BY shingle
+               HAVING count(*) BETWEEN 2 AND 10),
+      pairs AS (SELECT u.a AS src_a, u.b AS src_b
+                FROM (SELECT unnest(flatten(list_transform(range(1, len(ss)),
+                        i -> list_transform(range(i + 1, len(ss) + 1),
+                          j -> {'a': ss[i], 'b': ss[j]})))) AS u
+                      FROM srcs)),
+      cnt AS (SELECT src_a, src_b, count(*) AS n_shared
+              FROM pairs GROUP BY src_a, src_b),
+      sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source)
+      SELECT cnt.src_a, cnt.src_b, n_shared,
+             n_shared * 10000 // least(sa.n_sh, sb.n_sh) AS overlap_bp
+      FROM cnt JOIN sizes sa ON sa.source = cnt.src_a
+               JOIN sizes sb ON sb.source = cnt.src_b
+      ORDER BY src_a, src_b
+    """),
+    doc = "pairwise source shingle-overlap matrix: per-shingle sorted " +
+      "source lists (stop cap 10), document-local pair HOF fan-out, " +
+      "map-side pair counts, source-size dims broadcast")
+
+  val all: Seq[Q] = Seq(q94, q105)
 }

@@ -406,5 +406,99 @@ object PackSignal {
       "source-partitioned window (rank + count share the shuffle); " +
       "bottom-decile cut per source, not per corpus")
 
-  val all: Seq[Q] = Seq(q81, q82, q84, q85, q89, q102)
+  /** q104 — loss-mask interval map: the per-document list of DISJOINT
+    * token-index ranges a trainer should exclude from the loss — the
+    * bridge between detection (q50's PII finds, q98's boilerplate
+    * verdicts) and training: masks, not deletions, because removing
+    * bytes breaks the attribution/offset maps (q96) while masking
+    * preserves them. Two detectors feed it: PII-shaped tokens (digit
+    * runs ≥ 4 — account/phone/id shapes after tokenization) as 1-token
+    * intervals, and corpus-frequent 5-token spans (q85's stride spans
+    * at q98's ≥ 3-distinct-docs policy) as 5-token intervals.
+    * Overlapping or touching intervals coalesce (the classic island
+    * merge) so the output is the minimal disjoint cover.
+    *
+    * Plan shape: the span-df fold and its probe are q85's skew-safe
+    * device (hot boilerplate partial-aggregates map-side, probe 1:1);
+    * the island merge is TWO window passes over the interval frame —
+    * interval-cardinality, partitioned by doc_id, never corpus-wide.
+    * At 100 TB the mask map rides the same partitioning as the corpus
+    * and every stage is keyed (span or doc) — nothing quadratic.
+    */
+  private val q104 = Q(
+    "q104_loss_mask",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ws"))
+        .filter(size(col("ws")) >= 1)
+      val dig = t
+        .select(col("doc_id"), posexplode(col("ws")))
+        .filter(col("col").rlike("^[0-9]{4,}$"))
+        .select(col("doc_id"), col("pos").cast("long").as("s"),
+          col("pos").cast("long").as("e"))
+      val sp = t.select(col("doc_id"), size(col("ws")).as("n"),
+        posexplode(expr(
+          "transform(sequence(0, (size(ws) - 1) div 5), " +
+            "i -> array_join(slice(ws, i * 5 + 1, 5), ' '))")))
+        .withColumnRenamed("pos", "j").withColumnRenamed("col", "span")
+      val bf = sp.groupBy("span")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 3)
+      val biv = sp.join(bf, "span")
+        .select(col("doc_id"), (col("j") * 5).cast("long").as("s"),
+          least(col("j") * 5 + 4, col("n") - 1).cast("long").as("e"))
+      val iv = dig.unionByName(biv).distinct()
+      val w = Window.partitionBy("doc_id").orderBy("s", "e")
+      val merged = iv
+        .withColumn("pm", max("e").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni",
+          when(col("pm").isNull || col("s") > col("pm") + 1, 1L).otherwise(0L))
+        .withColumn("g", sum("ni").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "g")
+        .agg(min("s").as("m_start"), max("e").as("m_end"))
+      merged
+        .select(col("doc_id"), col("m_start"), col("m_end"),
+          (col("m_end") - col("m_start") + 1).as("m_len"))
+        .orderBy("doc_id", "m_start")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      tt AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 1),
+      dig AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s, CAST(i - 1 AS BIGINT) AS e
+              FROM (SELECT doc_id, unnest(ws) AS tok,
+                           generate_subscripts(ws, 1) AS i FROM tt)
+              WHERE regexp_matches(tok, '^[0-9]{4,}$')),
+      sp AS (SELECT doc_id, len(ws) AS n, u.j AS j, u.sp AS span
+             FROM (SELECT doc_id, ws,
+                     unnest(list_transform(range(0, (len(ws) - 1) // 5 + 1),
+                       i -> {'j': i, 'sp': array_to_string(ws[i*5+1 : i*5+5], ' ')})) AS u
+                   FROM tt)),
+      bf AS (SELECT span FROM sp GROUP BY span
+             HAVING count(DISTINCT doc_id) >= 3),
+      biv AS (SELECT doc_id, CAST(j * 5 AS BIGINT) AS s,
+                     CAST(least(j * 5 + 4, n - 1) AS BIGINT) AS e
+              FROM sp JOIN bf USING (span)),
+      iv AS (SELECT DISTINCT doc_id, s, e
+             FROM (SELECT * FROM dig UNION ALL SELECT * FROM biv)),
+      m AS (SELECT doc_id, s, e,
+              max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM iv),
+      isl AS (SELECT doc_id, s, e,
+                sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM m)
+      SELECT doc_id, min(s) AS m_start, max(e) AS m_end,
+             max(e) - min(s) + 1 AS m_len
+      FROM isl GROUP BY doc_id, g ORDER BY doc_id, m_start
+    """),
+    doc = "loss-mask map: PII digit runs + df>=3 boilerplate spans, " +
+      "island-merged to the minimal disjoint token-range cover per doc; " +
+      "span-keyed df fold, doc-partitioned interval windows")
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85, q89, q102, q104)
 }

@@ -137,4 +137,59 @@ class PackSetSimSpec extends SparkSpec {
         s"chain found a pair the exact join lacks: ${chain -- exact}")
     } finally graft.ops.CacheScope.drain()
   }
+
+  test("q105: overlap matrix recounts exactly on the real corpus") {
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => shingles(d._2)).toSet).toMap
+    val holders = bySrc.toSeq
+      .flatMap { case (s, sh) => sh.map(_ -> s) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = (for {
+      (a, sa) <- bySrc.toSeq; (b, sb) <- bySrc.toSeq if a < b
+      shared = (sa & sb).count(g =>
+        holders(g).size >= 2 && holders(g).size <= 10).toLong
+      if shared > 0
+    } yield (a, b, shared,
+        shared * 10000 / math.min(sa.size, sb.size)))
+      .sortBy(p => (p._1, p._2))
+    val got = Catalog.queries("q105_source_overlap")(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // symmetric completeness: every source pair that shares any capped-
+    // range shingle appears exactly once, a < b
+    assert(got.map(p => (p._1, p._2)).distinct.size === got.size)
+    assert(got.forall(p => p._1 < p._2))
+  }
+
+  test("q105: a universal shingle is capped out, a shared one counts") {
+    // 12 sources all carry the SAME chrome sentence (11 > the cap of 10)
+    // plus unique filler; sources s00/s01 additionally share a private
+    // mirror sentence. The chrome must contribute to NO pair; the mirror
+    // must pair s00 with s01 alone.
+    val chrome = "all rights reserved contact us for details"
+    val mirror = "identical syndicated article body text here now"
+    val rows = (0 until 12).map { i =>
+      val filler = s"unique filler u${i}a u${i}b u${i}c u${i}d u${i}e"
+      val extra = if (i < 2) s" $mirror" else ""
+      (i.toLong, s"$chrome $filler$extra", f"s$i%02d")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("srcovl").toString
+    rows.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Catalog.queries("q105_source_overlap")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // only the mirror pair survives: chrome shingles sit in 12 sources
+    // (capped out), filler shingles in 1 (below the >= 2 floor)
+    assert(got.map(p => (p._1, p._2)) === Seq(("s00", "s01")),
+      s"expected exactly the mirror pair, got $got")
+    // and the count is exactly the mirror's own shingles (those spanning
+    // chrome|mirror or mirror|chrome boundaries differ per source's
+    // filler, so only pure-mirror 4-grams are shared by both)
+    val pure = mirror.split(" ").sliding(4).size.toLong
+    assert(got.head._3 === pure, s"shared=${got.head._3}, mirror-own=$pure")
+  }
 }

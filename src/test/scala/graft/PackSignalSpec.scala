@@ -189,4 +189,47 @@ class PackSignalSpec extends SparkSpec {
     assert(got.exists(r => globalKeep(r._1) !== r._5),
       "per-source and global cuts agree everywhere - calibration vacuous")
   }
+
+  test("q104: intervals re-derive from both detectors; cover is minimal") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toVector }
+      .filter(_._2.nonEmpty).toMap
+    // independent re-derivation: digit-run intervals + df>=3 span intervals
+    val spanHolders = docs.toSeq.flatMap { case (id, ws) =>
+      (0 to (ws.size - 1) / 5).map(j =>
+        ws.slice(j * 5, j * 5 + 5).mkString(" ") -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expect = docs.toSeq.flatMap { case (id, ws) =>
+      val dig = ws.zipWithIndex.collect {
+        case (t, i) if t.matches("[0-9]{4,}") => (i.toLong, i.toLong) }
+      val biv = (0 to (ws.size - 1) / 5).collect {
+        case j if spanHolders(ws.slice(j * 5, j * 5 + 5).mkString(" ")) >= 3 =>
+          (j * 5L, math.min(j * 5L + 4, ws.size - 1L)) }
+      val iv = (dig ++ biv).distinct.sorted
+      // island merge: touching-or-overlapping coalesce
+      val merged = iv.foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, (s0, e0)) if acc.nonEmpty && s0 <= acc.last._2 + 1 =>
+          acc.init :+ (acc.last._1, math.max(acc.last._2, e0))
+        case (acc, x) => acc :+ x
+      }
+      merged.map { case (s0, e0) => (id, s0, e0, e0 - s0 + 1) }
+    }.sortBy(r => (r._1, r._2))
+    val got = run("q104_loss_mask")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // minimality: disjoint AND non-touching — a touching pair would mean
+    // the cover isn't minimal
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 > a._3 + 1, s"doc $id: touching masks")
+        case _ =>
+      }
+    }
+    // both detector classes must be observable at this sf: some 1-token
+    // PII mask and some >= 5-token boilerplate-bearing mask
+    assert(got.exists(_._4 === 1L), "no digit-run mask observed")
+    assert(got.exists(_._4 >= 5L), "no boilerplate-span mask observed")
+  }
 }
