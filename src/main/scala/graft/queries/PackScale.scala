@@ -435,5 +435,115 @@ object PackScale {
       "range+bin folds (map-side combined), sketch-cardinality readout, " +
       "exact-percentile audit column proving 0 <= err <= bin width")
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q93, q99)
+  /** q106's sketch kernel, shared with the streaming twin
+    * ([[graft.streaming.StreamOps.kmvStream]]): one affine map over the
+    * word-trigram shingle hash (injective — M is prime and A ≠ 0, so
+    * distinct shingle hashes stay distinct) and the k=64 floor. Stream
+    * and batch sketches over the same rows agree by construction.
+    */
+  private[graft] object Kmv {
+    val K = 64
+    val M = 2147483647L
+    val A = 11L * 1103515245L % M
+    val C = 11L * 2654435761L % M
+    /** Affine KMV hash for a frame carrying shingle hash `sh`. */
+    def h = expr(s"(sh * ${A}L + ${C}L) % ${M}L")
+    /** Scala twin of [[h]], for the spec and the streaming twin's state. */
+    def hOf(sh: Long): Long = (sh * A + C) % M
+    /** Estimate from (n_kept, kth_h): exact when the group never filled
+      * the sketch, else the classic (k−1)·M / h_k order-statistic form.
+      */
+    def est = expr(
+      s"CASE WHEN n_kept < $K THEN n_kept ELSE ((${K - 1}L) * ${M}L) div kth_h END")
+    def estOf(nKept: Long, kth: Long): Long =
+      if (nKept < K) nKept else (K - 1).toLong * M / kth
+  }
+
+  /** q106 — KMV (k-minimum-values) distinct-count sketch, gated AS DATA:
+    * the deterministic sibling of q34's engine-specific HLL, completing
+    * the pattern q99 set for q44 (every `approx_*` scale path in the
+    * catalog now has a hash-gated deterministic twin). Per source, keep
+    * the k=64 SMALLEST distinct affine-hash values of the word-trigram
+    * shingle universe (q27's kernel — ~1.3k distinct shingles per source
+    * here, so the sketch genuinely overflows and the estimator path is
+    * live, unlike the ~31-token unigram vocab) and read the distinct
+    * estimate off the kth order statistic ((k−1)·M / h_k — Bar-Yossef et
+    * al.'s bottom-k estimator, the sketch inside every "count distinct
+    * URLs/shingles at 100 TB" job), next to the EXACT distinct count and
+    * the ratio in basis points. The hash is explicit integer arithmetic
+    * (q65's device), so the oracle recomputes the sketch itself — order
+    * statistic, fill count and estimate — not just the readout.
+    *
+    * Plan shape — the scale story is that the sketch is MERGEABLE BY
+    * TRUNCATION: a shard's candidate set is its own k smallest values,
+    * so the rank-≤-k filter plants a partial WindowGroupLimit below the
+    * exchange (each map task forwards at most k rows per group — the
+    * per-shard KMV — and the reducer merges by re-taking k, which IS the
+    * sketch union rule; PackScaleSpec asserts it algebraically). The one
+    * corpus-sized exchange is the (g, tok) distinct; the cached distinct
+    * frame feeds both the sketch branch and the exact-count audit branch
+    * (the audit is what doesn't scale — at 100 TB only the sketch
+    * branch runs, and 64 longs per group travel, whatever the corpus).
+    */
+  private val q106 = Q(
+    "q106_kmv_distinct",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dsh = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(col("source").as("g"),
+            explode(graft.ops.SimOps.wordShingleHashes(lower(col("text")), 3))
+              .as("sh"))
+          .distinct())
+      val tru = dsh.groupBy("g").agg(count(lit(1)).as("n_sh"))
+      val kmv = dsh
+        .select(col("g"), Kmv.h.as("h"))
+        .withColumn("r",
+          row_number().over(Window.partitionBy("g").orderBy("h")))
+        .filter(col("r") <= Kmv.K)
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_kept"), max("h").as("kth_h"))
+      tru.join(kmv, "g")
+        .select(col("g").as("source"), col("n_sh"), col("n_kept"),
+          col("kth_h"), Kmv.est.as("est_distinct"))
+        .withColumn("ratio_bp", expr("(est_distinct * 10000) div n_sh"))
+        .orderBy("source")
+    },
+    Some {
+      import graft.expr.PolyHash
+      s"""
+      WITH tok AS (SELECT source AS g,
+               list_filter(string_split_regex(lower(text), '\\W+'),
+                 x -> len(x) > 0) AS ws
+             FROM documents),
+      th AS (SELECT g,
+               list_transform(ws, t ->
+                 CAST(list_sum(list_transform(range(1, least(length(t), 8) + 1),
+                   i -> ascii(substr(t, i, 1)) * ${PolyHash.sqlPow31}[i]))
+                   % ${PolyHash.CharMod} AS BIGINT)) AS th
+             FROM tok),
+      d AS (SELECT DISTINCT g,
+              unnest(list_transform(range(1, len(th) - 1), i ->
+                ((th[i] * ${PolyHash.B} + th[i + 1]) % ${PolyHash.M}
+                   * ${PolyHash.B} + th[i + 2]) % ${PolyHash.M})) AS sh
+            FROM th WHERE len(th) >= 3),
+      hh AS (SELECT g, (sh * ${Kmv.A} + ${Kmv.C}) % ${Kmv.M} AS h FROM d),
+      tru AS (SELECT g, count(*) AS n_sh FROM d GROUP BY g),
+      rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r FROM hh),
+      kmv AS (SELECT g, count(*) AS n_kept, CAST(max(h) AS BIGINT) AS kth_h
+              FROM rk WHERE r <= ${Kmv.K} GROUP BY g)
+      SELECT tru.g AS source, n_sh, n_kept, kth_h,
+             CASE WHEN n_kept < ${Kmv.K} THEN n_kept
+                  ELSE (${(Kmv.K - 1).toLong * Kmv.M}) // kth_h END AS est_distinct,
+             (CASE WHEN n_kept < ${Kmv.K} THEN n_kept
+                   ELSE (${(Kmv.K - 1).toLong * Kmv.M}) // kth_h END * 10000) // n_sh AS ratio_bp
+      FROM tru JOIN kmv USING (g) ORDER BY source
+    """
+    },
+    doc = "KMV bottom-k distinct sketch gated as data: k=64 smallest " +
+      "affine hashes per source, (k-1)*M/h_k estimate next to the exact " +
+      "count — mergeable by truncation (partial WindowGroupLimit IS the " +
+      "per-shard sketch), the deterministic twin of q34's HLL")
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q93, q99, q106)
 }

@@ -120,4 +120,54 @@ class PackScaleSpec extends SparkSpec {
       assert(merged === histOf(cs), s"group $g: halves do not merge")
     }
   }
+
+  test("q106: KMV sketch recount exact; mergeable by truncation") {
+    import graft.expr.PolyHash
+    import graft.queries.PackScale.Kmv
+    // independent in-memory re-derivation of every row from raw text:
+    // word-trigram shingle hashes (q27's chain) → affine KMV hash →
+    // bottom-64 order statistic → estimate
+    def shingles(t: String): Seq[Long] = {
+      val th = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        .map(PolyHash.tokenHash)
+      if (th.length < 3) Seq.empty
+      else (0 to th.length - 3).map(i =>
+        ((th(i) * PolyHash.B + th(i + 1)) % PolyHash.M
+          * PolyHash.B + th(i + 2)) % PolyHash.M)
+    }
+    val byG = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+      .flatMap { case (g, t) => shingles(t).map(g -> _) }
+      .distinct.groupBy(_._1)
+    val expect = byG.toSeq.map { case (g, shs) =>
+      val hs = shs.map(s => Kmv.hOf(s._2)).distinct.sorted
+      val kept = hs.take(Kmv.K)
+      val est = Kmv.estOf(kept.size, kept.last)
+      (g, shs.length.toLong, kept.size.toLong, kept.last, est,
+        est * 10000 / shs.length)
+    }.sortBy(_._1)
+    val got = run("q106_kmv_distinct")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === expect)
+    // every group here overflows the sketch and the estimate is sane —
+    // deterministic data, so a fixed accuracy window is assertable
+    got.foreach { case (g, nSh, nKept, _, est, ratio) =>
+      assert(nKept === Kmv.K.toLong, s"$g never filled the sketch")
+      assert(ratio > 5000 && ratio < 20000,
+        s"$g: est $est vs $nSh (ratio $ratio bp) outside the k=64 window")
+    }
+    // mergeability by truncation — the scale claim: a shard forwards its
+    // own k smallest values, and re-taking k from the union of shard
+    // sketches equals the sketch of the union (what the partial
+    // WindowGroupLimit computes map-side)
+    byG.foreach { case (g, shs) =>
+      val hs = shs.map(s => Kmv.hOf(s._2)).distinct
+      val (s1, s2) = hs.splitAt(hs.length / 2)
+      val merged = (s1.sorted.take(Kmv.K) ++ s2.sorted.take(Kmv.K))
+        .distinct.sorted.take(Kmv.K)
+      assert(merged.toSeq === hs.sorted.take(Kmv.K).toSeq,
+        s"group $g: shard sketches do not merge")
+    }
+  }
 }

@@ -751,4 +751,22 @@ class PlanSpec extends SparkSpec {
       assert(graft.ops.CacheScope.liveCount === 1)
     } finally graft.ops.CacheScope.drain()
   }
+
+  test("q106: rank<=k pushes a partial per-shard KMV; distinct frame cached") {
+    val p = plan("q106_kmv_distinct")
+    try {
+      // the partial WindowGroupLimit IS the per-shard sketch: each map
+      // task forwards at most k=64 hash values per group — without it the
+      // whole distinct hash universe crosses the wire to be discarded
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"bottom-k must truncate map-side (the shard KMV):\n$p")
+      // the (g, sh) distinct frame feeds the sketch branch AND the exact
+      // audit branch — uncached, each re-plans a corpus shingle explode
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"a distinct-frame consumer bypassed the cache:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"the 20-row audit join must broadcast:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1)
+    } finally graft.ops.CacheScope.drain()
+  }
 }
