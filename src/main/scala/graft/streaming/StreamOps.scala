@@ -555,6 +555,51 @@ object StreamOps {
       .groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
   }
 
+  final case class KmvRow(g: String, h: Long)
+  /** Per-group KMV state: the k smallest distinct affine hashes, sorted
+    * ascending — 64 longs per group whatever streams past, the sketch's
+    * whole selling point, so no watermark/eviction is needed (q93's
+    * bounded-state argument).
+    */
+  final case class KmvState(hs: Seq[Long])
+  final case class KmvReadout(
+      source: String, n_kept: Long, kth_h: Long, est_distinct: Long)
+
+  /** Streaming twin of q106's KMV distinct sketch: documents stream in,
+    * each group's bottom-64 hash set maintains itself as
+    * flatMapGroupsWithState state, and every micro-batch emits the
+    * group's refreshed readout (n_kept, kth order statistic, estimate).
+    * The kernel — shingle chain, affine map, k=64 floor, estimator — is
+    * literally q106's ([[graft.queries.PackScale.Kmv]]), and inserting a
+    * row into a KMV sketch is the same truncation-merge the batch spec
+    * proves (state ∪ batch, re-take k), so the stream's final readout
+    * equals batch q106 over the same rows by construction
+    * (StreamingSpec), and recovered state keeps merging after a restart
+    * (StreamRestartSpec).
+    */
+  def kmvStream(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.queries.PackScale.Kmv
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs
+      .select(col("source").as("g"),
+        explode(graft.ops.SimOps.wordShingleHashes(lower(col("text")), 3))
+          .as("sh"))
+      .select(col("g"), Kmv.h.as("h"))
+      .as[KmvRow]
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[KmvState, KmvReadout](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g, rows, state) =>
+          val prev = state.getOption.map(_.hs).getOrElse(Seq.empty)
+          val merged = (prev ++ rows.map(_.h)).distinct.sorted.take(Kmv.K)
+          state.update(KmvState(merged))
+          Iterator.single(KmvReadout(g, merged.size.toLong, merged.last,
+            Kmv.estOf(merged.size.toLong, merged.last)))
+      }.toDF()
+  }
+
   /** Stateful streaming dedup: first occurrence of `keys` wins; state for
     * a key is dropped once the watermark passes it (bounded state — the
     * streaming form of F4's seen-set, extract.py:87-97).

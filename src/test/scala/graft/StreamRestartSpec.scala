@@ -410,4 +410,53 @@ class StreamRestartSpec extends SparkSpec {
     assert(got === expected,
       "restarted sketch must merge recovered bin state with new rows")
   }
+
+  test("KMV bottom-k state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    // uninterrupted ground truth: the same kernel as one batch pass
+    // (flatMapGroupsWithState in batch mode sees every row, empty state)
+    val expected = StreamOps.kmvStream(
+      graft.queries.Tables.documents(spark, sf)
+        .select(col("source"), col("text")))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    val in = Files.createTempDirectory("kmv-in").toString
+    val ckpt = Files.createTempDirectory("kmv-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("text", StringType)))
+    val latest = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, Long, Long)]
+    def startQuery() = StreamOps.kmvStream(
+      spark.readStream.schema(schema).parquet(in))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          latest(r.getString(0)) = (r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.start()
+
+    // run 1: half the corpus lands in the bottom-k state, then the query
+    // stops — the partial sketch lives only in the checkpointed state
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    b1.toSeq.toDF("source", "text").write.mode("append").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2: the other half arrives after restart; lost state would
+    // shrink n_kept / inflate the order statistic for every group the
+    // first half touched
+    b2.toSeq.toDF("source", "text").write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(latest.toMap === expected,
+      "restarted sketch must merge recovered bottom-k state with new rows")
+  }
 }

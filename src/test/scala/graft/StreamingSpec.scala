@@ -534,4 +534,45 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming KMV equals batch q106; re-insertion is a no-op") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    // update-mode emissions land in a side map so the FINAL readout per
+    // group is unambiguous (a memory-sink table gives no batch ordering)
+    val latest = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, Long, Long)]
+    val ms = MemoryStream[(String, String)]
+    val q = StreamOps.kmvStream(ms.toDF.toDF("source", "text"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          latest(r.getString(0)) = (r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val afterAll = latest.toMap
+      // batch ground truth: the GATED query's own sketch columns
+      val exp = graft.queries.Catalog.queries("q106_kmv_distinct")(spark, sf)
+        .select(col("source"), col("n_kept"), col("kth_h"),
+          col("est_distinct"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      graft.ops.CacheScope.drain() // q106's distinct-frame cache
+      assert(afterAll === exp,
+        "streamed sketch readout must equal batch q106 per group")
+      // KMV insertion is idempotent (distinct-merge): re-sending already
+      // seen rows must re-emit the identical readout, not move it
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      assert(latest.toMap === exp, "re-insertion moved the sketch")
+    } finally q.stop()
+  }
 }
