@@ -184,7 +184,7 @@ object PackSignal {
           expr("cast(size(ws) as bigint)").as("n_toks"),
           expr(s"cast(size(filter(ws, t -> array_contains($bl, t))) as bigint)")
             .as("n_blocked"),
-          expr(s"array_sort(array_distinct(filter(ws, t -> array_contains($bl, t))))")
+          expr(s"array_join(array_sort(array_distinct(filter(ws, t -> array_contains($bl, t)))), ' ')")
             .as("matched"))
         .withColumn("share_bp",
           expr("n_blocked * 10000 div greatest(n_toks, 1)"))
@@ -202,7 +202,7 @@ object PackSignal {
       b AS (SELECT doc_id, lang, n_chars,
                    CAST(len(ws) AS BIGINT) AS n_toks,
                    CAST(len(list_filter(ws, x -> list_contains(${Blocklist.map(t => s"'$t'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS n_blocked,
-                   list_sort(list_distinct(list_filter(ws, x -> list_contains(${Blocklist.map(t => s"'$t'").mkString("[", ", ", "]")}, x)))) AS matched
+                   coalesce(array_to_string(list_sort(list_distinct(list_filter(ws, x -> list_contains(${Blocklist.map(t => s"'$t'").mkString("[", ", ", "]")}, x)))), ' '), '') AS matched
             FROM t)
       SELECT doc_id, lang, n_toks, n_blocked,
              n_blocked * 10000 // greatest(n_toks, 1) AS share_bp, matched,

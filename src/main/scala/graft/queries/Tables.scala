@@ -21,16 +21,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = tbl(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = tbl(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
-  /** events.ts is parquet timestamp[ns], which Spark's reader rejects; with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a long we truncate
-    * to microseconds (integer div — the DuckDB oracle's `cast(ts AS
-    * TIMESTAMP)` truncates identically). Set here too so any caller works
-    * regardless of builder config.
+  /** events.ts has shipped as parquet timestamp[ns] (driver generations up
+    * to r11) and timestamp[us] (r12 regeneration onward). Spark's reader
+    * rejects ns unless `spark.sql.legacy.parquet.nanosAsLong` is set, in
+    * which case it arrives as a long we truncate to microseconds (integer
+    * div — the DuckDB oracle's `cast(ts AS TIMESTAMP)` truncates
+    * identically). µs arrives natively as a timestamp (TIMESTAMP_NTZ),
+    * which we cast to the session type so downstream timestamp arithmetic
+    * is uniform. Branch on the arrived type so either physical layout works.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = tbl(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")

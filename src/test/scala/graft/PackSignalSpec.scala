@@ -76,7 +76,7 @@ class PackSignalSpec extends SparkSpec {
     val block = Set("slow", "dup")
     val allow = Set("en", "es", "de", "fr")
     val expect = tokenized.map { case (id, lang, ws) =>
-      val matched = ws.filter(block).distinct.sorted.toSeq
+      val matched = ws.filter(block).distinct.sorted.mkString(" ")
       val nb = ws.count(block).toLong
       val share = nb * 10000L / math.max(ws.length.toLong, 1L)
       val verdict =
@@ -87,7 +87,7 @@ class PackSignalSpec extends SparkSpec {
       (id, lang, ws.length.toLong, nb, share, matched, verdict)
     }.sortBy(_._1)
     val got = run("q84_policy_gate")
-      .as[(Long, String, Long, Long, Long, Seq[String], String)]
+      .as[(Long, String, Long, Long, Long, String, String)]
       .collect().toSeq
     assert(got === expect)
     assert(got.map(_._7).toSet === Set("lang", "short", "blocked", "ok"),
