@@ -94,5 +94,155 @@ object PackAnn {
     """),
     doc = "IVF-style ANN: probe top-2 cells via broadcast reps, exact in-cell top-k")
 
-  val all: Seq[Q] = Seq(q33)
+  /** q107 — the COMPOSED ANN stack (VERDICT r12 item 5): IVF coarse
+    * structure (q33) → SQ8 range-learn + encode (q97) → ADC-style top-k
+    * over codes within probed cells only (q75's contract), one
+    * oracle-gated job. Composition is the proof the stage frames line
+    * up: the cell stats, the quantization ranges, and the code frame are
+    * built from ONE corpus statistics pass plus ONE encode pass, and the
+    * search join below the probe list touches only the cached code
+    * frame — the corpus float column is never re-read at query time.
+    *
+    * All arithmetic integer after the milli-unit quantization (q74's
+    * device): centroid scores are q100's signed squared cosine in 1e-8
+    * units (decimal(38,0) / HUGEINT — dot² reaches ~1e23 here), codes
+    * are (x−lo)·255 div span with query values clamped into the learned
+    * range (so both engines' integer division sees non-negative
+    * operands), distances exact BIGINTs — the oracle hash-gates the
+    * composed codec, not a float echo.
+    *
+    * Scale posture: the (cell, dim) stats frame is THE mergeable
+    * statistic (sums/min/max combine across shards), cached and re-read
+    * for both the centroid fold and the global range re-fold — the
+    * corpus is scanned once for stats, once for encoding, never again;
+    * reps/ranges/query-code frames are tiny and travel broadcast; the
+    * probe crossJoin is queries × cells (broadcast reps); per-query
+    * top-3 rides the literal-rank WindowGroupLimit below the exchange.
+    * At 100 TB the cached code frame is the 4×-compressed index SQ8
+    * exists to make RAM-resident; search cost is |probed cells|, not
+    * corpus.
+    */
+  private[graft] def annPipeline(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val m = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("v"))
+    val q = m.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = m.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("label").as("cell"), col("v"))
+    // ONE corpus statistics pass: per-(cell, dim) sum + min + max —
+    // mergeable map-side; cached: the centroid fold and the range
+    // re-fold both read it (q100's cell-frame device)
+    val cells = graft.ops.CacheScope.persisted(
+      c.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum("x").as("sv"), min("x").as("lo"), max("x").as("hi")))
+    // IVF coarse structure: integer centroid-sum vector per cell (cosine
+    // is scale-invariant, so the un-divided sum scores like the mean)
+    val reps = cells.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("sv")))),
+        t => t("sv")).as("rv"))
+      .withColumn("nb2",
+        expr("aggregate(rv, 0L, (acc, x) -> acc + x * x)"))
+    // probe: top-2 cells per query by signed squared cosine (no sqrt —
+    // q83/q100's exact-integer ranking device)
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(reps))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, rv, (a, b) -> a * b), 0L," +
+          " (acc, x) -> acc + x)"))
+      .withColumn("na2", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("score", expr(
+        "cast((case when dot < 0 then -1 else 1 end) *" +
+          " ((cast(dot as decimal(38,0)) * dot * 100000000)" +
+          " div (cast(na2 as decimal(38,0)) * nb2)) as bigint)"))
+      .withColumn("cr", row_number().over(probeW))
+      .filter(col("cr") <= 2)
+      .select(col("q_id"), col("cell"))
+    // SQ8 ranges: re-FOLD from the cached cell stats — no second corpus
+    // pass (shard min/max merge by min/min, max/max)
+    val ranges = cells.groupBy("dim")
+      .agg(min("lo").as("lo"), max("hi").as("hi"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("lo")))).as("pl"),
+        sort_array(collect_list(struct(col("dim"), col("hi")))).as("ph"))
+      .select(expr("transform(pl, p -> p.lo)").as("los"),
+        expr("transform(ph, p -> p.hi)").as("his"))
+    val encode = "transform(%s, (x, i) -> (least(greatest(x, los[i]), his[i])" +
+      " - los[i]) * 255 div greatest(his[i] - los[i], 1L))"
+    // the CODE frame — the built index, cached: everything below the
+    // search join reads codes, never the corpus floats (q75's contract)
+    val codes = graft.ops.CacheScope.persisted(
+      c.crossJoin(broadcast(ranges))
+        .select(col("c_id"), col("cell"), expr(encode.format("v")).as("code")))
+    val qcodes = q.crossJoin(broadcast(ranges))
+      .select(col("q_id"), expr(encode.format("qv")).as("qc"))
+    val topW = Window.partitionBy("q_id").orderBy(col("qdist"), col("c_id"))
+    probed.join(broadcast(qcodes), Seq("q_id"))
+      .join(codes, Seq("cell"))
+      .select(col("q_id"), col("cell"), col("c_id"),
+        expr("aggregate(zip_with(code, qc, (a, b) -> (a - b) * (a - b))," +
+          " 0L, (acc, x) -> acc + x)").as("qdist"))
+      .withColumn("rk", row_number().over(topW))
+      .filter(col("rk") <= 3)
+      .orderBy("q_id", "rk")
+  }
+
+  private val q107 = Q(
+    "q107_ann_pipeline",
+    (s, d) => annPipeline(s, d),
+    Some("""
+      WITH m AS (SELECT vec_id, label,
+                   list_transform(cast(embedding AS DOUBLE[]),
+                     x -> CAST(round(x * 1000) AS BIGINT)) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v FROM m WHERE vec_id < 8),
+      c AS (SELECT vec_id AS c_id, label AS cell, v FROM m WHERE vec_id >= 8),
+      ce AS (SELECT cell, dim, CAST(sum(x) AS BIGINT) AS sv,
+                    min(x) AS lo, max(x) AS hi
+             FROM (SELECT cell, unnest(v) AS x,
+                          generate_subscripts(v, 1) AS dim FROM c)
+             GROUP BY cell, dim),
+      qe AS (SELECT q_id, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS dim FROM q),
+      ps AS (SELECT qe.q_id, ce.cell,
+                    CAST(sum(qe.x * ce.sv) AS BIGINT) AS dot,
+                    CAST(sum(qe.x * qe.x) AS BIGINT) AS na2,
+                    CAST(sum(ce.sv * ce.sv) AS BIGINT) AS nb2
+             FROM qe JOIN ce USING (dim) GROUP BY 1, 2),
+      pr AS (SELECT q_id, cell FROM (
+               SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+                 ORDER BY (CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+                   ((CAST(dot AS HUGEINT) * dot * 100000000) //
+                    (CAST(na2 AS HUGEINT) * nb2)) DESC, cell) AS cr
+               FROM ps) WHERE cr <= 2),
+      r AS (SELECT dim, min(lo) AS lo, max(hi) AS hi FROM ce GROUP BY dim),
+      co AS (SELECT e.c_id, e.cell, e.dim,
+                    (least(greatest(e.x, r.lo), r.hi) - r.lo) * 255 //
+                      greatest(r.hi - r.lo, 1) AS code
+             FROM (SELECT c_id, cell, unnest(v) AS x,
+                          generate_subscripts(v, 1) AS dim FROM c) e
+             JOIN r USING (dim)),
+      qc AS (SELECT qe.q_id, qe.dim,
+                    (least(greatest(qe.x, r.lo), r.hi) - r.lo) * 255 //
+                      greatest(r.hi - r.lo, 1) AS code
+             FROM qe JOIN r USING (dim)),
+      sd AS (SELECT pr.q_id, co.cell, co.c_id,
+                    CAST(sum((co.code - qc.code) * (co.code - qc.code))
+                      AS BIGINT) AS qdist
+             FROM pr JOIN co ON co.cell = pr.cell
+                     JOIN qc ON qc.q_id = pr.q_id AND qc.dim = co.dim
+             GROUP BY 1, 2, 3),
+      t AS (SELECT q_id, cell, c_id, qdist, row_number() OVER (
+              PARTITION BY q_id ORDER BY qdist, c_id) AS rk FROM sd)
+      SELECT q_id, cell, c_id, qdist, CAST(rk AS INTEGER) AS rk
+      FROM t WHERE rk <= 3 ORDER BY q_id, rk
+    """),
+    doc = "composed ANN stack: IVF probe (broadcast integer centroids) " +
+      "-> SQ8 range-learn/encode from one cached stats pass -> top-3 " +
+      "search entirely on the cached code frame within probed cells")
+
+  val all: Seq[Q] = Seq(q33, q107)
 }

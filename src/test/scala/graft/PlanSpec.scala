@@ -402,6 +402,37 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q107: composed ANN — stats+code frames cached once each; search " +
+    "reads codes, not corpus floats") {
+    val p = plan("q107_ann_pipeline")
+    try {
+      // exactly TWO scoped caches: the (cell, dim) stats frame (read by
+      // the centroid fold AND the range re-fold — one corpus stats pass)
+      // and the code frame (the built index the search join reads)
+      assert(graft.ops.CacheScope.liveCount === 2,
+        s"expected the stats frame + the code frame cached, nothing else")
+      assert(p.contains("InMemoryTableScan"),
+        s"the search join must read the cached code frame:\n$p")
+      // walk the physical tree (InMemoryTableScan is a LEAF there — the
+      // cache-build subtrees only re-render in the string): every file
+      // scan actually in the SEARCH tree must be the 8-row query side
+      // with its vec_id < 8 filter pushed to parquet; the corpus float
+      // column is touched only inside the two cache builds
+      val sp = Catalog.queries("q107_ann_pipeline")(spark, sf)
+        .queryExecution.sparkPlan
+      val fileScans = sp.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(fileScans.nonEmpty && fileScans.forall(
+        _.metadata("PushedFilters").contains("LessThan(vec_id,8)")),
+        s"a corpus-side float scan leaked below the search join:\n$sp")
+      assert(!p.contains("CartesianProduct"),
+        s"cartesian in the ANN composition:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"the literal rank bounds must prune below the exchange:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q79: BPE rounds iterate over cached vocab frames; merges broadcast") {
     val p = plan("q79_bpe_iterate")
     try {
