@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object PackRefresh {
 
-  /** Shared tokenizer — identical to q38/q48/q85's (parity proven). */
-  private def toks = filter(split(lower(col("text")), "\\W+"),
+  /** Shared tokenizer — identical to q38/q48/q85's (parity proven).
+    * Package-visible: the q88 streaming twin
+    * ([[graft.streaming.StreamOps.incrementCleanStream]]) must segment
+    * with the identical kernel or stream and batch verdicts diverge.
+    */
+  private[graft] def toks = filter(split(lower(col("text")), "\\W+"),
     t => length(t) > 0)
 
   /** 10-token span segmentation of `ws` — q85's device, verbatim. */
-  private val spanExpr =
+  private[graft] val spanExpr =
     "transform(sequence(0, (size(ws) - 1) div 10), " +
       "i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"
 

@@ -609,8 +609,73 @@ object StreamOps {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
-  /** The events table's on-disk schema under nanosAsLong (ts arrives as
-    * long nanos — see graft.queries.Tables.events).
+  /** Streaming twin of q88's incremental ingest cleaning — the most
+    * stream-shaped job in the catalog: the corpus was cleaned once and
+    * sits still; crawl increments arrive forever. Each streamed
+    * increment document gets the batch verdict — `exact_dup` (its hash
+    * exists in the corpus), `stale` (span novelty ≤ 5000 bp: a re-crawl
+    * or light re-wrap), or `keep` — plus the span-novelty audit numbers.
+    *
+    * The kernel is literally q88's ([[graft.queries.PackRefresh]]'s
+    * tokenizer and 10-token span segmentation), so stream and batch
+    * verdicts agree by construction (pinned by the MemoryStream test).
+    *
+    * Scale posture — the streaming direction FLIPS q88's asymmetry: in
+    * batch, the increment is known up front, so its sets broadcast and
+    * the corpus scans once per granularity. A stream doesn't know its
+    * increment ahead of time, so the corpus side becomes the STATIC
+    * index: its distinct hash set and distinct span set are computed
+    * once, persisted (the static sub-plan of a stream-static join
+    * re-runs every micro-batch otherwise — the lmScoreStream lesson),
+    * and probed per arriving row. Neither static set gets a broadcast
+    * hint: both are corpus-derived and unbounded (q98's posture) — the
+    * hash/span probes are plain stream-static equi-joins, state-free by
+    * construction; the only streaming state is the watermark-bounded
+    * per-document window aggregation.
+    *
+    * `inc` columns: (new_id long, ts timestamp, text string).
+    * `corpus` is a static frame with a `text` column. Documents with no
+    * tokens are dropped (batch q88's `size(ws) >= 1` gate).
+    */
+  def incrementCleanStream(
+      inc: DataFrame,
+      corpus: DataFrame,
+      delay: String = "10 minutes"): DataFrame = {
+    import graft.queries.PackRefresh
+    val corpusHashes = graft.ops.CacheScope.persisted(
+      corpus.select(sha2(col("text"), 256).as("h")).distinct()
+        .withColumn("isdup", lit(1L)))
+    val corpusSpans = graft.ops.CacheScope.persisted(
+      corpus.select(PackRefresh.toks.as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(explode(expr(PackRefresh.spanExpr)).as("span")).distinct()
+        .withColumn("stale", lit(1L)))
+    inc.withWatermark("ts", delay)
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("ws", PackRefresh.toks)
+      .filter(size(col("ws")) >= 1)
+      .select(col("new_id"), col("ts"), col("h"),
+        explode(expr(PackRefresh.spanExpr)).as("span"))
+      .join(corpusSpans, Seq("span"), "left")
+      .join(corpusHashes, Seq("h"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("new_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("stale").isNotNull, 0L).otherwise(1L)).as("n_new"),
+        max(col("isdup")).as("isdup"))
+      .select(col("window.start").as("w_start"), col("new_id"),
+        col("n_spans"), col("n_new"),
+        expr("n_new * 10000 div n_spans").as("novelty_bp"),
+        when(col("isdup").isNotNull, "exact_dup")
+          .when(expr("n_new * 10000 div n_spans") <= 5000, "stale")
+          .otherwise("keep").as("verdict"))
+  }
+
+  /** The events table's on-disk schema when the driver writes ts as
+    * parquet timestamp[ns] (arrives as long nanos under nanosAsLong —
+    * see graft.queries.Tables.events). The r12 testdata regeneration
+    * switched ts to timestamp[us], which arrives natively as a
+    * timestamp; [[eventsStream]] probes the actual layout instead of
+    * assuming this schema.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -622,13 +687,23 @@ object StreamOps {
 
   /** File-source streaming read of an events directory — the streaming
     * twin of Tables.events; new parquet files appearing under `dir` are
-    * incrementally processed.
+    * incrementally processed. A streaming source needs its schema
+    * declared up front, so the on-disk layout is probed with ONE batch
+    * metadata read (footer only — no data scan), then normalized exactly
+    * as Tables.events does: long nanos truncate to microseconds, native
+    * timestamp[us] casts through. Assuming the ns layout against a µs
+    * file silently reads raw micros as nanos — timestamps land in 1970
+    * and every window is wrong (r13 regression).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk = spark.read.parquet(dir).schema
+    val df = spark.readStream.schema(onDisk).parquet(dir)
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

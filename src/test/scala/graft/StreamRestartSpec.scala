@@ -316,6 +316,70 @@ class StreamRestartSpec extends SparkSpec {
         s"(expected one row of $expected, got $got)")
   }
 
+  test("increment-clean window state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    // batch q88's planted increment — every verdict class observable
+    val incRows = (docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("new_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 500000L).as("new_id"), col("text")))
+      .unionByName(corpus.filter(col("doc_id") % 50 === 21)
+        .select((col("doc_id") + 600000L).as("new_id"),
+          concat(col("text"), lit(" zz")).as("text"))))
+      .as[(Long, String)].collect()
+
+    val in = Files.createTempDirectory("ic-in").toString
+    val out = Files.createTempDirectory("ic-out").toString
+    val ckpt = Files.createTempDirectory("ic-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("new_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def startQuery() = StreamOps.incrementCleanStream(
+      spark.readStream.schema(schema).parquet(in), corpus)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    // run 1: half the increment lands mid-hour; append mode emits
+    // nothing yet — the per-doc window aggregates live ONLY in the
+    // checkpointed state store when the query stops
+    val (b1, b2) = incRows.splitAt(incRows.length / 2)
+    b1.toSeq.map { case (id, t) => (id, ts("2024-01-01 00:10:00"), t) }
+      .toDF("new_id", "ts", "text").write.mode("append").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    graft.ops.CacheScope.drain()
+
+    // run 2: the rest of the increment (same hour) + the watermark
+    // sentinel — finalizing the hour emits run-1 docs from RECOVERED
+    // state alongside run-2 docs
+    (b2.toSeq.map { case (id, t) => (id, ts("2024-01-01 00:40:00"), t) } :+
+      ((999999999L, ts("2024-01-01 05:00:00"), "w sentinel row")))
+      .toDF("new_id", "ts", "text").write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    graft.ops.CacheScope.drain()
+
+    val got = spark.read.parquet(out)
+      .filter(col("new_id") =!= 999999999L)
+      .select("new_id", "n_spans", "n_new", "novelty_bp", "verdict")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val batch = graft.queries.Catalog.queries("q88_increment_clean")(spark, sf)
+      .select("new_id", "n_spans", "n_new", "novelty_bp", "verdict")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === batch,
+      "restarted stream must emit every doc exactly once with batch verdicts")
+  }
+
   test("CMS counter state survives a checkpointed restart") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.col

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{concat, lit}
 import graft.streaming.StreamOps
 
 /** Semantics tests for the streaming surface (SURVEY.md §5.2.5): windows
@@ -246,6 +247,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming increment clean: stream verdicts equal batch q88, row for row") {
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 10 =!= 7)
+    // the SAME planted increment batch q88 synthesizes: the %10=7 "new
+    // crawl" + byte-identical re-entries (%50=1) + 1-token-trailer
+    // re-entries (%50=21) — every verdict class observable
+    val incRows = (docs.filter($"doc_id" % 10 === 7)
+      .select($"doc_id".as("new_id"), $"text")
+      .unionByName(corpus.filter($"doc_id" % 50 === 1)
+        .select(($"doc_id" + 500000L).as("new_id"), $"text"))
+      .unionByName(corpus.filter($"doc_id" % 50 === 21)
+        .select(($"doc_id" + 600000L).as("new_id"),
+          concat($"text", lit(" zz")).as("text"))))
+      .as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.incrementCleanStream(
+      ms.toDF.toDF("new_id", "ts", "text"), corpus, delay = "10 minutes")
+      .writeStream.format("memory").queryName("t_incclean")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = incRows.splitAt(incRows.length / 2)
+      ms.addData(b1.map { case (id, t) => (id, ts("2024-01-01 00:10:00"), t) }.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.map { case (id, t) => (id, ts("2024-01-01 00:40:00"), t) }.toSeq: _*)
+      q.processAllAvailable()
+      // watermark sentinel far past the hour finalizes the window
+      ms.addData((999999999L, ts("2024-01-01 05:00:00"), "w sentinel row"))
+      q.processAllAvailable()
+      val got = spark.table("t_incclean")
+        .filter($"new_id" =!= 999999999L)
+        .select("new_id", "n_spans", "n_new", "novelty_bp", "verdict")
+        .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      val batch = graft.queries.Catalog.queries("q88_increment_clean")(spark, sf)
+        .select("new_id", "n_spans", "n_new", "novelty_bp", "verdict")
+        .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      graft.ops.CacheScope.drain()
+      assert(batch.map(_._5).toSet === Set("exact_dup", "stale", "keep"),
+        "every verdict class must be planted and observable")
+      assert(got === batch,
+        "the streaming twin must reproduce batch q88 exactly")
+    } finally q.stop()
+  }
+
   test("file-source streaming twin of Tables.events reads the testdata") {
     val dir = "/root/testdata/sf0.001"
     // copy events.parquet into an isolated stream dir so the file source
@@ -262,6 +308,19 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val n = spark.table("t_file").count()
       assert(n > 0, "stream must produce windows from the parquet file")
+      // the stream's windows must agree with the BATCH read of the same
+      // file — an assumed-ns schema over a µs file puts every timestamp
+      // in 1970 and this equality catches it (r13 regression: window
+      // counts alone passed while every window was wrong)
+      val streamed = spark.table("t_file")
+        .select("w_start", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().sorted.toSeq
+      val batch = StreamOps.tumbling(
+        graft.queries.Tables.events(spark, dir))
+        .select("w_start", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().sorted.toSeq
+      assert(streamed === batch,
+        "file-source stream windows must equal the batch windows")
     } finally q.stop()
   }
 
