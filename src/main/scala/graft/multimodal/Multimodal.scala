@@ -220,15 +220,18 @@ object Multimodal {
     * relational ops never need the payload.
     */
   def withAudioMeta(df: DataFrame, bytesCol: String): DataFrame = {
-    val info = udf((bytes: Array[Byte]) => wavInfo(bytes))
-    // parse once per row into a hidden column, then project its fields
-    df.withColumn("__wi", info(col(bytesCol)))
+    // parse once per row into a hidden column via the native wav_info
+    // expression (null-filled struct for unparseable bytes), then
+    // project its fields
+    val info = ExprGlue.column(
+      graft.expr.WavInfo(ExprGlue.expression(col(bytesCol))))
+    df.withColumn("__wi", info)
       .withColumn("audio_meta", struct(
-        when(col("__wi").isNotNull, lit("audio/wav")).as("mime"),
-        col("__wi").getField("_2").as("channels"),
-        col("__wi").getField("_3").as("sample_rate"),
-        col("__wi").getField("_4").as("bits"),
-        col("__wi").getField("_5").as("n_frames"),
+        when(col("__wi.codec").isNotNull, lit("audio/wav")).as("mime"),
+        col("__wi.channels").as("channels"),
+        col("__wi.sample_rate").as("sample_rate"),
+        col("__wi.bits").as("bits"),
+        col("__wi.n_frames").as("n_frames"),
         length(col(bytesCol)).cast("long").as("n_bytes")))
       .drop("__wi")
   }
@@ -381,6 +384,13 @@ object Multimodal {
     * array<binary> column contract holds for content the JDK cannot
     * open. (ADVICE r10: a corrupt 'GIF8' blob used to yield an EMPTY
     * frame array instead of the documented fallback.)
+    *
+    * Container dispatch + decode run inside the native
+    * [[graft.expr.ContainerFrames]] expression (VERDICT r11/r12: the
+    * former Scala UDFs were the relational catalog's last optimizer
+    * black boxes); it returns an EMPTY array for both non-container
+    * bytes and recognized-but-undecodable containers, so the single
+    * `size > 0` branch picks real frames or the chunk fallback.
     */
   def sampleFrames(df: DataFrame, bytesCol: String, chunk: Int,
       step: Int): DataFrame = {
@@ -389,14 +399,8 @@ object Multimodal {
       sequence(lit(0),
         greatest((length(b) / (chunk * step)).cast("int") - 1, lit(0))),
       i => b.substr(i * chunk * step + 1, lit(chunk)))
-    val avi = udf((bytes: Array[Byte]) => mjpegFrames(bytes, step))
-    val gif = udf((bytes: Array[Byte]) => gifFrames(bytes, step))
-    // real = null for non-container bytes, and may be EMPTY for a
-    // recognized container with no decodable frames; both take chunked
-    // (size(null) is null → the outer when falls through to otherwise)
-    val real = when(b.substr(1, 4) === lit("RIFF".getBytes) &&
-      b.substr(9, 4) === lit("AVI ".getBytes), avi(b))
-      .when(b.substr(1, 4) === lit("GIF8".getBytes), gif(b))
+    val real = ExprGlue.column(
+      graft.expr.ContainerFrames(ExprGlue.expression(b), step))
     df.withColumn("frames", when(size(real) > 0, real).otherwise(chunked))
   }
 
