@@ -90,6 +90,69 @@ object ProfileQ95 {
     timeNoop("eval_shingles", () => Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 25)
       .select(explode(sh4).as("sh")).distinct(), perRunDrain = false)
+    // stages 2–5 over a PREBUILT survivor cache: isolates dedup + decon
+    // + quota + split from the two corpus text passes above
+    val B = 200
+    val base = scored.crossJoin(broadcast(thresholds))
+      .filter(col("score") >= col("lo") && col("score") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("score"), sha2(col("text"), 256).as("h"), sh4.as("shs"))
+      .persist()
+    base.count()
+    val evalSh = Tables.documents(spark, sfDir).filter(col("doc_id") < 25)
+      .select(explode(sh4).as("sh")).distinct().persist()
+    evalSh.count()
+    def downstream(): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val canon = base.groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val dedup = base.join(canon, Seq("doc_id"), "left_semi")
+      val contam = dedup.select(col("doc_id"), explode(col("shs")).as("sh"))
+        .join(broadcast(evalSh), Seq("sh"))
+        .select("doc_id").distinct()
+      val clean = dedup.join(contam, Seq("doc_id"), "left_anti")
+      val counts = clean.groupBy("source").agg(count(lit(1)).as("n"))
+      val totals = counts.agg(sum("n").as("nn"))
+      val based = counts.crossJoin(broadcast(totals))
+        .select(col("source"), col("n"),
+          expr(s"($B * n) div nn").as("base"),
+          expr(s"($B * n) % nn").as("rem"))
+      val extra = based.agg((lit(B) - sum("base")).as("extra"))
+      val quota = based.crossJoin(broadcast(extra))
+        .withColumn("rr",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"),
+          (col("base") + when(col("rr") <= col("extra"), 1).otherwise(0))
+            .as("quota"))
+      val released = clean.join(broadcast(quota), "source")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rk") <= lit(B) && col("rk") <= col("quota"))
+      val hx = substring(md5(col("doc_id").cast("string")), 1, 2)
+      released.select(col("doc_id"), col("source"), col("score"),
+        col("quota"), col("rk"),
+        when(hx < "cc", "train").when(hx < "e6", "val")
+          .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }
+    // sub-fragments of the downstream chain, each over the same caches
+    timeNoop("dedup_on_cached", () => {
+      val canon = base.groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      base.join(canon, Seq("doc_id"), "left_semi")
+    }, perRunDrain = false)
+    timeNoop("decon_on_cached", () => {
+      val canon = base.groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val dedup = base.join(canon, Seq("doc_id"), "left_semi")
+      val contam = dedup.select(col("doc_id"), explode(col("shs")).as("sh"))
+        .join(broadcast(evalSh), Seq("sh"))
+        .select("doc_id").distinct()
+      dedup.join(contam, Seq("doc_id"), "left_anti")
+    }, perRunDrain = false)
+    timeNoop("stages2_5_on_cached", () => downstream(), perRunDrain = false)
+    base.unpersist(); evalSh.unpersist()
     // the shipped query, end to end
     timeNoop("full_e2e",
       () => graft.queries.Catalog.queries("q95_release_pipeline")(spark, sfDir),
