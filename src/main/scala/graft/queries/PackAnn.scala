@@ -122,9 +122,40 @@ object PackAnn {
     * exists to make RAM-resident; search cost is |probed cells|, not
     * corpus.
     */
-  private[graft] def annPipeline(
+  /** The scoring/encode kernels and index frames, shared verbatim by the
+    * batch composition (q107) and its streaming serving twin
+    * ([[graft.streaming.StreamOps]] `annServeStream`) — one definition,
+    * so the two paths cannot drift.
+    */
+  private[graft] val encodeExpr =
+    "transform(%s, (x, i) -> (least(greatest(x, los[i]), his[i])" +
+      " - los[i]) * 255 div greatest(his[i] - los[i], 1L))"
+
+  /** Signed squared cosine of a milli-unit query vector against a
+    * centroid-sum vector — q83/q100's exact integer ranking device in
+    * 1e-8 units, parameterized over the SQL fragments naming the dot
+    * product and the two squared norms so the batch probe (plain
+    * columns) and the streaming probe (struct fields inside an array
+    * lambda) evaluate the identical arithmetic.
+    */
+  private[graft] def probeScoreOf(
+      dot: String, na2: String, nb2: String): String =
+    s"cast((case when $dot < 0 then -1 else 1 end) *" +
+      s" ((cast($dot as decimal(38,0)) * $dot * 100000000)" +
+      s" div (cast($na2 as decimal(38,0)) * $nb2)) as bigint)"
+
+  private[graft] val probeScoreExpr = probeScoreOf("dot", "na2", "nb2")
+
+  /** The SQ8/IVF index parts over the embeddings table: the milli-unit
+    * query frame, the per-cell centroid reps, the 1-row quantization
+    * ranges, and the cached code frame. ONE cached corpus statistics
+    * pass feeds the centroid fold AND the range re-fold; the code frame
+    * is the second (and last) corpus read.
+    */
+  private[graft] def sq8Parts(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val m = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1000).cast("long")).as("v"))
@@ -146,6 +177,27 @@ object PackAnn {
         t => t("sv")).as("rv"))
       .withColumn("nb2",
         expr("aggregate(rv, 0L, (acc, x) -> acc + x * x)"))
+    // SQ8 ranges: re-FOLD from the cached cell stats — no second corpus
+    // pass (shard min/max merge by min/min, max/max)
+    val ranges = cells.groupBy("dim")
+      .agg(min("lo").as("lo"), max("hi").as("hi"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("lo")))).as("pl"),
+        sort_array(collect_list(struct(col("dim"), col("hi")))).as("ph"))
+      .select(expr("transform(pl, p -> p.lo)").as("los"),
+        expr("transform(ph, p -> p.hi)").as("his"))
+    // the CODE frame — the built index, cached: everything below the
+    // search join reads codes, never the corpus floats (q75's contract)
+    val codes = graft.ops.CacheScope.persisted(
+      c.crossJoin(broadcast(ranges))
+        .select(col("c_id"), col("cell"),
+          expr(encodeExpr.format("v")).as("code")))
+    (q, reps, ranges, codes)
+  }
+
+  private[graft] def annPipeline(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (q, reps, ranges, codes) = sq8Parts(s, d)
     // probe: top-2 cells per query by signed squared cosine (no sqrt —
     // q83/q100's exact-integer ranking device)
     val probeW = Window.partitionBy("q_id")
@@ -155,30 +207,12 @@ object PackAnn {
         expr("aggregate(zip_with(qv, rv, (a, b) -> a * b), 0L," +
           " (acc, x) -> acc + x)"))
       .withColumn("na2", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("score", expr(
-        "cast((case when dot < 0 then -1 else 1 end) *" +
-          " ((cast(dot as decimal(38,0)) * dot * 100000000)" +
-          " div (cast(na2 as decimal(38,0)) * nb2)) as bigint)"))
+      .withColumn("score", expr(probeScoreExpr))
       .withColumn("cr", row_number().over(probeW))
       .filter(col("cr") <= 2)
       .select(col("q_id"), col("cell"))
-    // SQ8 ranges: re-FOLD from the cached cell stats — no second corpus
-    // pass (shard min/max merge by min/min, max/max)
-    val ranges = cells.groupBy("dim")
-      .agg(min("lo").as("lo"), max("hi").as("hi"))
-      .agg(sort_array(collect_list(struct(col("dim"), col("lo")))).as("pl"),
-        sort_array(collect_list(struct(col("dim"), col("hi")))).as("ph"))
-      .select(expr("transform(pl, p -> p.lo)").as("los"),
-        expr("transform(ph, p -> p.hi)").as("his"))
-    val encode = "transform(%s, (x, i) -> (least(greatest(x, los[i]), his[i])" +
-      " - los[i]) * 255 div greatest(his[i] - los[i], 1L))"
-    // the CODE frame — the built index, cached: everything below the
-    // search join reads codes, never the corpus floats (q75's contract)
-    val codes = graft.ops.CacheScope.persisted(
-      c.crossJoin(broadcast(ranges))
-        .select(col("c_id"), col("cell"), expr(encode.format("v")).as("code")))
     val qcodes = q.crossJoin(broadcast(ranges))
-      .select(col("q_id"), expr(encode.format("qv")).as("qc"))
+      .select(col("q_id"), expr(encodeExpr.format("qv")).as("qc"))
     val topW = Window.partitionBy("q_id").orderBy(col("qdist"), col("c_id"))
     probed.join(broadcast(qcodes), Seq("q_id"))
       .join(codes, Seq("cell"))

@@ -670,6 +670,89 @@ object StreamOps {
           .otherwise("keep").as("verdict"))
   }
 
+  /** Streaming twin of q107's SEARCH stage — ANN serving: the index is
+    * built batch-side once (q107's exact frames via
+    * [[graft.queries.PackAnn.sq8Parts]] — cell centroid sums, SQ8
+    * ranges, the cached code frame), and QUERIES arrive as a stream,
+    * each probing its top-2 cells and returning its top-3 neighbors in
+    * code space. This is the production shape of every vector index:
+    * the corpus is indexed rarely; queries arrive forever.
+    *
+    * The kernels are literally q107's (`encodeExpr`, `probeScoreOf` —
+    * one definition, so batch and stream cannot drift); the probe
+    * mechanics differ only where streaming must: a streaming frame
+    * cannot rank with a window function, so the per-cell scores are
+    * computed inside ONE array expression against the broadcast 1-row
+    * index (cells are index-cardinality, bounded by construction) and
+    * top-2 falls out of `array_sort` + `slice` — per-row scalar work,
+    * no state. The MemoryStream spec pins stream = batch q107 row for
+    * row.
+    *
+    * Scale posture: the collapsed (cells, ranges) row is tiny and
+    * broadcasts; the CODE frame is the served index — the stream-static
+    * equi-join on the probed cell is stateless and reads codes only
+    * (never corpus floats, q107's contract), with no broadcast hint
+    * (corpus-derived, unbounded). The only streaming state is the
+    * watermark-bounded per-query window aggregation that assembles the
+    * top-3 (a bounded collect_list: ≤ probed-cells × cell-occupancy
+    * candidates per query, then sliced to 3).
+    *
+    * `queries` columns: (q_id long, ts timestamp,
+    * embedding array<float>). `sfDir` locates the embeddings table the
+    * index is built from. Caches (stats + codes + index row) register
+    * with the defining thread's CacheScope — drain after the stream
+    * stops.
+    */
+  def annServeStream(
+      queries: DataFrame,
+      sfDir: String,
+      delay: String = "10 minutes"): DataFrame = {
+    import graft.queries.PackAnn
+    val s = queries.sparkSession
+    val (_, reps, ranges, codes) = PackAnn.sq8Parts(s, sfDir)
+    // collapse the index-side small frames to ONE row: every streamed
+    // query meets the whole coarse quantizer + ranges in one broadcast
+    val idx = graft.ops.CacheScope.persisted(
+      reps.agg(sort_array(collect_list(
+        struct(col("cell"), col("rv"), col("nb2")))).as("cs"))
+        .crossJoin(ranges))
+    queries.withWatermark("ts", delay)
+      .select(col("q_id"), col("ts"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+      .join(broadcast(idx)) // 1-row static index: stream-static cross
+      .withColumn("na2",
+        expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("sc", expr(
+        "transform(cs, c -> struct(" +
+          "aggregate(zip_with(qv, c.rv, (a, b) -> a * b), 0L," +
+          " (acc, x) -> acc + x) as dot, c.nb2 as nb2, c.cell as cell))"))
+      // top-2 cells by (score desc, cell): default struct sort on
+      // (-score, cell) — the window-free form of q107's probe rank
+      // na2 guards to 1 for a degenerate all-zero query vector (its dot
+      // is 0, so the score is 0 either way — but a serving stream must
+      // not die on junk input the batch side cannot even express)
+      .withColumn("top2", expr(
+        "slice(array_sort(transform(sc, t -> struct(" +
+          "-" + PackAnn.probeScoreOf("t.dot", "greatest(na2, 1L)", "t.nb2") +
+          " as negscore, t.cell as cell))), 1, 2)"))
+      .withColumn("qc", expr(PackAnn.encodeExpr.format("qv")))
+      .select(col("q_id"), col("ts"), col("qc"),
+        explode(expr("transform(top2, t -> t.cell)")).as("cell"))
+      .join(codes, Seq("cell")) // stream-static equi-join on the index
+      .select(col("q_id"), col("ts"), col("cell"), col("c_id"),
+        expr("aggregate(zip_with(code, qc, (a, b) -> (a - b) * (a - b))," +
+          " 0L, (acc, x) -> acc + x)").as("qdist"))
+      .groupBy(window(col("ts"), "1 hour"), col("q_id"))
+      .agg(expr("slice(array_sort(collect_list(" +
+        "struct(qdist, c_id, cell))), 1, 3)").as("top"))
+      .select(col("window.start").as("w_start"), col("q_id"),
+        posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("w_start"), col("q_id"), col("t.cell").as("cell"),
+        col("t.c_id").as("c_id"), col("t.qdist").as("qdist"),
+        (col("i") + 1).cast("int").as("rk"))
+  }
+
   /** The events table's on-disk schema when the driver writes ts as
     * parquet timestamp[ns] (arrives as long nanos under nanosAsLong —
     * see graft.queries.Tables.events). The r12 testdata regeneration

@@ -380,6 +380,62 @@ class StreamRestartSpec extends SparkSpec {
       "restarted stream must emit every doc exactly once with batch verdicts")
   }
 
+  test("ANN-serve window state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val qvecs = graft.queries.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+
+    val in = Files.createTempDirectory("as-in").toString
+    val out = Files.createTempDirectory("as-out").toString
+    val ckpt = Files.createTempDirectory("as-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("q_id", LongType), StructField("ts", TimestampType),
+      StructField("embedding", ArrayType(FloatType))))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def startQuery() = StreamOps.annServeStream(
+      spark.readStream.schema(schema).parquet(in), sf)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    // run 1: half the queries land mid-hour, nothing finalizes
+    val (b1, b2) = qvecs.splitAt(qvecs.length / 2)
+    b1.toSeq.map { case (id, v) => (id, ts("2024-01-01 00:10:00"), v) }
+      .toDF("q_id", "ts", "embedding").write.mode("append").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    graft.ops.CacheScope.drain()
+
+    // run 2: the rest + the sentinel — run-1 queries answer from
+    // RECOVERED state, against a freshly rebuilt (identical) index
+    (b2.toSeq.map { case (id, v) => (id, ts("2024-01-01 00:40:00"), v) } :+
+      ((999999L, ts("2024-01-01 05:00:00"), Seq.fill(64)(0.0f))))
+      .toDF("q_id", "ts", "embedding").write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    graft.ops.CacheScope.drain()
+
+    val got = spark.read.parquet(out)
+      .filter(col("q_id") =!= 999999L)
+      .select("q_id", "cell", "c_id", "qdist", "rk")
+      .as[(Long, Int, Long, Long, Int)].collect()
+      .sortBy(r => (r._1, r._5)).toSeq
+    val batch = graft.queries.Catalog.queries("q107_ann_pipeline")(spark, sf)
+      .select("q_id", "cell", "c_id", "qdist", "rk")
+      .as[(Long, Int, Long, Long, Int)].collect()
+      .sortBy(r => (r._1, r._5)).toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === batch,
+      "restarted serve stream must answer every query once, batch-exact")
+  }
+
   test("CMS counter state survives a checkpointed restart") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.col

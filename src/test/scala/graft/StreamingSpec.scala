@@ -292,6 +292,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serve: streamed queries get batch q107's answers exactly") {
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val qvecs = graft.queries.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val ms = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val q = StreamOps.annServeStream(
+      ms.toDF.toDF("q_id", "ts", "embedding"), sf, delay = "10 minutes")
+      .writeStream.format("memory").queryName("t_annserve")
+      .outputMode("append").start()
+    try {
+      // queries arrive across two micro-batches in one event hour — the
+      // index is static, so arrival order cannot matter
+      val (b1, b2) = qvecs.splitAt(qvecs.length / 2)
+      ms.addData(b1.map { case (id, v) => (id, ts("2024-01-01 00:10:00"), v) }.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.map { case (id, v) => (id, ts("2024-01-01 00:40:00"), v) }.toSeq: _*)
+      q.processAllAvailable()
+      // watermark sentinel finalizes the hour
+      ms.addData((999999L, ts("2024-01-01 05:00:00"), Seq.fill(64)(0.0f)))
+      q.processAllAvailable()
+      val got = spark.table("t_annserve")
+        .filter($"q_id" =!= 999999L)
+        .select("q_id", "cell", "c_id", "qdist", "rk")
+        .as[(Long, Int, Long, Long, Int)].collect().sortBy(r => (r._1, r._5)).toSeq
+      val batch = graft.queries.Catalog.queries("q107_ann_pipeline")(spark, sf)
+        .select("q_id", "cell", "c_id", "qdist", "rk")
+        .as[(Long, Int, Long, Long, Int)].collect().sortBy(r => (r._1, r._5)).toSeq
+      graft.ops.CacheScope.drain()
+      assert(batch.nonEmpty)
+      assert(got === batch,
+        "the serving twin must reproduce batch q107's search exactly")
+    } finally q.stop()
+  }
+
   test("file-source streaming twin of Tables.events reads the testdata") {
     val dir = "/root/testdata/sf0.001"
     // copy events.parquet into an isolated stream dir so the file source
