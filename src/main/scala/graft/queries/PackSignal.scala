@@ -500,5 +500,82 @@ object PackSignal {
       "island-merged to the minimal disjoint token-range cover per doc; " +
       "span-keyed df fold, doc-partitioned interval windows")
 
-  val all: Seq[Q] = Seq(q81, q82, q84, q85, q89, q102, q104)
+  /** q108 — per-source DISTRIBUTION DRIFT: the total-variation distance
+    * between each source's token distribution and the corpus-wide one,
+    * in exact basis points — the mixture-health monitor a multi-source
+    * corpus watches next to q100's embedding drift (a source whose
+    * unigram distribution swings away from the corpus is the one whose
+    * crawl changed under you) and the model-free sibling of q82's DSIR
+    * ratios. TV is chosen over KL/JS deliberately: it needs no
+    * logarithm, so the whole statistic is exact integer arithmetic and
+    * the oracle hash-gates it (MEMORY: float ties differ across
+    * engines; ln(x) differs across libm builds).
+    *
+    * Exactness device: TV = ½·Σ_t |p_t − q_t| over the FULL vocabulary.
+    * Present tokens contribute |cnt_st·N − n_t·n_s| (common denominator
+    * n_s·N — no division before the final scale); tokens ABSENT from
+    * the source contribute n_t·n_s each, and their total needs no
+    * complement scan: Σ_absent n_t = N − Σ_present n_t. Products reach
+    * n_s·N ≈ 10²⁸ at corpus scale, so the fold runs in decimal(38,0) /
+    * HUGEINT unconditionally (q69's overflow posture).
+    *
+    * Plan shape: ONE corpus token pass folds to the (source, tok) count
+    * frame (map-side partial agg; the only corpus-sized exchange); the
+    * global per-token frame RE-FOLDS from it (q100's cells device — no
+    * second corpus pass) as do both totals; the drift fold runs at
+    * vocab cardinality on the token-keyed join of the two count frames,
+    * with the source totals and the 1-row corpus total broadcast back.
+    * Shard (source, tok) counts merge by addition, so the same fold
+    * runs per-executor at 100 TB and merges in one reduce.
+    */
+  private val q108 = Q(
+    "q108_source_divergence",
+    (s, d) => {
+      val st = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(col("source"), explode(toks).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("cnt")))
+      val glob = st.groupBy("tok").agg(sum("cnt").as("n_t"))
+      val perSrc = st.groupBy("source").agg(sum("cnt").as("n_s"))
+      val total = perSrc.agg(sum("n_s").as("nn"))
+      st.join(glob, "tok")
+        .join(broadcast(perSrc), "source")
+        .crossJoin(broadcast(total))
+        .groupBy("source")
+        .agg(max("n_s").as("n_s"), max("nn").as("nn"),
+          sum(expr("abs(cast(cnt as decimal(38,0)) * nn" +
+            " - cast(n_t as decimal(38,0)) * n_s)")).as("present"),
+          sum(expr("cast(n_t as decimal(38,0))")).as("seen"))
+        .select(col("source"), col("n_s").as("n_toks"),
+          expr("cast((present + (cast(nn as decimal(38,0)) - seen) * n_s)" +
+            " * 10000 div (2 * cast(n_s as decimal(38,0)) * nn)" +
+            " as bigint)").as("tv_bp"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH t AS (SELECT source, unnest(list_filter(
+                   string_split_regex(lower(text), '\W+'),
+                   x -> len(x) > 0)) AS tok FROM documents),
+      st AS (SELECT source, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+      g AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS n_t FROM st GROUP BY tok),
+      ps AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM st GROUP BY source),
+      tt AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn FROM ps),
+      f AS (SELECT st.source, ps.n_s, tt.nn,
+                   sum(abs(CAST(st.cnt AS HUGEINT) * tt.nn
+                           - CAST(g.n_t AS HUGEINT) * ps.n_s)) AS present,
+                   sum(CAST(g.n_t AS HUGEINT)) AS seen
+            FROM st JOIN g USING (tok) JOIN ps USING (source) CROSS JOIN tt
+            GROUP BY 1, 2, 3)
+      SELECT source, n_s AS n_toks,
+             CAST((present + (CAST(nn AS HUGEINT) - seen) * n_s) * 10000 //
+                  (2 * CAST(n_s AS HUGEINT) * nn) AS BIGINT) AS tv_bp
+      FROM f ORDER BY source
+    """),
+    doc = "per-source total-variation drift from the corpus token " +
+      "distribution, exact basis points: one corpus token pass, global " +
+      "frame re-folded from the (source, tok) counts, drift fold at " +
+      "vocab cardinality with totals broadcast — log-free by design " +
+      "so the sketch-to-oracle gate is a hash, not a tolerance")
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85, q89, q102, q104, q108)
 }

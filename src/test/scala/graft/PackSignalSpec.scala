@@ -232,4 +232,32 @@ class PackSignalSpec extends SparkSpec {
     assert(got.exists(_._4 === 1L), "no digit-run mask observed")
     assert(got.exists(_._4 >= 5L), "no boilerplate-span mask observed")
   }
+
+  test("q108: TV drift agrees with an exact full-support recount") {
+    val bySource = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect().toSeq
+      .flatMap { case (src, t) =>
+        t.toLowerCase.split("\\W+").filter(_.nonEmpty).map(src -> _)
+      }
+    val st = bySource.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nT = bySource.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nS = bySource.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nn = BigInt(bySource.size)
+    // the naive definition, summed over the FULL vocabulary per source —
+    // including tokens the source never contains
+    val expect = nS.keys.toSeq.sorted.map { src =>
+      val ns = BigInt(nS(src))
+      // keysIterator, NOT keys.map: mapping a Set with a non-injective
+      // function dedups equal per-token contributions before the sum
+      val num = nT.keysIterator.map { tok =>
+        (BigInt(st.getOrElse((src, tok), 0L)) * nn - BigInt(nT(tok)) * ns).abs
+      }.sum
+      (src, nS(src), (num * 10000 / (2 * ns * nn)).toLong)
+    }
+    val got = run("q108_source_divergence").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(got === expect)
+    assert(got.exists(_._3 > 0L),
+      "sources must diverge from the corpus mixture at this sf")
+  }
 }

@@ -433,6 +433,25 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q108: one corpus token pass — global frame re-folds from the " +
+    "cached (source, tok) counts; totals broadcast") {
+    val p = plan("q108_source_divergence")
+    try {
+      // exactly ONE scoped cache: the (source, tok) count frame, read by
+      // the drift join AND re-folded into the global/total frames — a
+      // second corpus pass would show as a second cache or scan
+      assert(graft.ops.CacheScope.liveCount === 1,
+        s"expected only the (source, tok) count frame cached")
+      assert(p.contains("InMemoryTableScan"),
+        s"global/total frames must re-fold from the cached counts:\n$p")
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"the source totals / 1-row corpus total must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"cartesian in the drift fold:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q79: BPE rounds iterate over cached vocab frames; merges broadcast") {
     val p = plan("q79_bpe_iterate")
     try {
