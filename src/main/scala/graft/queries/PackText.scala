@@ -113,5 +113,79 @@ object PackText {
     """),
     doc = "tokenize + token/document frequency")
 
-  val all: Seq[Q] = Seq(q24, q25, q26)
+  /** q109 — the DEDUP AUDIT report: the cluster-size histogram of q24's
+    * exact-dup groups with the char mass each size class would save —
+    * the "dedup pressure" dashboard every corpus build reads before
+    * spending the near-dup budget (a corpus whose duplicates sit in a
+    * few huge clusters dedups cheaply; one whose mass hides in
+    * millions of pairs needs the q27/q78 machinery). One row per
+    * observed cluster size: how many clusters, how many documents, how
+    * many of them are duplicates, and the characters dropped if each
+    * cluster keeps its min-doc_id representative (q24's keeper rule —
+    * the SAME rule, so this audit is exactly the mass q24 removes).
+    *
+    * The driver corpus carries no byte-identical pairs, so the audit
+    * plants its own (q88's device): docs with id%50=1 re-enter once
+    * (clusters of 2) and docs with id%100=51 re-enter twice (clusters
+    * of 3) under remapped high ids — every size class observable and
+    * assertable at every sf.
+    *
+    * Scale posture: the only corpus-sized exchange is the uniform sha2
+    * groupBy (q24's shuffle, partial-aggregated map-side); the
+    * histogram RE-FOLDS from the cluster frame at cluster cardinality
+    * (q100's device) and is itself ≤ max-cluster-size rows. Everything
+    * is exact integers — the oracle hash-gates the report.
+    */
+  private val q109 = Q(
+    "q109_dedup_audit",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+      base
+        .unionByName(base.filter(col("doc_id") % 50 === 1)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            col("n_chars"), col("text")))
+        .unionByName(base.filter(col("doc_id") % 100 === 51)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            col("n_chars"), col("text")))
+        .select(sha2(col("text"), 256).as("h"), col("doc_id"),
+          col("n_chars"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("k"), sum("n_chars").as("tot"),
+          min(struct(col("doc_id"), col("n_chars"))).as("keep"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(expr("tot - keep.n_chars")).as("chars_dropped"))
+        .select(col("k").as("cluster_size"), col("n_clusters"),
+          (col("k") * col("n_clusters")).as("n_docs"),
+          ((col("k") - 1) * col("n_clusters")).as("n_dups"),
+          col("chars_dropped"))
+        .orderBy("cluster_size")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, n_chars, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000, n_chars, text FROM documents
+        WHERE doc_id % 50 = 1
+        UNION ALL
+        SELECT doc_id + 700000, n_chars, text FROM documents
+        WHERE doc_id % 100 = 51),
+      cl AS (
+        SELECT sha256(text) AS h, count(*) AS k,
+               CAST(sum(n_chars) AS BIGINT) AS tot,
+               CAST(min_by(n_chars, doc_id) AS BIGINT) AS kept
+        FROM u GROUP BY sha256(text))
+      SELECT k AS cluster_size, count(*) AS n_clusters,
+             CAST(k * count(*) AS BIGINT) AS n_docs,
+             CAST((k - 1) * count(*) AS BIGINT) AS n_dups,
+             CAST(sum(tot - kept) AS BIGINT) AS chars_dropped
+      FROM cl GROUP BY k ORDER BY cluster_size
+    """),
+    doc = "dedup audit: cluster-size histogram of the exact-dup groups " +
+      "with per-size-class char savings under q24's min-doc_id keeper " +
+      "rule — one uniform sha2 exchange, histogram re-folded at " +
+      "cluster cardinality")
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q109)
 }
