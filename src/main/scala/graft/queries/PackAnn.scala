@@ -278,5 +278,128 @@ object PackAnn {
       "-> SQ8 range-learn/encode from one cached stats pass -> top-3 " +
       "search entirely on the cached code frame within probed cells")
 
-  val all: Seq[Q] = Seq(q33, q107)
+  /** q110 — HARD-NEGATIVE mining: for every corpus vector, the most
+    * similar vector carrying a DIFFERENT label — the contrastive-
+    * training data op (retrieval/embedding training wants negatives
+    * that are nearly positives; random negatives teach nothing). The
+    * probe structure is q107's IVF machinery pointed at its own corpus:
+    * each vector ranks the FOREIGN cells by centroid cosine, probes its
+    * top-2 (multi-probe — q83's boundary-recall device), and takes the
+    * exact-cosine argmax among their members. Output: one row per
+    * vector with its hard negative and the signed squared cosine in
+    * 1e-8 units (sign·cos² is monotonic in cos, so the argmax is the
+    * true cosine argmax — the no-sqrt exact-integer device).
+    *
+    * Scale posture: centroid sums broadcast (cell cardinality); the
+    * pairing work is bounded at 2 foreign cells × cell occupancy per
+    * vector (SemDeDup's fan-out contract — never corpus × corpus); the
+    * per-vector argmax rides the literal rk = 1 WindowGroupLimit below
+    * its exchange; all arithmetic exact integers (dot² ≈ 10²² →
+    * decimal(38,0) / HUGEINT), so the oracle hash-gates the mining.
+    *
+    * Recall honesty (measured, PackClusterSpec): the driver's synthetic
+    * embeddings are near-uniform, so bounded-probe single-NN recall is
+    * inherently low on THIS data (~0.3 here; even geometric k-means
+    * cells only reach ~0.5 at probe = 2) — real embedding corpora
+    * cluster, which is why IVF probing earns its keep in production.
+    * The oracle gates the DEFINED approximate semantics exactly; the
+    * spec re-derives probed cells + argmax independently and keeps a
+    * diagnostic recall floor.
+    */
+  private val q110 = Q(
+    "q110_hard_negatives",
+    (s, d) => {
+      val m = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      // one stats pass: per-(cell, dim) centroid sums (mergeable)
+      val reps = m
+        .select(col("label").as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(sum("x").as("sv"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("sv")))),
+          t => t("sv")).as("rv"))
+        .withColumn("nb2", expr("aggregate(rv, 0L, (acc, x) -> acc + x * x)"))
+      val probeW = Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("cell"))
+      val probed = m
+        .withColumn("na2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+        .crossJoin(broadcast(reps))
+        .filter(col("cell") =!= col("label")) // FOREIGN cells only
+        .withColumn("dot",
+          expr("aggregate(zip_with(v, rv, (a, b) -> a * b), 0L," +
+            " (acc, x) -> acc + x)"))
+        .withColumn("score", expr(probeScoreExpr))
+        .withColumn("cr", row_number().over(probeW))
+        .filter(col("cr") <= 2)
+        .select(col("vec_id"), col("label"), col("v"), col("na2"), col("cell"))
+      val negW = Window.partitionBy("vec_id")
+        .orderBy(col("sim_e8").desc, col("neg_id"))
+      probed.join(m.select(col("vec_id").as("neg_id"),
+        col("label").as("cell"), col("v").as("nv")), Seq("cell"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(v, nv, (a, b) -> a * b), 0L," +
+            " (acc, x) -> acc + x)"))
+        .withColumn("nb2",
+          expr("aggregate(nv, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("sim_e8", expr(probeScoreExpr))
+        .withColumn("rk", row_number().over(negW))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("label"),
+          col("neg_id"), col("cell").as("neg_label"), col("sim_e8"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH m AS (SELECT vec_id, label,
+                   list_transform(cast(embedding AS DOUBLE[]),
+                     x -> CAST(round(x * 1000) AS BIGINT)) AS v
+                 FROM embeddings),
+      me AS (SELECT vec_id, label, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS dim FROM m),
+      ce AS (SELECT label AS cell, dim, CAST(sum(x) AS BIGINT) AS sv
+             FROM me GROUP BY 1, 2),
+      na AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS na2
+             FROM me GROUP BY 1),
+      nb AS (SELECT cell, CAST(sum(sv * sv) AS BIGINT) AS nb2
+             FROM ce GROUP BY 1),
+      pd AS (SELECT me.vec_id, ce.cell, CAST(sum(me.x * ce.sv) AS BIGINT) AS dot
+             FROM me JOIN ce ON me.dim = ce.dim AND ce.cell <> me.label
+             GROUP BY 1, 2),
+      ps AS (SELECT pd.vec_id, pd.cell,
+                    (CASE WHEN pd.dot < 0 THEN -1 ELSE 1 END) *
+                      ((CAST(pd.dot AS HUGEINT) * pd.dot * 100000000) //
+                       (CAST(na.na2 AS HUGEINT) * nb.nb2)) AS score
+             FROM pd JOIN na USING (vec_id) JOIN nb USING (cell)),
+      pr AS (SELECT vec_id, cell FROM (
+               SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, cell) AS cr FROM ps) WHERE cr <= 2),
+      pairs AS (SELECT pr.vec_id, mm.vec_id AS neg_id, mm.label AS neg_label
+                FROM pr JOIN m mm ON mm.label = pr.cell),
+      pdot AS (SELECT p.vec_id, p.neg_id, p.neg_label,
+                      CAST(sum(a.x * b.x) AS BIGINT) AS dot
+               FROM pairs p
+               JOIN me a ON a.vec_id = p.vec_id
+               JOIN me b ON b.vec_id = p.neg_id AND b.dim = a.dim
+               GROUP BY 1, 2, 3),
+      sims AS (SELECT pdot.vec_id, m1.label, pdot.neg_id, pdot.neg_label,
+                      CAST((CASE WHEN pdot.dot < 0 THEN -1 ELSE 1 END) *
+                        ((CAST(pdot.dot AS HUGEINT) * pdot.dot * 100000000) //
+                         (CAST(na.na2 AS HUGEINT) * nb2.na2)) AS BIGINT)
+                        AS sim_e8
+               FROM pdot
+               JOIN m m1 ON m1.vec_id = pdot.vec_id
+               JOIN na ON na.vec_id = pdot.vec_id
+               JOIN na nb2 ON nb2.vec_id = pdot.neg_id),
+      r AS (SELECT vec_id, label, neg_id, neg_label, sim_e8,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY sim_e8 DESC, neg_id) AS rk FROM sims)
+      SELECT vec_id, label, neg_id, neg_label, sim_e8
+      FROM r WHERE rk = 1 ORDER BY vec_id
+    """),
+    doc = "hard-negative mining: per vector, the exact-cosine argmax " +
+      "among its top-2 FOREIGN IVF cells — broadcast centroid probe, " +
+      "pairing bounded at 2 cells x occupancy, rk=1 WindowGroupLimit, " +
+      "signed squared cosine in 1e-8 units (exact integers)")
+
+  val all: Seq[Q] = Seq(q33, q107, q110)
 }
