@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object PackSignal {
 
-  /** Shared tokenizer — identical to q38/q48/q68's (parity proven there). */
-  private def toks = filter(split(lower(col("text")), "\\W+"),
+  /** Shared tokenizer — identical to q38/q48/q68's (parity proven there).
+    * Package-visible: the q111 streaming drift twin
+    * ([[graft.streaming.StreamOps]] `driftStream`) must tokenize with
+    * the identical kernel or stream and batch readouts diverge.
+    */
+  private[graft] def toks = filter(split(lower(col("text")), "\\W+"),
     t => length(t) > 0)
 
   /** q81 — n-gram novelty: for each document, the share of its DISTINCT
@@ -100,7 +104,7 @@ object PackSignal {
     * HUGEINT unconditionally (q69's overflow lesson: 10⁴·n_tgt·R wraps
     * BIGINT past ~10¹⁴ corpus tokens).
     */
-  private val NB = 64 // feature buckets
+  private[graft] val NB = 64 // feature buckets (q82, q111, driftStream)
 
   /** Native codegen'd token hash ([[graft.expr.PolyTokenHash]]) — the HOF
     * form was three nested CodegenFallback exprs per token, paid on both
@@ -108,7 +112,7 @@ object PackSignal {
     * it as a list HOF, and PackSignalSpec's in-memory twin re-derives it
     * via `PolyHash.tokenHash`).
     */
-  private def bucketCol: org.apache.spark.sql.Column =
+  private[graft] def bucketCol: org.apache.spark.sql.Column =
     org.apache.spark.sql.graftglue.ExprGlue.column(graft.expr.PolyTokenHash(
       org.apache.spark.sql.graftglue.ExprGlue.expression(col("tok"))))
       .%(NB)
@@ -577,5 +581,72 @@ object PackSignal {
       "vocab cardinality with totals broadcast — log-free by design " +
       "so the sketch-to-oracle gate is a hash, not a tolerance")
 
-  val all: Seq[Q] = Seq(q81, q82, q84, q85, q89, q102, q104, q108)
+  /** q111 — BUCKETED distribution drift: q108's total-variation monitor
+    * computed over the 64 explicit hash buckets of q82's feature space
+    * instead of the full vocabulary — the FIXED-FOOTPRINT form (64
+    * cells per source whatever the vocab), which is the 100 TB swap-in
+    * when the vocabulary doesn't fit (q44↔q42's pairing applied to
+    * drift) and the form the STREAMING monitor can hold as state
+    * ([[graft.streaming.StreamOps]] `driftStream` is its twin — 64
+    * longs per source, no watermark needed, q93's bounded-state
+    * argument). Hash collapse only LOWERS measured TV (buckets merge
+    * mass), so the bucketed readout is a sound screening monitor: a
+    * source flagged here has drifted at least that much in vocab space.
+    *
+    * Same exactness device as q108 (common denominator, absent-bucket
+    * complement via Σ_absent r_b = R − Σ_present r_b), same one-pass /
+    * re-fold plan shape — but every frame after the token pass is ≤ 64
+    * rows per source.
+    */
+  private val q111 = Q(
+    "q111_bucket_drift",
+    (s, d) => {
+      val sb = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(col("source"), explode(toks).as("tok"))
+          .withColumn("b", bucketCol)
+          .groupBy("source", "b").agg(count(lit(1)).as("cnt")))
+      val ref = sb.groupBy("b").agg(sum("cnt").as("r_b"))
+      val perSrc = sb.groupBy("source").agg(sum("cnt").as("n_s"))
+      val total = perSrc.agg(sum("n_s").as("rr"))
+      sb.join(ref, "b")
+        .join(broadcast(perSrc), "source")
+        .crossJoin(broadcast(total))
+        .groupBy("source")
+        .agg(max("n_s").as("n_s"), max("rr").as("rr"),
+          sum(expr("abs(cast(cnt as decimal(38,0)) * rr" +
+            " - cast(r_b as decimal(38,0)) * n_s)")).as("present"),
+          sum(expr("cast(r_b as decimal(38,0))")).as("seen"))
+        .select(col("source"), col("n_s").as("n_toks"),
+          expr("cast((present + (cast(rr as decimal(38,0)) - seen) * n_s)" +
+            " * 10000 div (2 * cast(n_s as decimal(38,0)) * rr)" +
+            " as bigint)").as("tv_bp"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH t AS (SELECT source, unnest(list_filter(
+                   string_split_regex(lower(text), '\\W+'),
+                   x -> len(x) > 0)) AS tok FROM documents),
+      sb AS (SELECT source, $bucketSql AS b, count(*) AS cnt
+             FROM t GROUP BY 1, 2),
+      g AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS r_b FROM sb GROUP BY b),
+      ps AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM sb GROUP BY source),
+      tt AS (SELECT CAST(sum(n_s) AS BIGINT) AS rr FROM ps),
+      f AS (SELECT sb.source, ps.n_s, tt.rr,
+                   sum(abs(CAST(sb.cnt AS HUGEINT) * tt.rr
+                           - CAST(g.r_b AS HUGEINT) * ps.n_s)) AS present,
+                   sum(CAST(g.r_b AS HUGEINT)) AS seen
+            FROM sb JOIN g USING (b) JOIN ps USING (source) CROSS JOIN tt
+            GROUP BY 1, 2, 3)
+      SELECT source, n_s AS n_toks,
+             CAST((present + (CAST(rr AS HUGEINT) - seen) * n_s) * 10000 //
+                  (2 * CAST(n_s AS HUGEINT) * rr) AS BIGINT) AS tv_bp
+      FROM f ORDER BY source
+    """),
+    doc = "bucketed TV drift: q108 over q82's 64 explicit hash buckets " +
+      "— fixed 64-cell footprint per source (the vocab-free 100 TB " +
+      "swap-in and the state the streaming monitor holds); hash " +
+      "collapse only lowers TV, so flagged drift is a lower bound")
+
+  val all: Seq[Q] = Seq(q81, q82, q84, q85, q89, q102, q104, q108, q111)
 }

@@ -600,6 +600,73 @@ object StreamOps {
       }.toDF()
   }
 
+  final case class DriftRow(g: String, b: Long)
+  /** Per-source drift state: the 64 bucket counters — fixed footprint
+    * whatever streams past (q93's bounded-state argument), so no
+    * watermark/eviction is needed.
+    */
+  final case class DriftState(counts: Seq[Long])
+  final case class DriftReadout(source: String, n_toks: Long, tv_bp: Long)
+
+  /** Streaming twin of q111's bucketed distribution drift: documents
+    * stream in, each source's 64 bucket counters maintain themselves as
+    * flatMapGroupsWithState state, and every micro-batch emits the
+    * source's refreshed total-variation distance against a STATIC
+    * reference corpus — the production drift monitor: the reference mix
+    * is computed once, the crawl arrives forever, and the dashboard
+    * wants "how far has source X drifted from the reference" after
+    * every batch.
+    *
+    * The kernel is literally q111's (`PackSignal.toks` / `bucketCol` —
+    * the explicit PolyHash feature space, and the identical
+    * full-support TV algebra in exact BigInt), so stream and batch
+    * readouts agree when the stream replays the reference corpus
+    * (pinned by the MemoryStream test). The reference histogram is 64
+    * longs COLLECTED driver-side — the fixed-footprint exception
+    * (1-row-manifest class): it rides into the stateful function as a
+    * closure, the one way a mapGroups function can see it.
+    *
+    * Self-drift convention matches q111: when the stream replays the
+    * reference itself, a source's TV measures its distance from the
+    * corpus-wide mixture — the same readout q111 gates.
+    */
+  def driftStream(docs: DataFrame, reference: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.queries.PackSignal
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val nb = PackSignal.NB
+    val refArr = Array.fill(nb)(0L)
+    reference.select(explode(PackSignal.toks).as("tok"))
+      .select(PackSignal.bucketCol.as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+      .foreach { case (b, n) => refArr(b.toInt) = n }
+    val rr = BigInt(refArr.sum)
+    docs
+      .select(col("source").as("g"), explode(PackSignal.toks).as("tok"))
+      .select(col("g"), PackSignal.bucketCol.as("b"))
+      .as[DriftRow]
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[DriftState, DriftReadout](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g, rows, state) =>
+          val counts = state.getOption
+            .map(_.counts.toArray).getOrElse(Array.fill(nb)(0L))
+          rows.foreach(r => counts(r.b.toInt) += 1)
+          state.update(DriftState(counts.toVector))
+          val ns = BigInt(counts.sum)
+          // q111's exact full-support TV: here the complement needs no
+          // algebraic trick — the state IS the full 64-cell support
+          val present = (0 until nb).map(i =>
+            (BigInt(counts(i)) * rr - BigInt(refArr(i)) * ns).abs).sum
+          val tv =
+            if (ns == 0 || rr == 0) 0L
+            else (present * 10000 / (2 * ns * rr)).toLong
+          Iterator.single(DriftReadout(g, counts.sum, tv))
+      }.toDF()
+  }
+
   /** Stateful streaming dedup: first occurrence of `keys` wins; state for
     * a key is dropped once the watermark passes it (bounded state — the
     * streaming form of F4's seen-set, extract.py:87-97).

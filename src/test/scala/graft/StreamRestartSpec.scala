@@ -531,6 +531,55 @@ class StreamRestartSpec extends SparkSpec {
       "restarted sketch must merge recovered bin state with new rows")
   }
 
+  test("drift bucket-counter state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val reference = graft.queries.Tables.documents(spark, sf)
+    val docs = reference.select(col("source"), col("text"))
+      .as[(String, String)].collect()
+    // uninterrupted ground truth: the gated batch query itself
+    val expected = graft.queries.Catalog.queries("q111_bucket_drift")(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    graft.ops.CacheScope.drain()
+
+    val in = Files.createTempDirectory("drift-in").toString
+    val ckpt = Files.createTempDirectory("drift-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("text", StringType)))
+    val latest = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, Long)]
+    def startQuery() = StreamOps.driftStream(
+      spark.readStream.schema(schema).parquet(in), reference)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          latest(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+      }.start()
+
+    // run 1: half the corpus lands in the bucket counters, then the
+    // query stops — partial counts live only in the checkpointed state
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    b1.toSeq.toDF("source", "text").write.mode("append").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    graft.ops.CacheScope.drain()
+
+    // run 2: the other half arrives after restart; lost state would
+    // deflate n_toks and skew every source's TV readout
+    b2.toSeq.toDF("source", "text").write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    graft.ops.CacheScope.drain()
+    assert(latest.toMap === expected,
+      "restarted monitor must merge recovered bucket counters with new rows")
+  }
+
   test("KMV bottom-k state survives a checkpointed restart") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.col

@@ -631,6 +631,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift equals batch q111 when the stream replays the reference") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val reference = graft.queries.Tables.documents(spark, sf)
+    val docs = reference.select($"source", $"text")
+      .as[(String, String)].collect()
+    val latest = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, Long)]
+    val ms = MemoryStream[(String, String)]
+    val q = StreamOps.driftStream(
+      ms.toDF.toDF("source", "text"), reference)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          latest(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+      }.start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val afterAll = latest.toMap
+      val exp = graft.queries.Catalog.queries("q111_bucket_drift")(spark, sf)
+        .select(col("source"), col("n_toks"), col("tv_bp"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      graft.ops.CacheScope.drain()
+      assert(afterAll === exp,
+        "streamed drift readout must equal batch q111 per source")
+      assert(exp.values.exists(_._2 > 0L),
+        "sources must measurably drift from the reference mix at this sf")
+    } finally q.stop()
+  }
+
   test("streaming KMV equals batch q106; re-insertion is a no-op") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.col
