@@ -452,6 +452,21 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q111: one corpus token pass — reference histogram re-folds from " +
+    "the cached (source, bucket) counts") {
+    val p = plan("q111_bucket_drift")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        s"expected only the (source, bucket) count frame cached")
+      assert(p.contains("InMemoryTableScan"),
+        s"reference/total frames must re-fold from the cached counts:\n$p")
+      assert(p.contains("poly_token_hash"),
+        s"bucketing must be the native codegen'd hash, not a HOF:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"cartesian in the drift fold:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q79: BPE rounds iterate over cached vocab frames; merges broadcast") {
     val p = plan("q79_bpe_iterate")
     try {
