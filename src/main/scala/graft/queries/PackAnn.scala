@@ -335,14 +335,34 @@ object PackAnn {
         .select(col("vec_id"), col("label"), col("v"), col("na2"), col("cell"))
       val negW = Window.partitionBy("vec_id")
         .orderBy(col("sim_e8").desc, col("neg_id"))
-      probed.join(m.select(col("vec_id").as("neg_id"),
-        col("label").as("cell"), col("v").as("nv")), Seq("cell"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(v, nv, (a, b) -> a * b), 0L," +
-            " (acc, x) -> acc + x)"))
+      // candidate side carries its squared norm PRECOMPUTED (once per
+      // vector, not once per pair), and the per-pair dot is the native
+      // codegen'd long_dot — the HOF form measured ~22 s at sf0.1
+      val negs = m.select(col("vec_id").as("neg_id"),
+        col("label").as("cell"), col("v").as("nv"))
         .withColumn("nb2",
-          expr("aggregate(nv, 0L, (acc, x) -> acc + x * x)"))
-        .withColumn("sim_e8", expr(probeScoreExpr))
+          org.apache.spark.sql.graftglue.ExprGlue.column(graft.expr.LongDot(
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("nv")),
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("nv")))))
+      probed.join(negs, Seq("cell"))
+        .withColumn("dot",
+          org.apache.spark.sql.graftglue.ExprGlue.column(graft.expr.LongDot(
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("v")),
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("nv")))))
+        // per-pair score via the native exact Long kernel (graft.expr
+        // .SimE8) — the decimal form allocates a BigDecimal per pair and
+        // measured as the dominant candidate-stage cost; pair-stage
+        // magnitudes sit ~200× inside SimE8's contract
+        .withColumn("sim_e8",
+          org.apache.spark.sql.graftglue.ExprGlue.column(graft.expr.SimE8(
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("dot")),
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("na2")),
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("nb2")))))
+        // drop both 64-long vectors BEFORE the rank: the window's sort
+        // (and the partial WindowGroupLimit's shuffle) must carry five
+        // scalars per candidate, not five scalars plus two arrays
+        .select(col("vec_id"), col("label"), col("neg_id"), col("cell"),
+          col("sim_e8"))
         .withColumn("rk", row_number().over(negW))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("label"),

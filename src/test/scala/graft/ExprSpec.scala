@@ -181,4 +181,38 @@ class ExprSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), s"plan lost codegen:\n$p")
     assert(df.count() === 10)
   }
+
+  test("long_dot matches the HOF form; sim_e8 matches the decimal form") {
+    import org.apache.spark.sql.graftglue.ExprGlue
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextInt(1201).toLong - 600),
+      Seq.fill(64)(rnd.nextInt(1201).toLong - 600)))
+    val df = rows.toDF("a", "b")
+      .withColumn("dot_hof",
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L," +
+          " (acc, x) -> acc + x)"))
+      .withColumn("dot_native", ExprGlue.column(graft.expr.LongDot(
+        ExprGlue.expression(col("a")), ExprGlue.expression(col("b")))))
+      .withColumn("na2", ExprGlue.column(graft.expr.LongDot(
+        ExprGlue.expression(col("a")), ExprGlue.expression(col("a")))))
+      .withColumn("nb2", ExprGlue.column(graft.expr.LongDot(
+        ExprGlue.expression(col("b")), ExprGlue.expression(col("b")))))
+      .withColumn("sim_dec", expr(
+        "cast((case when dot_hof < 0 then -1 else 1 end) *" +
+          " ((cast(dot_hof as decimal(38,0)) * dot_hof * 100000000)" +
+          " div (cast(na2 as decimal(38,0)) * nb2)) as bigint)"))
+      .withColumn("sim_native", ExprGlue.column(graft.expr.SimE8(
+        ExprGlue.expression(col("dot_native")),
+        ExprGlue.expression(col("na2")),
+        ExprGlue.expression(col("nb2")))))
+    val bad = df.filter(col("dot_hof") =!= col("dot_native") ||
+      col("sim_dec") =!= col("sim_native")).count()
+    assert(bad === 0L,
+      "native long_dot/sim_e8 must equal the composable forms exactly")
+    // the base-100 carry is exact at the contract boundary too
+    assert(graft.expr.SimE8.compute(1L, 1L, 1L) === 100000000L)
+    assert(graft.expr.SimE8.compute(-3L, 3L, 3L) === -100000000L)
+    assert(graft.expr.SimE8.compute(1L, 3L, 1L) === 33333333L)
+  }
 }
