@@ -452,11 +452,21 @@ object PackCluster {
           col("v").as("v2"), col("n2").as("n2b")), "cid")
         .filter(col("vec_id") < col("vec_id2"))
         .select(col("vec_id"), col("vec_id2"), col("n2"), col("n2b"),
-          aggregate(zip_with(col("v"), col("v2"), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x).as("dot"))
-        .filter(col("dot") > 0 && expr(
-          s"cast(dot as decimal(38,0)) * dot * 100000000 >= " +
-            s"cast($SdBp as decimal(38,0)) * $SdBp * n2 * n2b"))
+          // native per-pair dot + exact 1e-8 score (q110's r13 kernels:
+          // the HOF/decimal forms pay interpreted lambdas and a
+          // BigDecimal per pair); cos ≥ 0.95 ⟺ sim_e8 ≥ 9500² exactly
+          // (floor(x/y) ≥ t ⟺ x ≥ t·y on integers), so the verdict
+          // set — and the oracle hash — is bit-identical
+          org.apache.spark.sql.graftglue.ExprGlue.column(graft.expr.LongDot(
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("v")),
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("v2"))))
+            .as("dot"))
+        .filter(col("dot") > 0 &&
+          org.apache.spark.sql.graftglue.ExprGlue.column(graft.expr.SimE8(
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("dot")),
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("n2")),
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("n2b"))))
+            >= lit(SdBp * SdBp))
         .groupBy("vec_id2").agg(min("vec_id").as("dup_of"))
       av.filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cluster"))
         .join(dupOf.withColumnRenamed("vec_id2", "vec_id"), Seq("vec_id"), "left")
