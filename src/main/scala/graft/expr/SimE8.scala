@@ -17,10 +17,14 @@ import org.apache.spark.sql.types._
   * kernel is exact and allocation-free, and the expression stays inside
   * whole-stage codegen.
   *
-  * CALLER CONTRACT: dot², na2·nb2, AND na2·nb2·100 must all fit in a
-  * Long — vectors of ≤ 64 dims in milli-units ≤ ~2·10³ per dim
-  * (na2, nb2 ≤ ~2.6·10⁸ → denominator ≤ ~7·10¹⁶, two orders inside the
-  * ·100 carry step). q110's pair stage satisfies it with ~200× margin
+  * CALLER CONTRACT: na2·nb2·100 must fit in a Long — vectors of ≤ 64
+  * dims in milli-units ≤ ~2·10³ per dim (na2, nb2 ≤ ~2.6·10⁸ →
+  * denominator ≤ ~7·10¹⁶, two orders inside the ·100 carry step). When
+  * (dot, na2, nb2) come from real vectors, Cauchy–Schwarz gives
+  * dot² ≤ na2·nb2, so dot² fits whenever the denominator does and the
+  * quotient stays ≤ 10⁸ through every carry step (ExprSpec fuzzes the
+  * full realizable envelope, boundary inclusive, against BigInt).
+  * q110/q83's pair stages satisfy the contract with ~200× margin
   * (|x| ≤ ~600 milli-units in the driver embeddings). The centroid-sum
   * probe stage does NOT (cell sums push na2·nb2 past 2⁶³) and keeps the
   * decimal form.

@@ -215,4 +215,42 @@ class ExprSpec extends SparkSpec {
     assert(graft.expr.SimE8.compute(-3L, 3L, 3L) === -100000000L)
     assert(graft.expr.SimE8.compute(1L, 3L, 1L) === 33333333L)
   }
+
+  test("sim_e8: 100k fuzz against a BigInt reference across the contract domain") {
+    // the kernel is hand-rolled base-100 long division — fuzz the whole
+    // contract envelope (dot² and na2·nb2·100 inside a Long), not just
+    // realistic vector magnitudes, against exact BigInt arithmetic
+    import org.scalacheck.{Gen, rng}
+    val gNorm = Gen.chooseNum(1L, 260000000L) // na2·nb2 ≤ 6.76e16; ·100 fits
+    val seed0 = rng.Seed(20260814L)
+    var seed = seed0
+    var i = 0
+    while (i < 100000) {
+      val (na2, s1) = gNorm.pureApply(Gen.Parameters.default, seed) ->
+        seed.next
+      val (nb2, s2) = gNorm.pureApply(Gen.Parameters.default, s1) -> s1.next
+      // Cauchy–Schwarz bounds any REALIZABLE dot: dot² ≤ na2·nb2 —
+      // outside it both the kernel and BigInt.toLong wrap mod 2⁶⁴ and
+      // the comparison is vacuous, so fuzz the realizable envelope
+      // boundary-inclusive
+      val dMax = math.sqrt(BigInt(na2).toDouble * BigInt(nb2).toDouble)
+        .toLong.min(na2.min(nb2) * 100) // safe upper bound, then clamp
+      val bound = {
+        var b = dMax
+        while (BigInt(b) * b > BigInt(na2) * nb2) b -= 1
+        b
+      }
+      val (dot, s3) = Gen.chooseNum(-bound, bound)
+        .pureApply(Gen.Parameters.default, s2) -> s2.next
+      seed = s3
+      val expect = {
+        val d2 = BigInt(dot) * dot
+        val q = d2 * 100000000 / (BigInt(na2) * nb2)
+        (if (dot < 0) -q else q).toLong
+      }
+      val got = graft.expr.SimE8.compute(dot, na2, nb2)
+      assert(got === expect, s"sim_e8($dot, $na2, $nb2): $got != $expect")
+      i += 1
+    }
+  }
 }
