@@ -421,5 +421,144 @@ object PackAnn {
       "pairing bounded at 2 cells x occupancy, rk=1 WindowGroupLimit, " +
       "signed squared cosine in 1e-8 units (exact integers)")
 
-  val all: Seq[Q] = Seq(q33, q107, q110)
+  /** q112 — INCREMENTAL index maintenance: a new embedding batch lands
+    * next to an already-built SQ8/IVF index (q107's), and the index
+    * updates by merging STATISTICS, never rescanning the base corpus —
+    * the concrete payoff of every "mergeable stat" claim in this pack
+    * (sums add, mins min, maxes max; a shard's stats and an increment's
+    * stats combine identically). Output: one row per cell with its
+    * member-count delta and the centroid shift (signed squared cosine
+    * between old and merged centroid-sum vectors, 1e-8 units) plus how
+    * many of the 64 SQ8 quantization ranges the increment EXTENDED —
+    * the audit that tells an index operator which dims force a
+    * re-encode and which cells drifted enough to re-train.
+    *
+    * The increment is synthesized from the corpus (q88's device): docs
+    * with vec_id % 10 = 7 play the "new batch", and their dim-0
+    * coordinate shifts +1500 milli-units so range extension and
+    * centroid drift are planted and observable at every sf. The base
+    * index is built from the rest.
+    *
+    * Scale posture: one stats pass over each side (at 100 TB the base
+    * pass doesn't even run — its stats are the stored index metadata);
+    * the merge is a UNION + re-aggregation of two cell×64 frames —
+    * index-cardinality work, corpus never rescanned and never
+    * shuffled; the audit joins run at cell(×dim) cardinality. Centroid
+    * shift uses the decimal score form (centroid sums exceed sim_e8's
+    * Long contract). Spec proves merged stats ≡ from-scratch stats
+    * over base+increment — the mergeability contract as an assertion.
+    */
+  private val q112 = Q(
+    "q112_index_merge",
+    (s, d) => {
+      val m = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      val base = m.filter(col("vec_id") % 10 =!= 7)
+      val inc = m.filter(col("vec_id") % 10 === 7)
+        .withColumn("v", expr("transform(v, (x, i) ->" +
+          " case when i = 0 then x + 1500 else x end)"))
+      def statsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("label").as("cell"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(count(lit(1)).as("n"), sum("x").as("sv"),
+          min("x").as("lo"), max("x").as("hi"))
+      val old = graft.ops.CacheScope.persisted(statsOf(base))
+      // the merge: stats ⊕ stats, never data — union + re-aggregate at
+      // index cardinality
+      val merged = old.unionByName(statsOf(inc))
+        .groupBy("cell", "dim")
+        .agg(sum("n").as("n"), sum("sv").as("sv"),
+          min("lo").as("lo"), max("hi").as("hi"))
+      // old global SQ8 ranges vs merged — which dims extended?
+      val oldR = old.groupBy("dim")
+        .agg(min("lo").as("olo"), max("hi").as("ohi"))
+      val ext = merged.groupBy("dim")
+        .agg(min("lo").as("mlo"), max("hi").as("mhi"))
+        .join(oldR, "dim")
+        .select(col("dim"),
+          (col("mlo") < col("olo") || col("mhi") > col("ohi"))
+            .cast("long").as("extended"))
+      val nExt = ext.agg(sum("extended").as("n_dims_extended"))
+      // per-cell audit: counts + centroid shift old→merged
+      val oldC = old.groupBy("cell")
+        .agg((sum("n") / 64).cast("long").as("n_old"),
+          sort_array(collect_list(struct(col("dim"), col("sv")))).as("ps"))
+        .select(col("cell"), col("n_old"),
+          expr("transform(ps, p -> p.sv)").as("ov"))
+      val merC = merged.groupBy("cell")
+        .agg((sum("n") / 64).cast("long").as("n_merged"),
+          sort_array(collect_list(struct(col("dim"), col("sv")))).as("ps"))
+        .select(col("cell"), col("n_merged"),
+          expr("transform(ps, p -> p.sv)").as("mv"))
+      oldC.join(merC, "cell")
+        .withColumn("dot",
+          expr("aggregate(zip_with(ov, mv, (a, b) -> a * b), 0L," +
+            " (acc, x) -> acc + x)"))
+        .withColumn("na2", expr("aggregate(ov, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("nb2", expr("aggregate(mv, 0L, (acc, x) -> acc + x * x)"))
+        .crossJoin(broadcast(nExt))
+        .select(col("cell"), col("n_old"), col("n_merged"),
+          (col("n_merged") - col("n_old")).as("n_added"),
+          expr(probeScoreOf("dot", "na2", "nb2")).as("shift_e8"),
+          col("n_dims_extended"))
+        .orderBy("cell")
+    },
+    Some("""
+      WITH m AS (SELECT vec_id, label,
+                   list_transform(cast(embedding AS DOUBLE[]),
+                     x -> CAST(round(x * 1000) AS BIGINT)) AS v
+                 FROM embeddings),
+      b AS (SELECT label, v FROM m WHERE vec_id % 10 <> 7),
+      i0 AS (SELECT label,
+               list_transform(v, (x, i) ->
+                 CASE WHEN i = 1 THEN x + 1500 ELSE x END) AS v
+             FROM m WHERE vec_id % 10 = 7),
+      ob AS (SELECT label AS cell, dim, count(*) AS n,
+                    CAST(sum(x) AS BIGINT) AS sv, min(x) AS lo, max(x) AS hi
+             FROM (SELECT label, unnest(v) AS x,
+                          generate_subscripts(v, 1) AS dim FROM b)
+             GROUP BY 1, 2),
+      si AS (SELECT label AS cell, dim, count(*) AS n,
+                    CAST(sum(x) AS BIGINT) AS sv, min(x) AS lo, max(x) AS hi
+             FROM (SELECT label, unnest(v) AS x,
+                          generate_subscripts(v, 1) AS dim FROM i0)
+             GROUP BY 1, 2),
+      mg AS (SELECT cell, dim, CAST(sum(n) AS BIGINT) AS n,
+                    CAST(sum(sv) AS BIGINT) AS sv,
+                    min(lo) AS lo, max(hi) AS hi
+             FROM (SELECT * FROM ob UNION ALL SELECT * FROM si)
+             GROUP BY 1, 2),
+      oldr AS (SELECT dim, min(lo) AS olo, max(hi) AS ohi FROM ob GROUP BY dim),
+      ext AS (SELECT CAST(sum(CASE WHEN mr.mlo < oldr.olo OR mr.mhi > oldr.ohi
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_dims_extended
+              FROM (SELECT dim, min(lo) AS mlo, max(hi) AS mhi
+                    FROM mg GROUP BY dim) mr JOIN oldr USING (dim)),
+      oc AS (SELECT cell, CAST(sum(n) // 64 AS BIGINT) AS n_old,
+                    list(sv ORDER BY dim) AS ov FROM ob GROUP BY cell),
+      mc AS (SELECT cell, CAST(sum(n) // 64 AS BIGINT) AS n_merged,
+                    list(sv ORDER BY dim) AS mv FROM mg GROUP BY cell),
+      j AS (SELECT oc.cell, oc.n_old, mc.n_merged,
+                   list_sum(list_transform(range(1, 65),
+                     k -> CAST(oc.ov[k] AS HUGEINT) * mc.mv[k])) AS dot,
+                   list_sum(list_transform(range(1, 65),
+                     k -> CAST(oc.ov[k] AS HUGEINT) * oc.ov[k])) AS na2,
+                   list_sum(list_transform(range(1, 65),
+                     k -> CAST(mc.mv[k] AS HUGEINT) * mc.mv[k])) AS nb2
+            FROM oc JOIN mc USING (cell))
+      SELECT cell, n_old, n_merged, n_merged - n_old AS n_added,
+             CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+                  ((dot * dot * 100000000) // (na2 * nb2)) AS BIGINT)
+               AS shift_e8,
+             ext.n_dims_extended
+      FROM j CROSS JOIN ext ORDER BY cell
+    """),
+    doc = "incremental index maintenance: increment stats merge into " +
+      "the stored cell stats (sums add, mins min, maxes max) with no " +
+      "base-corpus rescan; audit = per-cell member delta + centroid " +
+      "shift (1e-8 squared cosine) + count of SQ8 ranges the " +
+      "increment extended — planted dim-0 drift observable at every sf")
+
+  val all: Seq[Q] = Seq(q33, q107, q110, q112)
 }

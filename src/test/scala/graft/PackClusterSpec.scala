@@ -308,4 +308,40 @@ class PackClusterSpec extends SparkSpec {
     assert(exact >= got.size / 5,
       s"probe recall collapsed: $exact/${got.size} brute-force-exact")
   }
+
+  test("q112: merged stats equal a from-scratch rebuild; planted drift shows") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+      .map { case (id, l, e) =>
+        val v = e.map(x => math.round(x.toDouble * 1000)).toArray
+        // the query's planted increment: vec_id%10=7 shifts dim 0
+        if (id % 10 == 7) v(0) += 1500L
+        (id, l, v)
+      }
+    // from-scratch ground truth over base+increment (what an index
+    // REBUILD would compute — the merge must equal it exactly)
+    val byCell = vecs.groupBy(_._2)
+    val expect = byCell.toSeq.map { case (cell, vs) =>
+      val old = vs.filter(_._1 % 10 != 7)
+      val ov = old.map(_._3).transpose.map(_.sum)
+      val mv = vs.map(_._3).transpose.map(_.sum)
+      val dot = BigInt(0) + ov.zip(mv).map { case (a, b) => BigInt(a) * b }.sum
+      val na2 = ov.map(a => BigInt(a) * a).sum
+      val nb2 = mv.map(b => BigInt(b) * b).sum
+      val shift = (if (dot < 0) BigInt(-1) else BigInt(1)) *
+        (dot * dot * 100000000 / (na2 * nb2))
+      (cell.toLong, old.size.toLong, vs.size.toLong,
+        (vs.size - old.size).toLong, shift.toLong)
+    }.sortBy(_._1)
+    val got = run("q112_index_merge")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) === expect,
+      "stats-merge must equal the from-scratch rebuild bit for bit")
+    // dim 0's +1500 planting guarantees at least one extended range
+    assert(got.head._6 >= 1L && got.map(_._6).distinct.size === 1,
+      "the planted dim-0 drift must register as an extended range")
+    assert(got.forall(r => r._4 > 0L),
+      "every cell must have received increment members at this sf")
+  }
 }
