@@ -58,10 +58,16 @@ case class SimE8(first: Expression, second: Expression, third: Expression)
 }
 
 object SimE8 {
-  /** floor(dot²·10⁸ / (na2·nb2)) with sign(dot), exact. */
+  /** floor(dot²·10⁸ / (na2·nb2)) with sign(dot), exact. A zero-norm
+    * side (den == 0) yields 0 — an all-zero vector has no direction, so
+    * its cosine against anything is defined here as 0, matching
+    * annServeStream's `greatest(na2, 1)` defensive posture rather than
+    * relying on callers to short-circuit on `dot > 0` first.
+    */
   def compute(dot: Long, na2: Long, nb2: Long): Long = {
     val d2 = dot * dot
     val den = na2 * nb2
+    if (den == 0L) return 0L
     var q = d2 / den
     var r = d2 % den
     // carry the 10⁸ scale in four base-100 steps: q ≤ 10⁸, and the

@@ -439,11 +439,14 @@ object PackAnn {
     * centroid drift are planted and observable at every sf. The base
     * index is built from the rest.
     *
-    * Scale posture: one stats pass over each side (at 100 TB the base
-    * pass doesn't even run — its stats are the stored index metadata);
-    * the merge is a UNION + re-aggregation of two cell×64 frames —
-    * index-cardinality work, corpus never rescanned and never
-    * shuffled; the audit joins run at cell(×dim) cardinality. Centroid
+    * Scale posture: ONE posexplode stats pass over the corpus, keyed
+    * by (is_inc, cell, dim) and cached — the r13 form ran a separate
+    * pass per side; folding them halved the corpus-scale work (at
+    * 100 TB the base side's rows come from stored index metadata and
+    * only the increment is scanned); the merge is one re-aggregation
+    * of that cell×64-per-side frame — index-cardinality work, corpus
+    * never rescanned and never shuffled after the fold; the audit
+    * joins run at cell(×dim) cardinality. Centroid
     * shift uses the decimal score form (centroid sums exceed sim_e8's
     * Long contract). Spec proves merged stats ≡ from-scratch stats
     * over base+increment — the mergeability contract as an assertion.
@@ -454,20 +457,29 @@ object PackAnn {
       val m = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1000).cast("long")).as("v"))
-      val base = m.filter(col("vec_id") % 10 =!= 7)
-      val inc = m.filter(col("vec_id") % 10 === 7)
-        .withColumn("v", expr("transform(v, (x, i) ->" +
-          " case when i = 0 then x + 1500 else x end)"))
-      def statsOf(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("label").as("cell"),
+      // ONE posexplode pass over the corpus, keyed by (is_inc, cell,
+      // dim) — the gated demo recomputes both sides' stats, so folding
+      // them into a single scan halves the corpus-scale work (at 100 TB
+      // the base side's rows come from stored index metadata and only
+      // the increment is scanned). Everything downstream re-folds from
+      // this one cached frame — the q108 device.
+      val tagged = m
+        .withColumn("is_inc", col("vec_id") % 10 === 7)
+        .withColumn("v", when(col("is_inc"),
+            expr("transform(v, (x, i) ->" +
+              " case when i = 0 then x + 1500 else x end)"))
+          .otherwise(col("v")))
+      val allStats = graft.ops.CacheScope.persisted(tagged
+        .select(col("is_inc"), col("label").as("cell"),
           posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
+        .groupBy("is_inc", "cell", "dim")
         .agg(count(lit(1)).as("n"), sum("x").as("sv"),
-          min("x").as("lo"), max("x").as("hi"))
-      val old = graft.ops.CacheScope.persisted(statsOf(base))
-      // the merge: stats ⊕ stats, never data — union + re-aggregate at
-      // index cardinality
-      val merged = old.unionByName(statsOf(inc))
+          min("x").as("lo"), max("x").as("hi")))
+      val old = allStats.filter(!col("is_inc")).drop("is_inc")
+      // the merge: stats ⊕ stats, never data — both sides are already
+      // rows of allStats, so the merge is one re-aggregation at index
+      // cardinality
+      val merged = allStats.drop("is_inc")
         .groupBy("cell", "dim")
         .agg(sum("n").as("n"), sum("sv").as("sv"),
           min("lo").as("lo"), max("hi").as("hi"))

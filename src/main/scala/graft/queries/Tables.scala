@@ -29,9 +29,17 @@ object Tables {
     * identically). µs arrives natively as a timestamp (TIMESTAMP_NTZ),
     * which we cast to the session type so downstream timestamp arithmetic
     * is uniform. Branch on the arrived type so either physical layout works.
+    *
+    * Both confs are pinned here defensively so any caller works regardless
+    * of builder config: nanosAsLong for the ns layout, and UTC session
+    * timezone for the µs one — the NTZ→TIMESTAMP cast reinterprets the
+    * wall-clock in the session zone, so a non-UTC session would shift the
+    * instant relative to both the ns path (timestamp_micros is
+    * tz-independent) and the DuckDB oracle.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = tbl(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -843,11 +843,17 @@ object StreamOps {
     * as Tables.events does: long nanos truncate to microseconds, native
     * timestamp[us] casts through. Assuming the ns layout against a µs
     * file silently reads raw micros as nanos — timestamps land in 1970
-    * and every window is wrong (r13 regression).
+    * and every window is wrong (r13 regression). If the directory holds
+    * no parquet yet (a stream defined before its first file lands — a
+    * legitimate streaming start order), the probe can't infer anything;
+    * fall back to the declared ns layout so definition still succeeds,
+    * matching pre-r13 behavior for the empty-dir case.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(dir).schema
+    val onDisk =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsRawSchema }
     val df = spark.readStream.schema(onDisk).parquet(dir)
     df.schema("ts").dataType match {
       case LongType =>

@@ -278,7 +278,7 @@ class PackClusterSpec extends SparkSpec {
     // the DEFINED semantics, re-derived independently end to end: the
     // negative must be the exact-cosine argmax (min neg_id on ties)
     // among the members of this vector's top-2 foreign cells by
-    // centroid-sum cosine (max cell id on probe-score ties — the
+    // centroid-sum cosine (MIN cell id on probe-score ties — the
     // query's `cell` ASC under score DESC)
     val byCell = vecs.groupBy(_._2)
     val cents = byCell.view.mapValues(vs =>
