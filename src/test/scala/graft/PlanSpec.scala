@@ -834,4 +834,83 @@ class PlanSpec extends SparkSpec {
       assert(graft.ops.CacheScope.liveCount === 1)
     } finally graft.ops.CacheScope.drain()
   }
+
+  test("q109: one corpus-sized exchange (the sha2 groupBy); histogram " +
+    "re-folds at cluster cardinality; no window") {
+    val p = plan("q109_dedup_audit")
+    // the uniform sha2 key is the ONLY corpus-scale shuffle; the k-fold
+    // is cluster-cardinality and the orderBy is range-partitioned on
+    // ≤ max-cluster-size rows — a third hash exchange means a corpus
+    // pass crept in (e.g. a window or a re-scan per planted class)
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 2,
+      s"expected the sha2 exchange + the cluster-cardinality fold, " +
+        s"got $hashEx hash exchanges:\n$p")
+    assert(p.contains("sha2"), s"hash key must be sha2:\n$p")
+    assert(!p.contains("Window"),
+      s"the keeper rule is a min(struct) aggregate, not a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"q109 has no join at all:\n$p")
+  }
+
+  test("q110: no cartesian; both ranks ride WindowGroupLimit; the " +
+    "sim rank exchange carries scalars, not the 64-long arrays") {
+    val p = plan("q110_hard_negatives")
+    // pairing = broadcast centroid probe + hash join on cell — bounded
+    // fan-out, never corpus × corpus
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the probe/pair stages:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"centroid reps must broadcast:\n$p")
+    assert(p.contains("long_dot") && p.contains("sim_e8"),
+      s"pair arithmetic must be the native codegen kernels:\n$p")
+    val sp = Catalog.queries("q110_hard_negatives")(spark, sf)
+      .queryExecution.sparkPlan
+    val wgl = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    // cr <= 2 (probe) and rk = 1 (argmax) each plan a partial+final
+    // WindowGroupLimit pair — the literal bound prunes below the exchange
+    assert(wgl.size === 4,
+      s"expected partial+final WindowGroupLimit for BOTH ranks, got " +
+        s"${wgl.size}:\n$sp")
+    // the argmax rank (ordered by sim_e8) must sort/shuffle five scalars
+    // per candidate — the two 64-long vectors are dropped before it
+    val rankW = wgl.filter(_.orderSpec.exists(
+      _.child.references.exists(_.name == "sim_e8")))
+    assert(rankW.nonEmpty, s"sim_e8 rank not found:\n$sp")
+    rankW.foreach { w =>
+      assert(!w.child.output.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"a 64-long array leaked into the rank exchange:\n$w")
+    }
+  }
+
+  test("q112: ONE cached stats frame; corpus scanned only inside its " +
+    "build — every audit fold re-reads the cache") {
+    val p = plan("q112_index_merge")
+    try {
+      // one scoped cache: the (is_inc, cell, dim) stats frame — old,
+      // merged, ranges, and both centroid folds all derive from it
+      assert(graft.ops.CacheScope.liveCount === 1,
+        s"expected exactly the one-pass stats frame cached")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"old/merged folds must re-read the cached stats:\n$p")
+      // the STRONG no-rescan pin: outside the cache build (whose subtree
+      // only re-renders in the string; InMemoryTableScan is a leaf in
+      // the physical tree) the plan holds NO file scan at all — the
+      // corpus parquet is touched exactly once, inside the cached pass
+      val sp = Catalog.queries("q112_index_merge")(spark, sf)
+        .queryExecution.sparkPlan
+      val fileScans = sp.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(fileScans.isEmpty,
+        s"a corpus re-scan leaked outside the cached stats pass:\n$sp")
+      assert(!p.contains("CartesianProduct"),
+        s"the 1-row n_dims_extended frame must broadcast:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
 }
