@@ -187,5 +187,145 @@ object PackText {
       "rule — one uniform sha2 exchange, histogram re-folded at " +
       "cluster cardinality")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q109)
+  /** q113 — exact SUBSTRING dedup at ≥ 50-token granularity (the Lee
+    * et al. "Deduplicating Training Data Makes Language Models Better"
+    * operator, and the one dedup granularity between q85's fixed spans
+    * and q24's whole docs): any 50-token window whose exact content
+    * appears earlier in the corpus (lexicographic (doc_id, pos)) marks
+    * its tokens as duplicated; overlapping / adjacent duplicated
+    * windows MERGE into maximal islands, so a 60-token cross-doc repeat
+    * is cut as ONE 60-token island (not eleven 50-token spans) while a
+    * 40-token repeat — too short to hold any window — survives intact.
+    * Output per doc: token count, island count, tokens dropped, and a
+    * hash of the text rebuilt without the islands.
+    *
+    * The driver corpus carries no ≥ 50-token cross-doc repeats, so the
+    * query plants its own (q109's device): docs with id%40=3 re-enter
+    * as a donor holding the source's 60-token prefix TWICE around a
+    * unique marker token (caught: two islands, 120 tokens dropped,
+    * only the marker survives) and docs with id%40=7 re-enter holding
+    * a 40-token prefix (kept whole: below the granularity floor).
+    *
+    * Plan shape: windows shuffle on a 128-bit content fingerprint
+    * (substr(sha256) — uniform, oracle-replicable, ~10× smaller than
+    * the 50-token string q85 ships); first-holder is q85's
+    * integer-encoded min (doc_id·10⁶ + pos; sound while docs stay
+    * under 10⁶ tokens); the probe join fans back 1:1; the island merge
+    * runs per-doc (interval union via running max — q104's device) at
+    * DUP-window cardinality, not corpus cardinality; the rebuild joins
+    * the ≤ doc-cardinality interval lists back and cuts tokens with
+    * one codegen'd HOF pass. The two corpus-scale passes (window pass,
+    * rebuild pass) are irreducible — Lee et al.'s suffix-array build
+    * reads the corpus twice for the same reason.
+    */
+  private val q113 = Q(
+    "q113_substring_dedup",
+    (s, d) => {
+      val W = 50
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), PackSignal.toks.as("ws"))
+      val don60 = base
+        .filter(col("doc_id") % 40 === 3 && size(col("ws")) >= 60)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          concat(slice(col("ws"), 1, 60),
+            array(concat(lit("zzuniq"), col("doc_id"))),
+            slice(col("ws"), 1, 60)).as("ws"))
+      val don40 = base
+        .filter(col("doc_id") % 40 === 7 && size(col("ws")) >= 40)
+        .select((col("doc_id") + 950000L).as("doc_id"),
+          slice(col("ws"), 1, 40).as("ws"))
+      val docs = base.unionByName(don60).unionByName(don40)
+      val wins = docs.filter(size(col("ws")) >= W)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(ws) - $W), i -> " +
+            s"substring(sha2(array_join(slice(ws, i + 1, $W), ' '), 256)" +
+            s", 1, 32))")).as(Seq("pos", "g")))
+        .withColumn("k", col("doc_id") * 1000000L + col("pos"))
+      val first = wins.groupBy("g").agg(min("k").as("fk"))
+      val dups = wins.join(first, "g")
+        .filter(col("k") =!= col("fk"))
+        .select(col("doc_id"), col("pos"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      // interval union: window [pos, pos+W-1] fuses with the running
+      // island unless it starts past the covered end + 1
+      val prevMax = max(col("pos"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = dups
+        .withColumn("brk",
+          when(prevMax.isNull || col("pos") > prevMax + W, 1L)
+            .otherwise(0L))
+        .withColumn("iid", sum(col("brk"))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "iid")
+        .agg(min("pos").as("s"), (max("pos") + lit(W - 1)).as("e"))
+      val perDoc = islands.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("e") - col("s") + 1).as("n_dropped"),
+          sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+      docs.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_toks"),
+          coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          substring(sha2(array_join(expr(
+            "filter(ws, (x, i) -> iv IS NULL OR " +
+              "NOT exists(iv, v -> i >= v.s AND i <= v.e))"),
+            " "), 256), 1, 16).as("rebuilt16"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      d60 AS (SELECT doc_id + 900000 AS doc_id,
+                list_concat(list_concat(ws[1:60],
+                  ['zzuniq' || CAST(doc_id AS VARCHAR)]), ws[1:60]) AS ws
+              FROM t WHERE doc_id % 40 = 3 AND len(ws) >= 60),
+      d40 AS (SELECT doc_id + 950000 AS doc_id, ws[1:40] AS ws
+              FROM t WHERE doc_id % 40 = 7 AND len(ws) >= 40),
+      u AS (SELECT * FROM t UNION ALL SELECT * FROM d60
+            UNION ALL SELECT * FROM d40),
+      w0 AS (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 49),
+               i -> {'pos': i, 'g': substr(sha256(array_to_string(
+                 ws[i+1 : i+50], ' ')), 1, 32)})) AS uu
+             FROM u WHERE len(ws) >= 50),
+      w AS (SELECT doc_id, CAST(uu.pos AS BIGINT) AS pos, uu.g FROM w0),
+      f AS (SELECT g, min(doc_id * 1000000 + pos) AS fk FROM w GROUP BY g),
+      dup AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (g)
+              WHERE w.doc_id * 1000000 + w.pos <> f.fk),
+      br AS (SELECT doc_id, pos,
+               CASE WHEN max(pos) OVER pw IS NULL
+                      OR pos > max(pos) OVER pw + 50
+                    THEN 1 ELSE 0 END AS brk
+             FROM dup
+             WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      i0 AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+             FROM br),
+      isl AS (SELECT doc_id, iid, min(pos) AS s, max(pos) + 49 AS e
+              FROM i0 GROUP BY doc_id, iid),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+                    CAST(sum(e - s + 1) AS BIGINT) AS n_dropped
+             FROM isl GROUP BY doc_id),
+      tokpos AS (SELECT doc_id, unnest(ws) AS tok,
+                        generate_subscripts(ws, 1) - 1 AS p FROM u),
+      kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+               WHERE NOT EXISTS (SELECT 1 FROM isl
+                 WHERE isl.doc_id = tp.doc_id
+                   AND tp.p BETWEEN isl.s AND isl.e)),
+      reb AS (SELECT doc_id,
+                     array_to_string(list(tok ORDER BY p), ' ') AS rt
+              FROM kept GROUP BY doc_id)
+      SELECT u.doc_id, CAST(len(u.ws) AS BIGINT) AS n_toks,
+             coalesce(pd.n_islands, 0) AS n_islands,
+             coalesce(pd.n_dropped, 0) AS n_dropped,
+             substr(sha256(coalesce(reb.rt, '')), 1, 16) AS rebuilt16
+      FROM u LEFT JOIN pd USING (doc_id) LEFT JOIN reb USING (doc_id)
+      ORDER BY doc_id
+    """),
+    doc = "exact substring dedup at 50-token granularity (Lee et al.): " +
+      "first occurrence wins, overlapping duplicate windows merge into " +
+      "maximal islands, text rebuilt without them — fingerprint-keyed " +
+      "shuffle, island merge at dup-window cardinality")
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q109, q113)
 }

@@ -36,4 +36,77 @@ class PackTextSpec extends SparkSpec {
     assert(got.map(_._3).sum === planted.size.toLong,
       "n_docs must sum to the planted corpus size")
   }
+
+  test("q113: islands re-derived independently end to end; 60-token " +
+    "cross-doc repeat caught as one region, 40-token repeat kept") {
+    val W = 50
+    def tok(t: String): Seq[String] =
+      t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    val docs0 = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, tok(t)) }
+    val planted = docs0 ++
+      docs0.filter(d => d._1 % 40 == 3 && d._2.size >= 60).map {
+        case (id, ws) =>
+          (id + 900000L, ws.take(60) ++ Seq("zzuniq" + id) ++ ws.take(60))
+      } ++
+      docs0.filter(d => d._1 % 40 == 7 && d._2.size >= 40).map {
+        case (id, ws) => (id + 950000L, ws.take(40))
+      }
+    val wins = planted.flatMap { case (id, ws) =>
+      if (ws.size >= W)
+        (0 to ws.size - W).map(p => (ws.slice(p, p + W).mkString(" "), id, p))
+      else Seq.empty
+    }
+    val firstK = wins.groupBy(_._1).map { case (g, os) =>
+      g -> os.map(o => o._2 * 1000000L + o._3).min
+    }
+    val dups = wins.filter { case (g, id, p) =>
+      id * 1000000L + p != firstK(g)
+    }.map(o => (o._2, o._3))
+    // interval union per doc: [p, p+49] fuses when it starts inside or
+    // adjacent to the running island
+    val islandsByDoc = dups.groupBy(_._1).map { case (id, ps0) =>
+      val ps = ps0.map(_._2).sorted
+      val isl = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      for (p <- ps) {
+        if (isl.nonEmpty && p <= isl.last._2 + 1) {
+          val (s0, e0) = isl.last
+          isl(isl.size - 1) = (s0, math.max(e0, p + W - 1))
+        } else isl += ((p, p + W - 1))
+      }
+      id -> isl.toList
+    }
+    def sha16(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val expect = planted.sortBy(_._1).map { case (id, ws) =>
+      val isl = islandsByDoc.getOrElse(id, Nil)
+      val dropped = isl.map { case (s0, e0) => e0 - s0 + 1 }.sum.toLong
+      val kept = ws.zipWithIndex.collect {
+        case (x, i) if !isl.exists(v => i >= v._1 && i <= v._2) => x
+      }.mkString(" ")
+      (id, ws.size.toLong, isl.size.toLong, dropped, sha16(kept))
+    }
+    val got = Catalog.queries("q113_substring_dedup")(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === expect)
+    // the planted contract itself: every 60-token donor loses BOTH
+    // copies as two islands (only its unique marker survives); every
+    // 40-token donor is untouched — below the 50-token floor
+    val d60 = got.filter(r => r._1 >= 900000L && r._1 < 950000L)
+    assert(d60.nonEmpty, "no 60-token donors planted at this sf")
+    d60.foreach { r =>
+      assert(r._2 === 121L && r._3 === 2L && r._4 === 120L,
+        s"60-token donor ${r._1}: expected 2 islands / 120 dropped, got $r")
+      assert(r._5 === sha16("zzuniq" + (r._1 - 900000L)),
+        s"60-token donor ${r._1} must rebuild to its marker alone")
+    }
+    val d40 = got.filter(_._1 >= 950000L)
+    assert(d40.nonEmpty, "no 40-token donors planted at this sf")
+    d40.foreach { r =>
+      assert(r._2 === 40L && r._3 === 0L && r._4 === 0L,
+        s"40-token donor ${r._1} must be kept whole, got $r")
+    }
+  }
 }
