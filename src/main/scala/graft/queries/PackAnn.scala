@@ -302,9 +302,11 @@ object PackAnn {
     * inherently low on THIS data (~0.3 here; even geometric k-means
     * cells only reach ~0.5 at probe = 2) — real embedding corpora
     * cluster, which is why IVF probing earns its keep in production.
-    * The oracle gates the DEFINED approximate semantics exactly; the
-    * spec re-derives probed cells + argmax independently and keeps a
-    * diagnostic recall floor.
+    * On planted clustered data (AnnRecallSpec: 5 Gaussian clusters on
+    * a great circle, the geometry IVF exploits) measured recall vs
+    * exact brute force is 1.0. The oracle gates the DEFINED
+    * approximate semantics exactly; the spec re-derives probed cells +
+    * argmax independently.
     */
   private val q110 = Q(
     "q110_hard_negatives",
