@@ -483,6 +483,38 @@ object Multimodal {
     * Output: (path_a, path_b, hamming), path_a < path_b, one row per
     * caught pair.
     */
+  /** Bytes-side completion of q114 (`q114_interleave_mm` oracle-gates
+    * the metadata/offset algebra; this half joins ACTUAL image bytes
+    * onto the refs and re-collects each document's interleaved record —
+    * the J2 explode ⋈ bytes ⋈ re-collect shape from the ingest
+    * pipeline). `segments` is q114's output (doc_id, seg_idx, kind,
+    * ref, n_tok, g_off); `images` is (ref, content binary). Image
+    * segments gain the typed metadata struct (true pixel dims parsed
+    * from the header bytes); text segments pass through with a null
+    * meta; refs with no bytes stay null-meta'd and are counted, never
+    * dropped (a shard writer must ship the record and flag the gap).
+    *
+    * Scale posture: one hash join at SEGMENT × image cardinality (the
+    * bytes side carries only (ref, meta) after the decode projection —
+    * content never crosses the join), one per-doc re-collect; records
+    * carry refs + metadata, not pixels, matching the shard layout
+    * where media bytes live in sidecar files addressed by ref.
+    */
+  def assembleRecords(segments: DataFrame, images: DataFrame): DataFrame = {
+    val meta = withMeta(images, "content").select(col("ref"), col("meta"))
+    segments.join(meta, Seq("ref"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(
+          col("seg_idx"), col("kind"), col("ref"), col("n_tok"),
+          col("g_off"), col("meta")))).as("record"),
+        sum("n_tok").as("rec_toks"),
+        sum(when(col("kind") === "image", 1L).otherwise(0L))
+          .as("n_images"),
+        sum(when(col("kind") === "image" && col("meta").isNotNull, 1L)
+          .otherwise(0L)).as("n_images_resolved"))
+  }
+
   def imageNearDup(df: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

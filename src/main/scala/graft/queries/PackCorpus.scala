@@ -563,5 +563,149 @@ object PackCorpus {
       "(bucket totals -> tiny running window -> partitioned finish); " +
       "oracle runs the naive unpartitioned window")
 
-  val all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q58, q96)
+  /** q114 — INTERLEAVED multimodal record assembly (the MM1/Flamingo
+    * input layout): each document becomes an ordered list of segments —
+    * text spans cut at image anchor positions, interleaved with image
+    * refs, every image consuming a fixed 64-token visual budget — and
+    * every segment lands at its absolute offset in the single
+    * interleaved token stream (q96's concat map extended to mixed
+    * modalities: attribution and unlearning need exactly this segment →
+    * training-window map, and the shard writer packs from it).
+    *
+    * The driver corpus has no image table, so the manifest is
+    * synthesized from the corpus (q109's device): docs with id%7=2
+    * carry one image anchored after token 10, docs with id%21=2 a
+    * second after token 30 (anchors clamp to the doc length, so every
+    * edge — image at end-of-doc, both images coincident on a short doc,
+    * leading/empty text span — is planted and observable at every sf).
+    * The bytes side of the same assembly (decoded frames joined onto
+    * the refs) is the ⊘ half in [[graft.multimodal.Multimodal]]; this
+    * query gates the metadata/offset algebra, which is where the scale
+    * risk lives.
+    *
+    * Plan shape: ONE corpus text pass folds to the (doc_id, n) length
+    * frame, cached (text never re-read); the manifest joins back at
+    * image cardinality; segments assemble declaratively from the
+    * boundary list (text span [B_j, B_{j+1}) sorts before the image AT
+    * B_{j+1} via the (pos, rnk) key — no HOF interleave, no driver
+    * loop); the segment frame is cached and read twice (per-doc totals
+    * fold; output join). Global bases use q96's two-level prefix sum —
+    * the only unpartitioned window is over the bucket frame. The
+    * oracle runs the naive global window instead (single-node DuckDB),
+    * so the hash gate proves the distributed decomposition exact.
+    */
+  private val q114 = Q(
+    "q114_interleave_mm",
+    (s, d) => {
+      val IMG = 64L; val K = 32L
+      val t = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(col("doc_id"), size(toks).cast("long").as("n"))
+          .filter(col("n") > 0))
+      val imgs = t.filter(col("doc_id") % 7 === 2)
+        .select(col("doc_id"), col("n"), explode(
+          when(col("doc_id") % 21 === 2, array(lit(1L), lit(2L)))
+            .otherwise(array(lit(1L)))).as("k"))
+        .select(col("doc_id"), col("k"),
+          when(col("k") === 1L, least(lit(10L), col("n")))
+            .otherwise(least(lit(30L), col("n"))).as("anchor"),
+          concat(lit("img_"), col("doc_id"), lit("_"), col("k")).as("ref"))
+      val alist = imgs.groupBy("doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(anchor, k)))," +
+          " x -> x.anchor)").as("alist"))
+      val textSegs = t.join(alist, Seq("doc_id"), "left")
+        .withColumn("bs", concat(array(lit(0L)),
+          coalesce(col("alist"), array()), array(col("n"))))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(bs) - 1), j -> named_struct(" +
+            "'pos', element_at(bs, j + 1), 's', element_at(bs, j), " +
+            "'n_tok', element_at(bs, j + 1) - element_at(bs, j)))"))
+          .as(Seq("i0", "g")))
+        .select(col("doc_id"), col("g.pos").as("pos"), lit(0L).as("rnk"),
+          lit("text").as("kind"), lit("").as("ref"),
+          col("g.s").as("local_start"), col("g.n_tok").as("n_tok"))
+        .filter(col("n_tok") > 0)
+      val imgSegs = imgs.select(col("doc_id"), col("anchor").as("pos"),
+        col("k").as("rnk"), lit("image").as("kind"), col("ref"),
+        col("anchor").as("local_start"), lit(IMG).as("n_tok"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos", "rnk")
+      val segs = graft.ops.CacheScope.persisted(
+        textSegs.unionByName(imgSegs)
+          .withColumn("seg_idx", (row_number().over(byDoc) - 1).cast("long"))
+          .withColumn("loff", coalesce(sum("n_tok").over(
+            byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
+      val tot = segs.groupBy("doc_id").agg(sum("n_tok").as("dn"))
+        .withColumn("b", expr(s"doc_id div $K"))
+      val bases = tot.groupBy("b").agg(sum("dn").as("bn"))
+        .withColumn("boff", coalesce(sum("bn").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("b", "boff")
+      val docBase = tot
+        .withColumn("woff", coalesce(sum("dn").over(
+          Window.partitionBy("b").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(broadcast(bases), Seq("b"))
+        .select(col("doc_id"), (col("boff") + col("woff")).as("base"))
+      segs.join(docBase, Seq("doc_id"))
+        .select(col("doc_id"), col("seg_idx"), col("kind"), col("ref"),
+          col("local_start"), col("n_tok"),
+          (col("base") + col("loff")).as("g_off"))
+        .orderBy("doc_id", "seg_idx")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) AS BIGINT) AS n
+                 FROM documents),
+      t2 AS (SELECT * FROM t WHERE n > 0),
+      im0 AS (SELECT doc_id, n,
+                unnest(CASE WHEN doc_id % 21 = 2 THEN [1, 2] ELSE [1] END) AS k
+              FROM t2 WHERE doc_id % 7 = 2),
+      imgs AS (SELECT doc_id, CAST(k AS BIGINT) AS k,
+                 CAST(CASE WHEN k = 1 THEN least(10, n)
+                      ELSE least(30, n) END AS BIGINT) AS anchor,
+                 'img_' || doc_id || '_' || k AS ref
+               FROM im0),
+      al AS (SELECT doc_id, list(anchor ORDER BY anchor, k) AS alist
+             FROM imgs GROUP BY doc_id),
+      wb AS (SELECT t2.doc_id, t2.n,
+               list_concat(list_concat([CAST(0 AS BIGINT)],
+                 coalesce(al.alist, [])), [t2.n]) AS bs
+             FROM t2 LEFT JOIN al USING (doc_id)),
+      ts0 AS (SELECT doc_id, unnest(list_transform(range(1, len(bs)), j ->
+                {'pos': bs[j+1], 's': bs[j], 'n_tok': bs[j+1] - bs[j]})) AS g
+              FROM wb),
+      tsg AS (SELECT doc_id, g.pos AS pos, CAST(0 AS BIGINT) AS rnk,
+                     'text' AS kind, '' AS ref, g.s AS local_start,
+                     g.n_tok AS n_tok
+              FROM ts0 WHERE g.n_tok > 0),
+      isg AS (SELECT doc_id, anchor AS pos, k AS rnk, 'image' AS kind,
+                     ref, anchor AS local_start, CAST(64 AS BIGINT) AS n_tok
+              FROM imgs),
+      segs AS (SELECT * FROM tsg UNION ALL SELECT * FROM isg),
+      wl AS (SELECT doc_id, kind, ref, local_start, n_tok,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY pos, rnk) - 1 AS BIGINT) AS seg_idx,
+               CAST(coalesce(sum(n_tok) OVER (PARTITION BY doc_id
+                 ORDER BY pos, rnk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS loff
+             FROM segs),
+      db AS (SELECT doc_id, sum(n_tok) AS dn FROM segs GROUP BY doc_id),
+      b2 AS (SELECT doc_id,
+               CAST(coalesce(sum(dn) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS base
+             FROM db)
+      SELECT wl.doc_id, wl.seg_idx, wl.kind, wl.ref, wl.local_start,
+             wl.n_tok, wl.loff + b2.base AS g_off
+      FROM wl JOIN b2 USING (doc_id)
+      ORDER BY doc_id, seg_idx
+    """),
+    doc = "interleaved multimodal record assembly: text spans cut at " +
+      "image anchors, 64-token visual budget per image, absolute " +
+      "offsets into the mixed-modality concat stream via the two-level " +
+      "distributed prefix sum")
+
+  val all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q58, q96,
+    q114)
 }

@@ -481,4 +481,62 @@ class MultimodalSpec extends SparkSpec {
     // and every reported distance respects the threshold
     pairs.foreach { case (a, b, d) => assert(d <= 3, s"($a,$b) at $d") }
   }
+
+  test("q114 bytes side: real image bytes join onto the refs and each " +
+    "record re-collects in order with contiguous offsets") {
+    val sf = "/root/testdata/sf0.001"
+    val segs = graft.queries.Catalog.queries("q114_interleave_mm")(spark, sf)
+    val refs = segs.filter(col("kind") === "image")
+      .select("ref").distinct().as[String].collect().toSeq.sorted
+    assert(refs.nonEmpty, "no image segments at this sf")
+    // genuine PNG bytes per ref — all 9×6 so the decode claim is sharp;
+    // withhold every 5th ref to exercise the missing-bytes path
+    val supplied = refs.zipWithIndex.filter(_._2 % 5 != 4).map(_._1).toSet
+    val images = supplied.toSeq.sorted
+      .map(r => (r, realImage("png", 9, 6)))
+      .toDF("ref", "content")
+    val got = Multimodal.assembleRecords(segs, images)
+      .orderBy("doc_id")
+      .as[(Long, Seq[(Long, String, String, Long, Long, Option[(String, Option[Int], Option[Int], Long)])], Long, Long, Long)]
+      .collect().toSeq
+    val docsWithSegs = segs.select("doc_id").distinct().count()
+    assert(got.size.toLong === docsWithSegs, "one record per document")
+    var prevEnd = -1L
+    var sawResolved = 0L
+    var sawMissing = 0L
+    got.foreach { case (doc, rec, recToks, nImg, nRes) =>
+      // order: seg_idx 0..k dense; offsets contiguous inside the record
+      assert(rec.map(_._1) === rec.indices.map(_.toLong),
+        s"doc $doc: segment order broken")
+      rec.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._5 === a._5 + a._4,
+            s"doc $doc: g_off gap between ${a._1} and ${b._1}")
+        case _ =>
+      }
+      assert(recToks === rec.map(_._4).sum)
+      // ...and across records: the global stream has no holes (records
+      // ordered by doc_id — the q96 concat order)
+      if (prevEnd >= 0)
+        assert(rec.head._5 === prevEnd, s"doc $doc: global stream hole")
+      prevEnd = rec.last._5 + rec.last._4
+      assert(nImg === rec.count(_._2 == "image").toLong)
+      rec.foreach { seg =>
+        if (seg._2 == "text")
+          assert(seg._6.isEmpty, s"doc $doc: text segment grew metadata")
+        else if (supplied(seg._3)) {
+          val m = seg._6.getOrElse(fail(s"doc $doc: supplied ${seg._3} unresolved"))
+          assert(m._1 === "image/png" && m._2 === Some(9) && m._3 === Some(6),
+            s"doc $doc: wrong decoded dims for ${seg._3}")
+          sawResolved += 1
+        } else {
+          assert(seg._6.isEmpty, s"doc $doc: phantom bytes for ${seg._3}")
+          sawMissing += 1
+        }
+      }
+      assert(nRes === rec.count(s2 => s2._2 == "image" && supplied(s2._3)).toLong)
+    }
+    assert(sawResolved > 0 && sawMissing > 0,
+      "both the resolved and missing-bytes paths must be exercised")
+  }
 }
