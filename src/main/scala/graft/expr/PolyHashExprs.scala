@@ -350,3 +350,79 @@ case class PolyTokenHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `pos_shingle_hash62(words, k)` — the 62-bit positional k-gram
+  * fingerprint sequence: out(i) = h1(i)·M2 + h2(i) for every k-token
+  * window i in order, where h1/h2 are base-B1/B2 polynomial folds of
+  * the token char hashes mod the distinct primes M1/M2. The candidate
+  * key for q113's candidate→verify dedup: 62 bits keep expected
+  * collisions ≈ n²/2⁶³ harmless even at 10¹² corpus windows (a 31-bit
+  * key would saturate there and the verify stage would re-admit the
+  * whole corpus), and collisions only cost verification work — never
+  * correctness, since survivors are re-compared on the exact gram
+  * string. One pass per document: token hashes O(n), then k cheap long
+  * ops per window — replacing sha256 over a ~300-byte materialized
+  * string per window (50× the corpus text mass through a cryptographic
+  * hash, measured as q113's dominant cost).
+  *
+  * Not oracle-visible: the fingerprint only buckets; the gated result
+  * is decided by exact string comparison inside colliding buckets, so
+  * the DuckDB oracle never computes it (unlike [[PolyShingles]] whose
+  * values ARE the q27 output).
+  */
+case class PosShingleHash62(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "pos_shingle_hash62"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PosShingleHash62.compute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.PosShingleHash62.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PosShingleHash62 {
+  val M2 = 2147483629L // largest prime < M1 = 2^31 - 1
+  val B2 = 1000033L    // second gram base, coprime companion of PolyHash.B
+
+  def compute(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (words.isNullAt(i)) 0L
+        else PolyHash.tokenHash(words.getUTF8String(i).toString)
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var a1 = th(i) % PolyHash.M
+      var a2 = th(i) % M2
+      var j = 1
+      while (j < k) {
+        // acc < 2^31, base < 2^20 → product < 2^51: exact in a Long
+        a1 = (a1 * PolyHash.B + th(i + j)) % PolyHash.M
+        a2 = (a2 * B2 + th(i + j)) % M2
+        j += 1
+      }
+      out(i) = a1 * M2 + a2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

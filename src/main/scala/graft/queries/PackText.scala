@@ -206,17 +206,24 @@ object PackText {
     * only the marker survives) and docs with id%40=7 re-enter holding
     * a 40-token prefix (kept whole: below the granularity floor).
     *
-    * Plan shape: windows shuffle on a 128-bit content fingerprint
-    * (substr(sha256) — uniform, oracle-replicable, ~10× smaller than
-    * the 50-token string q85 ships); first-holder is q85's
-    * integer-encoded min (doc_id·10⁶ + pos; sound while docs stay
-    * under 10⁶ tokens); the probe join fans back 1:1; the island merge
-    * runs per-doc (interval union via running max — q104's device) at
-    * DUP-window cardinality, not corpus cardinality; the rebuild joins
+    * Plan shape: candidate→verify. Windows shuffle only their 62-bit
+    * positional fingerprint (graft.expr.PosShingleHash62 — one native
+    * pass per doc; 8-byte keys where the first cut shipped 32-hex
+    * sha256 of a ~300-byte materialized string per window); buckets
+    * with a single member are provably non-duplicate and end there;
+    * colliding buckets re-derive their gram strings from a second
+    * corpus pass pruned to candidate positions (per-doc position lists
+    * join back 1:1) and settle first-holder by EXACT string equality —
+    * q85's integer-encoded min (doc_id·10⁶ + pos; sound while docs
+    * stay under 10⁶ tokens) — so the 62-bit key sizes the verify set
+    * (≈ n²/2⁶³ false candidates even at 10¹² windows), never the
+    * result. Island merge runs per-doc (interval union via running
+    * max — q104's device) at DUP-window cardinality; the rebuild joins
     * the ≤ doc-cardinality interval lists back and cuts tokens with
-    * one codegen'd HOF pass. The two corpus-scale passes (window pass,
-    * rebuild pass) are irreducible — Lee et al.'s suffix-array build
-    * reads the corpus twice for the same reason.
+    * one codegen'd HOF pass. The three corpus-scale passes (fingerprint
+    * pass, candidate re-read, rebuild pass) match Lee et al.'s
+    * suffix-array economics; the oracle stays the naive exact form, so
+    * the hash gate proves the pruning lossless.
     */
   private val q113 = Q(
     "q113_substring_dedup",
@@ -234,15 +241,46 @@ object PackText {
         .filter(col("doc_id") % 40 === 7 && size(col("ws")) >= 40)
         .select((col("doc_id") + 950000L).as("doc_id"),
           slice(col("ws"), 1, 40).as("ws"))
-      val docs = base.unionByName(don60).unionByName(don40)
+      // three consumers read the tokenized frame (fingerprint pass,
+      // candidate re-read, rebuild); cache it once rather than running
+      // tokenize + the 3-branch union per consumer — the materialize-
+      // the-tokenized-intermediate trade every shard builder makes
+      // (MEMORY_AND_DISK, so at 100 TB this is a spill file, vs 3×
+      // re-reading and re-splitting the raw text)
+      val docs = graft.ops.CacheScope.persisted(
+        base.unionByName(don60).unionByName(don40))
+      // candidate→verify (q78's device at window granularity): every
+      // window ships only its 62-bit positional fingerprint (native
+      // one-pass kernel — the r14 rewrite; the first cut sha256'd a
+      // ~300-byte string PER WINDOW, 50× the corpus text mass through a
+      // cryptographic hash, and that dominated the query). Fingerprint
+      // buckets with one member are definitionally non-duplicate and
+      // never materialize a gram string; only colliding buckets re-read
+      // their windows and settle on EXACT string equality, so hash
+      // collisions cost verification work, never correctness.
       val wins = docs.filter(size(col("ws")) >= W)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(ws) - $W), i -> " +
-            s"substring(sha2(array_join(slice(ws, i + 1, $W), ' '), 256)" +
-            s", 1, 32))")).as(Seq("pos", "g")))
-        .withColumn("k", col("doc_id") * 1000000L + col("pos"))
-      val first = wins.groupBy("g").agg(min("k").as("fk"))
-      val dups = wins.join(first, "g")
+        .select(col("doc_id"), posexplode(
+          org.apache.spark.sql.graftglue.ExprGlue.column(
+            graft.expr.PosShingleHash62(
+              org.apache.spark.sql.graftglue.ExprGlue.expression(col("ws")),
+              W))).as(Seq("pos", "h")))
+      // ONE shuffle on h finds the colliding buckets (q24's window-count
+      // device — an aggregate + join-back would run the fingerprint pass
+      // twice)
+      val candPos = wins
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("c") > 1)
+        .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+      val cg = graft.ops.CacheScope.persisted(
+        docs.join(candPos, Seq("doc_id"))
+          .select(col("doc_id"), explode(expr(
+            s"transform(ps, p -> named_struct('pos', p, " +
+              s"'gram', array_join(slice(ws, p + 1, $W), ' ')))")).as("g"))
+          .select(col("doc_id"), col("g.pos").as("pos"),
+            col("g.gram").as("gram"))
+          .withColumn("k", col("doc_id") * 1000000L + col("pos")))
+      val firstEx = cg.groupBy("gram").agg(min("k").as("fk"))
+      val dups = cg.join(firstEx, "gram")
         .filter(col("k") =!= col("fk"))
         .select(col("doc_id"), col("pos"))
       val byDoc = Window.partitionBy("doc_id").orderBy("pos")

@@ -253,4 +253,57 @@ class ExprSpec extends SparkSpec {
       i += 1
     }
   }
+
+  test("pos_shingle_hash62: matches an independent reimplementation; " +
+    "equal windows collide, sub-62-bit structure holds") {
+    import org.apache.spark.sql.graftglue.ExprGlue
+    val M1 = 2147483647L
+    val M2 = graft.expr.PosShingleHash62.M2
+    val B1 = 1000003L
+    val B2 = graft.expr.PosShingleHash62.B2
+    def ref(ws: Seq[String], k: Int): Seq[Long] = {
+      val th = ws.map(graft.expr.PolyHash.tokenHash)
+      (0 to ws.size - k).map { i =>
+        var a1 = th(i) % M1; var a2 = th(i) % M2
+        (1 until k).foreach { j =>
+          a1 = (a1 * B1 + th(i + j)) % M1
+          a2 = (a2 * B2 + th(i + j)) % M2
+        }
+        a1 * M2 + a2
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    def word() = Seq.fill(1 + rnd.nextInt(10))(
+      ('a' + rnd.nextInt(26)).toChar).mkString
+    val vocab = Seq.fill(40)(word())
+    val rows = Seq.fill(100)(Seq.fill(5 + rnd.nextInt(120))(
+      vocab(rnd.nextInt(vocab.size))))
+    val k = 5
+    val df = rows.toDF("ws").withColumn("hs",
+      ExprGlue.column(graft.expr.PosShingleHash62(
+        ExprGlue.expression(col("ws")), k)))
+    val got = df.select("ws", "hs")
+      .as[(Seq[String], Seq[Long])].collect()
+    got.foreach { case (ws, hs) =>
+      assert(hs === ref(ws, k), s"kernel drifted from the reference")
+      assert(hs.size === math.max(0, ws.size - k + 1))
+    }
+    // the guarantee the candidate stage rests on: identical token
+    // windows ALWAYS produce identical fingerprints (no false
+    // negatives — dedup can only over-candidate, never miss)
+    val all = got.flatMap { case (ws, hs) =>
+      hs.zipWithIndex.map { case (h, i) =>
+        (ws.slice(i, i + k).mkString(" "), h) }
+    }
+    all.groupBy(_._1).foreach { case (gram, os) =>
+      assert(os.map(_._2).distinct.size === 1,
+        s"same gram, different fingerprints: $gram")
+    }
+    // short-array edge: fewer tokens than k → empty, no throw
+    val short = Seq(Seq("a", "b")).toDF("ws").withColumn("hs",
+      ExprGlue.column(graft.expr.PosShingleHash62(
+        ExprGlue.expression(col("ws")), k)))
+      .select("hs").as[Seq[Long]].collect()
+    assert(short.head.isEmpty)
+  }
 }

@@ -888,6 +888,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q113: fingerprint candidate stage is the native kernel; token " +
+    "frame + candidate grams cached; no cartesian anywhere") {
+    val p = plan("q113_substring_dedup")
+    try {
+      assert(p.contains("pos_shingle_hash62"),
+        s"window keys must come from the native 62-bit kernel, not " +
+          s"sha256 over materialized gram strings:\n$p")
+      // two scoped caches: the tokenized 3-branch union (read by the
+      // fingerprint pass, the candidate re-read, and the rebuild) and
+      // the colliding-bucket gram frame (read by first-holder + probe)
+      assert(graft.ops.CacheScope.liveCount === 2,
+        s"expected the token frame + candidate gram frame cached")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"consumers must re-read the caches, not re-tokenize:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"cartesian in the dedup chain:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q112: ONE cached stats frame; corpus scanned only inside its " +
     "build — every audit fold re-reads the cache") {
     val p = plan("q112_index_merge")
