@@ -520,25 +520,36 @@ object PackCorpus {
     * writer's manifest of which training windows touch which document
     * (attribution/unlearning needs exactly this map).
     */
+  /** The q96 two-level distributed prefix sum, shared with q115: the
+    * (doc_id, n, start) concat-offset frame over non-empty docs. See
+    * q96's scaladoc for the decomposition argument.
+    */
+  private def concatOffsets(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val K = 32L
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("b", expr(s"doc_id div $K"))
+    val bases = t.groupBy("b").agg(sum("n").as("bn"))
+      .withColumn("boff", coalesce(sum("bn").over(
+        Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "boff")
+    t.withColumn("woff", coalesce(sum("n").over(
+        Window.partitionBy("b").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(bases), Seq("b"))
+      .select(col("doc_id"), col("n"),
+        (col("boff") + col("woff")).as("start"))
+  }
+
   private val q96 = Q(
     "q96_pack_offsets",
     (s, d) => {
-      val C = 1024L; val K = 32L
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), size(toks).cast("long").as("n"))
-        .filter(col("n") > 0)
-        .withColumn("b", expr(s"doc_id div $K"))
-      val bases = t.groupBy("b").agg(sum("n").as("bn"))
-        .withColumn("boff", coalesce(sum("bn").over(
-          Window.orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("b", "boff")
-      t.withColumn("woff", coalesce(sum("n").over(
-          Window.partitionBy("b").orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .join(broadcast(bases), Seq("b"))
-        .select(col("doc_id"), col("n"),
-          (col("boff") + col("woff")).as("start"))
+      val C = 1024L
+      concatOffsets(s, d)
         .select(col("doc_id"), col("n"), col("start"),
           (col("start") + col("n") - 1).as("end_off"),
           expr(s"start div $C").as("chunk_first"),
@@ -562,6 +573,71 @@ object PackCorpus {
     doc = "global concat offsets by two-level distributed prefix sum " +
       "(bucket totals -> tiny running window -> partitioned finish); " +
       "oracle runs the naive unpartitioned window")
+
+  /** q115 — the INVERSE chunk map: q96 tells each document which
+    * 1024-token training windows it feeds; q115 answers the other
+    * direction — for every training chunk, WHICH documents contributed
+    * and exactly where their tokens sit inside it. This is the
+    * unlearning / attribution lookup as data: delete (or attribute) a
+    * document → the poisoned windows and offsets fall out of this
+    * frame by filter; audit a training window → its provenance is one
+    * chunk_id lookup. Every per-row fact (offset-in-chunk, token
+    * count, first/last flags) is pure integer follow-through from the
+    * offsets frame.
+    *
+    * Plan shape: reads ONLY the (doc_id, n, start) offset frame
+    * (doc-cardinality, one corpus tokenize inside concatOffsets — no
+    * additional corpus pass); the explode fans each doc to its
+    * chunk_last − chunk_first + 1 intersections, i.e. total rows ≈
+    * corpus_tokens/1024 + n_docs — LINEAR, never quadratic; the only
+    * exchange after the fan-out is the output sort. The oracle runs
+    * the same expansion off the naive global-window offsets, so the
+    * hash gate ties the inverse map to q96's decomposition exactly.
+    */
+  private val q115 = Q(
+    "q115_chunk_attribution",
+    (s, d) => {
+      val C = 1024L
+      concatOffsets(s, d)
+        .select(col("doc_id"), col("n"), col("start"),
+          explode(expr(s"sequence(start div $C, (start + n - 1) div $C)"))
+            .as("chunk_id"))
+        .select(col("chunk_id"), col("doc_id"),
+          greatest(col("start") - col("chunk_id") * C, lit(0L))
+            .as("off_in_chunk"),
+          (least(col("start") + col("n") - 1, col("chunk_id") * C + C - 1)
+            - greatest(col("start"), col("chunk_id") * C) + 1).as("n_tok"),
+          greatest(col("start"), col("chunk_id") * C)
+            .minus(col("start")).as("doc_off"),
+          (col("start") >= col("chunk_id") * C).as("doc_starts_here"),
+          (col("start") + col("n") - 1 < col("chunk_id") * C + C)
+            .as("doc_ends_here"))
+        .orderBy("chunk_id", "doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) AS BIGINT) AS n
+                 FROM documents),
+      p AS (SELECT doc_id, n,
+              CAST(COALESCE(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+            FROM t WHERE n > 0),
+      e AS (SELECT doc_id, n, start,
+              unnest(range(start // 1024, (start + n - 1) // 1024 + 1))
+                AS chunk_id
+            FROM p)
+      SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+             greatest(start - chunk_id * 1024, 0) AS off_in_chunk,
+             least(start + n - 1, chunk_id * 1024 + 1023)
+               - greatest(start, chunk_id * 1024) + 1 AS n_tok,
+             greatest(start, chunk_id * 1024) - start AS doc_off,
+             start >= chunk_id * 1024 AS doc_starts_here,
+             start + n - 1 < chunk_id * 1024 + 1024 AS doc_ends_here
+      FROM e ORDER BY chunk_id, doc_id
+    """),
+    doc = "inverse chunk attribution: per 1024-token training window, " +
+      "the contributing documents with in-chunk offsets and in-doc " +
+      "offsets — the unlearning lookup, linear fan-out from the " +
+      "offsets frame, no extra corpus pass")
 
   /** q114 — INTERLEAVED multimodal record assembly (the MM1/Flamingo
     * input layout): each document becomes an ordered list of segments —
@@ -707,5 +783,5 @@ object PackCorpus {
       "distributed prefix sum")
 
   val all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q58, q96,
-    q114)
+    q114, q115)
 }

@@ -862,4 +862,85 @@ object StreamOps {
         df.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
+
+  /** Streaming twin of q113 — exact-substring dedup of INCOMING docs
+    * against a STATIC corpus (the production shape of substring dedup:
+    * the corpus index is built rarely, new crawl arrives forever —
+    * incrementCleanStream's asymmetry at 50-token window granularity).
+    * Each incoming doc explodes its 50-token window fingerprints
+    * (q113's `pos_shingle_hash62` — the ONE kernel, so stream and
+    * batch cannot drift), probes the corpus fingerprint set with a
+    * stateless stream-static left join, and folds its duplicate
+    * positions into maximal islands (q113's interval union) inside ONE
+    * `aggregate` HOF — a streaming frame cannot rank with a window
+    * function, but a doc's duplicate-position list is bounded by its
+    * own length, so the fold is per-row scalar work, no state beyond
+    * the watermark-bounded per-doc window aggregation.
+    *
+    * DEFINED semantics differ from batch q113 in two honest ways:
+    * (1) dedup is against the corpus only — intra-increment repeats
+    * are the batch pass's job; (2) the match is fingerprint-exact
+    * (62-bit), not string-exact — the verify stage needs the corpus
+    * gram strings, which is batch work (q113's colliding-bucket
+    * re-read); a false hit is ~corpus_windows/2⁶² per window, and
+    * docs this stream flags re-check exactly in the next batch cycle.
+    *
+    * Output per (hour window, new_id): token/window counts, duplicate
+    * windows, maximal islands, tokens covered, and the verdict every
+    * crawl loop routes on — `subsumed` (every token duplicated),
+    * `partial_dup`, `clean`.
+    *
+    * `inc` columns: (new_id long, ts timestamp, text string).
+    */
+  def substringDedupStream(
+      inc: DataFrame,
+      corpus: DataFrame,
+      delay: String = "10 minutes"): DataFrame = {
+    val W = 50
+    val toks = filter(split(lower(col("text")), "\\W+"),
+      t => length(t) > 0)
+    def fps(wsCol: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftglue.ExprGlue.column(
+        graft.expr.PosShingleHash62(
+          org.apache.spark.sql.graftglue.ExprGlue.expression(wsCol), W))
+    val corpusFps = graft.ops.CacheScope.persisted(
+      corpus.select(toks.as("ws"))
+        .filter(size(col("ws")) >= W)
+        .select(explode(fps(col("ws"))).as("h")).distinct()
+        .withColumn("hit", lit(1L)))
+    inc.withWatermark("ts", delay)
+      .withColumn("ws", toks)
+      .withColumn("n", size(col("ws")).cast("long"))
+      .filter(col("n") >= 1)
+      .select(col("new_id"), col("ts"), col("n"),
+        posexplode_outer(fps(col("ws"))).as(Seq("pos", "h")))
+      .join(corpusFps, Seq("h"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("new_id"))
+      .agg(first(col("n")).as("n_toks"),
+        count(col("pos")).as("n_windows"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_windows"),
+        sort_array(collect_list(when(col("hit").isNotNull, col("pos"))))
+          .as("ps"))
+      // q113's interval union as a fold: new island when a window
+      // starts past the covered end + 1; adjacent/overlapping extend
+      .withColumn("isl", expr(s"""aggregate(ps,
+          named_struct('last', cast(-2 as bigint),
+                       'isl', cast(0 as bigint),
+                       'drop', cast(0 as bigint)),
+          (acc, p) -> case
+            when p > acc.last + 1 then named_struct(
+              'last', cast(p as bigint) + ${W - 1},
+              'isl', acc.isl + 1, 'drop', acc.drop + $W)
+            when p + ${W - 1} > acc.last then named_struct(
+              'last', cast(p as bigint) + ${W - 1}, 'isl', acc.isl,
+              'drop', acc.drop + cast(p as bigint) + ${W - 1} - acc.last)
+            else acc end)"""))
+      .select(col("window.start").as("w_start"), col("new_id"),
+        col("n_toks"), col("n_windows"), col("n_dup_windows"),
+        col("isl.isl").as("n_islands"), col("isl.drop").as("n_dropped"),
+        when(col("isl.drop") === 0L, "clean")
+          .when(col("isl.drop") >= col("n_toks"), "subsumed")
+          .otherwise("partial_dup").as("verdict"))
+  }
 }

@@ -321,6 +321,47 @@ class PackCorpusSpec extends SparkSpec {
       (3L, 1050L, 1L, 2L, 2L)))
   }
 
+  test("q115 inverse map: full chunks hold exactly 1024 tokens, every " +
+    "doc's mass is accounted, and it inverts q96 exactly") {
+    val rows = run("q115_chunk_attribution")
+      .select("chunk_id", "doc_id", "off_in_chunk", "n_tok", "doc_off",
+        "doc_starts_here", "doc_ends_here")
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().toSeq
+    val offs = run("q96_pack_offsets")
+      .select("doc_id", "n", "chunk_first", "chunk_last")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // every chunk except the last is filled to exactly the chunk size,
+    // with its members tiling [0, 1024) gaplessly in doc order
+    val byChunk = rows.groupBy(_._1)
+    val lastChunk = byChunk.keys.max
+    byChunk.foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_._2)
+      if (c != lastChunk)
+        assert(sorted.map(_._4).sum === 1024L, s"chunk $c not full")
+      var cursor = 0L
+      sorted.foreach { r =>
+        assert(r._3 === cursor, s"chunk $c: gap before doc ${r._2}")
+        cursor += r._4
+      }
+    }
+    // per doc: the chunk rows tile the document exactly — doc_off runs
+    // 0..n gaplessly and the flags mark the two boundary rows
+    val byDoc = rows.groupBy(_._2)
+    offs.foreach { case (id, n, cf, cl) =>
+      val rs = byDoc(id).sortBy(_._1)
+      assert(rs.map(_._1) === (cf to cl), s"doc $id: chunk set != q96's")
+      assert(rs.map(_._4).sum === n, s"doc $id: token mass split wrong")
+      var cursor = 0L
+      rs.foreach { r =>
+        assert(r._5 === cursor, s"doc $id: doc_off gap at chunk ${r._1}")
+        cursor += r._4
+      }
+      assert(rs.head._6 && rs.tail.forall(!_._6), s"doc $id start flag")
+      assert(rs.last._7 && rs.init.forall(!_._7), s"doc $id end flag")
+    }
+  }
+
   // ---- interleave ---------------------------------------------------------
 
   test("q55 interleave is a permutation, balanced across sources") {

@@ -380,6 +380,65 @@ class StreamRestartSpec extends SparkSpec {
       "restarted stream must emit every doc exactly once with batch verdicts")
   }
 
+  test("substring-dedup window state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.queries.Tables.documents(spark, sf)
+    def tok(t: String): Seq[String] =
+      t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    val long60 = corpus.select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq.filter(r => tok(r._2).size >= 60).take(4)
+    // the StreamingSpec fixture classes, split across a restart
+    val incRows = long60.zipWithIndex.map { case ((_, t), i) =>
+      (9000L + i, (tok(t).take(60) ++ Seq(s"zzrst$i") ++
+        tok(t).take(60)).mkString(" "))
+    } :+ ((9500L, (0 until 60).map(i => s"rr${i}zz").mkString(" ")))
+
+    val in = Files.createTempDirectory("ssd-in").toString
+    val out = Files.createTempDirectory("ssd-out").toString
+    val ckpt = Files.createTempDirectory("ssd-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("new_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def startQuery() = StreamOps.substringDedupStream(
+      spark.readStream.schema(schema).parquet(in), corpus)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    val (b1, b2) = incRows.splitAt(2)
+    b1.map { case (id, t) => (id, ts("2024-01-01 00:10:00"), t) }
+      .toDF("new_id", "ts", "text").write.mode("append").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    graft.ops.CacheScope.drain()
+
+    (b2.map { case (id, t) => (id, ts("2024-01-01 00:40:00"), t) } :+
+      ((999999999L, ts("2024-01-01 05:00:00"), "w sentinel row")))
+      .toDF("new_id", "ts", "text").write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    graft.ops.CacheScope.drain()
+
+    val got = spark.read.parquet(out)
+      .filter(col("new_id") =!= 999999999L)
+      .select("new_id", "n_toks", "n_islands", "n_dropped", "verdict")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) === incRows.map(_._1).sorted,
+      "every doc exactly once across the restart")
+    got.filter(_._1 < 9500L).foreach { r =>
+      assert(r._2 === 121L && r._3 === 2L && r._4 === 120L &&
+        r._5 === "partial_dup", s"donor verdict drifted: $r")
+    }
+    assert(got.last === ((9500L, 60L, 0L, 0L, "clean")),
+      "fresh doc must stay clean through the restart")
+  }
+
   test("ANN-serve window state survives a checkpointed restart") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.col

@@ -707,4 +707,78 @@ class StreamingSpec extends SparkSpec {
       assert(latest.toMap === exp, "re-insertion moved the sketch")
     } finally q.stop()
   }
+
+  test("streaming substring dedup: corpus-copied spans flagged as " +
+    "islands, fresh and short docs clean, full copies subsumed") {
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.queries.Tables.documents(spark, sf)
+    def tok(t: String): Seq[String] =
+      t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    val srcRows = corpus.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val long60 = srcRows.filter(r => tok(r._2).size >= 60).take(4)
+    assert(long60.size >= 4, "fixture needs 4 corpus docs of 60+ tokens")
+    // planted increments, one per verdict class:
+    // (a) q113's donor shape — source's 60-token prefix TWICE around a
+    //     unique marker → 2 islands, 120 of 121 tokens covered
+    val donors = long60.take(2).zipWithIndex.map { case ((_, t), i) =>
+      val p = tok(t).take(60)
+      (9000L + i, (p ++ Seq(s"zzuniqmark$i") ++ p).mkString(" "))
+    }
+    // (b) a verbatim corpus doc → every window dup → subsumed
+    val full = Seq((9100L, long60(2)._2))
+    // (c) 60 fresh synthetic tokens → windows exist, none match
+    val fresh = Seq((9200L, (0 until 60).map(i => s"qq${i}zz").mkString(" ")))
+    // (d) below the 50-token floor → no windows at all
+    val short0 = Seq((9300L, tok(long60(3)._2).take(20).mkString(" ")))
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.substringDedupStream(
+      ms.toDF.toDF("new_id", "ts", "text"), corpus)
+      .writeStream.format("memory").queryName("t_ssdedup")
+      .outputMode("append").start()
+    try {
+      val t0 = ts("2024-01-01 00:10:00")
+      ms.addData((donors ++ full ++ fresh ++ short0)
+        .map { case (id, t) => (id, t0, t) }: _*)
+      q.processAllAvailable()
+      ms.addData((999999999L, ts("2024-01-01 05:00:00"), "w sentinel"))
+      q.processAllAvailable()
+      val got = spark.table("t_ssdedup")
+        .filter($"new_id" =!= 999999999L)
+        .select("new_id", "n_toks", "n_windows", "n_dup_windows",
+          "n_islands", "n_dropped", "verdict")
+        .as[(Long, Long, Long, Long, Long, Long, String)]
+        .collect().sortBy(_._1).toSeq
+      graft.ops.CacheScope.drain()
+      assert(got.map(_._1) === (donors ++ full ++ fresh ++ short0)
+        .map(_._1).sorted, "one verdict row per planted doc")
+      val byId = got.map(r => r._1 -> r).toMap
+      donors.foreach { case (id, _) =>
+        val r = byId(id)
+        assert(r._2 === 121L && r._5 === 2L && r._6 === 120L &&
+          r._7 === "partial_dup",
+          s"donor $id: expected 2 islands / 120 of 121 covered, got $r")
+        assert(r._4 === 22L, s"donor $id: 11 dup windows per copy, got $r")
+      }
+      full.foreach { case (id, t) =>
+        val r = byId(id)
+        val n = tok(t).size.toLong
+        assert(r._2 === n && r._3 === n - 49 && r._4 === n - 49 &&
+          r._5 === 1L && r._6 === n && r._7 === "subsumed",
+          s"verbatim copy $id must be fully covered, got $r")
+      }
+      fresh.foreach { case (id, _) =>
+        val r = byId(id)
+        assert(r._3 === 11L && r._4 === 0L && r._6 === 0L &&
+          r._7 === "clean", s"fresh doc $id must be clean, got $r")
+      }
+      short0.foreach { case (id, _) =>
+        val r = byId(id)
+        assert(r._3 === 0L && r._6 === 0L && r._7 === "clean",
+          s"sub-floor doc $id must be clean with zero windows, got $r")
+      }
+    } finally q.stop()
+  }
 }
