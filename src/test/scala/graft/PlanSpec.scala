@@ -907,6 +907,44 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q114: token frame + segment frame cached; bucket bases " +
+    "broadcast; no cartesian, no unpartitioned corpus window") {
+    val p = plan("q114_interleave_mm")
+    try {
+      // two scoped caches: the (doc_id, n) length frame (one corpus
+      // text pass — manifest, boundaries, and totals all derive from
+      // it) and the segment frame (read by the totals fold + output)
+      assert(graft.ops.CacheScope.liveCount === 2,
+        s"expected the length frame + segment frame cached")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the bucket-base frame must broadcast back:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"cartesian in the assembly:\n$p")
+      // the only unpartitioned window is the bucket-frame running sum
+      // (q96's two-level contract): every OTHER window partitions
+      val wins = p.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(wins.exists(_.contains("doc_id")),
+        s"per-doc segment numbering must partition by doc:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q115: linear fan-out from the offsets frame — no cartesian, " +
+    "no corpus re-pass beyond concatOffsets, bases broadcast") {
+    val p = plan("q115_chunk_attribution")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-base frame must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"q115 has exactly the offsets join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the chunk fan-out must be a generator, not a join:\n$p")
+    // one corpus tokenize: documents.parquet scanned once per branch of
+    // the offsets computation (t + its bucket fold reuse one scan via
+    // the exchange; no scan may appear after the explode)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2,
+      s"chunk expansion re-scanned the corpus ($scans scans):\n$p")
+  }
+
   test("q112: ONE cached stats frame; corpus scanned only inside its " +
     "build — every audit fold re-reads the cache") {
     val p = plan("q112_index_merge")
