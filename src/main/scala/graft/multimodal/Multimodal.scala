@@ -522,6 +522,17 @@ object Multimodal {
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (p, b) => pHash64(b).map(p -> _) })
       .toDF("path", "ph")
+    bandedHashNearDup(hashed, maxHamming)
+  }
+
+  /** Shared banded near-dup over a (path, ph) 64-bit-hash frame —
+    * [[imageNearDup]]'s join, factored so the audio twin runs the
+    * identical plan: 4×16-bit bands, bucket equi-join, exact Hamming
+    * verify on candidates only; pigeonhole gives zero recall loss at
+    * the default ≤ 3-bit threshold.
+    */
+  private def bandedHashNearDup(
+      hashed: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashed.select(col("path"), col("ph"),
       explode(expr("transform(sequence(0, 3), " +
         "b -> struct(b as band, shiftright(ph, b * 16) & 65535 as v))"))
@@ -536,5 +547,51 @@ object Multimodal {
       .distinct() // a pair may share several bands
       .filter(col("hamming") <= maxHamming)
       .orderBy("path_a", "path_b")
+  }
+
+  /** 64-bit audio fingerprint for parseable WAVE bytes — the audio twin
+    * of [[pHash64]]: mono samples → 65-window RMS energy envelope →
+    * sign-of-delta bits (bit i set iff window i+1 holds more energy
+    * than window i). GAIN-invariant by construction (uniform scaling
+    * multiplies every window's energy by g², preserving every delta
+    * sign — the loudness-normalized-recopy case that byte dedup can't
+    * see), duration-normalized by resampling into fixed windows, and
+    * deterministic. Non-WAVE / too-short (< 128 samples) content → None
+    * (no hash → no near-dup claim; exact byte dedup is its path).
+    */
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    wavSamples(bytes).filter(_.length >= 128).map { s =>
+      val W = 65
+      val e = Array.tabulate(W) { i =>
+        val x0 = (i.toLong * s.length / W).toInt
+        val x1 = math.max(x0 + 1, ((i + 1).toLong * s.length / W).toInt)
+        var sum = 0.0
+        var j = x0
+        while (j < x1) { sum += s(j).toDouble * s(j); j += 1 }
+        sum / (x1 - x0)
+      }
+      var h = 0L
+      var i = 1
+      while (i < W) {
+        if (e(i) > e(i - 1)) h |= (1L << (i - 1))
+        i += 1
+      }
+      h
+    }
+
+  /** Banded audio near-dup over a (path, content) frame — the audio
+    * twin of [[imageNearDup]], running the SAME factored banded join
+    * over [[audioHash64] ] fingerprints. Catches re-encoded /
+    * gain-scaled / slightly-noised recopies of the same recording;
+    * unparseable rows drop out of the banding.
+    */
+  def audioNearDup(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, b) => audioHash64(b).map(p -> _) })
+      .toDF("path", "ph")
+    bandedHashNearDup(hashed, maxHamming)
   }
 }

@@ -482,6 +482,37 @@ class MultimodalSpec extends SparkSpec {
     pairs.foreach { case (a, b, d) => assert(d <= 3, s"($a,$b) at $d") }
   }
 
+  test("audio near-dup: gain-scaled recopy caught, different recording " +
+    "and junk bytes pair with nothing") {
+    // amplitude-modulated tones: the ENVELOPE is the fingerprinted
+    // structure, so a different AM rate is a different recording even
+    // at the same carrier, and a pure gain change preserves every
+    // delta sign exactly
+    def am(amRate: Double, gain: Float)(i: Int): Float =
+      (gain * math.abs(math.sin(2 * math.Pi * amRate * i / 8000.0)) *
+        math.sin(2 * math.Pi * 440 * i / 8000.0)).toFloat
+    val orig = wav(nFrames = 8000)(am(3.0, 0.9f))
+    val quiet = wav(nFrames = 8000)(am(3.0, 0.3f))     // gain-scaled copy
+    val other = wav(nFrames = 8000)(am(11.0, 0.9f))    // different envelope
+    // gain invariance holds at the hash level, not just within 3 bits
+    assert(Multimodal.audioHash64(orig).get ===
+      Multimodal.audioHash64(quiet).get,
+      "uniform gain must preserve every energy-delta sign")
+    assert(java.lang.Long.bitCount(Multimodal.audioHash64(orig).get ^
+      Multimodal.audioHash64(other).get) > 10,
+      "different AM envelopes must be far apart")
+    assert(Multimodal.audioHash64("RIFFjunk".getBytes).isEmpty)
+    val df = Seq(
+      ("orig.wav", orig), ("quiet.wav", quiet), ("other.wav", other),
+      ("junk.bin", Array[Byte](9, 9, 9, 9))).toDF("path", "content")
+    val pairs = Multimodal.audioNearDup(df)
+      .as[(String, String, Long)].collect().toSeq
+    assert(pairs.map(p => Set(p._1, p._2)) ===
+      Seq(Set("orig.wav", "quiet.wav")),
+      s"exactly the gain pair must be caught, got $pairs")
+    assert(pairs.head._3 === 0L, "gain pair is hash-identical")
+  }
+
   test("q114 bytes side: real image bytes join onto the refs and each " +
     "record re-collects in order with contiguous offsets") {
     val sf = "/root/testdata/sf0.001"
