@@ -594,4 +594,50 @@ object Multimodal {
       .toDF("path", "ph")
     bandedHashNearDup(hashed, maxHamming)
   }
+
+  /** Banded VIDEO near-dup — completing the image/audio/video near-dup
+    * triple: REAL decoded frames (the native [[graft.expr.ContainerFrames]]
+    * walker — MJPEG/BI_RGB AVI, animated GIF; true-codec content yields
+    * no frames and drops out, the documented JDK bound) → per-frame
+    * [[pHash64]] → frame-level banded candidates with exact Hamming
+    * verify (the image machinery at FRAME granularity — videos never
+    * pair all-frames × all-frames, only frames sharing a 16-bit band) →
+    * two videos report as near-dups when ≥ `minShared` DISTINCT frame-
+    * hash pairs agree within `maxHamming` bits. A re-encoded or
+    * brightness-shifted recopy shares most frames; two videos sharing
+    * one incidental still (a title card) stay below the default
+    * `minShared = 2`.
+    *
+    * Output: (path_a, path_b, n_shared, min_hamming), path_a < path_b.
+    */
+  def videoNearDup(df: DataFrame, step: Int = 1, maxHamming: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val real = ExprGlue.column(graft.expr.ContainerFrames(
+      ExprGlue.expression(col("content")), step))
+    val frames = df.select(col("path"), explode(real).as("fb"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, b) => pHash64(b).map(p -> _) })
+      .toDF("path", "ph")
+    val banded = frames.select(col("path"), col("ph"),
+      explode(expr("transform(sequence(0, 3), " +
+        "b -> struct(b as band, shiftright(ph, b * 16) & 65535 as v))"))
+        .as("e"))
+      .select(col("path"), col("ph"), col("e.band").as("band"),
+        col("e.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.path") < col("b.path"))
+      .select(col("a.path").as("path_a"), col("b.path").as("path_b"),
+        col("a.ph").as("pha"), col("b.ph").as("phb"))
+      .distinct() // a frame pair may share several bands
+      .withColumn("hamming", expr("bit_count(pha ^ phb)"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("path_a", "path_b")
+      .agg(countDistinct(col("pha"), col("phb")).as("n_shared"),
+        min("hamming").as("min_hamming"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("path_a", "path_b")
+  }
 }

@@ -513,6 +513,48 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.head._3 === 0L, "gain pair is hash-identical")
   }
 
+  test("video near-dup: brightness-shifted recopy caught on shared " +
+    "frames, one incidental shared still stays below the gate") {
+    def toImg(png: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    def gifOf(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frames.foreach(f => w.writeToSequence(
+        new javax.imageio.IIOImage(toImg(f), null, null), null))
+      w.endWriteSequence(); w.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // A and B share two scenes (B's copies brightness-shifted — the
+    // re-encode case); B's third frame is new. C shares ONE still with
+    // A (the incidental title card) plus its own scenes. D is junk.
+    val vA = gifOf(Seq(scene(64, 64, 0, 0), scene(64, 64, 0, 1),
+      scene(64, 64, 0, 2)))
+    val vB = gifOf(Seq(scene(64, 64, 25, 0), scene(64, 64, 25, 1),
+      scene(64, 64, 0, 9)))
+    val vC = gifOf(Seq(scene(64, 64, 0, 2), scene(64, 64, 0, 5),
+      scene(64, 64, 0, 6)))
+    val got = Multimodal.videoNearDup(Seq(
+      ("a.gif", vA), ("b.gif", vB), ("c.gif", vC),
+      ("junk.bin", Array[Byte](9, 9, 9))).toDF("path", "content"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq(("a.gif", "b.gif")),
+      s"exactly the recopy pair must clear the 2-shared-frame gate: $got")
+    assert(got.head._3 >= 2L, "both shared scenes must match")
+    // ...the single shared still IS visible at minShared = 1 (so the
+    // gate, not the matching, is what excluded a↔c)
+    val loose = Multimodal.videoNearDup(Seq(
+      ("a.gif", vA), ("c.gif", vC)).toDF("path", "content"),
+      minShared = 1)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(loose.map(p => (p._1, p._2)) === Seq(("a.gif", "c.gif")) &&
+      loose.head._3 === 1L,
+      s"the incidental still must match exactly once: $loose")
+  }
+
   test("q114 bytes side: real image bytes join onto the refs and each " +
     "record re-collects in order with contiguous offsets") {
     val sf = "/root/testdata/sf0.001"
