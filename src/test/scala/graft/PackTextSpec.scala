@@ -37,14 +37,13 @@ class PackTextSpec extends SparkSpec {
       "n_docs must sum to the planted corpus size")
   }
 
-  test("q113: islands re-derived independently end to end; 60-token " +
-    "cross-doc repeat caught as one region, 40-token repeat kept") {
+  /** Independent q113 reimplementation (incl. the query's own donor
+    * planting): tokenized base docs → expected output rows. Shared by
+    * the driver-data re-derivation test and the random-corpus fuzz.
+    */
+  private def deriveQ113(
+      docs0: Seq[(Long, Seq[String])]): Seq[(Long, Long, Long, Long, String)] = {
     val W = 50
-    def tok(t: String): Seq[String] =
-      t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
-    val docs0 = Tables.documents(spark, sf).select("doc_id", "text")
-      .as[(Long, String)].collect().toSeq
-      .map { case (id, t) => (id, tok(t)) }
     val planted = docs0 ++
       docs0.filter(d => d._1 % 40 == 3 && d._2.size >= 60).map {
         case (id, ws) =>
@@ -77,10 +76,7 @@ class PackTextSpec extends SparkSpec {
       }
       id -> isl.toList
     }
-    def sha16(s: String): String =
-      java.security.MessageDigest.getInstance("SHA-256")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val expect = planted.sortBy(_._1).map { case (id, ws) =>
+    planted.sortBy(_._1).map { case (id, ws) =>
       val isl = islandsByDoc.getOrElse(id, Nil)
       val dropped = isl.map { case (s0, e0) => e0 - s0 + 1 }.sum.toLong
       val kept = ws.zipWithIndex.collect {
@@ -88,6 +84,21 @@ class PackTextSpec extends SparkSpec {
       }.mkString(" ")
       (id, ws.size.toLong, isl.size.toLong, dropped, sha16(kept))
     }
+  }
+
+  private def sha16(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
+  private def tok(t: String): Seq[String] =
+    t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+
+  test("q113: islands re-derived independently end to end; 60-token " +
+    "cross-doc repeat caught as one region, 40-token repeat kept") {
+    val docs0 = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, tok(t)) }
+    val expect = deriveQ113(docs0)
     val got = Catalog.queries("q113_substring_dedup")(spark, sf)
       .as[(Long, Long, Long, Long, String)].collect().toSeq
     assert(got === expect)
@@ -107,6 +118,45 @@ class PackTextSpec extends SparkSpec {
     d40.foreach { r =>
       assert(r._2 === 40L && r._3 === 0L && r._4 === 0L,
         s"40-token donor ${r._1} must be kept whole, got $r")
+    }
+  }
+
+  test("q113 fuzz: five random phrase-pool corpora match brute force " +
+    "exactly (islands, counts, rebuilt hashes)") {
+    // random text never repeats 50 tokens by chance (V^-50), so the
+    // corpora assemble docs from a SHARED phrase pool: runs of
+    // identical consecutive phrases across docs create genuine
+    // cross-doc repeats of varied lengths — sub-floor singles, exactly-
+    // at-floor runs, long multi-phrase islands, intra-doc self-repeats,
+    // and overlap merges the planted-donor test can't reach
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 1009)
+      val pool = Seq.tabulate(12) { pi =>
+        Seq.tabulate(15 + rnd.nextInt(31))(j => s"w${pi}x$j")
+      }
+      val docs0 = Seq.tabulate(25) { di =>
+        val parts = Seq.fill(3 + rnd.nextInt(6))(pool(rnd.nextInt(pool.size)))
+        val withFiller = parts.flatMap { p =>
+          if (rnd.nextInt(4) == 0) p :+ s"uniq${di}f${rnd.nextInt(1000)}"
+          else p
+        }
+        (di.toLong, withFiller)
+      }.filter(_._2.nonEmpty)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"q113-fuzz-$seed").toString
+      docs0.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("s").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Catalog.queries("q113_substring_dedup")(spark, dir)
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+      graft.ops.CacheScope.drain()
+      val expect = deriveQ113(docs0)
+      assert(got === expect, s"corpus seed $seed diverged from brute force")
+      assert(got.exists(_._4 > 0),
+        s"corpus seed $seed planted no duplicate mass — generator broken")
     }
   }
 }
