@@ -42,37 +42,50 @@ object PackRetrieval {
     2L -> "stream", 2L -> "batch",
     3L -> "data", 3L -> "merge", 3L -> "fast")
 
+  /** The shared scoring stack: per (q_id, doc_id), the BM25 score_bp +
+    * n_terms (q86's output) and the TF-only score (q117's baseline
+    * ranker). Built fresh per query invocation so each run's CacheScope
+    * drains its own caches. dl is doc-cardinality (≪ token stream) and
+    * feeds both the 1-row stats and the scoring join; tq is query-term-
+    * pruned (tiny) and feeds df and scoring. Persisting BOTH caps the
+    * corpus at TWO scans — without the caches Catalyst re-derives each
+    * consumer from the parquet (4 scans measured at sf0.001).
+    */
+  private def scoredFrames(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val qterms = QueryTerms.toDF("q_id", "term")
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("term"))
+    val dl = graft.ops.CacheScope.persisted(
+      ex.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"))
+    // prune the token stream to query terms FIRST; tf/df derive from it
+    val tq = graft.ops.CacheScope.persisted(
+      ex.join(broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dff = tq.groupBy("term").agg(count(lit(1)).as("df"))
+    val bm = tq.join(broadcast(dff), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
+      .withColumn("w_bp", expr(
+        "cast((10000 * (n_docs - df)) div df as decimal(38,0)) " +
+          "* tf * 220 * (n_toks div n_docs) div " +
+          "(cast(100 as decimal(38,0)) * (n_toks div n_docs) * tf " +
+          "+ 30 * (n_toks div n_docs) + 90 * dl)").cast("long"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum("w_bp").as("score_bp"), count(lit(1)).as("n_terms"))
+    val tf = tq.join(broadcast(qterms), "term")
+      .groupBy("q_id", "doc_id")
+      .agg(sum("tf").as("score_tf"))
+    (bm, tf)
+  }
+
   private val q86 = Q(
     "q86_bm25_topk",
     (s, d) => {
-      import s.implicits._
-      val qterms = QueryTerms.toDF("q_id", "term")
-      val ex = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("term"))
-      // dl is doc-cardinality (≪ token stream) and feeds both the 1-row
-      // stats and the scoring join; tq is query-term-pruned (tiny) and
-      // feeds df and scoring. Persisting BOTH caps the corpus at TWO
-      // scans — without the caches Catalyst re-derives each consumer
-      // from the parquet (4 scans measured at sf0.001).
-      val dl = graft.ops.CacheScope.persisted(
-        ex.groupBy("doc_id").agg(count(lit(1)).as("dl")))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"))
-      // prune the token stream to query terms FIRST; tf/df derive from it
-      val tq = graft.ops.CacheScope.persisted(
-        ex.join(broadcast(qterms.select("term").distinct()), "term")
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-      val dff = tq.groupBy("term").agg(count(lit(1)).as("df"))
-      tq.join(broadcast(dff), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .join(broadcast(qterms), "term")
-        .withColumn("w_bp", expr(
-          "cast((10000 * (n_docs - df)) div df as decimal(38,0)) " +
-            "* tf * 220 * (n_toks div n_docs) div " +
-            "(cast(100 as decimal(38,0)) * (n_toks div n_docs) * tf " +
-            "+ 30 * (n_toks div n_docs) + 90 * dl)").cast("long"))
-        .groupBy("q_id", "doc_id")
-        .agg(sum("w_bp").as("score_bp"), count(lit(1)).as("n_terms"))
+      scoredFrames(s, d)._1
         .withColumn("rk", row_number().over(Window.partitionBy("q_id")
           .orderBy(col("score_bp").desc, col("doc_id"))).cast("long"))
         .filter(col("rk") <= 5)
@@ -108,5 +121,104 @@ object PackRetrieval {
     doc = "BM25 top-5 per query: broadcast semi-join prune of the token " +
       "stream, exact integer k1/b scoring, WindowGroupLimit rank bound")
 
-  val all: Seq[Q] = Seq(q86)
+  /** q117 — ranker-agreement evaluation: BM25 (q86's scorer) against the
+    * TF-only baseline (sum of term frequencies — what retrieval quality
+    * work compares against first), over the identical candidate set.
+    * Per query: both top-10 lists' overlap, their Jaccard in basis
+    * points, and where BM25's top-1 document lands in the TF ranking
+    * (rank + reciprocal-rank in bp). The offline-eval harness shape every
+    * retrieval/curation stack runs when swapping scorers — here with two
+    * deterministic rankers so the gate is exact; swapping either side
+    * for an ANN ranker (q107) changes one input frame.
+    *
+    * Plan shape: ONE shared scoring stack (the two corpus scans q86
+    * already pays — dl + pruned tq, both cached); both rankings derive
+    * from cached candidate-cardinality frames. Top-10s ride
+    * WindowGroupLimit. The top-1's rank in the TF ranking is computed
+    * WITHOUT materializing that ranking: 1 + count of strictly-better
+    * (score, doc_id) keys — an aggregation, not a window, so at 100 TB
+    * the candidate set never sorts end to end for a single rank lookup
+    * (the oracle's row_number form is the semantics it must match).
+    */
+  private val q117 = Q(
+    "q117_ranker_agreement",
+    (s, d) => {
+      val (bm, tf0) = scoredFrames(s, d)
+      val tf = graft.ops.CacheScope.persisted(tf0)
+      val wA = Window.partitionBy("q_id")
+        .orderBy(col("score_bp").desc, col("doc_id"))
+      val wB = Window.partitionBy("q_id")
+        .orderBy(col("score_tf").desc, col("doc_id"))
+      val ra10 = graft.ops.CacheScope.persisted(
+        bm.withColumn("rk", row_number().over(wA).cast("long"))
+          .filter(col("rk") <= 10).select("q_id", "doc_id", "rk"))
+      val rb10 = tf.withColumn("rk", row_number().over(wB).cast("long"))
+        .filter(col("rk") <= 10).select("q_id", "doc_id")
+      val na = ra10.groupBy("q_id").agg(count(lit(1)).as("n_a"))
+      val ov = ra10.join(rb10, Seq("q_id", "doc_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("overlap10"))
+      val top1 = ra10.filter(col("rk") === 1)
+        .join(tf, Seq("q_id", "doc_id"))
+        .select(col("q_id"), col("doc_id").as("t1_doc"),
+          col("score_tf").as("t1_tf"))
+      val t1r = tf.join(broadcast(top1), "q_id")
+        .groupBy("q_id")
+        .agg((sum(when(col("score_tf") > col("t1_tf") ||
+          (col("score_tf") === col("t1_tf") &&
+            col("doc_id") < col("t1_doc")), 1L).otherwise(0L)) + 1L)
+          .as("top1_rank"))
+      na.join(ov, Seq("q_id"), "left").na.fill(0L, Seq("overlap10"))
+        .join(t1r, "q_id")
+        .select(col("q_id"), col("n_a"), col("overlap10"),
+          expr("overlap10 * 10000 div (2 * n_a - overlap10)").as("jacc_bp"),
+          col("top1_rank"),
+          expr("10000 div top1_rank").as("rr_bp"))
+        .orderBy("q_id")
+    },
+    Some(s"""
+      WITH qt(q_id, term) AS (VALUES ${QueryTerms
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+      t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      ex AS (SELECT doc_id, unnest(ws) AS term FROM t),
+      dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY doc_id),
+      st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+      tq AS (SELECT doc_id, term, count(*) AS tf FROM ex
+             WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+      dff AS (SELECT term, count(*) AS df FROM tq GROUP BY term),
+      sc AS (SELECT qt.q_id, tq.doc_id,
+               CAST(CAST((10000 * (st.n_docs - dff.df)) // dff.df AS HUGEINT)
+                 * tq.tf * 220 * (st.n_toks // st.n_docs)
+                 // (CAST(100 AS HUGEINT) * (st.n_toks // st.n_docs) * tq.tf
+                    + 30 * (st.n_toks // st.n_docs) + 90 * dl.dl) AS BIGINT) AS w_bp
+             FROM tq JOIN dff USING (term) JOIN dl USING (doc_id)
+             CROSS JOIN st JOIN qt USING (term)),
+      agg AS (SELECT q_id, doc_id, CAST(sum(w_bp) AS BIGINT) AS score_bp
+              FROM sc GROUP BY q_id, doc_id),
+      tfagg AS (SELECT qt.q_id, tq.doc_id, CAST(sum(tq.tf) AS BIGINT) AS score_tf
+                FROM tq JOIN qt USING (term) GROUP BY 1, 2),
+      ra AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY score_bp DESC, doc_id) AS rk FROM agg),
+      rb AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY score_tf DESC, doc_id) AS rk FROM tfagg),
+      na AS (SELECT q_id, count(*) AS n_a FROM ra WHERE rk <= 10 GROUP BY q_id),
+      ov AS (SELECT ra.q_id, count(*) AS overlap10
+             FROM ra JOIN rb ON ra.q_id = rb.q_id AND ra.doc_id = rb.doc_id
+             WHERE ra.rk <= 10 AND rb.rk <= 10 GROUP BY 1),
+      t1 AS (SELECT q_id, doc_id FROM ra WHERE rk = 1),
+      t1r AS (SELECT rb.q_id, CAST(rb.rk AS BIGINT) AS top1_rank
+              FROM rb JOIN t1 ON rb.q_id = t1.q_id AND rb.doc_id = t1.doc_id)
+      SELECT CAST(na.q_id AS BIGINT) AS q_id, na.n_a,
+             COALESCE(ov.overlap10, 0) AS overlap10,
+             COALESCE(ov.overlap10, 0) * 10000
+               // (2 * na.n_a - COALESCE(ov.overlap10, 0)) AS jacc_bp,
+             t1r.top1_rank, 10000 // t1r.top1_rank AS rr_bp
+      FROM na LEFT JOIN ov ON na.q_id = ov.q_id
+      JOIN t1r ON na.q_id = t1r.q_id
+      ORDER BY q_id
+    """),
+    doc = "ranker-agreement eval: BM25 vs TF top-10 overlap + Jaccard, " +
+      "top-1 rank in the rival ranking via count-better aggregation " +
+      "(no full-ranking window)")
+
+  val all: Seq[Q] = Seq(q86, q117)
 }

@@ -1,0 +1,159 @@
+package graft
+
+import graft.queries.{Catalog, Tables}
+import org.apache.spark.sql.functions._
+
+/** q116/q118/q119 layout-and-diagnostics pack: exact in-memory recounts
+  * (oracle hashes prove engine parity; these prove the semantics), plus
+  * the PRUNING claim q116 exists for — z-order files bound both
+  * dimensions where a linear sort bounds only one.
+  */
+class PackLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = Catalog.queries(name)(spark, sf)
+
+  private val B = 64
+  private val F = 16
+
+  private def morton(x: Long, y: Long): Long =
+    (0 until 6).map { i =>
+      (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))
+    }.sum
+
+  /** (event_id, xb, yb) bucketed exactly as the query buckets. */
+  private def bucketedEvents: Seq[(Long, Long, Long)] = {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val (uLo, uHi) = (ev.map(_._2).min, ev.map(_._2).max)
+    val (tLo, tHi) = (ev.map(_._3).min, ev.map(_._3).max)
+    ev.map { case (id, u, t) =>
+      (id, (u - uLo) * B / (uHi - uLo + 1), (t - tLo) * B / (tHi - tLo + 1))
+    }
+  }
+
+  test("q116: per-file ranges agree with an exact in-memory z-sort") {
+    val rows = bucketedEvents
+    val n = rows.size.toLong
+    val sorted = rows
+      .map { case (id, xb, yb) => (morton(xb, yb), id, xb, yb) }
+      .sortBy(t => (t._1, t._2))
+    val expect = sorted.zipWithIndex
+      .map { case ((_, _, xb, yb), i) => (i.toLong * F / n, xb, yb) }
+      .groupBy(_._1).toSeq
+      .map { case (fid, g) =>
+        val xs = g.map(_._2); val ys = g.map(_._3)
+        (fid, g.size.toLong, xs.min, xs.max, ys.min, ys.max,
+          xs.max - xs.min + 1, ys.max - ys.min + 1)
+      }.sortBy(_._1)
+    val got = run("q116_zorder_layout")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+  }
+
+  test("q116: file sizes are balanced to within one row") {
+    val sizes = run("q116_zorder_layout").select("n_rows")
+      .as[Long].collect()
+    assert(sizes.length === F)
+    assert(sizes.max - sizes.min <= 1L)
+  }
+
+  test("q116: z-layout bounds BOTH dims; a time-sort leaves x unbounded") {
+    val rows = bucketedEvents
+    val n = rows.size.toLong
+    // linear layout: same file count, sorted by (yb, event_id) only
+    val linear = rows.sortBy(t => (t._3, t._1)).zipWithIndex
+      .map { case ((_, xb, _), i) => (i.toLong * F / n, xb) }
+      .groupBy(_._1).values
+      .map(g => g.map(_._2).max - g.map(_._2).min + 1)
+    val linearMeanX = linear.sum.toDouble / linear.size
+    val z = run("q116_zorder_layout").select("x_span", "y_span")
+      .as[(Long, Long)].collect()
+    val zMeanX = z.map(_._1).sum.toDouble / z.length
+    // ts-sorted files each span ~the full user range; z-order files are
+    // rectangles ~sqrt(cells) wide. The gap is the operator's reason.
+    assert(zMeanX < linearMeanX / 2,
+      s"z mean x-span $zMeanX should be far below linear $linearMeanX")
+    // and z files still bound y usefully: mean y-span well below full width
+    val zMeanY = z.map(_._2).sum.toDouble / z.length
+    assert(zMeanY < B / 2.0, s"z mean y-span $zMeanY should be < ${B / 2}")
+  }
+
+  private def tokenized: Seq[(Long, Array[String])] =
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) =>
+        (id, t.toLowerCase.split("\\W+").filter(_.nonEmpty))
+      }
+
+  test("q118: curve agrees with an exact first-occurrence recount") {
+    val docs = tokenized
+    val (lo, hi) = (docs.map(_._1).min, docs.map(_._1).max)
+    val decile = (id: Long) => (id - lo) * 10 / (hi - lo + 1)
+    val tokTotals = docs.groupBy(d => decile(d._1))
+      .map { case (dc, g) => dc -> g.map(_._2.length.toLong).sum }
+    val firstDecile = collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, ws) =>
+      ws.foreach { t =>
+        val d = decile(id)
+        if (!firstDecile.contains(t) || firstDecile(t) > d) firstDecile(t) = d
+      }
+    }
+    // NB: min over deciles ≠ decile of min doc_id only if doc order within
+    // tokens differs — they coincide because decile is monotone in doc_id.
+    val newTypes = firstDecile.values.groupBy(identity)
+      .map { case (d, g) => d -> g.size.toLong }
+    val deciles = tokTotals.keys.toSeq.sorted
+    var (cumT, cumTy) = (0L, 0L)
+    val expect = deciles.map { d =>
+      val ta = tokTotals(d); val nt = newTypes.getOrElse(d, 0L)
+      cumT += ta; cumTy += nt
+      (d, ta, nt, cumT, cumTy, cumTy * 10000L / cumT)
+    }
+    val got = run("q118_heaps_curve")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+  }
+
+  test("q118: cumulative types are non-decreasing and end at vocab size") {
+    val docs = tokenized
+    val vocab = docs.flatMap(_._2).distinct.size.toLong
+    val got = run("q118_heaps_curve")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._5).toSeq === got.map(_._5).sorted.toSeq)
+    assert(got.last._5 === vocab)
+    assert(got.last._4 === docs.map(_._2.length.toLong).sum)
+  }
+
+  test("q119: report agrees with an exact in-memory recount") {
+    val counts = tokenized.flatMap(_._2).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    val nKeys = counts.size.toLong
+    val total = counts.values.sum
+    val maxCnt = counts.values.max
+    val asc = counts.toSeq.sortBy(t => (t._2, t._1)).map(_._2)
+    def pctAt(q: Long) = asc(((nKeys * q + 99) / 100 - 1).toInt)
+    val avg = total / nKeys
+    val top = counts.toSeq.sortBy(t => (-t._2, t._1)).take(5)
+    val expect = top.zipWithIndex.map { case ((tok, cnt), i) =>
+      (i + 1L, tok, cnt, cnt * 10000L / total, nKeys, total, maxCnt,
+        pctAt(50), pctAt(90), pctAt(99),
+        maxCnt * 10000L / avg, math.min(32L, maxCnt / math.max(avg, 1L)))
+    }
+    val got = run("q119_skew_report")
+      .as[(Long, String, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long)].collect().toSeq
+    assert(got === expect)
+  }
+
+  test("q119: shares are consistent and hitters dominate the median") {
+    val got = run("q119_skew_report").collect()
+    assert(got.length === 5)
+    val cnts = got.map(_.getLong(2))
+    assert(cnts.toSeq === cnts.sorted.reverse.toSeq)
+    val p50 = got.head.getLong(7)
+    assert(cnts.head >= p50, "top hitter at least the median by definition")
+  }
+}

@@ -83,4 +83,56 @@ class PackRetrievalSpec extends SparkSpec {
     assert(w(10, avgdl) < BigInt(10000) * 220 / 100,
       "tf saturation: the k1 ceiling bounds any single term's weight")
   }
+
+  test("q117: agreement metrics agree with an exact dual-ranker recount") {
+    graft.ops.CacheScope.drain()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      }
+    val dl = docs.map { case (id, ws) => id -> ws.length.toLong }.toMap
+    val nDocs = docs.length.toLong
+    val avgdl = dl.values.sum / nDocs
+    val allTerms = queryTerms.values.flatten.toSet
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.filter(allTerms).groupBy(identity)
+        .map { case (t, g) => (id, t) -> g.length.toLong }
+    }.toMap
+    val df = allTerms.map(t => t -> tf.keys.count(_._2 == t).toLong).toMap
+    val expect = queryTerms.toSeq.flatMap { case (q, terms) =>
+      val cand = docs.map(_._1)
+        .filter(id => terms.exists(t => tf.contains(id -> t)))
+      if (cand.isEmpty) None
+      else {
+        val bm = cand.map { id =>
+          id -> terms.filter(t => tf.contains(id -> t)).map { t =>
+            val idfBp = 10000L * (nDocs - df(t)) / df(t)
+            (BigInt(idfBp) * tf(id -> t) * 220 * avgdl /
+              (BigInt(100) * avgdl * tf(id -> t) + 30 * avgdl +
+                90 * dl(id))).toLong
+          }.sum
+        }
+        val tfs = cand.map { id =>
+          id -> terms.flatMap(t => tf.get(id -> t)).sum
+        }
+        val topA = bm.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+        val rbFull = tfs.sortBy { case (id, s) => (-s, id) }.map(_._1)
+        val topB = rbFull.take(10)
+        val nA = topA.length.toLong
+        val ov = topA.count(topB.toSet).toLong
+        val t1Rank = rbFull.indexOf(topA.head) + 1L
+        Some((q, nA, ov, ov * 10000L / (2 * nA - ov), t1Rank,
+          10000L / t1Rank))
+      }
+    }.sortBy(_._1)
+    val got = run("q117_ranker_agreement")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // the eval must be non-degenerate at this sf: rankers agree on
+    // SOMETHING (shared candidate pool) but not everything (different
+    // scoring), or the metric isn't measuring a real difference
+    assert(got.forall(r => r._3 >= 1L && r._3 <= r._2))
+    assert(got.forall(r => r._5 >= 1L))
+  }
 }
