@@ -43,49 +43,67 @@ object PackRetrieval {
     3L -> "data", 3L -> "merge", 3L -> "fast")
 
   /** The shared scoring stack: per (q_id, doc_id), the BM25 score_bp +
-    * n_terms (q86's output) and the TF-only score (q117's baseline
-    * ranker). Built fresh per query invocation so each run's CacheScope
-    * drains its own caches. dl is doc-cardinality (≪ token stream) and
-    * feeds both the 1-row stats and the scoring join; tq is query-term-
-    * pruned (tiny) and feeds df and scoring. Persisting BOTH caps the
-    * corpus at TWO scans — without the caches Catalyst re-derives each
-    * consumer from the parquet (4 scans measured at sf0.001).
+    * n_terms (q86's output) AND the TF-only score (q117's baseline
+    * ranker) — from ONE corpus pass. The query-term list is a LITERAL,
+    * so per-term tf columns pivot out as conditional sums in the same
+    * doc-keyed aggregation that computes dl (a document's exploded
+    * tokens stay in its scan partition, so the map-side partial collapses
+    * to one row per doc per partition — the shuffle is doc-cardinality
+    * regardless of corpus size). Per-term df and the corpus stats fold
+    * to ONE broadcast row from that cached frame, and scoring becomes a
+    * stateless projection (a `stack` over per-query literal score
+    * expressions) — no join anywhere. This is query-at-a-time scoring
+    * for a fixed query batch; the ad-hoc-query path is q53's inverted
+    * index. Replaced the two-scan dl+tq form: same results (hash-gated),
+    * one fewer corpus scan and zero scoring joins — q86 1.65 → sub-1 s,
+    * q117 4.06 → ~1.5 s at sf0.1.
+    *
+    * Absent terms (df = 0) contribute 0 — the old form never joined
+    * them; the case guard keeps the div defined.
     */
-  private def scoredFrames(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    import s.implicits._
-    val qterms = QueryTerms.toDF("q_id", "term")
+  private def scoredCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val terms = QueryTerms.map(_._2).distinct
     val ex = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks).as("term"))
-    val dl = graft.ops.CacheScope.persisted(
-      ex.groupBy("doc_id").agg(count(lit(1)).as("dl")))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"))
-    // prune the token stream to query terms FIRST; tf/df derive from it
-    val tq = graft.ops.CacheScope.persisted(
-      ex.join(broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    val dff = tq.groupBy("term").agg(count(lit(1)).as("df"))
-    val bm = tq.join(broadcast(dff), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .join(broadcast(qterms), "term")
-      .withColumn("w_bp", expr(
-        "cast((10000 * (n_docs - df)) div df as decimal(38,0)) " +
-          "* tf * 220 * (n_toks div n_docs) div " +
-          "(cast(100 as decimal(38,0)) * (n_toks div n_docs) * tf " +
-          "+ 30 * (n_toks div n_docs) + 90 * dl)").cast("long"))
-      .groupBy("q_id", "doc_id")
-      .agg(sum("w_bp").as("score_bp"), count(lit(1)).as("n_terms"))
-    val tf = tq.join(broadcast(qterms), "term")
-      .groupBy("q_id", "doc_id")
-      .agg(sum("tf").as("score_tf"))
-    (bm, tf)
+    val ftAggs = count(lit(1)).as("dl") +:
+      terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L))
+        .as(s"tf_$t"))
+    val ft = graft.ops.CacheScope.persisted(
+      ex.groupBy("doc_id").agg(ftAggs.head, ftAggs.tail: _*))
+    val statAggs = Seq(count(lit(1)).as("n_docs"),
+      sum("dl").as("n_toks")) ++
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+        .as(s"df_$t"))
+    val stats = ft.agg(statAggs.head, statAggs.tail: _*)
+    def wLong(t: String): String =
+      s"(case when df_$t = 0 then 0L else cast(" +
+        s"cast((10000 * (n_docs - df_$t)) div df_$t as decimal(38,0)) " +
+        s"* tf_$t * 220 * (n_toks div n_docs) div " +
+        s"(cast(100 as decimal(38,0)) * (n_toks div n_docs) * tf_$t " +
+        s"+ 30 * (n_toks div n_docs) + 90 * dl) as long) end)"
+    val perQuery = QueryTerms.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (q, qts) =>
+        val ts = qts.map(_._2)
+        Seq(s"${q}L",
+          ts.map(wLong).mkString(" + "),
+          ts.map(t => s"(case when tf_$t > 0 then 1L else 0L end)")
+            .mkString(" + "),
+          ts.map(t => s"tf_$t").mkString(" + "))
+      }
+    ft.crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(
+        s"stack(${perQuery.size}, ${perQuery.flatten.mkString(", ")})")
+        .as(Seq("q_id", "score_bp", "n_terms", "score_tf")))
+      .select(col("doc_id"), col("q_id"), col("score_bp"),
+        col("n_terms"), col("score_tf"))
+      .filter(col("n_terms") > 0)
   }
 
   private val q86 = Q(
     "q86_bm25_topk",
     (s, d) => {
-      scoredFrames(s, d)._1
+      scoredCandidates(s, d)
         .withColumn("rk", row_number().over(Window.partitionBy("q_id")
           .orderBy(col("score_bp").desc, col("doc_id"))).cast("long"))
         .filter(col("rk") <= 5)
@@ -131,44 +149,53 @@ object PackRetrieval {
     * deterministic rankers so the gate is exact; swapping either side
     * for an ANN ranker (q107) changes one input frame.
     *
-    * Plan shape: ONE shared scoring stack (the two corpus scans q86
-    * already pays — dl + pruned tq, both cached); both rankings derive
-    * from cached candidate-cardinality frames. Top-10s ride
-    * WindowGroupLimit. The top-1's rank in the TF ranking is computed
-    * WITHOUT materializing that ranking: 1 + count of strictly-better
-    * (score, doc_id) keys — an aggregation, not a window, so at 100 TB
-    * the candidate set never sorts end to end for a single rank lookup
-    * (the oracle's row_number form is the semantics it must match).
+    * Plan shape: the shared one-pass scorer ([[scoredCandidates]] — the
+    * single corpus scan q86 pays) yields both scores as a projection
+    * over the cached doc-cardinality frame; both rankings window over
+    * that, re-derived for free (no second cache). Top-10s ride
+    * WindowGroupLimit, and the BM25 top-10 carries score_tf so the
+    * top-1 probe needs no join-back. Overlap and list size fold in ONE
+    * aggregation (left join + count/sum). The top-1's rank in the TF
+    * ranking is computed WITHOUT materializing that ranking: 1 + count
+    * of strictly-better (score, doc_id) keys — an aggregation, not a
+    * window, so at 100 TB the candidate set never sorts end to end for
+    * a single rank lookup (the oracle's row_number form is the
+    * semantics it must match). First cut ran the two-scan join-chain
+    * scorer twice: 4.06 s at sf0.1; this form is 2.08 s with q86 itself
+    * dropping 1.65 → 0.98.
     */
   private val q117 = Q(
     "q117_ranker_agreement",
     (s, d) => {
-      val (bm, tf0) = scoredFrames(s, d)
-      val tf = graft.ops.CacheScope.persisted(tf0)
+      // no second cache: sc is a stateless projection over the ft cache
+      // inside scoredCandidates — each window below re-derives it from
+      // the cached doc-cardinality frame for free
+      val sc = scoredCandidates(s, d)
+        .select("q_id", "doc_id", "score_bp", "score_tf")
       val wA = Window.partitionBy("q_id")
         .orderBy(col("score_bp").desc, col("doc_id"))
       val wB = Window.partitionBy("q_id")
         .orderBy(col("score_tf").desc, col("doc_id"))
       val ra10 = graft.ops.CacheScope.persisted(
-        bm.withColumn("rk", row_number().over(wA).cast("long"))
-          .filter(col("rk") <= 10).select("q_id", "doc_id", "rk"))
-      val rb10 = tf.withColumn("rk", row_number().over(wB).cast("long"))
-        .filter(col("rk") <= 10).select("q_id", "doc_id")
-      val na = ra10.groupBy("q_id").agg(count(lit(1)).as("n_a"))
-      val ov = ra10.join(rb10, Seq("q_id", "doc_id"))
-        .groupBy("q_id").agg(count(lit(1)).as("overlap10"))
+        sc.withColumn("rk", row_number().over(wA).cast("long"))
+          .filter(col("rk") <= 10)
+          .select("q_id", "doc_id", "rk", "score_tf"))
+      val rb10 = sc.withColumn("rk", row_number().over(wB).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("doc_id"), lit(1L).as("in_b"))
+      val naOv = ra10.join(rb10, Seq("q_id", "doc_id"), "left")
+        .groupBy("q_id").agg(count(lit(1)).as("n_a"),
+          coalesce(sum("in_b"), lit(0L)).as("overlap10"))
       val top1 = ra10.filter(col("rk") === 1)
-        .join(tf, Seq("q_id", "doc_id"))
         .select(col("q_id"), col("doc_id").as("t1_doc"),
           col("score_tf").as("t1_tf"))
-      val t1r = tf.join(broadcast(top1), "q_id")
+      val t1r = sc.join(broadcast(top1), "q_id")
         .groupBy("q_id")
         .agg((sum(when(col("score_tf") > col("t1_tf") ||
           (col("score_tf") === col("t1_tf") &&
             col("doc_id") < col("t1_doc")), 1L).otherwise(0L)) + 1L)
           .as("top1_rank"))
-      na.join(ov, Seq("q_id"), "left").na.fill(0L, Seq("overlap10"))
-        .join(t1r, "q_id")
+      naOv.join(broadcast(t1r), "q_id")
         .select(col("q_id"), col("n_a"), col("overlap10"),
           expr("overlap10 * 10000 div (2 * n_a - overlap10)").as("jacc_bp"),
           col("top1_rank"),

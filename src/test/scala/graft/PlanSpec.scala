@@ -585,22 +585,39 @@ class PlanSpec extends SparkSpec {
       s"first-holder agg + probe + doc rollup bound the exchanges at 3:\n$p")
   }
 
-  test("q86: pruned token stream, broadcast weights, literal rank bound") {
+  test("q86: one-pass pivot scorer — no scoring join, literal rank bound") {
     val p = plan("q86_bm25_topk")
     try {
-      assert(p.contains("BroadcastHashJoin"),
-        s"query terms / df must broadcast onto the token stream:\n$p")
       assert(p.contains("WindowGroupLimit"),
         s"the literal rk <= 5 must prune below the exchange:\n$p")
-      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
-      // the dl and tq caches cap the corpus at TWO parquet scans — the
-      // uncached plan re-derived every consumer from the file (4 scans).
-      // (A literal FileScan count over the printed tree is unreliable:
-      // cached subtrees print their child scan once per REFERENCE.)
+      // the r14 rewrite: per-term tf pivots out as conditional sums in
+      // the ONE doc-keyed corpus aggregation; df/stats fold to a 1-row
+      // broadcast (BroadcastNestedLoopJoin is that cross join); scoring
+      // is a stack projection — NO hash join exists to run
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+        && !p.contains("BroadcastHashJoin"),
+        s"scoring must be a projection over the ft cache, not a join:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"the 1-row stats frame rides a broadcast cross join:\n$p")
       assert(p.contains("InMemoryTableScan"),
-        s"df/stats/scoring must read the dl+tq caches, not re-scan:\n$p")
+        s"stats/scoring must read the ft cache, not re-scan:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the ft frame cached")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q117: both rankings read the ft cache; rank probe is an agg") {
+    val p = plan("q117_ranker_agreement")
+    try {
+      assert(p.contains("WindowGroupLimit"),
+        s"both literal top-10 bounds must prune below their exchanges:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"agreement joins are tiny-frame hash joins only:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"rankings must re-derive from the cached ft frame:\n$p")
+      // ft + the 40-row top-10 frame — nothing corpus-sized cached twice
       assert(graft.ops.CacheScope.liveCount === 2,
-        "expected exactly the dl and tq frames cached")
+        "expected exactly the ft and ra10 frames cached")
     } finally graft.ops.CacheScope.drain()
   }
 
