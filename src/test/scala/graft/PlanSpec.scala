@@ -987,4 +987,60 @@ class PlanSpec extends SparkSpec {
         s"the 1-row n_dims_extended frame must broadcast:\n$p")
     } finally graft.ops.CacheScope.drain()
   }
+
+  test("q116: one cached bucket frame; stats + z-starts broadcast; " +
+    "file assignment never sorts the corpus globally") {
+    val p = plan("q116_zorder_layout")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the bucketed-events frame cached")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"the 1-row min/max stats frame rides a broadcast cross join:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the z-cardinality start-offset frame must broadcast back:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"q116 has only broadcast joins:\n$p")
+      // the two-level row-number device: the only UNPARTITIONED window
+      // (the z running total) runs over the ≤ 4096-row z-value frame,
+      // never the corpus — the corpus window is partitioned by z
+      assert(p.contains("Window [row_number()") ||
+        p.contains("windowspecdefinition(z#"),
+        s"per-z row numbering must be a z-partitioned window:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q118: one gram-keyed exchange; the curve folds at 10-row " +
+    "cardinality") {
+    val p = plan("q118_heaps_curve")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row doc-id-range frame rides a broadcast cross join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast joins exist in the curve:\n$p")
+    // grams shuffle once (token-keyed min) + decile folds; the running-
+    // total window runs over the 10-row decile frame
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 4,
+      s"gram min + two decile folds + join bound the exchanges:\n$p")
+  }
+
+  test("q119: one cached count fold; ranks window over the cache; " +
+    "percentiles read the cache, not the corpus") {
+    val p = plan("q119_skew_report")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the per-key count frame cached")
+      // the rank windows are UNPARTITIONED by design — they sort the
+      // vocab-cardinality count frame (bounded by distinct keys, never
+      // corpus-sized), so no WindowGroupLimit materializes; the scale
+      // property is that their input is the InMemory cache below
+      assert(p.contains("InMemoryTableScan"),
+        s"stats/percentiles/top-5 must read the count cache:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"global stats ride broadcast cross joins:\n$p")
+      // (a literal "Scan parquet" count is unreliable here — every
+      // InMemoryTableScan reference reprints the cache's build plan,
+      // the q86 lesson; the liveCount===1 + InMemoryTableScan pins
+      // above are the one-corpus-pass evidence)
+    } finally graft.ops.CacheScope.drain()
+  }
 }
