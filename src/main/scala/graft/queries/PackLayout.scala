@@ -283,5 +283,148 @@ object PackLayout {
       "row-number percentiles at vocab cardinality, top-5 heavy hitters, " +
       "integer salting recommendation")
 
-  val all: Seq[Q] = Seq(q116, q118, q119)
+  /** q120 — sequence-length histogram + packing-waste audit: docs fold
+    * into power-of-2 token-length buckets (integer comparisons, not
+    * float log2 — parity trapdoor), and every row carries the corpus-
+    * level packing comparison at chunk = 128 tokens: chunks needed by
+    * q58/q96-style dense concatenation vs pad-each-doc-to-chunk, and
+    * the padding waste in bp. The decision input for choosing packing
+    * over padding — the waste number IS the GPU-hours argument.
+    *
+    * Plan shape: ONE corpus tokenize folds to the doc-cardinality
+    * length frame (cached); the histogram is a ≤ 12-row aggregation,
+    * the packing stats a 1-row fold broadcast onto it. Nothing after
+    * the length fold is corpus-sized.
+    */
+  private val q120 = Q(
+    "q120_len_histogram",
+    (s, d) => {
+      val C = 128
+      val lens = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d).select(size(toks).as("len"))
+          .filter(col("len") > 0))
+      // bucket = number of powers of two ≤ len, capped at 2^11
+      val bucketExpr = (1 to 11)
+        .map(k => s"(case when len >= ${1L << k} then 1L else 0L end)")
+        .mkString("(", " + ", ")")
+      val hist = lens.withColumn("bucket", expr(bucketExpr))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("tokens"))
+      val packing = lens.agg(
+        sum("len").as("total_toks"),
+        expr(s"(sum(len) + ${C - 1}) div $C").as("chunks_concat"),
+        expr(s"sum((len + ${C - 1}) div $C)").as("chunks_padded"))
+      hist.crossJoin(broadcast(packing))
+        .select(col("bucket"), col("n_docs"), col("tokens"),
+          expr("tokens * 10000 div total_toks").as("share_bp"),
+          col("total_toks"), col("chunks_concat"), col("chunks_padded"),
+          expr(s"(chunks_padded * $C - total_toks) * 10000 " +
+            s"div (chunks_padded * $C)").as("pad_waste_bp"))
+        .orderBy("bucket")
+    },
+    Some(s"""
+      WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      l AS (SELECT len(ws) AS len FROM t WHERE len(ws) > 0),
+      h AS (SELECT ${(1 to 11)
+        .map(k => s"(CASE WHEN len >= ${1L << k} THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")} AS bucket,
+                   count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tokens
+            FROM l GROUP BY 1),
+      p AS (SELECT CAST(sum(len) AS BIGINT) AS total_toks,
+                   (CAST(sum(len) AS BIGINT) + 127) // 128 AS chunks_concat,
+                   CAST(sum((len + 127) // 128) AS BIGINT) AS chunks_padded
+            FROM l)
+      SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, tokens,
+             tokens * 10000 // total_toks AS share_bp,
+             total_toks, chunks_concat, chunks_padded,
+             (chunks_padded * 128 - total_toks) * 10000
+               // (chunks_padded * 128) AS pad_waste_bp
+      FROM h CROSS JOIN p ORDER BY bucket
+    """),
+    doc = "power-of-2 length histogram + packing-vs-padding waste at " +
+      "chunk=128: one corpus tokenize to a cached length frame, " +
+      "12-row histogram, 1-row packing fold broadcast")
+
+  /** q121 — cross-source overlap matrix: for every source pair, the
+    * number of shared distinct word-8-grams and their Jaccard in basis
+    * points — the source-to-source duplication heatmap that decides
+    * where dedup budget goes (two mirrors of the same crawl light up;
+    * disjoint corpora read ~0). The source-level roll-up of q28's
+    * pairwise doc Jaccard.
+    *
+    * Plan shape: grams deduplicate document-locally (array_distinct),
+    * then ONE gram-keyed aggregation folds each gram to its SOURCE SET
+    * (collect_set — hard-bounded at S elements, S = source count; hot
+    * boilerplate grams partial-merge map-side). That single cached
+    * frame feeds everything: per-source totals re-derive by exploding
+    * the sets, and pair intersections come from a combinations HOF over
+    * each sorted set (≤ S·(S−1)/2 structs per gram — q69's bounded-band
+    * argument: hot grams cost S², never corpus²) re-aggregated at ≤ S²
+    * cardinality. The first cut self-joined the (source, gram) frame on
+    * the gram STRING — three ~40-byte-string-keyed exchanges of the
+    * same rows; this form shuffles the strings once and builds shingles
+    * with the native `word_shingle_strings` kernel (3.19 → 2.32 s at
+    * sf0.1; the residue is the irreducible corpus shingle pass + the
+    * one gram shuffle + per-run cache populate — the q27/q48 floor).
+    * For S beyond ~32 the swap-in is the bitmask device: fold source
+    * sets to a bit_or mask, collapse identical masks with counts,
+    * expand pairs at mask cardinality.
+    */
+  private val q121 = Q(
+    "q121_source_overlap",
+    (s, d) => {
+      val gs = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(col("source"), toks.as("ws"))
+          .filter(size(col("ws")) >= 8)
+          .select(col("source"), explode(
+            org.apache.spark.sql.graftglue.ExprGlue.column(
+              graft.expr.WordShingleStrings(
+                org.apache.spark.sql.graftglue.ExprGlue.expression(
+                  col("ws")), 8))).as("gram"))
+          .groupBy("gram").agg(collect_set(col("source")).as("ss")))
+      val ns = gs.select(explode(col("ss")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = gs.filter(size(col("ss")) >= 2)
+        .select(expr("array_sort(ss)").as("s0"))
+        .select(explode(expr(
+          // all ordered pairs of the sorted source set
+          "flatten(transform(sequence(1, size(s0) - 1), " +
+            "i -> transform(slice(s0, i + 1, size(s0) - i), " +
+            "x -> struct(element_at(s0, i) AS a, x AS b))))"))
+          .as("p"))
+        .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(ns.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n", "n_a")), "src_a")
+        .join(broadcast(ns.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n", "n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("inter"),
+          expr("inter * 10000 div (n_a + n_b - inter)").as("jacc_bp"))
+        .orderBy("src_a", "src_b")
+    },
+    Some("""
+      WITH t AS (SELECT source, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      g AS (SELECT DISTINCT source,
+              unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+                i -> array_to_string(ws[i:i+7], ' ')))) AS gram
+            FROM t WHERE len(ws) >= 8),
+      ns AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+      iv AS (SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS inter
+             FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT src_a, src_b, na.n AS n_a, nb.n AS n_b, inter,
+             inter * 10000 // (na.n + nb.n - inter) AS jacc_bp
+      FROM iv JOIN ns na ON iv.src_a = na.source
+      JOIN ns nb ON iv.src_b = nb.source
+      ORDER BY src_a, src_b
+    """),
+    doc = "source-pair 8-gram overlap matrix: document-local gram dedup, " +
+      "one cached source-gram distinct, gram-keyed self-join with " +
+      "S2-bounded fan-out, broadcast totals")
+
+  val all: Seq[Q] = Seq(q116, q118, q119, q120, q121)
 }

@@ -148,6 +148,54 @@ class PackLayoutSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q120: histogram + packing audit agree with an exact recount") {
+    val lens = tokenized.map(_._2.length.toLong).filter(_ > 0)
+    val bucket = (n: Long) => (1 to 11).count(k => n >= (1L << k)).toLong
+    val total = lens.sum
+    val chunksConcat = (total + 127) / 128
+    val chunksPadded = lens.map(n => (n + 127) / 128).sum
+    val wasteBp = (chunksPadded * 128 - total) * 10000L / (chunksPadded * 128)
+    val expect = lens.groupBy(bucket).toSeq.map { case (b, g) =>
+      (b, g.size.toLong, g.sum, g.sum * 10000L / total,
+        total, chunksConcat, chunksPadded, wasteBp)
+    }.sortBy(_._1)
+    val got = run("q120_len_histogram")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got === expect)
+    // the audit's reason to exist: padding wastes real space here, and
+    // dense concat never needs more chunks than padding
+    assert(got.head._8 > 0L)
+    assert(got.head._6 <= got.head._7)
+    assert(got.map(_._3).sum === total)
+  }
+
+  test("q121: overlap matrix agrees with exact in-memory set algebra") {
+    val bySource = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect().toSeq
+      .map { case (src, t) =>
+        src -> t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      }
+      .filter(_._2.length >= 8)
+      .flatMap { case (src, ws) =>
+        ws.sliding(8).filter(_.length == 8).map(g => src -> g.mkString(" "))
+      }
+      .distinct.groupBy(_._1).map { case (s0, g) => s0 -> g.map(_._2).toSet }
+    val sources = bySource.keys.toSeq.sorted
+    val expect = (for {
+      a <- sources; b <- sources if a < b
+      inter = (bySource(a) & bySource(b)).size.toLong if inter > 0
+    } yield {
+      val (na, nb) = (bySource(a).size.toLong, bySource(b).size.toLong)
+      (a, b, na, nb, inter, inter * 10000L / (na + nb - inter))
+    }).sortBy(r => (r._1, r._2))
+    val got = run("q121_source_overlap")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty, "the gated corpus must have SOME cross-source overlap")
+    assert(got.forall(r => r._5 <= math.min(r._3, r._4) && r._6 <= 10000L))
+  }
+
   test("q119: shares are consistent and hitters dominate the median") {
     val got = run("q119_skew_report").collect()
     assert(got.length === 5)

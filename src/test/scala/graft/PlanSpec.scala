@@ -1043,4 +1043,37 @@ class PlanSpec extends SparkSpec {
       // above are the one-corpus-pass evidence)
     } finally graft.ops.CacheScope.drain()
   }
+
+  test("q120: one cached length fold; histogram + packing read the " +
+    "cache; packing stats broadcast") {
+    val p = plan("q120_len_histogram")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the doc-length frame cached")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"the 1-row packing fold rides a broadcast cross join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"q120 is two folds over one cache:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"histogram and packing must read the length cache:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q121: one cached gram->source-set fold; pairs are a generator " +
+    "over the cache; totals broadcast") {
+    val p = plan("q121_source_overlap")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the gram source-set frame cached")
+      assert(p.contains("Generate explode"),
+        s"pair expansion must be a generator over the sets, not a " +
+          s"self-join:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"per-source totals must broadcast onto the pair frame:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"no string-keyed self-join may exist:\n$p")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"both totals and pairs must read the one cache:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
 }
