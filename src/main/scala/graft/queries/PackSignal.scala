@@ -52,9 +52,15 @@ object PackSignal {
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), toks.as("ws"))
         .filter(size(col("ws")) >= 4)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, size(ws) - 3), " +
-            "i -> array_join(slice(ws, i, 4), ' ')))")).as("gram"))
+        // native kernel (r14): identical strings to the HOF
+        // array_distinct(transform(..array_join(slice)..)) chain it
+        // replaced, one codegen'd pass per doc instead of a per-window
+        // slice/concat expression tree
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graftglue.ExprGlue.column(
+            graft.expr.WordShingleStrings(
+              org.apache.spark.sql.graftglue.ExprGlue.expression(
+                col("ws")), 4))).as("gram"))
       val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
       grams.join(first, "gram")
         .groupBy("doc_id")

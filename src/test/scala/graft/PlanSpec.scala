@@ -537,11 +537,13 @@ class PlanSpec extends SparkSpec {
 
   test("q81: gram dedup is document-local; no corpus cartesian, no window") {
     val p = plan("q81_ngram_novelty")
-    // per-doc gram dedup happens in the array (array_distinct before the
-    // explode) — a (doc, gram) distinct shuffle would double the exchange
-    // count and is the plan this pin exists to prevent
-    assert(p.contains("array_distinct"),
-      s"gram dedup must be document-local:\n$p")
+    // per-doc gram dedup happens inside the shingle kernel (the r14
+    // native word_shingle_strings emits DISTINCT windows per doc, the
+    // same strings as the array_distinct HOF it replaced) — a
+    // (doc, gram) distinct shuffle would double the exchange count and
+    // is the plan this pin exists to prevent
+    assert(p.contains("word_shingle_strings"),
+      s"gram dedup must be document-local (native kernel):\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 3,
