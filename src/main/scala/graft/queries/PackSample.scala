@@ -125,5 +125,63 @@ object PackSample {
     """),
     doc = "decontamination: 4-gram overlap with the eval set via broadcast join")
 
-  val all: Seq[Q] = Seq(q38, q39, q40)
+  /** q122 — weighted systematic sample: the EXECUTOR of a mixture plan.
+    * q63/q101 decide how many tokens each slice contributes; this
+    * operator materializes a weight-proportional selection — per source,
+    * walk the docs in doc_id order accumulating weight (n_chars — swap
+    * in any integer quality/score column), lay a grid of `step =
+    * max(1, total_w div K)` over the cumulative axis (K = 5 picks per
+    * source), and select every document whose weight interval crosses a
+    * grid point. `picks = ⌊cum/step⌋ − ⌊(cum−w)/step⌋` is the number of
+    * crossings — selection probability exactly ∝ weight, a document
+    * heavier than `step` is ALWAYS selected (picks ≥ 1, possibly > 1 =
+    * sampling WITH multiplicity, the epoch-repeat semantics of mixture
+    * execution), and the whole thing is deterministic integer
+    * arithmetic — a 100 TB re-run reproduces the sample with no RNG
+    * state (q39's posture, weighted).
+    *
+    * Plan shape: ONE source-partitioned cumulative-sum window
+    * (distributed — never a global sort), per-source totals fold +
+    * broadcast back; the output filter is stateless. At scale this is
+    * one doc-keyed... source-keyed exchange and nothing else.
+    */
+  private val q122 = Q(
+    "q122_weighted_sample",
+    (s, d) => {
+      val K = 5
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val totals = Tables.documents(s, d)
+        .groupBy("source").agg(sum("n_chars").as("total_w"))
+        .withColumn("step", expr(s"greatest(1L, total_w div $K)"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars").as("wt"))
+        .withColumn("cum", sum("wt").over(w))
+        .join(broadcast(totals), "source")
+        .withColumn("picks",
+          expr("cum div step - (cum - wt) div step"))
+        .filter(col("picks") > 0)
+        .select(col("source"), col("doc_id"), col("wt"), col("cum"),
+          col("step"), col("picks"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT source, doc_id, n_chars AS wt,
+               CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             FROM documents),
+      tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_w,
+                greatest(1, CAST(sum(n_chars) AS BIGINT) // 5) AS step
+              FROM documents GROUP BY source)
+      SELECT t.source, t.doc_id, t.wt, t.cum, tot.step,
+             t.cum // tot.step - (t.cum - t.wt) // tot.step AS picks
+      FROM t JOIN tot ON t.source = tot.source
+      WHERE t.cum // tot.step - (t.cum - t.wt) // tot.step > 0
+      ORDER BY t.source, t.doc_id
+    """),
+    doc = "weighted systematic sample: source-partitioned cumulative " +
+      "window + grid crossing — deterministic weight-proportional " +
+      "selection with multiplicity, no RNG state")
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q122)
 }

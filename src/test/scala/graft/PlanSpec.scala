@@ -1078,4 +1078,14 @@ class PlanSpec extends SparkSpec {
         s"both totals and pairs must read the one cache:\n$p")
     } finally graft.ops.CacheScope.drain()
   }
+
+  test("q122: one source-partitioned cumulative window; totals broadcast") {
+    val p = plan("q122_weighted_sample")
+    assert(p.contains("windowspecdefinition(source"),
+      s"the cumulative sum must partition by source (distributed):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source step totals must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"selection is a window + broadcast probe, nothing else:\n$p")
+  }
 }
