@@ -225,60 +225,82 @@ object PackText {
     * suffix-array economics; the oracle stays the naive exact form, so
     * the hash gate proves the pruning lossless.
     */
+  /** The q113/q123 window size (Lee et al.'s 50-token granularity). */
+  private val W = 50
+
+  /** The donor-planted corpus q113/q123 run over: the driver documents
+    * plus (a) 60-token cross-doc repeats split by a unique separator
+    * (two islands in one donor) and (b) 40-token sub-floor repeats that
+    * must survive. UNPERSISTED — each consumer persists its own copy so
+    * CacheScope drains per run.
+    */
+  private def plantedCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), PackSignal.toks.as("ws"))
+    val don60 = base
+      .filter(col("doc_id") % 40 === 3 && size(col("ws")) >= 60)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(slice(col("ws"), 1, 60),
+          array(concat(lit("zzuniq"), col("doc_id"))),
+          slice(col("ws"), 1, 60)).as("ws"))
+    val don40 = base
+      .filter(col("doc_id") % 40 === 7 && size(col("ws")) >= 40)
+      .select((col("doc_id") + 950000L).as("doc_id"),
+        slice(col("ws"), 1, 40).as("ws"))
+    base.unionByName(don60).unionByName(don40)
+  }
+
+  /** The shared candidate→verify front half of q113/q123 (q78's device
+    * at window granularity): every window ships only its 62-bit
+    * positional fingerprint (native one-pass kernel — the r14 rewrite;
+    * the first cut sha256'd a ~300-byte string PER WINDOW, 50× the
+    * corpus text mass through a cryptographic hash, and that dominated
+    * the query). Fingerprint buckets with one member are definitionally
+    * non-duplicate and never materialize a gram string; only colliding
+    * buckets re-read their windows and settle on EXACT string equality,
+    * so hash collisions cost verification work, never correctness.
+    * Returns (docs, cg) — the persisted tokenized corpus and the
+    * persisted candidate-gram frame (doc_id, pos, gram, k).
+    */
+  private def dupCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // three consumers read the tokenized frame (fingerprint pass,
+    // candidate re-read, rebuild); cache it once rather than running
+    // tokenize + the 3-branch union per consumer — the materialize-
+    // the-tokenized-intermediate trade every shard builder makes
+    // (MEMORY_AND_DISK, so at 100 TB this is a spill file, vs 3×
+    // re-reading and re-splitting the raw text)
+    val docs = graft.ops.CacheScope.persisted(plantedCorpus(s, d))
+    val wins = docs.filter(size(col("ws")) >= W)
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graftglue.ExprGlue.column(
+          graft.expr.PosShingleHash62(
+            org.apache.spark.sql.graftglue.ExprGlue.expression(col("ws")),
+            W))).as(Seq("pos", "h")))
+    // ONE shuffle on h finds the colliding buckets (q24's window-count
+    // device — an aggregate + join-back would run the fingerprint pass
+    // twice)
+    val candPos = wins
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") > 1)
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+    val cg = graft.ops.CacheScope.persisted(
+      docs.join(candPos, Seq("doc_id"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(ps, p -> named_struct('pos', p, " +
+            s"'gram', array_join(slice(ws, p + 1, $W), ' ')))")).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"),
+          col("g.gram").as("gram"))
+        .withColumn("k", col("doc_id") * 1000000L + col("pos")))
+    (docs, cg)
+  }
+
   private val q113 = Q(
     "q113_substring_dedup",
     (s, d) => {
-      val W = 50
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), PackSignal.toks.as("ws"))
-      val don60 = base
-        .filter(col("doc_id") % 40 === 3 && size(col("ws")) >= 60)
-        .select((col("doc_id") + 900000L).as("doc_id"),
-          concat(slice(col("ws"), 1, 60),
-            array(concat(lit("zzuniq"), col("doc_id"))),
-            slice(col("ws"), 1, 60)).as("ws"))
-      val don40 = base
-        .filter(col("doc_id") % 40 === 7 && size(col("ws")) >= 40)
-        .select((col("doc_id") + 950000L).as("doc_id"),
-          slice(col("ws"), 1, 40).as("ws"))
-      // three consumers read the tokenized frame (fingerprint pass,
-      // candidate re-read, rebuild); cache it once rather than running
-      // tokenize + the 3-branch union per consumer — the materialize-
-      // the-tokenized-intermediate trade every shard builder makes
-      // (MEMORY_AND_DISK, so at 100 TB this is a spill file, vs 3×
-      // re-reading and re-splitting the raw text)
-      val docs = graft.ops.CacheScope.persisted(
-        base.unionByName(don60).unionByName(don40))
-      // candidate→verify (q78's device at window granularity): every
-      // window ships only its 62-bit positional fingerprint (native
-      // one-pass kernel — the r14 rewrite; the first cut sha256'd a
-      // ~300-byte string PER WINDOW, 50× the corpus text mass through a
-      // cryptographic hash, and that dominated the query). Fingerprint
-      // buckets with one member are definitionally non-duplicate and
-      // never materialize a gram string; only colliding buckets re-read
-      // their windows and settle on EXACT string equality, so hash
-      // collisions cost verification work, never correctness.
-      val wins = docs.filter(size(col("ws")) >= W)
-        .select(col("doc_id"), posexplode(
-          org.apache.spark.sql.graftglue.ExprGlue.column(
-            graft.expr.PosShingleHash62(
-              org.apache.spark.sql.graftglue.ExprGlue.expression(col("ws")),
-              W))).as(Seq("pos", "h")))
-      // ONE shuffle on h finds the colliding buckets (q24's window-count
-      // device — an aggregate + join-back would run the fingerprint pass
-      // twice)
-      val candPos = wins
-        .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
-        .filter(col("c") > 1)
-        .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
-      val cg = graft.ops.CacheScope.persisted(
-        docs.join(candPos, Seq("doc_id"))
-          .select(col("doc_id"), explode(expr(
-            s"transform(ps, p -> named_struct('pos', p, " +
-              s"'gram', array_join(slice(ws, p + 1, $W), ' ')))")).as("g"))
-          .select(col("doc_id"), col("g.pos").as("pos"),
-            col("g.gram").as("gram"))
-          .withColumn("k", col("doc_id") * 1000000L + col("pos")))
+      val (docs, cg) = dupCandidates(s, d)
       val firstEx = cg.groupBy("gram").agg(min("k").as("fk"))
       val dups = cg.join(firstEx, "gram")
         .filter(col("k") =!= col("fk"))
@@ -365,5 +387,66 @@ object PackText {
       "maximal islands, text rebuilt without them — fingerprint-keyed " +
       "shuffle, island merge at dup-window cardinality")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q109, q113)
+  /** q123 — most-duplicated-passages report: the top-10 exactly-repeated
+    * 50-token windows across the corpus with occurrence count, distinct-
+    * document spread, and the first occurrence's coordinates — the
+    * dashboard a dedup team eyeballs before tuning q113's knobs (is the
+    * duplication boilerplate in one source, a mirrored crawl, a license
+    * header?). q109 audits EXACT-doc dedup; this audits the substring
+    * layer.
+    *
+    * Exactness: identical passages always share their fingerprint, so
+    * every truly-duplicated window is in the candidate set (no misses);
+    * collision-only candidates string-count to 1 and drop at the
+    * `n_occ >= 2` filter — counts settle on string equality, q113's
+    * argument unchanged.
+    *
+    * Plan shape: the shared candidate→verify front half (one fingerprint
+    * shuffle, gram strings only for colliding buckets), then a gram-
+    * keyed recount at candidate cardinality and a literal top-10
+    * (TakeOrderedAndProject — never a global sort of the gram frame).
+    */
+  private val q123 = Q(
+    "q123_dup_passages",
+    (s, d) => {
+      val (_, cg) = dupCandidates(s, d)
+      cg.groupBy("gram")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min("k").as("fk"))
+        .filter(col("n_occ") >= 2)
+        .select(col("gram").as("passage"), col("n_occ"), col("n_docs"),
+          expr("fk div 1000000").as("first_doc"),
+          expr("fk % 1000000").as("first_pos"))
+        .orderBy(col("n_occ").desc, col("passage"))
+        .limit(10)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      d60 AS (SELECT doc_id + 900000 AS doc_id,
+                list_concat(list_concat(ws[1:60],
+                  ['zzuniq' || CAST(doc_id AS VARCHAR)]), ws[1:60]) AS ws
+              FROM t WHERE doc_id % 40 = 3 AND len(ws) >= 60),
+      d40 AS (SELECT doc_id + 950000 AS doc_id, ws[1:40] AS ws
+              FROM t WHERE doc_id % 40 = 7 AND len(ws) >= 40),
+      u AS (SELECT * FROM t UNION ALL SELECT * FROM d60
+            UNION ALL SELECT * FROM d40),
+      w0 AS (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 49),
+               i -> {'pos': i,
+                     'g': array_to_string(ws[i+1 : i+50], ' ')})) AS uu
+             FROM u WHERE len(ws) >= 50),
+      w AS (SELECT doc_id, CAST(uu.pos AS BIGINT) AS pos, uu.g AS gram
+            FROM w0),
+      a AS (SELECT gram, count(*) AS n_occ,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id * 1000000 + pos) AS fk
+            FROM w GROUP BY gram HAVING count(*) >= 2)
+      SELECT gram AS passage, CAST(n_occ AS BIGINT) AS n_occ, n_docs,
+             fk // 1000000 AS first_doc, fk % 1000000 AS first_pos
+      FROM a ORDER BY n_occ DESC, passage LIMIT 10
+    """),
+    doc = "top-10 duplicated 50-token passages: shared fingerprint " +
+      "candidate stage, string-exact recount, literal top-10")
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q109, q113, q123)
 }

@@ -121,6 +121,40 @@ class PackTextSpec extends SparkSpec {
     }
   }
 
+  test("q123: top duplicated passages match an exact brute-force recount") {
+    val docs0 = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, tok(t)) }
+    val planted = docs0 ++
+      docs0.filter(d => d._1 % 40 == 3 && d._2.size >= 60).map {
+        case (id, ws) =>
+          (id + 900000L, ws.take(60) ++ Seq("zzuniq" + id) ++ ws.take(60))
+      } ++
+      docs0.filter(d => d._1 % 40 == 7 && d._2.size >= 40).map {
+        case (id, ws) => (id + 950000L, ws.take(40))
+      }
+    val wins = planted.flatMap { case (id, ws) =>
+      if (ws.size >= 50)
+        (0 to ws.size - 50)
+          .map(p => (ws.slice(p, p + 50).mkString(" "), id, p.toLong))
+      else Seq.empty
+    }
+    val expect = wins.groupBy(_._1).toSeq.map { case (g, os) =>
+      (g, os.size.toLong, os.map(_._2).distinct.size.toLong,
+        os.map(o => o._2 * 1000000L + o._3).min)
+    }.filter(_._2 >= 2L)
+      .sortBy { case (g, n, _, _) => (-n, g) }.take(10)
+      .map { case (g, n, nd, fk) => (g, n, nd, fk / 1000000L, fk % 1000000L) }
+    val got = Catalog.queries("q123_dup_passages")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // the planted contract: a 60-token donor's prefix windows occur in
+    // the base doc once and the donor twice — a top passage with >= 3
+    // occurrences across >= 2 documents must surface
+    assert(got.exists(r => r._2 >= 3L && r._3 >= 2L),
+      "planted triple-occurrence cross-doc passage missing from the top-10")
+  }
+
   test("q113 fuzz: five random phrase-pool corpora match brute force " +
     "exactly (islands, counts, rebuilt hashes)") {
     // random text never repeats 50 tokens by chance (V^-50), so the

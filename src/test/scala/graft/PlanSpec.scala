@@ -1079,6 +1079,21 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q123: shared candidate stage (2 caches); literal top-10 rides " +
+    "TakeOrderedAndProject") {
+    val p = plan("q123_dup_passages")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 2,
+        "expected exactly the docs + candidate-gram caches (q113's pair)")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"the top-10 must never globally sort the gram frame:\n$p")
+      assert(p.contains("pos_shingle_hash62"),
+        s"the candidate stage must be the native fingerprint kernel:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"report folds off the cached candidate frame:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
