@@ -943,4 +943,56 @@ object StreamOps {
           .when(col("isl.drop") >= col("n_toks"), "subsumed")
           .otherwise("partial_dup").as("verdict"))
   }
+
+  final case class WSampleDoc(source: String, doc_id: Long, wt: Long,
+      step: Long)
+  final case class WSampleState(cum: Long)
+  final case class WSamplePick(source: String, doc_id: Long, wt: Long,
+      cum: Long, step: Long, picks: Long)
+
+  /** Streaming twin of q122's weighted systematic sample — the mixture
+    * plan EXECUTED on a live ingest: the per-source grid step (the plan —
+    * q63/q101's output, total_w/K in the batch form) is a STATIC frame
+    * computed upstream; documents stream in, each source accumulates
+    * weight, and a document is emitted with `picks = ⌊cum/step⌋ −
+    * ⌊(cum−wt)/step⌋` crossings exactly as the batch operator computes
+    * them. Feeding the batch corpus in doc_id order with the batch's
+    * step frame reproduces batch q122 row for row (pinned by test).
+    *
+    * State per source is ONE long (the cumulative weight) — bounded by
+    * source count, no watermark or timeout machinery (packStream's
+    * posture). The step frame rides in via a stream-static broadcast
+    * join BEFORE the stateful operator, so the state function never
+    * holds the plan — swap the static frame to re-plan, state carries
+    * over (the re-mix-without-restart property).
+    *
+    * `docs` columns: (source string, doc_id long, wt long);
+    * `steps` columns: (source string, step long).
+    */
+  def weightedSampleStream(docs: DataFrame, steps: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val st = graft.ops.CacheScope.persisted(
+      steps.select(col("source"), col("step")))
+    docs.select(col("source"), col("doc_id"), col("wt"))
+      .join(broadcast(st), "source")
+      .as[WSampleDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[WSampleState, WSamplePick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src, rows, state) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).flatMap { r =>
+            val before = cum
+            cum += r.wt
+            val picks = cum / r.step - before / r.step
+            if (picks > 0)
+              Some(WSamplePick(src, r.doc_id, r.wt, cum, r.step, picks))
+            else None
+          }
+          state.update(WSampleState(cum))
+          out.iterator
+      }.toDF()
+  }
 }

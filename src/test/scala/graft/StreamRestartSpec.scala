@@ -687,4 +687,66 @@ class StreamRestartSpec extends SparkSpec {
     assert(latest.toMap === expected,
       "restarted sketch must merge recovered bottom-k state with new rows")
   }
+  test("weighted-sample cumulative state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val in = Files.createTempDirectory("wsr-in").toString
+    val out = Files.createTempDirectory("wsr-out").toString
+    val ckpt = Files.createTempDirectory("wsr-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("doc_id", LongType),
+      StructField("wt", LongType)))
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+    val steps = docs.groupBy(_._1).toSeq
+      .map { case (s0, g) => (s0, math.max(1L, g.map(_._3).sum / 5)) }
+    def startQuery() = StreamOps.weightedSampleStream(
+        spark.readStream.schema(schema).parquet(in),
+        steps.toDF("source", "step"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+
+    // the file source lists top-level files only: write each batch to a
+    // scratch dir and move its single part file up as batchN.parquet
+    def land(rows: Seq[(String, Long, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("wsr-tmp").toString
+      rows.toDF("source", "doc_id", "wt").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    graft.ops.CacheScope.drain()
+    land(b2, "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    graft.ops.CacheScope.drain()
+
+    // run-2 picks must continue run-1's cumulative weight exactly: the
+    // union equals a single-pass recount over the full ordered corpus
+    val stepOf = steps.toMap
+    var cums = collection.mutable.Map.empty[String, Long]
+    val expect = docs.flatMap { case (src, id, wt) =>
+      val before = cums.getOrElse(src, 0L)
+      val cum = before + wt
+      cums(src) = cum
+      val st = stepOf(src)
+      val picks = cum / st - before / st
+      if (picks > 0) Some((src, id, wt, cum, st, picks)) else None
+    }.sortBy(r => (r._1, r._2))
+    val got = spark.read.parquet(out)
+      .select("source", "doc_id", "wt", "cum", "step", "picks")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got === expect,
+      "recovered cumulative-weight state must merge with new rows")
+  }
 }

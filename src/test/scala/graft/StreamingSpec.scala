@@ -781,4 +781,41 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+  test("streaming weighted sample reproduces batch q122 row for row") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    // the static plan frame: q122's per-source step (total_w div 5)
+    val steps = docs.groupBy(_._1).toSeq
+      .map { case (s0, g) => (s0, math.max(1L, g.map(_._3).sum / 5)) }
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = StreamOps.weightedSampleStream(
+        ms.toDF.toDF("source", "doc_id", "wt"),
+        steps.toDF("source", "step"))
+      .writeStream.format("memory").queryName("t_wsample")
+      .outputMode("append").start()
+    try {
+      // two micro-batches split on the doc_id axis: per-source arrival
+      // order matches the batch operator's walk
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      ms.addData(b1.toSeq)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("t_wsample")
+        .select("source", "doc_id", "wt", "cum", "step", "picks")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      val batch = graft.queries.Catalog
+        .queries("q122_weighted_sample")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(got === batch,
+        "stream selection must equal the batch mixture executor")
+      assert(got.nonEmpty)
+    } finally { q.stop(); graft.ops.CacheScope.drain() }
+  }
 }
