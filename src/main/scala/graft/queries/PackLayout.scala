@@ -67,34 +67,52 @@ object PackLayout {
     * same ranges, Spark's native distributed sort — documented here
     * because that form isn't oracle-reproducible.
     */
+  /** Base events projected to (event_id, user_id, us). */
+  private def evFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+
+  /** The 1-row frozen layout stats (min/max of both dimensions). */
+  private def evStats(ev: org.apache.spark.sql.DataFrame) =
+    ev.agg(
+      min("user_id").as("u_lo"), max("user_id").as("u_hi"),
+      min("us").as("t_lo"), max("us").as("t_hi"))
+
+  /** Every base row with its z-order file assignment — q116's machinery,
+    * shared with q124's maintenance pass: one cached bucket frame, the
+    * bounded two-level row-number device, per-row `file_id`. Returns
+    * (assigned rows, row count).
+    */
+  private def zAssigned(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    val ev = evFrame(s, d)
+    val bucketed = ev.crossJoin(broadcast(evStats(ev)))
+      .withColumn("xb",
+        expr(s"(user_id - u_lo) * $B div (u_hi - u_lo + 1)"))
+      .withColumn("yb", expr(s"(us - t_lo) * $B div (t_hi - t_lo + 1)"))
+      .withColumn("z", expr(mortonSql("xb", "yb")))
+      .select("event_id", "xb", "yb", "z")
+    val withZ = graft.ops.CacheScope.persisted(bucketed)
+    val n = withZ.count()
+    // z-value frame: ≤ B² rows regardless of corpus size — the running
+    // total window is bounded-state by construction.
+    val zstarts = withZ.groupBy("z").agg(count(lit(1)).as("cnt"))
+      .withColumn("z_start",
+        coalesce(sum("cnt").over(Window.orderBy("z")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val assigned = withZ
+      .withColumn("i", row_number().over(
+        Window.partitionBy("z").orderBy("event_id")).cast("long") - 1L)
+      .join(broadcast(zstarts.select("z", "z_start")), "z")
+      .withColumn("file_id", expr(s"(z_start + i) * $F div ${n}L"))
+    (assigned, n)
+  }
+
   private val q116 = Q(
     "q116_zorder_layout",
     (s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("us"))
-      val stats = ev.agg(
-        min("user_id").as("u_lo"), max("user_id").as("u_hi"),
-        min("us").as("t_lo"), max("us").as("t_hi"))
-      val bucketed = ev.crossJoin(broadcast(stats))
-        .withColumn("xb",
-          expr(s"(user_id - u_lo) * $B div (u_hi - u_lo + 1)"))
-        .withColumn("yb", expr(s"(us - t_lo) * $B div (t_hi - t_lo + 1)"))
-        .withColumn("z", expr(mortonSql("xb", "yb")))
-        .select("event_id", "xb", "yb", "z")
-      val withZ = graft.ops.CacheScope.persisted(bucketed)
-      val n = withZ.count()
-      // z-value frame: ≤ B² rows regardless of corpus size — the running
-      // total window is bounded-state by construction.
-      val zstarts = withZ.groupBy("z").agg(count(lit(1)).as("cnt"))
-        .withColumn("z_start",
-          coalesce(sum("cnt").over(Window.orderBy("z")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      withZ
-        .withColumn("i", row_number().over(
-          Window.partitionBy("z").orderBy("event_id")).cast("long") - 1L)
-        .join(broadcast(zstarts.select("z", "z_start")), "z")
-        .withColumn("file_id", expr(s"(z_start + i) * $F div ${n}L"))
+      zAssigned(s, d)._1
         .groupBy("file_id")
         .agg(count(lit(1)).as("n_rows"),
           min("xb").as("min_x"), max("xb").as("max_x"),
@@ -426,5 +444,109 @@ object PackLayout {
       "one cached source-gram distinct, gram-keyed self-join with " +
       "S2-bounded fan-out, broadcast totals")
 
-  val all: Seq[Q] = Seq(q116, q118, q119, q120, q121)
+  /** q124 — incremental Z-order maintenance: q116 freezes a layout; new
+    * data keeps arriving. An increment batch (every 7th event, nudged
+    * +1 h / +5 users — re-bucketed with the FROZEN layout stats and
+    * clamped where it exceeds the learned range, so the planted
+    * "hot tail" is observable) is assigned to the EXISTING files by
+    * their z upper boundaries — append to the first file whose boundary
+    * covers the row — and the report shows per-file growth and which
+    * files crossed 150% of the original target size and need a split. This
+    * is the `OPTIMIZE` maintenance loop as data: q112's stats-merge
+    * posture applied to layout (the base corpus is never re-sorted; the
+    * increment probes F boundary values).
+    *
+    * Plan shape: the shared assignment machinery (one cached bucket
+    * frame) folds to the F-row file summary; the z boundaries collapse
+    * to ONE broadcast row (an F-long array), and increment assignment
+    * is a stateless HOF over it — count of boundaries below the row's
+    * z. Nothing increment-side ever shuffles except its F-row count
+    * fold.
+    */
+  private val q124 = Q(
+    "q124_zorder_maintain",
+    (s, d) => {
+      val (assigned, n) = zAssigned(s, d)
+      val files = assigned.groupBy("file_id")
+        .agg(count(lit(1)).as("n_base"), max("z").as("z_max"))
+      val bounds = files.agg(expr(
+        "transform(array_sort(collect_list(struct(file_id, z_max))), " +
+          "v -> v.z_max)").as("bs"))
+      val ev = evFrame(s, d)
+      val inc = ev.filter(col("event_id") % 7 === 3)
+        .crossJoin(broadcast(evStats(ev).select(col("u_lo").as("b_lo"))))
+        .select((col("event_id") + 1000000000L).as("event_id"),
+          // squeeze the increment into the lowest 1/20th of the user
+          // range: a skewed ingest (one tenant, one crawl frontier) is
+          // the case maintenance exists for, and it makes the split
+          // flag observable at every sf
+          expr("b_lo + (user_id - b_lo) div 20").as("user_id"),
+          (col("us") + 3600000000L).as("us"))
+        .crossJoin(broadcast(evStats(ev)))
+        .withColumn("xb", expr(s"least(${B - 1}L, greatest(0L, " +
+          s"(user_id - u_lo) * $B div (u_hi - u_lo + 1)))"))
+        .withColumn("yb", expr(s"least(${B - 1}L, greatest(0L, " +
+          s"(us - t_lo) * $B div (t_hi - t_lo + 1)))"))
+        .withColumn("z", expr(mortonSql("xb", "yb")))
+      val incCounts = inc.crossJoin(broadcast(bounds))
+        .withColumn("file_id", expr(
+          s"least(${F - 1}L, cast(size(filter(bs, b -> b < z)) as bigint))"))
+        .groupBy("file_id").agg(count(lit(1)).as("n_inc"))
+      files.join(broadcast(incCounts), Seq("file_id"), "left")
+        .na.fill(0L, Seq("n_inc"))
+        .select(col("file_id"), col("n_base"), col("n_inc"),
+          (col("n_base") + col("n_inc")).as("new_total"),
+          expr("n_inc * 10000 div n_base").as("growth_bp"),
+          when(col("n_base") + col("n_inc") >
+            lit(3L * ((n + F - 1) / F) / 2L), 1L).otherwise(0L)
+            .as("needs_split"))
+        .orderBy("file_id")
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_id, user_id, epoch_us(cast(ts AS TIMESTAMP)) AS us FROM events),
+      st AS (SELECT min(user_id) u_lo, max(user_id) u_hi, min(us) t_lo, max(us) t_hi FROM ev),
+      b AS (SELECT event_id,
+              (user_id - u_lo) * $B // (u_hi - u_lo + 1) AS xb,
+              (us - t_lo) * $B // (t_hi - t_lo + 1) AS yb
+            FROM ev CROSS JOIN st),
+      z AS (SELECT event_id, ${mortonSql("xb", "yb")} AS z FROM b),
+      rn AS (SELECT z,
+               (row_number() OVER (ORDER BY z, event_id) - 1)
+                 * $F // (SELECT count(*) FROM z) AS file_id
+             FROM z),
+      files AS (SELECT CAST(file_id AS BIGINT) AS file_id,
+                  count(*) AS n_base, max(z) AS z_max
+                FROM rn GROUP BY file_id),
+      bsr AS (SELECT list(z_max ORDER BY file_id) AS bs FROM files),
+      inc AS (SELECT u_lo + (user_id - u_lo) // 20 AS user_id,
+                     us + 3600000000 AS us
+              FROM ev CROSS JOIN st WHERE event_id % 7 = 3),
+      ib AS (SELECT
+               least(${B - 1}, greatest(0,
+                 (user_id - u_lo) * $B // (u_hi - u_lo + 1))) AS xb,
+               least(${B - 1}, greatest(0,
+                 (us - t_lo) * $B // (t_hi - t_lo + 1))) AS yb
+             FROM inc CROSS JOIN st),
+      iz AS (SELECT ${mortonSql("xb", "yb")} AS z FROM ib),
+      ia AS (SELECT least($F - 1,
+               len(list_filter(bs, x -> x < z))) AS file_id
+             FROM iz CROSS JOIN bsr),
+      ic AS (SELECT CAST(file_id AS BIGINT) AS file_id, count(*) AS n_inc
+             FROM ia GROUP BY file_id),
+      tot AS (SELECT count(*) AS n FROM z)
+      SELECT f.file_id, f.n_base, COALESCE(ic.n_inc, 0) AS n_inc,
+             f.n_base + COALESCE(ic.n_inc, 0) AS new_total,
+             COALESCE(ic.n_inc, 0) * 10000 // f.n_base AS growth_bp,
+             CAST(CASE WHEN f.n_base + COALESCE(ic.n_inc, 0)
+                    > 3 * ((tot.n + $F - 1) // $F) // 2
+                  THEN 1 ELSE 0 END AS BIGINT) AS needs_split
+      FROM files f LEFT JOIN ic USING (file_id) CROSS JOIN tot
+      ORDER BY f.file_id
+    """),
+    doc = "incremental z-order maintenance: frozen-layout boundary " +
+      "probe for the increment (F-value broadcast array, stateless " +
+      "HOF assignment), per-file growth + split flags — base never " +
+      "re-sorts")
+
+  val all: Seq[Q] = Seq(q116, q118, q119, q120, q121, q124)
 }

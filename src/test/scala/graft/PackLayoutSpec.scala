@@ -81,6 +81,51 @@ class PackLayoutSpec extends SparkSpec {
     assert(zMeanY < B / 2.0, s"z mean y-span $zMeanY should be < ${B / 2}")
   }
 
+  test("q124: increment assignment + split flags agree with an exact recount") {
+    val rows = bucketedEvents
+    val n = rows.size.toLong
+    // frozen base layout (q116's assignment)
+    val sorted = rows
+      .map { case (id, xb, yb) => (morton(xb, yb), id, xb, yb) }
+      .sortBy(t => (t._1, t._2))
+    val assigned = sorted.zipWithIndex
+      .map { case ((z, id, _, _), i) => (i.toLong * F / n, z, id) }
+    val files = assigned.groupBy(_._1).toSeq.map { case (fid, g) =>
+      (fid, g.size.toLong, g.map(_._2).max)
+    }.sortBy(_._1)
+    val bounds = files.map(_._3)
+    // the planted skewed increment, re-bucketed with FROZEN stats
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val (uLo, uHi) = (ev.map(_._2).min, ev.map(_._2).max)
+    val (tLo, tHi) = (ev.map(_._3).min, ev.map(_._3).max)
+    def clamp(v: Long) = math.min(B - 1L, math.max(0L, v))
+    val incFiles = ev.filter(_._1 % 7 == 3).map { case (_, u0, t0) =>
+      val u = uLo + (u0 - uLo) / 20
+      val t = t0 + 3600000000L
+      val xb = clamp((u - uLo) * B / (uHi - uLo + 1))
+      val yb = clamp((t - tLo) * B / (tHi - tLo + 1))
+      val z = morton(xb, yb)
+      math.min(F - 1L, bounds.count(_ < z).toLong)
+    }
+    val incCnt = incFiles.groupBy(identity).map { case (f, g) => f -> g.size.toLong }
+    val target = (n + F - 1) / F
+    val expect = files.map { case (fid, nb, _) =>
+      val ni = incCnt.getOrElse(fid, 0L)
+      (fid, nb, ni, nb + ni, ni * 10000L / nb,
+        if (nb + ni > 3L * target / 2L) 1L else 0L)
+    }
+    val got = run("q124_zorder_maintain")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // both verdict classes must be live: the skewed ingest overflows
+    // SOME files past 150% of target, and most files stay quiet
+    assert(got.count(_._6 == 1L) >= 1, "no file flagged for split")
+    assert(got.count(_._6 == 0L) >= F / 2, "split flag fired everywhere")
+    assert(got.map(_._3).sum === incFiles.size.toLong)
+  }
+
   private def tokenized: Seq[(Long, Array[String])] =
     Tables.documents(spark, sf).select("doc_id", "text")
       .as[(Long, String)].collect().toSeq

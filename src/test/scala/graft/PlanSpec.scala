@@ -1094,6 +1094,19 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q124: frozen-layout boundary probe broadcasts; increment never " +
+    "shuffles except its F-row fold") {
+    val p = plan("q124_zorder_maintain")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the base bucket frame cached (q116's)")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"stats + the F-long boundary array ride broadcast cross joins:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"assignment is a stateless HOF over the broadcast bounds:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
