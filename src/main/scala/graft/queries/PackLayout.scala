@@ -29,19 +29,19 @@ object PackLayout {
     * at every sf; the bit count is a constant of the LAYOUT, not the
     * data — production Z-order uses 16-32 bits/dim the same way.
     */
-  private val B = 64
+  private[graft] val B = 64
   private val Bits = 6
   /** Target file count — the `maxPartitionBytes`-derived knob in a real
     * writer; 16 keeps per-file row counts ≈ n/16 at every sf.
     */
-  private val F = 16
+  private[graft] val F = 16
 
   /** Morton interleave of two [0, 2^Bits) bucket ids as a SQL expression
     * (x bits land at odd positions, y at even). Built from shiftright/
     * `&`/multiply so Spark codegens it and DuckDB evaluates the same
     * integer arithmetic — no engine-specific bit builtin.
     */
-  private def mortonSql(x: String, y: String): String =
+  private[graft] def mortonSql(x: String, y: String): String =
     (0 until Bits).map { i =>
       s"((($x >> $i) & 1) * ${1L << (2 * i + 1)}" +
         s" + (($y >> $i) & 1) * ${1L << (2 * i)})"
@@ -463,6 +463,27 @@ object PackLayout {
     * z. Nothing increment-side ever shuffles except its F-row count
     * fold.
     */
+  /** Driver-side frozen-layout summary for the streaming maintenance
+    * twin: the F (file_id, n_base, z_max) rows, the 4 layout stats, and
+    * the target file size — all fixed-footprint (F + 1 rows) by
+    * construction, the driftStream reference-histogram exception. The
+    * zAssigned cache registers with the CALLING thread's CacheScope;
+    * the caller drains after use.
+    */
+  private[graft] def layoutSummary(s: org.apache.spark.sql.SparkSession,
+      d: String)
+      : (Seq[(Long, Long, Long)], (Long, Long, Long, Long), Long) = {
+    val (assigned, n) = zAssigned(s, d)
+    val files = assigned.groupBy("file_id")
+      .agg(count(lit(1)).as("n_base"), max("z").as("z_max"))
+      .orderBy("file_id")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val st = evStats(evFrame(s, d)).collect()(0)
+    (files, (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)),
+      (n + F - 1) / F)
+  }
+
   private val q124 = Q(
     "q124_zorder_maintain",
     (s, d) => {

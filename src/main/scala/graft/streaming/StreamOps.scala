@@ -944,6 +944,64 @@ object StreamOps {
           .otherwise("partial_dup").as("verdict"))
   }
 
+  final case class ZIncRow(file_id: Long, event_id: Long)
+  final case class ZMaintState(cnt: Long)
+  final case class ZMaintReport(file_id: Long, n_base: Long, n_inc: Long,
+      new_total: Long, needs_split: Long)
+
+  /** Streaming twin of q124's Z-order maintenance: the layout is FROZEN
+    * (computed batch-side, `PackLayout.layoutSummary` — F boundary
+    * values, F base counts, 4 bucket stats, the target size: a
+    * fixed-footprint driver-side summary, driftStream's reference-
+    * histogram exception), and increments stream in. Each row re-buckets
+    * with the frozen stats (clamped at the learned range), takes its
+    * file by counting boundaries below its z — a literal-array HOF, no
+    * join at all — and per-file counters accumulate in state: ONE long
+    * per file, bounded by F whatever streams past. Every micro-batch
+    * emits the refreshed report row for each TOUCHED file, so the
+    * `needs_split` flip is an alert the moment it happens — the
+    * OPTIMIZE-trigger dashboard as a stream.
+    *
+    * Feeding batch q124's increment reproduces its per-file rows for
+    * every touched file (pinned by test); a checkpointed restart
+    * recovers the counters exactly.
+    *
+    * `inc` columns: (event_id long, user_id long, us long).
+    */
+  def zorderMaintainStream(inc: DataFrame,
+      files: Seq[(Long, Long, Long)], stats: (Long, Long, Long, Long),
+      target: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.queries.PackLayout.{B, mortonSql}
+    val sp = inc.sparkSession
+    import sp.implicits._
+    val nF = files.size
+    val bounds = files.sortBy(_._1).map(_._3)
+    val baseOf = files.map(f => f._1 -> f._2).toMap
+    val (uLo, uHi, tLo, tHi) = stats
+    val bsLit = bounds.map(b => s"${b}L").mkString("array(", ", ", ")")
+    inc
+      .withColumn("xb", expr(s"least(${B - 1}L, greatest(0L, " +
+        s"(user_id - ${uLo}L) * $B div ${uHi - uLo + 1}L))"))
+      .withColumn("yb", expr(s"least(${B - 1}L, greatest(0L, " +
+        s"(us - ${tLo}L) * $B div ${tHi - tLo + 1}L))"))
+      .withColumn("z", expr(mortonSql("xb", "yb")))
+      .withColumn("file_id", expr(s"least(${nF - 1}L, " +
+        s"cast(size(filter($bsLit, b -> b < z)) as bigint))"))
+      .select(col("file_id"), col("event_id"))
+      .as[ZIncRow]
+      .groupByKey(_.file_id)
+      .flatMapGroupsWithState[ZMaintState, ZMaintReport](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fid, rows, state) =>
+          val cnt = state.getOption.map(_.cnt).getOrElse(0L) + rows.size
+          state.update(ZMaintState(cnt))
+          val nb = baseOf.getOrElse(fid, 0L)
+          Iterator.single(ZMaintReport(fid, nb, cnt, nb + cnt,
+            if (nb + cnt > 3L * target / 2L) 1L else 0L))
+      }.toDF()
+  }
+
   final case class WSampleDoc(source: String, doc_id: Long, wt: Long,
       step: Long)
   final case class WSampleState(cum: Long)

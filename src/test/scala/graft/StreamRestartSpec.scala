@@ -749,4 +749,61 @@ class StreamRestartSpec extends SparkSpec {
     assert(got === expect,
       "recovered cumulative-weight state must merge with new rows")
   }
+  test("z-order maintenance counters survive a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import spark.implicits._
+    val in = Files.createTempDirectory("zmr-in").toString
+    val out = Files.createTempDirectory("zmr-out").toString
+    val ckpt = Files.createTempDirectory("zmr-ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val (files, stats, target) =
+      graft.queries.PackLayout.layoutSummary(spark, sf)
+    graft.ops.CacheScope.drain()
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val inc = ev.filter(_._1 % 7 == 3).map { case (id, u, t) =>
+      (id + 1000000000L, stats._1 + (u - stats._1) / 20, t + 3600000000L)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("us", LongType)))
+    def startQuery() = StreamOps.zorderMaintainStream(
+        spark.readStream.schema(schema).parquet(in), files, stats, target)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rows: Seq[(Long, Long, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("zmr-tmp").toString
+      rows.toDF("event_id", "user_id", "us").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val (b1, b2) = inc.splitAt(inc.length / 2)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    land(b2, "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    // the final (max n_inc) emission per file must match the batch
+    // operator over the SAME full increment — counters continued, not
+    // restarted from zero
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map(_._2.maxBy(_._3)).toSeq.sortBy(_._1)
+    val batch = graft.queries.Catalog
+      .queries("q124_zorder_maintain")(spark, sf)
+      .filter(col("n_inc") > 0)
+      .select("file_id", "n_base", "n_inc", "new_total", "needs_split")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    graft.ops.CacheScope.drain()
+    assert(got === batch,
+      "recovered per-file counters must merge with run-2 rows")
+  }
 }

@@ -818,4 +818,47 @@ class StreamingSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally { q.stop(); graft.ops.CacheScope.drain() }
   }
+  test("streaming z-order maintenance matches batch q124 for touched files") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val (files, stats, target) =
+      graft.queries.PackLayout.layoutSummary(spark, sf)
+    graft.ops.CacheScope.drain()
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // q124's planted increment, synthesized identically
+    val inc = ev.filter(_._1 % 7 == 3).map { case (id, u, t) =>
+      (id + 1000000000L, stats._1 + (u - stats._1) / 20, t + 3600000000L)
+    }
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = StreamOps.zorderMaintainStream(
+        ms.toDF.toDF("event_id", "user_id", "us"), files, stats, target)
+      .writeStream.format("memory").queryName("t_zmaint")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = inc.splitAt(inc.length / 2)
+      ms.addData(b1.toSeq)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq)
+      q.processAllAvailable()
+      // emissions are monotone per file: the last (max n_inc) row is the
+      // final state
+      val got = spark.table("t_zmaint")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map(_._2.maxBy(_._3)).toSeq
+        .sortBy(_._1)
+      val batch = graft.queries.Catalog
+        .queries("q124_zorder_maintain")(spark, sf)
+        .filter(col("n_inc") > 0)
+        .select("file_id", "n_base", "n_inc", "new_total", "needs_split")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      graft.ops.CacheScope.drain()
+      assert(got === batch,
+        "final streamed counters must equal the batch maintenance report")
+      assert(got.exists(_._5 == 1L), "the planted hot files must alert")
+    } finally q.stop()
+  }
 }
