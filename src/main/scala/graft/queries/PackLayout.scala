@@ -3,22 +3,28 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** q116/q118/q119 — layout-and-diagnostics pack (round 14): the passes a
-  * 100 TB pipeline runs ABOUT its own data before committing to a physical
-  * plan —
+/** q116/q118/q119/q120/q121/q124 — layout-and-diagnostics pack
+  * (round 14): the passes a 100 TB pipeline runs ABOUT its own data
+  * before committing to a physical plan —
   *
   *  - q116: Z-ORDER (Morton-curve) file layout — the Delta/Iceberg
   *    `OPTIMIZE ZORDER BY` shape: co-sort on the bit-interleaving of two
   *    dimensions so per-file min/max ranges prune point lookups on EITHER
   *    dimension, where a linear sort prunes only one,
+  *  - q124: its MAINTENANCE loop — a skewed increment assigned to the
+  *    frozen layout's files by boundary probe, with split flags,
   *  - q118: HEAPS-LAW vocabulary growth curve — cumulative distinct types
   *    vs cumulative tokens by corpus position decile, the crawl-health /
   *    dedup-pressure readout (a re-crawled corpus's curve flattens early),
   *  - q119: JOIN-KEY SKEW report — per-key histogram statistics + top
   *    heavy hitters + an integer salting recommendation, the diagnostic a
-  *    build runs before choosing q49's salted-aggregation path.
+  *    build runs before choosing q49's salted-aggregation path,
+  *  - q120: sequence-LENGTH histogram + the packing-vs-padding waste
+  *    comparison at chunk granularity,
+  *  - q121: cross-source OVERLAP matrix — per-pair shared 8-grams and
+  *    Jaccard, the duplication heatmap that routes dedup budget.
   *
-  * All three oracle-gated; every ratio is integer basis points and every
+  * All oracle-gated; every ratio is integer basis points and every
   * rank/percentile is settled by the row-number device, not engine
   * percentile builtins (interpolation is an oracle-parity trapdoor).
   */
@@ -47,26 +53,6 @@ object PackLayout {
         s" + (($y >> $i) & 1) * ${1L << (2 * i)})"
     }.mkString(" + ")
 
-  /** q116 — Z-order layout audit: bucket events on (user_id, ts-micros)
-    * to a 64×64 grid, Morton-interleave the bucket ids, assign rows to
-    * 16 equal-count files in z order, and report each file's min/max
-    * range in BOTH dimensions plus its span. The point of the curve is
-    * visible in the output: every file's x-span AND y-span are ≈ √cells
-    * wide, so a point lookup on either single dimension prunes ~¾ of the
-    * files, where a ts-sorted layout leaves x-spans at full width (the
-    * spec asserts exactly that comparison).
-    *
-    * Plan shape: one stats pass folds the 1-row min/max frame (mergeable
-    * — shard stats combine), broadcast back; the z projection is
-    * stateless. Equal-count file assignment uses the q96 two-level
-    * row-number device instead of a global window: per-z-value counts
-    * (≤ 4096 rows — a BOUNDED frame whatever the corpus size) take a
-    * running-total window, and each row's global position is its z's
-    * start plus a z-partitioned (distributed) row_number. A real writer
-    * swaps the assignment for `repartitionByRange(F, z)` — same curve,
-    * same ranges, Spark's native distributed sort — documented here
-    * because that form isn't oracle-reproducible.
-    */
   /** Base events projected to (event_id, user_id, us). */
   private def evFrame(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.events(s, d)
@@ -109,6 +95,26 @@ object PackLayout {
     (assigned, n)
   }
 
+  /** q116 — Z-order layout audit: bucket events on (user_id, ts-micros)
+    * to a 64×64 grid, Morton-interleave the bucket ids, assign rows to
+    * 16 equal-count files in z order, and report each file's min/max
+    * range in BOTH dimensions plus its span. The point of the curve is
+    * visible in the output: every file's x-span AND y-span are ≈ √cells
+    * wide, so a point lookup on either single dimension prunes ~¾ of the
+    * files, where a ts-sorted layout leaves x-spans at full width (the
+    * spec asserts exactly that comparison).
+    *
+    * Plan shape: one stats pass folds the 1-row min/max frame (mergeable
+    * — shard stats combine), broadcast back; the z projection is
+    * stateless. Equal-count file assignment uses the q96 two-level
+    * row-number device instead of a global window: per-z-value counts
+    * (≤ 4096 rows — a BOUNDED frame whatever the corpus size) take a
+    * running-total window, and each row's global position is its z's
+    * start plus a z-partitioned (distributed) row_number. A real writer
+    * swaps the assignment for `repartitionByRange(F, z)` — same curve,
+    * same ranges, Spark's native distributed sort — documented here
+    * because that form isn't oracle-reproducible.
+    */
   private val q116 = Q(
     "q116_zorder_layout",
     (s, d) => {
