@@ -91,5 +91,77 @@ object PackTime {
     """),
     doc = "session window 30min gap (gaps-and-islands oracle)")
 
-  val all: Seq[Q] = Seq(q21, q22, q23)
+  /** q125 — ordered funnel analysis: of the users who ever VIEWED, how
+    * many went on to CLICK after that view, and then PURCHASE after that
+    * click — strictly ordered first-occurrence semantics (the product-
+    * analytics staple, and the event-sequence shape a behavioral-data
+    * pipeline labels sessions with). Output: one row per step with user
+    * counts and step/overall conversion in basis points.
+    *
+    * Plan shape: ONE user-keyed shuffle. Each user's events collect
+    * into an array (bounded by per-user activity — the sessionization
+    * assumption) and the ordered scan is a chain of array HOFs: t1 =
+    * min view time, t2 = min click time strictly after t1, t3 = min
+    * purchase after t2 — nulls propagate exactly as "never converted".
+    * The alternative 3-aggregation + 2-join form shuffles the events
+    * three times; this folds once and the funnel readout is a 1-row
+    * aggregate → 3-row stack. The oracle derives the same semantics
+    * through an INDEPENDENT mechanism (correlated windowed CTEs), so
+    * the hash gate checks the semantics, not the plan.
+    */
+  private val q125 = Q(
+    "q125_funnel",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy("user_id")
+        .agg(collect_list(struct(col("us"), col("event_type"))).as("evs"))
+        .withColumn("t1", expr("array_min(transform(" +
+          "filter(evs, e -> e.event_type = 'view'), e -> e.us))"))
+        .withColumn("t2", expr("array_min(transform(" +
+          "filter(evs, e -> e.event_type = 'click' AND e.us > t1), " +
+          "e -> e.us))"))
+        .withColumn("t3", expr("array_min(transform(" +
+          "filter(evs, e -> e.event_type = 'purchase' AND e.us > t2), " +
+          "e -> e.us))"))
+      perUser
+        .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+          count(col("t3")).as("n3"))
+        .select(expr("stack(3, " +
+          "1L, 'view', n1, 10000L, 10000L, " +
+          "2L, 'click', n2, n2 * 10000 div greatest(n1, 1L), " +
+          "n2 * 10000 div greatest(n1, 1L), " +
+          "3L, 'purchase', n3, n3 * 10000 div greatest(n2, 1L), " +
+          "n3 * 10000 div greatest(n1, 1L))")
+          .as(Seq("step", "event_type", "n_users", "conv_prev_bp",
+            "conv_first_bp")))
+        .orderBy("step")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) AS us FROM events),
+      s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT ev.user_id, min(us) AS t2 FROM ev JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id),
+      s3 AS (SELECT ev.user_id, min(us) AS t3 FROM ev JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id),
+      c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2,
+                   (SELECT count(*) FROM s3) AS n3)
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+             n1 AS n_users, CAST(10000 AS BIGINT) AS conv_prev_bp,
+             CAST(10000 AS BIGINT) AS conv_first_bp FROM c
+      UNION ALL SELECT 2, 'click', n2, n2 * 10000 // greatest(n1, 1),
+             n2 * 10000 // greatest(n1, 1) FROM c
+      UNION ALL SELECT 3, 'purchase', n3, n3 * 10000 // greatest(n2, 1),
+             n3 * 10000 // greatest(n1, 1) FROM c
+      ORDER BY step
+    """),
+    doc = "ordered view->click->purchase funnel: one user-keyed fold, " +
+      "chained array HOFs for strict first-occurrence ordering, 1-row " +
+      "readout stacked to 3 steps")
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q125)
 }

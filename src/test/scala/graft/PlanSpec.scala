@@ -1107,6 +1107,15 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q125: funnel folds in ONE user-keyed exchange — no join, no window") {
+    val p = plan("q125_funnel")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the ordered scan is array HOFs over one fold, never a join:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1,
+      s"events shuffle user-keyed exactly once:\n$p")
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
