@@ -55,7 +55,7 @@ object Catalog {
       PackDecon.all ++ PackGraph.all ++ PackMix.all ++ PackFingerprint.all ++
       PackCurate.all ++ PackLm.all ++ PackPipeline.all ++ PackSignal.all ++
       PackRetrieval.all ++ PackRefresh.all ++ PackSetSim.all ++
-      PackRelease.all ++ PackLayout.all
+      PackRelease.all ++ PackLayout.all ++ PackStats.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

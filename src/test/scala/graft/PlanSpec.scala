@@ -1107,6 +1107,30 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q126: NDVs ride one partial-deduplicated distinct, never a " +
+    "multi-distinct Expand") {
+    val p = plan("q126_column_stats")
+    assert(!p.contains("Expand"),
+      s"the unpivot form must replace Catalyst's multi-distinct Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤ 4-row NDV frames must broadcast onto the stats rows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q127: every FK edge is a hash anti join — no cartesian, no " +
+    "row-level fact union") {
+    val p = plan("q127_fk_audit")
+    // at sf0.001 even the orders parent fits broadcast, so ALL three
+    // edges plan BroadcastHashJoin LeftAnti — the size-based planner is
+    // deliberately left in charge (no hint): past the broadcast
+    // threshold the lineitem->orders edge degrades to the q17 SMJ shape
+    // on its own, which is the 100 TB posture the scaladoc documents
+    assert(p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")) === 3,
+      s"three anti-join edges expected:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q125: funnel folds in ONE user-keyed exchange — no join, no window") {
     val p = plan("q125_funnel")
     assert(!p.contains("Join") && !p.contains("Window"),
