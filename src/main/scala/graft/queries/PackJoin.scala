@@ -133,5 +133,73 @@ object PackJoin {
     """),
     doc = "band range join vs broadcast boundary table")
 
-  val all: Seq[Q] = Seq(q13, q17, q18, q19)
+  /** q128 — the flagship OLAP composition: revenue by region × quarter
+    * over the FULL star join (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region) with ROLLUP subtotals and grand total — the multi-level
+    * report shape (and the one SQL grouping surface — GROUPING SETS /
+    * ROLLUP / grouping_id — the catalog lacked). Revenue rides the
+    * exact-decimal device (Det.dsum4) so every subtotal level hashes
+    * bit-for-bit; rollup NULLs render as '(all)' (the data has no real
+    * nulls, so coalesce is unambiguous).
+    *
+    * Plan shape: the fact join (lineitem⋈orders) shuffles key-
+    * partitioned (q17's shape, size-based at gated SFs); every dim hop
+    * (customer, nation, region) broadcasts. Spark executes ROLLUP as
+    * ONE Expand (×3 grouping sets) over the PRE-AGGREGATED join output
+    * — partial aggregation runs below the expand, so the fact stream is
+    * folded once, not three times. At 100 TB this is the report a
+    * nightly build emits; nothing here is more than one fact shuffle.
+    */
+  private val q128 = Q(
+    "q128_revenue_rollup",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      val or = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          concat(year(col("o_orderdate")), lit("-Q"),
+            quarter(col("o_orderdate"))).as("qtr"))
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("qtr"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_items"),
+          Det.dsum4(col("rev")).as("revenue"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
+          coalesce(col("qtr"), lit("(all)")).as("qtr"),
+          col("gid"), col("n_items"), col("revenue"))
+        .orderBy("gid", "r_name", "qtr")
+    },
+    Some("""
+      SELECT COALESCE(r_name, '(all)') AS r_name,
+             COALESCE(qtr, '(all)') AS qtr,
+             CAST(GROUPING(r_name, qtr) AS BIGINT) AS gid,
+             count(*) AS n_items,
+             cast(sum(cast(rev AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+      FROM (SELECT r_name,
+              CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+                CAST(quarter(o_orderdate) AS VARCHAR) AS qtr,
+              l_extendedprice * (1.0 - l_discount) AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey)
+      GROUP BY ROLLUP(r_name, qtr)
+      ORDER BY gid, r_name, qtr
+    """),
+    doc = "star-join revenue ROLLUP: one fact shuffle, broadcast dim " +
+      "hops, Expand over pre-aggregated output, exact-decimal subtotals")
+
+  val all: Seq[Q] = Seq(q13, q17, q18, q19, q128)
 }

@@ -1107,6 +1107,18 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q128: one Expand rollup over broadcast dim hops; partial agg " +
+    "below the exchange") {
+    val p = plan("q128_revenue_rollup")
+    assert(p.contains("Expand"),
+      s"ROLLUP must plan as one Expand, not three aggregations:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"customer/nation/region hops must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"the expanded stream must partial-aggregate map-side:\n$p")
+  }
+
   test("q126: NDVs ride one partial-deduplicated distinct, never a " +
     "multi-distinct Expand") {
     val p = plan("q126_column_stats")
