@@ -944,6 +944,57 @@ object StreamOps {
           .otherwise("partial_dup").as("verdict"))
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelStep(user_id: Long, step: Long, us: Long)
+
+  /** Streaming twin of q125's ordered funnel: users' step transitions
+    * emit the MOMENT they happen — the live conversion dashboard.
+    * State per user is three longs (the step timestamps, −1 = not yet);
+    * a row advances the funnel only if its step is next AND its time is
+    * STRICTLY after the previous step's (batch q125's semantics — and
+    * under time-ordered replay the first qualifying event seen IS the
+    * minimum the batch operator picks, so the emitted step sets equal
+    * batch counts exactly, pinned by test). Like packStream, the
+    * operator is arrival-order-sensitive by nature: within a
+    * micro-batch rows apply in event-time order, and the equivalence
+    * contract assumes batches arrive in time order (the file-source /
+    * kafka-per-key reality; a production deployment adds a watermark
+    * re-sort upstream if its source reorders).
+    *
+    * `events` columns: (user_id long, event_type string, us long).
+    */
+  def funnelStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("event_type"), col("us"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelStep]
+          rows.toSeq.sortBy(_.us).foreach { r =>
+            r.event_type match {
+              case "view" if st.t1 < 0 =>
+                st = st.copy(t1 = r.us)
+                out += FunnelStep(uid, 1L, r.us)
+              case "click" if st.t1 >= 0 && st.t2 < 0 && r.us > st.t1 =>
+                st = st.copy(t2 = r.us)
+                out += FunnelStep(uid, 2L, r.us)
+              case "purchase" if st.t2 >= 0 && st.t3 < 0 && r.us > st.t2 =>
+                st = st.copy(t3 = r.us)
+                out += FunnelStep(uid, 3L, r.us)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   final case class ZIncRow(file_id: Long, event_id: Long)
   final case class ZMaintState(cnt: Long)
   final case class ZMaintReport(file_id: Long, n_base: Long, n_inc: Long,

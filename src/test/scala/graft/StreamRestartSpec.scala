@@ -806,4 +806,56 @@ class StreamRestartSpec extends SparkSpec {
     assert(got === batch,
       "recovered per-file counters must merge with run-2 rows")
   }
+  test("funnel step state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import spark.implicits._
+    val in = Files.createTempDirectory("fnl-in").toString
+    val out = Files.createTempDirectory("fnl-out").toString
+    val ckpt = Files.createTempDirectory("fnl-ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect().toSeq
+      .sortBy(r => (r._3, r._1))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("us", LongType)))
+    def startQuery() = StreamOps.funnelStream(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rows: Seq[(Long, String, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("fnl-tmp").toString
+      rows.toDF("user_id", "event_type", "us").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    land(b2, "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    // advancing past run-1's steps in run-2 requires the RECOVERED step
+    // timestamps; lost state would re-emit step 1 for run-1 users (the
+    // at-most-once-per-step assert) and overcount every step
+    val steps = spark.read.parquet(out)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(steps.groupBy(r => (r._1, r._2)).values.forall(_.size == 1),
+      "a recovered user must never re-emit a completed step")
+    val counts = steps.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val batch = graft.queries.Catalog.queries("q125_funnel")(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(counts.getOrElse(1L, 0L) === batch(1L))
+    assert(counts.getOrElse(2L, 0L) === batch(2L))
+    assert(counts.getOrElse(3L, 0L) === batch(3L))
+  }
 }

@@ -861,4 +861,38 @@ class StreamingSpec extends SparkSpec {
       assert(got.exists(_._5 == 1L), "the planted hot files must alert")
     } finally q.stop()
   }
+  test("streaming funnel step counts equal batch q125 under ordered replay") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect().toSeq
+      .sortBy(r => (r._3, r._1))
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.funnelStream(
+        ms.toDF.toDF("user_id", "event_type", "us"))
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = ev.splitAt(ev.length / 2)
+      ms.addData(b1)
+      q.processAllAvailable()
+      ms.addData(b2)
+      q.processAllAvailable()
+      val steps = spark.table("t_funnel")
+        .as[(Long, Long, Long)].collect().toSeq
+      // each user emits each step at most once
+      assert(steps.groupBy(r => (r._1, r._2)).values.forall(_.size == 1))
+      val streamCounts = steps.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val batch = graft.queries.Catalog.queries("q125_funnel")(spark, sf)
+        .as[(Long, String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(streamCounts.getOrElse(1L, 0L) === batch(1L))
+      assert(streamCounts.getOrElse(2L, 0L) === batch(2L))
+      assert(streamCounts.getOrElse(3L, 0L) === batch(3L))
+      assert(streamCounts(3L) > 0L)
+    } finally q.stop()
+  }
 }
