@@ -1,0 +1,161 @@
+package graft
+
+import graft.queries.Catalog
+import org.apache.spark.sql.functions._
+
+/** Randomized brute-force fuzz for the round-14 diagnostics operators —
+  * the q113-fuzz pattern: synthesize corpora with edge shapes the
+  * driver data can't reach (degenerate weights, tied timestamps,
+  * single-row sources), write real parquet, run the CATALOG query, and
+  * compare against an independent in-memory derivation.
+  */
+class DiagnosticsFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q122 fuzz: five random weight tables match the grid recount " +
+    "(tiny sources, zero-heavy mixes, mega-docs)") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val docs = (0 until 3 + rnd.nextInt(4)).flatMap { si =>
+        val n = 1 + rnd.nextInt(12) // includes single-doc sources
+        (0 until n).map { i =>
+          val wt = rnd.nextInt(4) match {
+            case 0 => 1L                       // minimal weight
+            case 1 => 1L + rnd.nextInt(9)      // small
+            case 2 => 50L + rnd.nextInt(200)   // typical
+            case _ => 2000L + rnd.nextInt(999) // mega-doc > step
+          }
+          (s"s$si", (si * 1000 + i).toLong, wt)
+        }
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"q122-fuzz-$seed").toString
+      docs.toDF("source", "doc_id", "n_chars")
+        .select(col("doc_id"), lit("x").as("text"), lit("en").as("lang"),
+          col("source"), col("n_chars"))
+        .write.parquet(s"$dir/documents.parquet")
+      val got = Catalog.queries("q122_weighted_sample")(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      graft.ops.CacheScope.drain()
+      val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+        val sorted = g.sortBy(_._2)
+        val total = sorted.map(_._3).sum
+        val step = math.max(1L, total / 5)
+        var cum = 0L
+        sorted.flatMap { case (_, id, wt) =>
+          cum += wt
+          val picks = cum / step - (cum - wt) / step
+          if (picks > 0) Some((src, id, wt, cum, step, picks)) else None
+        }
+      }.sortBy(r => (r._1, r._2))
+      assert(got === expect, s"seed $seed diverged from the grid recount")
+      // the generator must exercise the multiplicity path somewhere
+      if (docs.exists(_._3 >= 2000L))
+        assert(got.exists(_._6 >= 1L))
+    }
+  }
+
+  test("q116 fuzz: five random event layouts match the z-sort recount " +
+    "(clustered users, degenerate single-user/single-instant, n < files)") {
+    val B = 64; val F = 16
+    def morton(x: Long, y: Long): Long =
+      (0 until 6).map { i =>
+        (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))
+      }.sum
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 4441)
+      val base = 1700000000000000L
+      val nRows = seed match {
+        case 1 => 8 // fewer rows than files
+        case _ => 50 + rnd.nextInt(400)
+      }
+      val uRange = seed match {
+        case 2 => 1 // every event from ONE user: x axis degenerates
+        case _ => 1 + rnd.nextInt(200)
+      }
+      val tRange = seed match {
+        case 3 => 1L // single instant: y axis degenerates
+        case _ => 1L + rnd.nextInt(1000000).toLong * 1000L
+      }
+      val evs = (0 until nRows).map { i =>
+        (i.toLong, rnd.nextInt(uRange).toLong,
+          base + (rnd.nextLong().abs % tRange))
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"q116-fuzz-$seed").toString
+      evs.toDF("event_id", "user_id", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), lit("view").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      val got = Catalog.queries("q116_zorder_layout")(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+      graft.ops.CacheScope.drain()
+      val (uLo, uHi) = (evs.map(_._2).min, evs.map(_._2).max)
+      val (tLo, tHi) = (evs.map(_._3).min, evs.map(_._3).max)
+      val n = evs.size.toLong
+      val expect = evs
+        .map { case (id, u, t) =>
+          val xb = (u - uLo) * B / (uHi - uLo + 1)
+          val yb = (t - tLo) * B / (tHi - tLo + 1)
+          (morton(xb, yb), id, xb, yb)
+        }
+        .sortBy(t => (t._1, t._2)).zipWithIndex
+        .map { case ((_, _, xb, yb), i) => (i.toLong * F / n, xb, yb) }
+        .groupBy(_._1).toSeq
+        .map { case (fid, g) =>
+          val xs = g.map(_._2); val ys = g.map(_._3)
+          (fid, g.size.toLong, xs.min, xs.max, ys.min, ys.max,
+            xs.max - xs.min + 1, ys.max - ys.min + 1)
+        }.sortBy(_._1)
+      assert(got === expect, s"seed $seed diverged from the z-sort recount")
+    }
+  }
+
+  test("q125 fuzz: five random event logs match the ordered-scan " +
+    "recount (ties, out-of-order steps, decoy types)") {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 6007)
+      val base = 1700000000000000L
+      val evs = (0 until 20 + rnd.nextInt(30)).flatMap { u =>
+        (0 until rnd.nextInt(12)).map { i =>
+          // coarse time grid → genuine equal-timestamp collisions that
+          // exercise the STRICT ordering predicate
+          val us = base + rnd.nextInt(8).toLong * 1000000L
+          (u.toLong * 100 + i, us, u.toLong, types(rnd.nextInt(types.size)))
+        }
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"q125-fuzz-$seed").toString
+      evs.toDF("event_id", "us", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      val got = Catalog.queries("q125_funnel")(spark, dir)
+        .as[(Long, String, Long, Long, Long)].collect().toSeq
+      graft.ops.CacheScope.drain()
+      var (n1, n2, n3) = (0L, 0L, 0L)
+      evs.groupBy(_._3).foreach { case (_, rows) =>
+        val t1 = rows.filter(_._4 == "view").map(_._2).minOption
+        val t2 = t1.flatMap(a =>
+          rows.filter(r => r._4 == "click" && r._2 > a).map(_._2).minOption)
+        val t3 = t2.flatMap(b =>
+          rows.filter(r => r._4 == "purchase" && r._2 > b).map(_._2)
+            .minOption)
+        if (t1.isDefined) n1 += 1
+        if (t2.isDefined) n2 += 1
+        if (t3.isDefined) n3 += 1
+      }
+      val expect = Seq(
+        (1L, "view", n1, 10000L, 10000L),
+        (2L, "click", n2, n2 * 10000L / math.max(n1, 1L),
+          n2 * 10000L / math.max(n1, 1L)),
+        (3L, "purchase", n3, n3 * 10000L / math.max(n2, 1L),
+          n3 * 10000L / math.max(n1, 1L)))
+      assert(got === expect, s"seed $seed diverged from the ordered scan")
+    }
+  }
+}
