@@ -179,5 +179,130 @@ object PackStats {
       "edge — dims broadcast, the fact edge shuffles key-partitioned " +
       "once; 1-row folds unioned")
 
-  val all: Seq[Q] = Seq(q126, q127)
+  /** q129 — join-size estimation by CMS inner product (AMS/Alon-Matias-
+    * Szegedy by way of Cormode-Muthukrishnan): the join-cardinality
+    * numbers a cost-based planner wants BEFORE running the join, next
+    * to the exact answers so the estimator's guarantee is gated AS DATA
+    * (q93's device). Two edges: the self-join size of lineitem on
+    * l_partkey (the second frequency moment F2 = Σc² — the skew number
+    * that decides salting) and the lineitem⋈orders equi-join size
+    * (Σ cA(k)·cB(k)). The CMS estimate is the MIN over hash rows of the
+    * per-row sketch inner product — one-sided (≥ exact) by
+    * construction, and every cell is deterministic integer arithmetic
+    * over q93's explicit affine family applied to the KEY VALUE (keys
+    * here fit well under the modulus; a wider key space hashes first —
+    * q93's token path).
+    *
+    * The two edges are chosen to show BOTH regimes, which is the point
+    * of gating err_bp as data: the F2 edge is skew-mass-dominated and
+    * the sketch reads tight, while the key-unique orderkey join is
+    * SPARSE — its exact size (‖a‖₁) is far below the collision mass
+    * ‖a‖₁·‖b‖₁/W, so the estimate reads ~6× and the report SAYS so.
+    * That readout is the planner's signal to fall back to the
+    * NDV-containment estimate (q126's numbers) for key-unique edges —
+    * the sketch telling you when it is the wrong tool is the behavior
+    * a CBO needs.
+    *
+    * Plan shape: per side, ONE key-histogram fold (the corpus-sized
+    * aggregation; map-side partials — counting again) cached; the
+    * sketch folds from the histogram at key cardinality to ≤ D·W = 1024
+    * cells (shard-mergeable by construction: the sketch of a union is
+    * the sum), and the inner product is a 1024-row join + D-row fold.
+    * The EXACT branch joins histograms at distinct-key cardinality —
+    * the audit that doesn't scale; at 100 TB only the sketches travel
+    * (2·D·W longs per table, whatever the data), which is the point.
+    */
+  private val q129 = Q(
+    "q129_join_size_est",
+    (s, d) => {
+      val D = PackScale.Cms.D
+      val W = PackScale.Cms.W
+      val M = PackScale.Cms.M
+      def cmsOf(hist: DataFrame): DataFrame =
+        hist.select(col("c"), explode(array((0 until D).map(j =>
+          struct(lit(j).as("dd"),
+            expr(s"(key * ${PackScale.Cms.a(j)}L + " +
+              s"${PackScale.Cms.c(j)}L) % ${M}L % ${W}L").as("w"))): _*))
+          .as("p"))
+          .select(col("c"), col("p.dd").as("dd"), col("p.w").as("w"))
+          .groupBy("dd", "w").agg(sum("c").as("cnt"))
+      def innerProduct(a: DataFrame, b: DataFrame) =
+        a.join(b.withColumnRenamed("cnt", "cnt_b"), Seq("dd", "w"))
+          .groupBy("dd").agg(sum(expr("cnt * cnt_b")).as("ip"))
+          .agg(min("ip").as("est"))
+      // ONE lineitem scan feeds both histograms: unpivot the two keys
+      // (q126's device) and fold by (kind, key); the cache splits by a
+      // metadata filter
+      val liBoth = graft.ops.CacheScope.persisted(
+        Tables.lineitem(s, d)
+          .select(explode(array(
+            struct(lit("p").as("kind"), col("l_partkey").as("key")),
+            struct(lit("o").as("kind"), col("l_orderkey").as("key"))))
+            .as("e"))
+          .groupBy(col("e.kind").as("kind"), col("e.key").as("key"))
+          .agg(count(lit(1)).as("c")))
+      val liPart = liBoth.filter(col("kind") === "p").select("key", "c")
+      val liOrd = liBoth.filter(col("kind") === "o").select("key", "c")
+      val orOrd = graft.ops.CacheScope.persisted(
+        Tables.orders(s, d).groupBy(col("o_orderkey").as("key"))
+          .agg(count(lit(1)).as("c")))
+      val selfExact = liPart.agg(sum(expr("c * c")).as("exact"))
+      val selfEst = innerProduct(cmsOf(liPart), cmsOf(liPart))
+      val joinEx = liOrd.join(orOrd.withColumnRenamed("c", "cb"), "key")
+        .agg(sum(expr("c * cb")).as("exact"))
+      val r1 = selfExact.crossJoin(broadcast(selfEst))
+        .select(lit("lineitem self-join on l_partkey (F2)").as("edge"),
+          col("exact"), col("est"),
+          expr("(est - exact) * 10000 div exact").as("err_bp"))
+      val r2 = joinEx.crossJoin(broadcast(
+        innerProduct(cmsOf(liOrd), cmsOf(orOrd))))
+        .select(lit("lineitem x orders on orderkey").as("edge"),
+          col("exact"), col("est"),
+          expr("(est - exact) * 10000 div exact").as("err_bp"))
+      r1.unionByName(r2).orderBy("edge")
+    },
+    Some {
+      val D = PackScale.Cms.D
+      val W = PackScale.Cms.W
+      val M = PackScale.Cms.M
+      def cells(j: Int) =
+        s"(key * ${PackScale.Cms.a(j)} + ${PackScale.Cms.c(j)}) % $M % $W"
+      def cmsSql(histCte: String) =
+        s"""SELECT dd, w, CAST(sum(c) AS BIGINT) AS cnt FROM (
+            ${(0 until D).map(j =>
+          s"SELECT $j AS dd, ${cells(j)} AS w, c FROM $histCte")
+          .mkString(" UNION ALL ")}) GROUP BY dd, w"""
+      s"""
+      WITH hp AS (SELECT l_partkey AS key, count(*) AS c FROM lineitem GROUP BY 1),
+      ho AS (SELECT l_orderkey AS key, count(*) AS c FROM lineitem GROUP BY 1),
+      hq AS (SELECT o_orderkey AS key, count(*) AS c FROM orders GROUP BY 1),
+      cp AS (${cmsSql("hp")}),
+      co AS (${cmsSql("ho")}),
+      cq AS (${cmsSql("hq")}),
+      e1 AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact FROM hp),
+      s1 AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM (
+               SELECT a.dd, sum(a.cnt * b.cnt) AS ip
+               FROM cp a JOIN cp b ON a.dd = b.dd AND a.w = b.w
+               GROUP BY a.dd)),
+      e2 AS (SELECT CAST(sum(ho.c * hq.c) AS BIGINT) AS exact
+             FROM ho JOIN hq USING (key)),
+      s2 AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM (
+               SELECT a.dd, sum(a.cnt * b.cnt) AS ip
+               FROM co a JOIN cq b ON a.dd = b.dd AND a.w = b.w
+               GROUP BY a.dd))
+      SELECT 'lineitem self-join on l_partkey (F2)' AS edge,
+             exact, est, (est - exact) * 10000 // exact AS err_bp
+      FROM e1 CROSS JOIN s1
+      UNION ALL
+      SELECT 'lineitem x orders on orderkey', exact, est,
+             (est - exact) * 10000 // exact
+      FROM e2 CROSS JOIN s2
+      ORDER BY edge
+    """
+    },
+    doc = "CMS-inner-product join-size estimation gated against exact: " +
+      "key histograms fold once, sketches are 1024 mergeable cells, " +
+      "estimate = min-over-rows inner product (one-sided >= exact)")
+
+  val all: Seq[Q] = Seq(q126, q127, q129)
 }

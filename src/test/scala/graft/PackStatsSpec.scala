@@ -64,4 +64,66 @@ class PackStatsSpec extends SparkSpec {
     assert(corrupted.filterNot(_._1.startsWith("lineitem"))
       .forall(_._3 == 0L))
   }
+  test("q129: estimates agree with exact recounts and honor the " +
+    "one-sided CMS guarantee") {
+    import org.apache.spark.sql.functions.col
+    val got = Catalog.queries("q129_join_size_est")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got.size === 2)
+    // exact recounts
+    val lp = Tables.lineitem(spark, sf).select("l_partkey")
+      .as[Long].collect().groupBy(identity).map(_._2.size.toLong)
+    val f2 = lp.map(c => c * c).sum
+    val lo = Tables.lineitem(spark, sf).select("l_orderkey")
+      .as[Long].collect().groupBy(identity)
+      .map { case (k, g) => k -> g.size.toLong }
+    val oo = Tables.orders(spark, sf).select("o_orderkey")
+      .as[Long].collect().groupBy(identity)
+      .map { case (k, g) => k -> g.size.toLong }
+    val joinSize = lo.map { case (k, c) => c * oo.getOrElse(k, 0L) }.sum
+    val self = got.find(_._1.contains("F2")).get
+    val join = got.find(_._1.contains("x orders")).get
+    assert(self._2 === f2)
+    assert(join._2 === joinSize)
+    // one-sided guarantee on both edges
+    got.foreach { r =>
+      assert(r._3 >= r._2, s"CMS inner product must overestimate: $r")
+      assert(r._4 >= 0L)
+    }
+    // the sketch estimate is DETERMINISTIC: recompute both inner
+    // products from scratch with the same affine family
+    val M = 2147483647L; val W = 256L; val D = 4
+    def aj(j: Int) = (j + 7) * 1103515245L % M
+    def cj(j: Int) = (j + 7) * 2654435761L % M
+    def cms(h: Iterable[(Long, Long)]): Map[(Int, Long), Long] = {
+      val m = collection.mutable.Map.empty[(Int, Long), Long]
+      h.foreach { case (k, c) =>
+        (0 until D).foreach { j =>
+          val w = (k * aj(j) + cj(j)) % M % W
+          m((j, w)) = m.getOrElse((j, w), 0L) + c
+        }
+      }
+      m.toMap
+    }
+    def ip(a: Map[(Int, Long), Long], b: Map[(Int, Long), Long]): Long =
+      (0 until D).map { j =>
+        a.filter(_._1._1 == j)
+          .map { case ((_, w), c) => c * b.getOrElse((j, w), 0L) }.sum
+      }.min
+    // rebuild histograms as (key, count) maps
+    val lpMap = Tables.lineitem(spark, sf).select("l_partkey")
+      .as[Long].collect().groupBy(identity)
+      .map { case (k, g) => k -> g.size.toLong }
+    val sSelf = cms(lpMap)
+    assert(self._3 === ip(sSelf, sSelf),
+      "F2 sketch estimate must be bit-reproducible")
+    assert(join._3 === ip(cms(lo), cms(oo)),
+      "join sketch estimate must be bit-reproducible")
+    // the two regimes the scaladoc documents: the skew-dominated F2
+    // edge reads tight, the sparse key-unique edge reads loose — and
+    // says so in err_bp
+    assert(self._4 < join._4,
+      "the sparse edge must report the larger error")
+  }
 }

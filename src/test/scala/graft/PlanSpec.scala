@@ -1143,6 +1143,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q129: histograms cached once each; sketch folds + inner " +
+    "products run at cell cardinality") {
+    val p = plan("q129_join_size_est")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 2,
+        "expected the unpivoted lineitem histogram + the orders one")
+      assert(p.contains("InMemoryTableScan"),
+        s"sketches and exact branches must read the histogram caches:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"1-row est/exact frames ride broadcast cross joins:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q125: funnel folds in ONE user-keyed exchange — no join, no window") {
     val p = plan("q125_funnel")
     assert(!p.contains("Join") && !p.contains("Window"),
