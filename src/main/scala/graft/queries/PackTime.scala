@@ -163,5 +163,67 @@ object PackTime {
       "chained array HOFs for strict first-occurrence ordering, 1-row " +
       "readout stacked to 3 steps")
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q125)
+  /** q130 — cohort retention: users grouped by their SIGNUP week (the
+    * cohort), then counted in every later week they were active — the
+    * retention triangle, the third leg of the events-analytics trio
+    * (windows q21–q23, funnel q125, retention here) and the engagement
+    * readout every behavioral dataset ships with. Weeks are EPOCH weeks
+    * (us div 7·86400·10⁶) — pure integer arithmetic both engines share,
+    * sidestepping calendar week-start conventions entirely.
+    *
+    * Plan shape: one user-keyed fold derives each user's cohort week
+    * (min over signup events); the activity stream deduplicates to
+    * (user, week) with map-side partials, joins the cohort frame on
+    * user (user-keyed — at 100 TB both sides partition by user and
+    * nothing else moves), and the retention triangle is a
+    * cohort×offset-cardinality fold. Cohort sizes re-derive from the
+    * offset-0 rows (every signup is itself week-0 activity) and
+    * broadcast back for the bp ratio.
+    */
+  private val q130 = Q(
+    "q130_cohort_retention",
+    (s, d) => {
+      val wk = expr("us div 604800000000")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(wk).as("cohort_wk"))
+      val active = ev.select(col("user_id"), wk.as("wk")).distinct()
+      val tri = active.join(cohort, "user_id")
+        .filter(col("wk") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk"))
+          .as("wk_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val sizes = tri.filter(col("wk_offset") === 0L)
+        .select(col("cohort_wk"), col("n_users").as("cohort_size"))
+      tri.join(broadcast(sizes), "cohort_wk")
+        .select(col("cohort_wk"), col("wk_offset"), col("n_users"),
+          col("cohort_size"),
+          expr("n_users * 10000 div cohort_size").as("retention_bp"))
+        .orderBy("cohort_wk", "wk_offset")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) // 604800000000 AS wk
+             FROM events),
+      cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev
+                 WHERE event_type = 'signup' GROUP BY user_id),
+      active AS (SELECT DISTINCT user_id, wk FROM ev),
+      tri AS (SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+                count(*) AS n_users
+              FROM active JOIN cohort USING (user_id)
+              WHERE wk >= cohort_wk GROUP BY 1, 2),
+      sz AS (SELECT cohort_wk, n_users AS cohort_size FROM tri
+             WHERE wk_offset = 0)
+      SELECT tri.cohort_wk, tri.wk_offset, tri.n_users, sz.cohort_size,
+             tri.n_users * 10000 // sz.cohort_size AS retention_bp
+      FROM tri JOIN sz USING (cohort_wk)
+      ORDER BY cohort_wk, wk_offset
+    """),
+    doc = "cohort retention triangle over epoch weeks: one signup fold, " +
+      "one (user, week) distinct, user-keyed join, offset-0 sizes " +
+      "broadcast back")
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q125, q130)
 }

@@ -46,4 +46,33 @@ class PackTimeSpec extends SparkSpec {
     // proved the ordering semantics bit for bit
     assert(n1 > 0L)
   }
+
+  test("q130: retention triangle agrees with an exact per-user recount") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect().toSeq
+      .map { case (u, t, us) => (u, t, us / 604800000000L) }
+    val cohort = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val active = ev.map(r => (r._1, r._3)).distinct
+    val tri = active
+      .flatMap { case (u, wk) =>
+        cohort.get(u).filter(wk >= _).map(c => (c, wk - c))
+      }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val sizes = tri.collect { case ((c, 0L), n) => c -> n }
+    val expect = tri.toSeq.map { case ((c, o), n) =>
+      (c, o, n, sizes(c), n * 10000L / sizes(c))
+    }.sortBy(r => (r._1, r._2))
+    val got = Catalog.queries("q130_cohort_retention")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // triangle invariants: week-0 retention is definitionally 100%,
+    // every later cell is bounded by its cohort, and the data actually
+    // spans multiple cohorts and offsets
+    assert(got.filter(_._2 == 0L).forall(_._5 == 10000L))
+    assert(got.forall(r => r._3 <= r._4))
+    assert(got.map(_._1).distinct.size >= 2)
+    assert(got.exists(_._2 > 0L))
+  }
 }
