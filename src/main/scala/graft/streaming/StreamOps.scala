@@ -995,6 +995,55 @@ object StreamOps {
       }.toDF()
   }
 
+  final case class RetEvent(user_id: Long, event_type: String, wk: Long)
+  final case class RetState(cohort: Long, mask: Long)
+  final case class RetDelta(cohort_wk: Long, wk_offset: Long, user_id: Long)
+
+  /** Streaming twin of q130's cohort retention: the triangle updates
+    * LIVE — each (user, week) first-activity emits one delta row
+    * (cohort_wk, wk_offset, user_id), and the dashboard is a running
+    * count over the deltas (the test folds them and pins the result to
+    * batch q130's triangle). State per user is TWO longs: the cohort
+    * week and a bitmask of already-emitted offsets (64-week horizon —
+    * the dashboard window; offsets past it are dropped, documented),
+    * so re-delivery across micro-batches and restarts can never
+    * double-count a cell. funnelStream's ordering contract: batches
+    * replay in time order, and within a batch signups sort before
+    * same-week activity so the cohort is set when its own week's
+    * activity lands.
+    *
+    * `events` columns: (user_id long, event_type string, wk long).
+    */
+  def retentionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("event_type"), col("wk"))
+      .as[RetEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var st = state.getOption.getOrElse(RetState(-1L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[RetDelta]
+          rows.toSeq
+            .sortBy(r => (r.wk, if (r.event_type == "signup") 0 else 1))
+            .foreach { r =>
+              if (r.event_type == "signup" && st.cohort < 0)
+                st = st.copy(cohort = r.wk)
+              if (st.cohort >= 0 && r.wk >= st.cohort) {
+                val off = r.wk - st.cohort
+                if (off < 64 && ((st.mask >> off) & 1L) == 0L) {
+                  st = st.copy(mask = st.mask | (1L << off))
+                  out += RetDelta(st.cohort, off, uid)
+                }
+              }
+            }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   final case class ZIncRow(file_id: Long, event_id: Long)
   final case class ZMaintState(cnt: Long)
   final case class ZMaintReport(file_id: Long, n_base: Long, n_inc: Long,

@@ -858,4 +858,58 @@ class StreamRestartSpec extends SparkSpec {
     assert(counts.getOrElse(2L, 0L) === batch(2L))
     assert(counts.getOrElse(3L, 0L) === batch(3L))
   }
+  test("retention delta mask survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import spark.implicits._
+    val in = Files.createTempDirectory("ret-in").toString
+    val out = Files.createTempDirectory("ret-out").toString
+    val ckpt = Files.createTempDirectory("ret-ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect().toSeq
+      .map { case (u, t, us) => (u, t, us / 604800000000L) }
+      .sortBy(r => (r._3, if (r._2 == "signup") 0 else 1))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("wk", LongType)))
+    def startQuery() = StreamOps.retentionStream(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rows: Seq[(Long, String, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("ret-tmp").toString
+      rows.toDF("user_id", "event_type", "wk").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    land(b2, "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    // lost state would re-emit run-1 cells (duplicate deltas) and lose
+    // cohorts for users whose signup was in run 1
+    val deltas = spark.read.parquet(out)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(deltas.groupBy(d => (d._3, d._1, d._2)).values
+      .forall(_.size == 1),
+      "a recovered user must never re-emit an already-counted cell")
+    val tri = deltas.groupBy(d => (d._1, d._2))
+      .view.mapValues(_.size.toLong).toMap
+    val batch = graft.queries.Catalog
+      .queries("q130_cohort_retention")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(tri === batch,
+      "recovered cohort+mask state must merge with run-2 activity")
+  }
 }

@@ -895,4 +895,40 @@ class StreamingSpec extends SparkSpec {
       assert(streamCounts(3L) > 0L)
     } finally q.stop()
   }
+  test("streaming retention deltas fold to batch q130's triangle") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect().toSeq
+      .map { case (u, t, us) => (u, t, us / 604800000000L) }
+      .sortBy(r => (r._3, if (r._2 == "signup") 0 else 1))
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.retentionStream(
+        ms.toDF.toDF("user_id", "event_type", "wk"))
+      .writeStream.format("memory").queryName("t_ret")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = ev.splitAt(ev.length / 2)
+      ms.addData(b1)
+      q.processAllAvailable()
+      ms.addData(b2)
+      q.processAllAvailable()
+      val deltas = spark.table("t_ret")
+        .as[(Long, Long, Long)].collect().toSeq
+      // delta uniqueness: a (user, cell) pair emits exactly once
+      assert(deltas.groupBy(d => (d._3, d._1, d._2)).values
+        .forall(_.size == 1))
+      val streamTri = deltas.groupBy(d => (d._1, d._2))
+        .view.mapValues(_.size.toLong).toMap
+      val batch = graft.queries.Catalog
+        .queries("q130_cohort_retention")(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamTri === batch,
+        "folded deltas must equal the batch retention triangle")
+    } finally q.stop()
+  }
 }
