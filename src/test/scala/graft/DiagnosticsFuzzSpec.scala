@@ -158,4 +158,91 @@ class DiagnosticsFuzzSpec extends SparkSpec {
       assert(got === expect, s"seed $seed diverged from the ordered scan")
     }
   }
+  test("q121 fuzz: five random shared-pool corpora match exact set " +
+    "algebra (disjoint sources, full mirrors, partial overlap)") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 3571)
+      val pool = Seq.tabulate(8)(pi =>
+        Seq.tabulate(10 + rnd.nextInt(10))(j => s"p${pi}w$j"))
+      val nSrc = 3 + rnd.nextInt(4)
+      val docs = (0 until nSrc).flatMap { si =>
+        (0 until 2 + rnd.nextInt(5)).map { di =>
+          val ws =
+            if (seed == 2 && si == 1) pool(0) ++ pool(1) // full mirror of src0's material
+            else Seq.fill(1 + rnd.nextInt(3))(pool(rnd.nextInt(pool.size)))
+              .flatten ++ Seq(s"u${si}x$di") // unique tail
+          (s"s$si", (si * 100 + di).toLong, ws.mkString(" "))
+        }
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"q121-fuzz-$seed").toString
+      docs.toDF("source", "doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          col("source"), length(col("text")).cast("long").as("n_chars"))
+        .write.parquet(s"$dir/documents.parquet")
+      val got = Catalog.queries("q121_source_overlap")(spark, dir)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+      graft.ops.CacheScope.drain()
+      val bySource = docs
+        .map { case (src, _, t) =>
+          src -> t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        }
+        .filter(_._2.length >= 8)
+        .flatMap { case (src, ws) =>
+          ws.sliding(8).filter(_.length == 8).map(g => src -> g.mkString(" "))
+        }
+        .distinct.groupBy(_._1)
+        .map { case (s0, g) => s0 -> g.map(_._2).toSet }
+      val sources = bySource.keys.toSeq.sorted
+      val expect = (for {
+        a <- sources; b <- sources if a < b
+        inter = (bySource(a) & bySource(b)).size.toLong if inter > 0
+      } yield {
+        val (na, nb) = (bySource(a).size.toLong, bySource(b).size.toLong)
+        (a, b, na, nb, inter, inter * 10000L / (na + nb - inter))
+      }).sortBy(r => (r._1, r._2))
+      assert(got === expect, s"seed $seed diverged from set algebra")
+    }
+  }
+
+  test("q130 fuzz: five random event logs match the cohort recount " +
+    "(signup-less users, pre-signup activity, multi-signup)") {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 2887)
+      val base = 1700000000000000L
+      val wkUs = 604800000000L
+      val evs = (0 until 30 + rnd.nextInt(40)).flatMap { u =>
+        (0 until rnd.nextInt(10)).map { i =>
+          // ± weeks around base: pre-signup activity is genuinely planted
+          val us = base + (rnd.nextInt(10).toLong - 2) * wkUs +
+            rnd.nextInt(1000000).toLong
+          (u.toLong * 100 + i, us, u.toLong, types(rnd.nextInt(types.size)))
+        }
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"q130-fuzz-$seed").toString
+      evs.toDF("event_id", "us", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      val got = Catalog.queries("q130_cohort_retention")(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      graft.ops.CacheScope.drain()
+      val wk = evs.map { case (_, us, u, t) => (u, t, us / wkUs) }
+      val cohort = wk.filter(_._2 == "signup").groupBy(_._1)
+        .map { case (u, g) => u -> g.map(_._3).min }
+      val tri = wk.map(r => (r._1, r._3)).distinct
+        .flatMap { case (u, w) =>
+          cohort.get(u).filter(w >= _).map(c => (c, w - c))
+        }
+        .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      val sizes = tri.collect { case ((c, 0L), n) => c -> n }
+      val expect = tri.toSeq.map { case ((c, o), n) =>
+        (c, o, n, sizes(c), n * 10000L / sizes(c))
+      }.sortBy(r => (r._1, r._2))
+      assert(got === expect, s"seed $seed diverged from the cohort recount")
+    }
+  }
 }
