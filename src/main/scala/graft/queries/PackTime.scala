@@ -225,5 +225,61 @@ object PackTime {
       "one (user, week) distinct, user-keyed join, offset-0 sizes " +
       "broadcast back")
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q125, q130)
+  /** q131 — time-series gap-fill (densification): per event type, emit
+    * EVERY hourly bucket between that type's first and last event —
+    * including the empty ones as explicit zero rows — with the count
+    * and a flag. Dashboards, forecasting inputs, and windowed models
+    * all need the dense axis (a missing bucket is data, not absence of
+    * data); this is the `generate_series`-join idiom as a catalog
+    * operator. Hours are epoch hours (us div 3600·10⁶) — q130's
+    * integer-axis posture.
+    *
+    * Plan shape: observed counts fold once (corpus-sized aggregation);
+    * the dense axis GENERATES from the per-type (min, max) span — a
+    * sequence explode at span cardinality, linear in output and never
+    * a join against a calendar table; observed counts join back
+    * type+hour-keyed. At 100 TB the generated axis is the small side
+    * (hours × types) and the single corpus fold is the only heavy
+    * stage.
+    */
+  private val q131 = Q(
+    "q131_gapfill",
+    (s, d) => {
+      val hr = expr("us div 3600000000")
+      val obs = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        .groupBy(col("event_type"), hr.as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val spans = obs.groupBy("event_type")
+        .agg(min("hour").as("h_lo"), max("hour").as("h_hi"))
+      val dense = spans.select(col("event_type"),
+        explode(expr("sequence(h_lo, h_hi)")).as("hour"))
+      dense.join(obs, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          when(col("n").isNull, 1L).otherwise(0L).as("filled"))
+        .orderBy("event_type", "hour")
+    },
+    Some("""
+      WITH obs AS (SELECT event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) // 3600000000 AS hour,
+               count(*) AS n
+             FROM events GROUP BY 1, 2),
+      spans AS (SELECT event_type, min(hour) AS h_lo, max(hour) AS h_hi
+                FROM obs GROUP BY event_type),
+      dense AS (SELECT event_type, unnest(range(h_lo, h_hi + 1)) AS hour
+                FROM spans)
+      SELECT dense.event_type, dense.hour,
+             COALESCE(obs.n, 0) AS n,
+             CAST(CASE WHEN obs.n IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS filled
+      FROM dense LEFT JOIN obs
+        ON dense.event_type = obs.event_type AND dense.hour = obs.hour
+      ORDER BY dense.event_type, dense.hour
+    """),
+    doc = "time-series densification: per-type dense hourly axis " +
+      "generated from the observed span, zeros as explicit rows, one " +
+      "corpus fold")
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q125, q130, q131)
 }

@@ -75,4 +75,30 @@ class PackTimeSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size >= 2)
     assert(got.exists(_._2 > 0L))
   }
+
+  test("q131: densified axis is contiguous, zeros explicit, mass intact") {
+    val got = Catalog.queries("q131_gapfill")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")))
+      .as[(String, Long)].collect().toSeq
+      .map { case (t, us) => (t, us / 3600000000L) }
+    val obs = ev.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val hours = rows.map(_._2).sorted
+      // contiguity: every hour between the observed span appears once
+      assert(hours === (hours.min to hours.max).toSeq,
+        s"$t axis must be gap-free")
+      assert(hours.min === ev.filter(_._1 == t).map(_._2).min)
+      assert(hours.max === ev.filter(_._1 == t).map(_._2).max)
+      rows.foreach { case (_, h, n, filled) =>
+        assert(n === obs.getOrElse((t, h), 0L))
+        assert((filled == 1L) === (n == 0L),
+          "the filled flag must mark exactly the zero rows")
+      }
+    }
+    // total event mass is preserved and real gaps were filled
+    assert(got.map(_._3).sum === ev.size.toLong)
+    assert(got.exists(_._4 == 1L), "the sf0.001 stream must have gaps")
+  }
 }
