@@ -245,4 +245,65 @@ class DiagnosticsFuzzSpec extends SparkSpec {
       assert(got === expect, s"seed $seed diverged from the cohort recount")
     }
   }
+  test("q124 fuzz: five random layouts + skewed increments match the " +
+    "boundary-probe recount (clamped overflow, empty files)") {
+    val B = 64; val F = 16
+    def morton(x: Long, y: Long): Long =
+      (0 until 6).map { i =>
+        (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))
+      }.sum
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 9973)
+      val base = 1700000000000000L
+      val nRows = 40 + rnd.nextInt(300)
+      val uRange = 1 + rnd.nextInt(150)
+      val tRange = 1L + rnd.nextInt(800000).toLong * 1000L
+      val evs = (0 until nRows).map { i =>
+        (i.toLong, rnd.nextInt(uRange).toLong,
+          base + (rnd.nextLong().abs % tRange))
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"q124-fuzz-$seed").toString
+      evs.toDF("event_id", "user_id", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), lit("view").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      val got = Catalog.queries("q124_zorder_maintain")(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      graft.ops.CacheScope.drain()
+      // recount: frozen layout, boundary probe, clamped increment
+      val (uLo, uHi) = (evs.map(_._2).min, evs.map(_._2).max)
+      val (tLo, tHi) = (evs.map(_._3).min, evs.map(_._3).max)
+      val n = evs.size.toLong
+      def clamp(v: Long) = math.min(B - 1L, math.max(0L, v))
+      val assigned = evs
+        .map { case (id, u, t) =>
+          (morton((u - uLo) * B / (uHi - uLo + 1),
+            (t - tLo) * B / (tHi - tLo + 1)), id)
+        }
+        .sortBy(identity).zipWithIndex
+        .map { case ((z, _), i) => (i.toLong * F / n, z) }
+      val files = assigned.groupBy(_._1).toSeq
+        .map { case (fid, g) => (fid, g.size.toLong, g.map(_._2).max) }
+        .sortBy(_._1)
+      val bounds = files.map(_._3)
+      val incCnt = evs.filter(_._1 % 7 == 3)
+        .map { case (_, u0, t0) =>
+          val u = uLo + (u0 - uLo) / 20
+          val t = t0 + 3600000000L
+          val z = morton(clamp((u - uLo) * B / (uHi - uLo + 1)),
+            clamp((t - tLo) * B / (tHi - tLo + 1)))
+          math.min(F - 1L, bounds.count(_ < z).toLong)
+        }
+        .groupBy(identity).map { case (f, g) => f -> g.size.toLong }
+      val target = (n + F - 1) / F
+      val expect = files.map { case (fid, nb, _) =>
+        val ni = incCnt.getOrElse(fid, 0L)
+        (fid, nb, ni, nb + ni, ni * 10000L / nb,
+          if (nb + ni > 3L * target / 2L) 1L else 0L)
+      }
+      assert(got === expect, s"seed $seed diverged from the boundary probe")
+    }
+  }
 }
