@@ -196,7 +196,11 @@ object PackLayout {
         .withColumn("cum_types", sum("new_types").over(w))
         .select(col("decile"), col("toks_added"), col("new_types"),
           col("cum_toks"), col("cum_types"),
-          expr("cum_types * 10000 div cum_toks").as("ttr_bp"))
+          // greatest(…, 1) guard: a decile of only empty docs would make
+          // cum_toks 0, where Spark's div yields NULL but DuckDB's //
+          // raises — the engines must stay defined AND identical on
+          // degenerate input (q125/q119's pattern; ADVICE r14)
+          expr("cum_types * 10000 div greatest(cum_toks, 1)").as("ttr_bp"))
         .orderBy("decile")
     },
     Some("""
@@ -218,7 +222,7 @@ object PackLayout {
                 AS BIGINT) AS cum_types
             FROM tt LEFT JOIN nt ON tt.decile = nt.decile)
       SELECT decile, toks_added, new_types, cum_toks, cum_types,
-             cum_types * 10000 // cum_toks AS ttr_bp
+             cum_types * 10000 // greatest(cum_toks, 1) AS ttr_bp
       FROM c ORDER BY decile
     """),
     doc = "Heaps-law curve: first-holder decile per type via one " +
@@ -496,9 +500,18 @@ object PackLayout {
       val (assigned, n) = zAssigned(s, d)
       val files = assigned.groupBy("file_id")
         .agg(count(lit(1)).as("n_base"), max("z").as("z_max"))
-      val bounds = files.agg(expr(
-        "transform(array_sort(collect_list(struct(file_id, z_max))), " +
-          "v -> v.z_max)").as("bs"))
+      // boundaries AND their real file_ids, both sorted by file_id: the
+      // boundary probe yields an ORDINAL (count of boundaries below z),
+      // which equals the file_id only when file_ids are contiguous
+      // 0..F-1; zAssigned emits non-contiguous ids when n < F (e.g. n=8
+      // gives 0,2,4..14), so the ordinal maps back through the fids
+      // array (ADVICE r14: the raw ordinal silently missed the files
+      // frame and dropped increment counts on degenerate layouts)
+      val bounds = files.agg(
+        expr("transform(array_sort(collect_list(struct(file_id, z_max))), " +
+          "v -> v.z_max)").as("bs"),
+        expr("transform(array_sort(collect_list(struct(file_id, z_max))), " +
+          "v -> v.file_id)").as("fids"))
       val ev = evFrame(s, d)
       val inc = ev.filter(col("event_id") % 7 === 3)
         .crossJoin(broadcast(evStats(ev).select(col("u_lo").as("b_lo"))))
@@ -517,7 +530,8 @@ object PackLayout {
         .withColumn("z", expr(mortonSql("xb", "yb")))
       val incCounts = inc.crossJoin(broadcast(bounds))
         .withColumn("file_id", expr(
-          s"least(${F - 1}L, cast(size(filter(bs, b -> b < z)) as bigint))"))
+          "element_at(fids, cast(least(size(bs) - 1, " +
+            "size(filter(bs, b -> b < z))) as int) + 1)"))
         .groupBy("file_id").agg(count(lit(1)).as("n_inc"))
       files.join(broadcast(incCounts), Seq("file_id"), "left")
         .na.fill(0L, Seq("n_inc"))
@@ -544,7 +558,8 @@ object PackLayout {
       files AS (SELECT CAST(file_id AS BIGINT) AS file_id,
                   count(*) AS n_base, max(z) AS z_max
                 FROM rn GROUP BY file_id),
-      bsr AS (SELECT list(z_max ORDER BY file_id) AS bs FROM files),
+      bsr AS (SELECT list(z_max ORDER BY file_id) AS bs,
+                     list(file_id ORDER BY file_id) AS fids FROM files),
       inc AS (SELECT u_lo + (user_id - u_lo) // 20 AS user_id,
                      us + 3600000000 AS us
               FROM ev CROSS JOIN st WHERE event_id % 7 = 3),
@@ -555,8 +570,8 @@ object PackLayout {
                  (us - t_lo) * $B // (t_hi - t_lo + 1))) AS yb
              FROM inc CROSS JOIN st),
       iz AS (SELECT ${mortonSql("xb", "yb")} AS z FROM ib),
-      ia AS (SELECT least($F - 1,
-               len(list_filter(bs, x -> x < z))) AS file_id
+      ia AS (SELECT fids[least(len(bs) - 1,
+               len(list_filter(bs, x -> x < z))) + 1] AS file_id
              FROM iz CROSS JOIN bsr),
       ic AS (SELECT CAST(file_id AS BIGINT) AS file_id, count(*) AS n_inc
              FROM ia GROUP BY file_id),

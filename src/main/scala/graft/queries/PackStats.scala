@@ -69,7 +69,13 @@ object PackStats {
           .filter(col("v").isNotNull)
           .distinct()
           .groupBy("col_name").agg(count(lit(1)).as("ndv"))
-        base.join(broadcast(ndv), "col_name")
+        // LEFT join + fill: a fully-null column has no NDV row (the
+        // distinct pass drops nulls), and an inner join would silently
+        // drop it from the report where the oracle's count(DISTINCT c)
+        // reports ndv=0 (ADVICE r14 — latent until Audited grows a
+        // nullable column)
+        base.join(broadcast(ndv), Seq("col_name"), "left")
+          .na.fill(0L, Seq("ndv"))
       }
       perTable.reduce(_.unionByName(_))
         .select("tbl", "col_name", "n_rows", "ndv", "n_null",

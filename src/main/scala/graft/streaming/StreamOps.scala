@@ -1076,18 +1076,25 @@ object StreamOps {
     val sp = inc.sparkSession
     import sp.implicits._
     val nF = files.size
-    val bounds = files.sortBy(_._1).map(_._3)
+    val sorted = files.sortBy(_._1)
+    val bounds = sorted.map(_._3)
     val baseOf = files.map(f => f._1 -> f._2).toMap
     val (uLo, uHi, tLo, tHi) = stats
     val bsLit = bounds.map(b => s"${b}L").mkString("array(", ", ", ")")
+    // ordinal -> REAL file_id: the boundary count equals the file_id only
+    // for contiguous 0..F-1 layouts; a degenerate base (n < F) emits
+    // sparse ids and the raw ordinal would credit phantom files with
+    // n_base=0 (ADVICE r14 — batch q124 fixed the same way)
+    val fidsLit = sorted.map(f => s"${f._1}L").mkString("array(", ", ", ")")
     inc
       .withColumn("xb", expr(s"least(${B - 1}L, greatest(0L, " +
         s"(user_id - ${uLo}L) * $B div ${uHi - uLo + 1}L))"))
       .withColumn("yb", expr(s"least(${B - 1}L, greatest(0L, " +
         s"(us - ${tLo}L) * $B div ${tHi - tLo + 1}L))"))
       .withColumn("z", expr(mortonSql("xb", "yb")))
-      .withColumn("file_id", expr(s"least(${nF - 1}L, " +
-        s"cast(size(filter($bsLit, b -> b < z)) as bigint))"))
+      .withColumn("file_id", expr(s"element_at($fidsLit, " +
+        s"cast(least(${nF - 1}, size(filter($bsLit, b -> b < z))) as int)" +
+        " + 1)"))
       .select(col("file_id"), col("event_id"))
       .as[ZIncRow]
       .groupByKey(_.file_id)

@@ -245,17 +245,22 @@ class DiagnosticsFuzzSpec extends SparkSpec {
       assert(got === expect, s"seed $seed diverged from the cohort recount")
     }
   }
-  test("q124 fuzz: five random layouts + skewed increments match the " +
-    "boundary-probe recount (clamped overflow, empty files)") {
+  test("q124 fuzz: seven random layouts + skewed increments match the " +
+    "boundary-probe recount (clamped overflow, empty files, n < files)") {
     val B = 64; val F = 16
     def morton(x: Long, y: Long): Long =
       (0 until 6).map { i =>
         (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))
       }.sum
-    (1 to 5).foreach { seed =>
+    (1 to 7).foreach { seed =>
       val rnd = new scala.util.Random(seed * 9973)
       val base = 1700000000000000L
-      val nRows = 40 + rnd.nextInt(300)
+      // seeds 6-7: DEGENERATE bases with fewer rows than target files —
+      // zAssigned emits sparse non-contiguous file_ids (n=8 gives
+      // 0,2,4..14) and the increment's boundary-probe ordinal must map
+      // back to the REAL id or counts silently vanish (ADVICE r14)
+      val nRows =
+        if (seed > 5) 8 + rnd.nextInt(7) else 40 + rnd.nextInt(300)
       val uRange = 1 + rnd.nextInt(150)
       val tRange = 1L + rnd.nextInt(800000).toLong * 1000L
       val evs = (0 until nRows).map { i =>
@@ -288,13 +293,14 @@ class DiagnosticsFuzzSpec extends SparkSpec {
         .map { case (fid, g) => (fid, g.size.toLong, g.map(_._2).max) }
         .sortBy(_._1)
       val bounds = files.map(_._3)
+      val fids = files.map(_._1)
       val incCnt = evs.filter(_._1 % 7 == 3)
         .map { case (_, u0, t0) =>
           val u = uLo + (u0 - uLo) / 20
           val t = t0 + 3600000000L
           val z = morton(clamp((u - uLo) * B / (uHi - uLo + 1)),
             clamp((t - tLo) * B / (tHi - tLo + 1)))
-          math.min(F - 1L, bounds.count(_ < z).toLong)
+          fids(math.min(fids.size - 1, bounds.count(_ < z)))
         }
         .groupBy(identity).map { case (f, g) => f -> g.size.toLong }
       val target = (n + F - 1) / F
