@@ -73,14 +73,40 @@ object Bench {
     // structurally slow query stays slow in both — and BOTH numbers are
     // recorded under "rerun" so a spike-vs-structural call needs no
     // human re-measure. A failed re-measure keeps the first-pass number.
+    //
+    // r14 found the protocol CONVICTING instead of acquitting: the rerun
+    // batch executed in the same JVM straight after 131 queries' worth of
+    // janino classes, broadcast cleanup backlog, and promoted garbage,
+    // and five of its re-measures read WORSE than their first pass (q95
+    // 2.89→5.35 s). So before the batch, drop every cached relation and
+    // force a full GC — the rerun must measure the PLAN, not the JVM's
+    // end-of-life heap — and each rerun entry records the post-GC heap
+    // and the GC time spent inside its timed runs, so a residually-slow
+    // rerun is self-diagnosing (high gc_ms = heap pressure, not plan).
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def heapMb: Long = {
+      val r = Runtime.getRuntime
+      (r.totalMemory - r.freeMemory) / (1024 * 1024)
+    }
     val okTimes = firstPass.collect { case (_, t) if t >= 0 => t }.sorted
     val catalogMedian =
       if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
-    var reruns = List.empty[(String, Double, Double)]
+    val rerunBar = math.max(1.5, 2 * catalogMedian)
+    if (firstPass.exists(_._2 > rerunBar)) {
+      spark.sqlContext.clearCache()
+      System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
+    }
+    var reruns = List.empty[(String, Double, Double, Long, Long)]
     val results = firstPass.map {
-      case (name, t) if t > math.max(1.5, 2 * catalogMedian) =>
+      case (name, t) if t > rerunBar =>
+        System.gc() // settle between rerun entries, same reasoning
+        val (h0, g0) = (heapMb, gcMs)
         timedMedian3(name) match {
-          case Some(t2) => reruns ::= ((name, t, t2))
+          case Some(t2) => reruns ::= ((name, t, t2, h0, gcMs - g0))
             name -> math.min(t, t2)
           case None => name -> t
         }
@@ -88,8 +114,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val rr = reruns.sortBy(_._1).map { case (k, a, b) =>
-      "\"" + k + "\":{\"first_s\":" + a + ",\"rerun_s\":" + b + "}"
+    val rr = reruns.sortBy(_._1).map { case (k, a, b, h, g) =>
+      "\"" + k + "\":{\"first_s\":" + a + ",\"rerun_s\":" + b +
+        ",\"heap_mb\":" + h + ",\"gc_ms\":" + g + "}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -30,11 +30,14 @@ import org.apache.spark.sql.functions._
   * decon probe, the quota join, and the output all read; dedup shuffles
   * on the uniform sha2 key; the eval shingle set distinct-compresses
   * and BROADCASTS (the corpus never shuffles to meet it — q40/q88's
-  * asymmetry); quota math lives on the source-cardinality histogram
-  * (cached — q68) with the literal `rk <= B` conjunct keeping the
-  * WindowGroupLimit pushable below the rank exchange; the split is a
-  * stateless md5 projection. Caches: 2 (survivors, histogram), both
-  * scoped.
+  * asymmetry); quota math is window functions over the source-
+  * cardinality histogram in one single-partition stage (bounded by
+  * |sources| whatever the corpus — fused in r15: the former
+  * totals/extra 1-row aggregations each cost a sequential broadcast-
+  * collect job, q95's measured tiny-job residue), with the literal
+  * `rk <= B` conjunct keeping the WindowGroupLimit pushable below the
+  * rank exchange; the split is a stateless md5 projection. Caches: 1
+  * (survivors), scoped.
   */
 object PackRelease {
 
@@ -77,18 +80,22 @@ object PackRelease {
         .join(broadcast(evalSh), Seq("sh"))
         .select("doc_id").distinct()
       val clean = dedup.join(contam, Seq("doc_id"), "left_anti")
-      // stage 4: q68's largest-remainder quotas over the CLEANED corpus
-      val counts = graft.ops.CacheScope.persisted(
-        clean.groupBy("source").agg(count(lit(1)).as("n")))
-      val totals = counts.agg(sum("n").as("nn"))
-      val based = counts.crossJoin(broadcast(totals))
-        .select(col("source"), col("n"),
-          expr(s"($B * n) div nn").as("base"),
-          expr(s"($B * n) % nn").as("rem"))
-      val extra = based.agg((lit(B) - sum("base")).as("extra"))
-      val quota = based.crossJoin(broadcast(extra))
-        .withColumn("rr",
-          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      // stage 4: q68's largest-remainder quotas over the CLEANED corpus.
+      // The whole apportionment (grand total, base shares, leftover
+      // seats, remainder ranks) is window functions over the |sources|-
+      // row histogram in ONE single-partition stage — the r14 form ran
+      // totals and extra as separate 1-row aggregations, each a
+      // sequential broadcast-collect job; on a 131-query bench that
+      // tiny-job scheduling residue was q95's measured overhead. The
+      // frame is source-cardinality by construction, so the
+      // single-partition window is bounded whatever the corpus size.
+      val wAll = Window.partitionBy(lit(1))
+      val quota = clean.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("nn", sum("n").over(wAll))
+        .withColumn("base", expr(s"($B * n) div nn"))
+        .withColumn("extra", lit(B) - sum(expr(s"($B * n) div nn")).over(wAll))
+        .withColumn("rr", row_number().over(
+          Window.orderBy(expr(s"($B * n) % nn").desc, col("source"))))
         .select(col("source"),
           (col("base") + when(col("rr") <= col("extra"), 1).otherwise(0))
             .as("quota"))

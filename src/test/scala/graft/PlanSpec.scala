@@ -731,7 +731,8 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
-  test("q95: composed release plan — broadcasts, pushed limit, two caches") {
+  test("q95: composed release plan — broadcasts, pushed limit, one cache, " +
+    "fused quota windows") {
     val p = plan("q95_release_pipeline")
     try {
       assert(!p.contains("CartesianProduct"),
@@ -740,11 +741,15 @@ class PlanSpec extends SparkSpec {
         s"the eval shingle set and the quota frame must broadcast:\n$p")
       assert(p.contains("WindowGroupLimit"),
         s"the literal rk <= B conjunct must push the rank limit:\n$p")
-      // the survivor frame feeds dedup/decon/quota/output; the histogram
-      // feeds base/totals/extra — both cached, everything else rides them
+      // the survivor frame feeds dedup/decon/quota/output — cached,
+      // everything else rides it; the quota apportionment is window
+      // functions over the |sources|-row histogram (r15: the former
+      // totals/extra 1-row aggregations were sequential broadcast-
+      // collect jobs, the measured tiny-job residue)
       assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
-        s"a consumer bypassed the survivor or histogram cache:\n$p")
-      assert(graft.ops.CacheScope.liveCount === 2)
+        s"a consumer bypassed the survivor cache:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the survivor frame cached (quota math is fused)")
     } finally graft.ops.CacheScope.drain()
   }
 
