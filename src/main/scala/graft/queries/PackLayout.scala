@@ -243,9 +243,17 @@ object PackLayout {
     * keys partial-aggregate map-side — counting is precisely the
     * operation skew cannot hurt). Everything downstream runs at vocab
     * cardinality: the percentile window sorts the count frame, the
-    * top-5 is a literal rank bound (WindowGroupLimit prunes below the
-    * exchange). At 100 TB the report costs one pass — which is why
+    * top-5 is a literal rank bound (rides TakeOrderedAndProject —
+    * pinned). At 100 TB the report costs one pass — which is why
     * builds run it unconditionally.
+    *
+    * The exact-percentile device is the one single-partition sort in
+    * the report: it runs at VOCAB cardinality (post-aggregation), fine
+    * at gated SFs and into the 10⁷-key range, but at web-scale
+    * vocabulary (10⁸–10⁹ keys) swap the exact-rank window for q99's
+    * mergeable histogram-sketch readout or q44's approx_percentile —
+    * the same swap q42 and q108 document. The top-5 branch needs no
+    * swap: its literal bound already prunes below the exchange.
     */
   private val q119 = Q(
     "q119_skew_report",

@@ -190,11 +190,16 @@ object PackTime {
       val cohort = ev.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min(wk).as("cohort_wk"))
       val active = ev.select(col("user_id"), wk.as("wk")).distinct()
-      val tri = active.join(cohort, "user_id")
-        .filter(col("wk") >= col("cohort_wk"))
-        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk"))
-          .as("wk_offset"))
-        .agg(count(lit(1)).as("n_users"))
+      // the triangle CACHES at cohort×offset cardinality: without it the
+      // offset-0 sizes frame re-derives the whole subtree — two more
+      // corpus scans, a second (user, week) distinct, a second signup
+      // fold (r15 plan audit caught exactly that doubling)
+      val tri = graft.ops.CacheScope.persisted(
+        active.join(cohort, "user_id")
+          .filter(col("wk") >= col("cohort_wk"))
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk"))
+            .as("wk_offset"))
+          .agg(count(lit(1)).as("n_users")))
       val sizes = tri.filter(col("wk_offset") === 0L)
         .select(col("cohort_wk"), col("n_users").as("cohort_size"))
       tri.join(broadcast(sizes), "cohort_wk")
@@ -246,10 +251,15 @@ object PackTime {
     "q131_gapfill",
     (s, d) => {
       val hr = expr("us div 3600000000")
-      val obs = Tables.events(s, d)
-        .select(col("event_type"), unix_micros(col("ts")).as("us"))
-        .groupBy(col("event_type"), hr.as("hour"))
-        .agg(count(lit(1)).as("n"))
+      // observed counts CACHE at types×hours cardinality: spans derive
+      // from the same frame, and without the cache the dense-axis side
+      // re-runs the corpus fold — a second full events scan (r15 plan
+      // audit, q130's doubling in miniature)
+      val obs = graft.ops.CacheScope.persisted(
+        Tables.events(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+          .groupBy(col("event_type"), hr.as("hour"))
+          .agg(count(lit(1)).as("n")))
       val spans = obs.groupBy("event_type")
         .agg(min("hour").as("h_lo"), max("hour").as("h_hi"))
       val dense = spans.select(col("event_type"),

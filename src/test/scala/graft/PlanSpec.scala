@@ -1038,10 +1038,18 @@ class PlanSpec extends SparkSpec {
         "expected exactly the per-key count frame cached")
       // the rank windows are UNPARTITIONED by design — they sort the
       // vocab-cardinality count frame (bounded by distinct keys, never
-      // corpus-sized), so no WindowGroupLimit materializes; the scale
-      // property is that their input is the InMemory cache below
+      // corpus-sized); the scale property is that their input is the
+      // InMemory cache below
       assert(p.contains("InMemoryTableScan"),
         s"stats/percentiles/top-5 must read the count cache:\n$p")
+      // the top-5 literal bound must prune BELOW its sort: the
+      // unpartitioned rank window plans TakeOrderedAndProject(limit=5)
+      // over the cache, never a full vocab sort. The exact-percentile
+      // branch keeps its one single-partition vocab sort by design —
+      // the scaladoc names q99's sketch readout / q44's
+      // approx_percentile as the 10⁸⁺-key swap-in (r15 pin)
+      assert(p.contains("TakeOrderedAndProject(limit=5"),
+        s"the top-5 rank bound must prune below the sort:\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
         s"global stats ride broadcast cross joins:\n$p")
       // (a literal "Scan parquet" count is unreliable here — every
@@ -1168,6 +1176,47 @@ class PlanSpec extends SparkSpec {
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx <= 1,
       s"events shuffle user-keyed exactly once:\n$p")
+  }
+
+  test("q130: triangle cached once — sizes read the cache, never " +
+    "re-derive the corpus subtree; no cartesian, no SMJ") {
+    val p = plan("q130_cohort_retention")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the cohort×offset triangle cached")
+      // BOTH consumers (triangle rows and offset-0 sizes) must read the
+      // cache — before r15 the sizes frame re-derived the whole
+      // subtree: two extra events scans, a second (user, week)
+      // distinct, a second signup fold
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"triangle + sizes must both read the one cache:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"cohort sizes broadcast back onto the triangle:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"user-keyed joins only:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q131: dense axis is a generator over the cached span frame — " +
+    "generated rows never shuffle; observed counts fold once") {
+    val p = plan("q131_gapfill")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the types×hours observed-count frame cached")
+      assert(p.contains("Generate explode(sequence"),
+        s"densification must generate from the span fold, not join a " +
+          s"calendar table:\n$p")
+      // the generator's output streams STRAIGHT into the left-outer
+      // probe — no exchange may sit between Generate and the join
+      // (the generated axis is linear in output and must never shuffle)
+      val gen = p.linesIterator.indexWhere(_.contains("Generate explode(sequence"))
+      val join = p.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+      assert(join >= 0 && gen > join,
+        s"generated rows must feed the broadcast join directly:\n$p")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"spans + the join's right side must both read the obs cache:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    } finally graft.ops.CacheScope.drain()
   }
 
   test("q122: one source-partitioned cumulative window; totals broadcast") {
