@@ -507,11 +507,16 @@ object PackCorpus {
     * the textbook two-level scan: bucket docs by `doc_id div 32`,
     * (1) per-bucket token totals fold map-side to a BUCKET-cardinality
     * frame, (2) the running total over that tiny frame is the only
-    * unpartitioned window (bucket count rows — q68's source-window
-    * argument; at 100 TB pick the divisor so bucket count stays ~10⁶,
-    * or recurse the same trick once more), (3) broadcast the bucket
-    * bases back and finish with a window PARTITIONED by bucket —
-    * bounded partitions, corpus-parallel. The oracle RUNS the naive
+    * unpartitioned window (n/K rows on one task — fine through ~10⁷
+    * docs at K=32), (3) broadcast the bucket bases back and finish
+    * with a window PARTITIONED by bucket — bounded partitions,
+    * corpus-parallel. Past ~10⁹ docs n/K itself is 3×10⁷ rows through
+    * one task, and the swap-in is either of: scale K to ≈√n so both
+    * levels hold ~√n rows, or add a THIRD level (bucket the buckets by
+    * `b div K`, same three steps) so every window holds ≤ max(K, n/K²)
+    * rows — the recursion is exactly this function applied to its own
+    * bucket frame, and each extra level divides the per-task bound by
+    * K (q42's document-the-swap-in convention). The oracle RUNS the naive
     * global window (DuckDB is single-node — it's fine there), so the
     * hash gate proves the two-level decomposition exact, row for row.
     *

@@ -1044,6 +1044,69 @@ object StreamOps {
       }.toDF()
   }
 
+  final case class GapEvent(event_type: String, hour: Long)
+  final case class GapState(next: Long, pending: Map[Long, Long])
+  final case class GapRow(event_type: String, hour: Long, n: Long,
+      filled: Long)
+
+  /** Streaming twin of q131's time-series gap-fill: the LIVE
+    * densification readout — dashboards consume exactly this shape. Per
+    * event type, buckets finalize as the observed frontier advances:
+    * when an event lands in hour H, every bucket strictly below the
+    * type's max observed hour is closed and emitted — observed buckets
+    * with their counts, EMPTY buckets as explicit (n=0, filled=1) rows,
+    * exactly the batch operator's dense axis, in axis order, incremental.
+    * The frontier bucket itself stays open (an in-order stream may still
+    * add to it), so each emitted row is FINAL — no retraction channel
+    * needed, which is what makes the append-mode dashboard read correct.
+    *
+    * State per type: the next-unemitted hour plus counts for the OPEN
+    * tail only (hours in [next, frontier]) — bounded by the reorder
+    * horizon, not the axis length; closed buckets leave state the
+    * moment they emit. Ordering contract (funnelStream's): batches
+    * replay in event-time order; within a batch order is free (the
+    * fold maxes the frontier before emitting). A row arriving BELOW
+    * `next` lands in an already-finalized bucket and is dropped —
+    * that is a watermark-violating late row, the same drop
+    * `dedupWithinWatermark` documents, not silent data loss.
+    *
+    * Feeding batch q131's events hour-ordered plus one flush row per
+    * type past the axis end reproduces the batch rows for the full
+    * [h_lo, h_hi] axis (pinned by test); a checkpointed restart
+    * recovers frontier and open-tail counts exactly.
+    *
+    * `events` columns: (event_type string, hour long).
+    */
+  def gapfillStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("event_type"), col("hour"))
+      .as[GapEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GapState, GapRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ, rows, state) =>
+          val rs = rows.toSeq
+          var st = state.getOption.getOrElse(GapState(-1L, Map.empty))
+          val origin = if (st.next >= 0L) st.next else rs.map(_.hour).min
+          var pending = st.pending
+          rs.foreach { r =>
+            if (r.hour >= origin) // below = finalized-bucket late row
+              pending = pending.updated(r.hour,
+                pending.getOrElse(r.hour, 0L) + 1L)
+          }
+          val frontier = pending.keys.foldLeft(origin)(math.max)
+          val out = (origin until frontier).map { h =>
+            val n = pending.getOrElse(h, 0L)
+            GapRow(typ, h, n, if (n == 0L) 1L else 0L)
+          }
+          state.update(
+            GapState(frontier, pending.filter(_._1 >= frontier)))
+          out.iterator
+      }.toDF()
+  }
+
   final case class ZIncRow(file_id: Long, event_id: Long)
   final case class ZMaintState(cnt: Long)
   final case class ZMaintReport(file_id: Long, n_base: Long, n_inc: Long,
@@ -1130,6 +1193,21 @@ object StreamOps {
     * join BEFORE the stateful operator, so the state function never
     * holds the plan — swap the static frame to re-plan, state carries
     * over (the re-mix-without-restart property).
+    *
+    * ORDERING CONTRACT (the systematic-sample analogue of an as-of
+    * join's time ordering): WITHIN a micro-batch arrival order is free
+    * — the fold sorts each source's rows by doc_id before walking the
+    * grid (tested with shuffled batches). ACROSS micro-batches each
+    * source's doc_ids must arrive non-decreasing; the deployment that
+    * guarantees it is source-per-partition ingest (one Kafka partition
+    * per source, offsets follow doc order — the same contract the
+    * batch operator's `orderBy(doc_id)` walk encodes). A cross-batch
+    * violation keeps every source's total pick count within ±1 of
+    * plan (crossing count is a telescoping sum over cum) but shifts
+    * WHICH documents sit on the grid points, so the twin pins
+    * equivalence only under the contract — there is no watermark-based
+    * reorder buffer here because doc_id is not event time and late
+    * rows are not late data, they are a broken partition assignment.
     *
     * `docs` columns: (source string, doc_id long, wt long);
     * `steps` columns: (source string, step long).

@@ -818,6 +818,80 @@ class StreamingSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally { q.stop(); graft.ops.CacheScope.drain() }
   }
+  test("streaming gap-fill reproduces batch q131's dense axis " +
+    "(zeros as explicit rows, final-on-emit)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)].collect().toSeq
+      .map { case (t, us) => (t, us / 3600000000L) }
+      .sortBy(_._2)
+    val ms = MemoryStream[(String, Long)]
+    val q = StreamOps.gapfillStream(ms.toDF.toDF("event_type", "hour"))
+      .writeStream.format("memory").queryName("t_gapfill")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      // one sentinel past each type's axis end closes its last bucket
+      // (a live dashboard's frontier keeps advancing on its own)
+      val hiOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      ms.addData(hiOf.toSeq.map { case (t, hi) => (t, hi + 2L) })
+      q.processAllAvailable()
+      val got = spark.table("t_gapfill")
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .filter(r => r._2 <= hiOf(r._1)) // trim the sentinel's padding
+        .sortBy(r => (r._1, r._2))
+      val batch = graft.queries.Catalog.queries("q131_gapfill")(spark, sf)
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      graft.ops.CacheScope.drain()
+      assert(got === batch,
+        "live densification must equal the batch dense axis")
+      assert(got.exists(_._4 == 1L), "the axis must contain filled zeros")
+    } finally q.stop()
+  }
+  test("streaming weighted sample tolerates WITHIN-batch disorder " +
+    "(the ordering contract's free half)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    val steps = docs.groupBy(_._1).toSeq
+      .map { case (s0, g) => (s0, math.max(1L, g.map(_._3).sum / 5)) }
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = StreamOps.weightedSampleStream(
+        ms.toDF.toDF("source", "doc_id", "wt"),
+        steps.toDF("source", "step"))
+      .writeStream.format("memory").queryName("t_wsample_shuf")
+      .outputMode("append").start()
+    try {
+      // batch boundaries stay monotone on doc_id per source (the
+      // contract's required half) but WITHIN each batch rows arrive
+      // shuffled — the fold's doc_id sort must restore the walk
+      val rnd = new scala.util.Random(42)
+      docs.grouped(math.max(1, docs.length / 3)).foreach { b =>
+        ms.addData(rnd.shuffle(b.toSeq))
+        q.processAllAvailable()
+      }
+      val got = spark.table("t_wsample_shuf")
+        .select("source", "doc_id", "wt", "cum", "step", "picks")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      val batch = graft.queries.Catalog
+        .queries("q122_weighted_sample")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(got === batch,
+        "within-batch arrival order must not affect the selection")
+    } finally { q.stop(); graft.ops.CacheScope.drain() }
+  }
   test("streaming z-order maintenance matches batch q124 for touched files") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
