@@ -55,7 +55,8 @@ object Catalog {
       PackDecon.all ++ PackGraph.all ++ PackMix.all ++ PackFingerprint.all ++
       PackCurate.all ++ PackLm.all ++ PackPipeline.all ++ PackSignal.all ++
       PackRetrieval.all ++ PackRefresh.all ++ PackSetSim.all ++
-      PackRelease.all ++ PackLayout.all ++ PackStats.all
+      PackRelease.all ++ PackLayout.all ++ PackStats.all ++
+      PackBehavior.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

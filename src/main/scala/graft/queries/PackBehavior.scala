@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q132/q134/q135/q137 — behavioral-analytics pack (round 15): the
+  * event-sequence readouts that complete the events trio's story
+  * (windows q21–q23, funnel q125, retention q130, gap-fill q131) —
+  *
+  *  - q132: MARKOV TRANSITION MATRIX over event types — per (from, to)
+  *    pair, how often users move between steps, with row-normalized
+  *    probability in basis points: the behavioral model behind
+  *    next-step prediction and the sanity check behind funnel design
+  *    (a funnel whose click→purchase cell reads ~0 is mis-ordered),
+  *  - q134: BURST DETECTION — hourly buckets whose count breaks 3× the
+  *    trailing-24-bucket mean: the incident/alert readout over the same
+  *    per-type axis q131 densifies,
+  *  - q135: INTER-ARRIVAL statistics per user — min/median/max gap
+  *    between consecutive events: the pacing profile bot detection and
+  *    session-gap tuning (q23's 30-minute constant) are derived from,
+  *  - q137: WEEKLY CHURN — per week, active users and the share not
+  *    seen the following week: the retention triangle's (q130) decision
+  *    readout.
+  *
+  * All oracle-gated; every ratio is integer basis points (the catalog's
+  * parity convention) and every sequence derives from the deterministic
+  * (us, event_id) order.
+  */
+object PackBehavior {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+
+  /** q132 — event-type transition matrix: consecutive event pairs per
+    * user in (us, event_id) order, counted per (src, dst), with each
+    * row's share of its src's outgoing mass in basis points.
+    *
+    * Plan shape: ONE user-keyed fold (q125's posture — the events
+    * shuffle once, on the key the sessionization assumption bounds);
+    * each user's ordered walk is an array_sort + a pairs HOF, so no
+    * window and no self-join ever touches the corpus. The (src, dst)
+    * fold and the per-src totals run at event-type² cardinality —
+    * ≤ |types|² rows whatever the corpus — and the row normalizer is a
+    * src-partitioned window over that tiny frame.
+    */
+  private val q132 = Q(
+    "q132_event_transitions",
+    (s, d) => {
+      val pairs = ev(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+        .filter(size(col("evs")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(evs) - 1), i -> struct(" +
+            "element_at(evs, i).event_type AS src, " +
+            "element_at(evs, i + 1).event_type AS dst))")).as("p"))
+        .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("n_src", sum("n").over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), col("n"), col("n_src"),
+          expr("n * 10000 div n_src").as("prob_bp"))
+        .orderBy("src", "dst")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) AS us FROM events),
+      l AS (SELECT event_type AS src,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS dst
+            FROM e),
+      c AS (SELECT src, dst, count(*) AS n FROM l
+            WHERE dst IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM c GROUP BY src)
+      SELECT c.src, c.dst, c.n, t.n_src,
+             c.n * 10000 // t.n_src AS prob_bp
+      FROM c JOIN t USING (src) ORDER BY src, dst
+    """),
+    doc = "event-type Markov transitions: one user-keyed fold, ordered " +
+      "pairs via array HOFs, |types|^2 output with src-normalized bp")
+
+  /** q134 — burst detection on the hourly axis: per (type, hour), flag
+    * buckets whose count exceeds 3× the trailing mean over the previous
+    * 24 OBSERVED buckets (integer cross-multiplication `n * trail_n >
+    * 3 * trail_sum` — no float mean, no parity trapdoor). Buckets with
+    * fewer than 6 trailing observations are warm-up and excluded —
+    * both conventions documented here and mirrored in the oracle.
+    *
+    * Plan shape: q131's corpus fold to the types×hours frame, then ONE
+    * type-partitioned bounded-frame window (24 rows of state per
+    * partition); output cardinality is the axis, never the corpus. At
+    * 100 TB the only corpus-sized stage is the count fold — the
+    * trailing window rides the tiny axis frame.
+    */
+  private val q134 = Q(
+    "q134_burst_detect",
+    (s, d) => {
+      val obs = ev(s, d)
+        .groupBy(col("event_type"), expr("us div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-24, -1)
+      obs
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .withColumn("trail_sum", sum("n").over(w))
+        .filter(col("trail_n") >= 6)
+        .select(col("event_type"), col("hour"), col("n"),
+          col("trail_n"), col("trail_sum"),
+          when(col("n") * col("trail_n") > lit(3) * col("trail_sum"), 1L)
+            .otherwise(0L).as("burst"))
+        .orderBy("event_type", "hour")
+    },
+    Some("""
+      WITH obs AS (SELECT event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) // 3600000000 AS hour,
+               count(*) AS n
+             FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, hour, n,
+              count(*) OVER (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n,
+              CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                AS trail_sum
+            FROM obs)
+      SELECT event_type, hour, n, trail_n, trail_sum,
+             CAST(CASE WHEN n * trail_n > 3 * trail_sum
+                  THEN 1 ELSE 0 END AS BIGINT) AS burst
+      FROM t WHERE trail_n >= 6 ORDER BY event_type, hour
+    """),
+    doc = "burst detection: 3x trailing-24-bucket mean by integer " +
+      "cross-multiplication over the observed hourly axis; one corpus " +
+      "fold, bounded-frame window at axis cardinality")
+
+  /** q135 — inter-arrival pacing per user: gaps between consecutive
+    * events in (us, event_id) order, reported as exact min / median /
+    * max microseconds (median = element at ⌈n/2⌉ of the sorted gap
+    * array — the discrete row-number convention, no interpolation).
+    *
+    * Plan shape: ONE user-keyed fold; gaps, their sort, and the order
+    * statistics are array HOFs inside the folded row — per-user
+    * activity bounds the array (the q125 sessionization assumption),
+    * and nothing after the fold is corpus-sized. The window-free form
+    * matters at scale: the lag-window alternative shuffles the corpus
+    * AND sorts every partition; this sorts each user's events once
+    * inside the fold.
+    */
+  private val q135 = Q(
+    "q135_interarrival",
+    (s, d) => {
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("us"), col("event_id"))))
+          .as("evs"))
+        .filter(size(col("evs")) >= 2)
+        .withColumn("gaps", expr(
+          "array_sort(transform(sequence(1, size(evs) - 1), " +
+            "i -> element_at(evs, i + 1).us - element_at(evs, i).us))"))
+        .select(col("user_id"),
+          size(col("gaps")).cast("long").as("n_gaps"),
+          element_at(col("gaps"), 1).as("min_gap_us"),
+          expr("element_at(gaps, cast((size(gaps) + 1) div 2 as int))")
+            .as("med_gap_us"),
+          element_at(col("gaps"), size(col("gaps"))).as("max_gap_us"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id,
+               epoch_us(cast(ts AS TIMESTAMP)) AS us FROM events),
+      g AS (SELECT user_id,
+              us - lag(us) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS gap
+            FROM e),
+      gg AS (SELECT user_id, list_sort(list(gap)) AS gaps FROM g
+             WHERE gap IS NOT NULL GROUP BY user_id)
+      SELECT user_id, CAST(len(gaps) AS BIGINT) AS n_gaps,
+             gaps[1] AS min_gap_us,
+             gaps[(len(gaps) + 1) // 2] AS med_gap_us,
+             gaps[len(gaps)] AS max_gap_us
+      FROM gg ORDER BY user_id
+    """),
+    doc = "per-user inter-arrival min/median/max: one user-keyed fold, " +
+      "order statistics as array HOFs, window-free")
+
+  /** q137 — weekly churn: per epoch week (q130's integer axis), active
+    * users and how many of them were NOT seen the following week. The
+    * final observed week is excluded (its successor is unobserved, not
+    * empty — emitting it would report 100% churn as an artifact).
+    *
+    * Plan shape: the (user, week) distinct is the one corpus-sized
+    * stage (map-side partial dedup); churn derives from a user-keyed
+    * collect_set fold — `w+1 ∉ set` is an array HOF per user, so no
+    * self-join on the activity frame at any point. Weekly counts fold
+    * at week cardinality; the global max week is a 1-row broadcast.
+    */
+  private val q137 = Q(
+    "q137_weekly_churn",
+    (s, d) => {
+      // (user, week)-cardinality cache: active counts, the churn fold,
+      // and the max-week probe all read the SAME distinct — uncached,
+      // each branch re-ran the corpus scan + dedup exchange (q130's
+      // doubling ×3, caught by plan audit)
+      val uw = graft.ops.CacheScope.persisted(ev(s, d)
+        .select(col("user_id"), expr("us div 604800000000").as("wk"))
+        .distinct())
+      val active = uw.groupBy("wk").agg(count(lit(1)).as("n_active"))
+      val churned = uw.groupBy("user_id")
+        .agg(collect_set(col("wk")).as("wks"))
+        .select(explode(expr(
+          "filter(wks, w -> NOT array_contains(wks, w + 1))")).as("wk"))
+        .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+      val mx = uw.agg(max("wk").as("mx"))
+      active.join(churned, Seq("wk"), "left")
+        .na.fill(0L, Seq("n_churned"))
+        .crossJoin(broadcast(mx))
+        .filter(col("wk") < col("mx"))
+        .select(col("wk"), col("n_active"), col("n_churned"),
+          expr("n_churned * 10000 div n_active").as("churn_bp"))
+        .orderBy("wk")
+    },
+    Some("""
+      WITH uw AS (SELECT DISTINCT user_id,
+               epoch_us(cast(ts AS TIMESTAMP)) // 604800000000 AS wk
+             FROM events),
+      a AS (SELECT wk, count(*) AS n_active FROM uw GROUP BY wk),
+      c AS (SELECT u.wk, count(*) AS n_churned FROM uw u
+            WHERE NOT EXISTS (SELECT 1 FROM uw nx
+              WHERE nx.user_id = u.user_id AND nx.wk = u.wk + 1)
+            GROUP BY u.wk),
+      m AS (SELECT max(wk) AS mx FROM uw)
+      SELECT a.wk, a.n_active, COALESCE(c.n_churned, 0) AS n_churned,
+             COALESCE(c.n_churned, 0) * 10000 // a.n_active AS churn_bp
+      FROM a LEFT JOIN c USING (wk) CROSS JOIN m
+      WHERE a.wk < m.mx ORDER BY a.wk
+    """),
+    doc = "weekly churn: one (user, week) distinct, user-keyed " +
+      "collect_set fold with w+1-membership HOF (no activity self-join), " +
+      "final week excluded")
+
+  val all: Seq[Q] = Seq(q132, q134, q135, q137)
+}

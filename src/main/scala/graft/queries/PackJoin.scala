@@ -201,5 +201,70 @@ object PackJoin {
     doc = "star-join revenue ROLLUP: one fact shuffle, broadcast dim " +
       "hops, Expand over pre-aggregated output, exact-decimal subtotals")
 
-  val all: Seq[Q] = Seq(q13, q17, q18, q19, q128)
+  /** q136 — market share (round 15, the TPC-H Q8 shape over this star):
+    * revenue per nation WITHIN its region and year, with each nation's
+    * share of the region-year total in basis points. q128 gives the
+    * subtotals; this gives the normalized competitive readout a planner
+    * actually charts.
+    *
+    * Plan shape: ONE fact shuffle (lineitem⋈orders on orderkey — the
+    * planner picks broadcast at gated SFs and degrades to the q17 SMJ
+    * shape past the threshold, q127's posture), three broadcast dim
+    * hops, then a (region, nation, year) fold; the share normalizer is
+    * a (region, year)-partitioned window over the ≤ |nations|·|years|
+    * output frame — never the fact stream. Money travels as exact
+    * integer ten-thousandths (the DECIMAL(22,4) cast both engines
+    * round identically — q128's device), so the bp division is integer
+    * end to end; at sums beyond ~9·10¹⁴ the e4 math moves to
+    * DECIMAL(38) (documented swap, same shape).
+    */
+  private val q136 = Q(
+    "q136_market_share",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(cast(l_extendedprice * (1 - l_discount) " +
+          "as decimal(22,4)) * 10000 as bigint)").as("net4"))
+      val or = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      val rev = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("yr"),
+          col("n_name").as("nation"))
+        .agg(sum("net4").as("rev_e4"))
+      rev
+        .withColumn("tot_e4",
+          sum("rev_e4").over(Window.partitionBy("region", "yr")))
+        .select(col("region"), col("yr"), col("nation"), col("rev_e4"),
+          expr("rev_e4 * 10000 div tot_e4").as("share_bp"))
+        .orderBy("region", "yr", "nation")
+    },
+    Some("""
+      WITH f AS (SELECT r_name AS region, year(o_orderdate) AS yr,
+               n_name AS nation,
+               CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(22,4)) * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY 1, 2, 3),
+      t AS (SELECT region, yr, CAST(sum(rev_e4) AS BIGINT) AS tot_e4
+            FROM f GROUP BY 1, 2)
+      SELECT f.region, f.yr, f.nation, f.rev_e4,
+             f.rev_e4 * 10000 // t.tot_e4 AS share_bp
+      FROM f JOIN t USING (region, yr) ORDER BY region, yr, nation
+    """),
+    doc = "nation market share within region-year: one fact shuffle, " +
+      "broadcast dim hops, share via a window over the output frame; " +
+      "exact integer e4 money")
+
+  val all: Seq[Q] = Seq(q13, q17, q18, q19, q128, q136)
 }

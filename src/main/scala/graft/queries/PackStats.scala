@@ -310,5 +310,84 @@ object PackStats {
       "key histograms fold once, sketches are 1024 mergeable cells, " +
       "estimate = min-over-rows inner product (one-sided >= exact)")
 
-  val all: Seq[Q] = Seq(q126, q127, q129)
+  /** q133 — RFM customer segmentation over orders (round 15): the
+    * classic warehouse marketing readout — each customer scored by
+    * Recency (days since last order, vs the corpus max date), Frequency
+    * (order count) and Monetary (exact-decimal total), each mapped to
+    * its quartile by the row-number device ((rank−1)·4 div n + 1 —
+    * deterministic, tie-broken on custkey; ntile's remainder placement
+    * is an engine-parity trapdoor), and the report is one row per
+    * occupied segment with its customer count and exact money total.
+    *
+    * Plan shape: ONE orders shuffle (custkey fold); everything after
+    * runs at CUSTOMER cardinality — the three rank windows are
+    * unpartitioned by design over the post-aggregation frame (q119's
+    * pattern, same swap-in: at 10⁸⁺ customers replace exact quartile
+    * ranks with approx_percentile thresholds / q99's sketch readout;
+    * the quartile SEMANTICS keep, only the rank device swaps). The
+    * global max date is a 1-row broadcast.
+    */
+  private val q133 = Q(
+    "q133_rfm_segments",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // customer-cardinality cache: gmax and the ranked frame both read
+      // it — uncached, the broadcast side re-ran the orders fold (a
+      // second scan + shuffle; q130's doubling, caught by plan audit)
+      val per = graft.ops.CacheScope.persisted(
+        Tables.orders(s, d).groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_d"),
+            count(lit(1)).as("freq"),
+            Det.dsum(col("o_totalprice")).as("money")))
+      val gmax = per.agg(max("last_d").as("gmax"))
+      val scored = per.crossJoin(broadcast(gmax))
+        .withColumn("rec_days",
+          datediff(col("gmax"), col("last_d")).cast("long"))
+        .withColumn("nc", count(lit(1)).over(Window.partitionBy(lit(1))))
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rec_days"), col("o_custkey"))).cast("long"))
+        .withColumn("fr", row_number().over(
+          Window.orderBy(col("freq"), col("o_custkey"))).cast("long"))
+        .withColumn("mr", row_number().over(
+          Window.orderBy(col("money"), col("o_custkey"))).cast("long"))
+      scored
+        .select(expr(
+          "concat('r', cast((rr - 1) * 4 div nc + 1 as string), " +
+            "'f', cast((fr - 1) * 4 div nc + 1 as string), " +
+            "'m', cast((mr - 1) * 4 div nc + 1 as string))").as("segment"),
+          col("money"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"),
+          Det.dsum(col("money")).as("money_total"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+               count(*) AS freq,
+               cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS money
+             FROM orders GROUP BY o_custkey),
+      g AS (SELECT max(last_d) AS gmax FROM per),
+      rk AS (SELECT o_custkey, freq, money,
+               date_diff('day', cast(last_d AS DATE), cast(gmax AS DATE))
+                 AS rec_days,
+               count(*) OVER () AS nc,
+               row_number() OVER (ORDER BY date_diff('day',
+                 cast(last_d AS DATE), cast(gmax AS DATE)), o_custkey) AS rr,
+               row_number() OVER (ORDER BY freq, o_custkey) AS fr,
+               row_number() OVER (ORDER BY money, o_custkey) AS mr
+             FROM per CROSS JOIN g)
+      SELECT 'r' || CAST((rr - 1) * 4 // nc + 1 AS VARCHAR) ||
+             'f' || CAST((fr - 1) * 4 // nc + 1 AS VARCHAR) ||
+             'm' || CAST((mr - 1) * 4 // nc + 1 AS VARCHAR) AS segment,
+             count(*) AS n_customers,
+             cast(sum(cast(money AS DECIMAL(18,2))) AS DOUBLE)
+               AS money_total
+      FROM rk GROUP BY 1 ORDER BY segment
+    """),
+    doc = "RFM segmentation: one custkey fold, quartiles by the " +
+      "row-number device at customer cardinality (approx-threshold " +
+      "swap-in documented), exact-decimal money totals")
+
+  val all: Seq[Q] = Seq(q126, q127, q129, q133)
 }

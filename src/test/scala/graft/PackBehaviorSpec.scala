@@ -1,0 +1,195 @@
+package graft
+
+import graft.queries.{Catalog, Tables}
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics pack (q132/q134/q135/q137) + the r15 warehouse
+  * additions (q133/q136): each query checked against an independent
+  * in-memory recount over the real sf0.001 corpus, plus a randomized
+  * fuzz for the transition fold's tie handling.
+  */
+class PackBehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def events(): Seq[(Long, Long, String, Long)] =
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+
+  test("q132: transition matrix equals the per-user ordered-walk recount") {
+    val got = Catalog.queries("q132_event_transitions")(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val pairs = events().groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val w = g.sortBy(e => (e._4, e._1)).map(_._3)
+      w.zip(w.drop(1))
+    }
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+    val srcTot = pairs.groupBy(_._1).view.mapValues(_.size.toLong)
+    val expect = counts.toSeq.map { case ((a, b), n) =>
+      (a, b, n, srcTot(a), n * 10000L / srcTot(a))
+    }.sortBy(r => (r._1, r._2))
+    assert(got === expect)
+    // every outgoing row of a src sums back to its mass
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum === srcTot(src))
+    }
+  }
+
+  test("q132 fuzz: tied timestamps settle on event_id in both the fold " +
+    "and the recount") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7321)
+      val types = Seq("a", "b", "c")
+      // heavy ties: only 5 distinct timestamps across 60 events
+      val evs = (0 until 60).map { i =>
+        (i.toLong, rnd.nextInt(6).toLong,
+          types(rnd.nextInt(3)), 1000L + rnd.nextInt(5))
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"q132-fuzz-$seed").toString
+      evs.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      val got = Catalog.queries("q132_event_transitions")(spark, dir)
+        .as[(String, String, Long, Long, Long)].collect().toSeq
+      val pairs = evs.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+        val w = g.sortBy(e => (e._4, e._1)).map(_._3)
+        w.zip(w.drop(1))
+      }
+      val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+      val srcTot = pairs.groupBy(_._1).view.mapValues(_.size.toLong)
+      val expect = counts.toSeq.map { case ((a, b), n) =>
+        (a, b, n, srcTot(a), n * 10000L / srcTot(a))
+      }.sortBy(r => (r._1, r._2))
+      assert(got === expect, s"seed $seed diverged under ties")
+    }
+  }
+
+  test("q134: burst flags equal the trailing-24-observed-bucket recount") {
+    val got = Catalog.queries("q134_burst_detect")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val obs = events().groupBy(e => (e._3, e._4 / 3600000000L))
+      .view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, h), n) => (t, h, n) }
+    val expect = obs.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val hs = g.sortBy(_._2)
+      hs.indices.flatMap { i =>
+        val trail = hs.slice(math.max(0, i - 24), i)
+        val (tn, ts0) = (trail.size.toLong, trail.map(_._3).sum)
+        if (tn >= 6)
+          Some((t, hs(i)._2, hs(i)._3, tn, ts0,
+            if (hs(i)._3 * tn > 3 * ts0) 1L else 0L))
+        else None
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === expect)
+  }
+
+  test("q135: per-user gap statistics equal the sorted-gap recount") {
+    val got = Catalog.queries("q135_interarrival")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val expect = events().groupBy(_._2).toSeq.flatMap { case (u, g) =>
+      val ts0 = g.sortBy(e => (e._4, e._1)).map(_._4)
+      if (ts0.size < 2) None
+      else {
+        val gaps = ts0.zip(ts0.drop(1)).map { case (a, b) => b - a }.sorted
+        Some((u, gaps.size.toLong, gaps.head,
+          gaps((gaps.size + 1) / 2 - 1), gaps.last))
+      }
+    }.sortBy(_._1)
+    assert(got === expect)
+  }
+
+  test("q137: churn equals the next-week-membership recount and " +
+    "excludes the final week") {
+    val got = Catalog.queries("q137_weekly_churn")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val uw = events().map(e => (e._2, e._4 / 604800000000L)).distinct
+    val byWk = uw.groupBy(_._2)
+    val mx = uw.map(_._2).max
+    val expect = byWk.toSeq.filter(_._1 < mx).map { case (wk, g) =>
+      val users = g.map(_._1)
+      val next = byWk.getOrElse(wk + 1, Seq.empty).map(_._1).toSet
+      val churned = users.count(u => !next.contains(u)).toLong
+      (wk, users.size.toLong, churned,
+        churned * 10000L / users.size)
+    }.sortBy(_._1)
+    assert(got === expect)
+    assert(got.forall(_._1 < mx), "final observed week must not report")
+  }
+
+  test("q133: quartile device splits customers evenly; segment counts " +
+    "and money re-derive") {
+    val got = Catalog.queries("q133_rfm_segments")(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    val per = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate", "o_totalprice")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+      .groupBy(_._1).toSeq.map { case (c, g) =>
+        (c, g.map(_._2.getTime).max, g.size.toLong,
+          g.map(r => BigDecimal(r._3).setScale(2)).sum)
+      }
+    val n = per.size
+    val gmax = per.map(_._2).max
+    def quart(rank: Int) = (rank - 1) * 4 / n + 1
+    val dayMs = 86400000L
+    val rq = per.sortBy(c => ((gmax / dayMs - c._2 / dayMs), c._1))
+      .zipWithIndex.map { case (c, i) => c._1 -> quart(i + 1) }.toMap
+    val fq = per.sortBy(c => (c._3, c._1))
+      .zipWithIndex.map { case (c, i) => c._1 -> quart(i + 1) }.toMap
+    val mq = per.sortBy(c => (c._4, c._1))
+      .zipWithIndex.map { case (c, i) => c._1 -> quart(i + 1) }.toMap
+    val expect = per.groupBy(c =>
+        s"r${rq(c._1)}f${fq(c._1)}m${mq(c._1)}").toSeq
+      .map { case (seg, g) =>
+        (seg, g.size.toLong, g.map(_._4).sum.toDouble)
+      }.sortBy(_._1)
+    assert(got === expect)
+    // each dimension splits the population into equal quartiles
+    // (150 customers -> 37/38/37/38 by the (rank-1)*4 div n device)
+    Seq(rq, fq, mq).foreach { q =>
+      val sizes = q.values.groupBy(identity).view.mapValues(_.size)
+      assert(sizes.keys.toSet === Set(1, 2, 3, 4))
+      assert(sizes.values.max - sizes.values.min <= 1)
+    }
+  }
+
+  test("q136: nation shares sum to ~10000 bp per region-year and " +
+    "revenue re-derives from raw rows") {
+    val got = Catalog.queries("q136_market_share")(spark, sf)
+      .as[(String, Long, String, Long, Long)].collect().toSeq
+    // floor-division shares: sum in (10000 - n_nations, 10000]
+    got.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      val s = rows.map(_._5).sum
+      assert(s <= 10000L && s > 10000L - rows.size,
+        s"share sum $s out of floor-division envelope")
+    }
+    // spot-check one region-year's revenue against a raw recount
+    val (region, yr) = (got.head._1, got.head._2)
+    val raw = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === region &&
+        year(col("o_orderdate")) === yr)
+      .select(col("n_name"),
+        expr("cast(cast(l_extendedprice * (1 - l_discount) " +
+          "as decimal(22,4)) * 10000 as bigint)").as("net4"))
+      .as[(String, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    got.filter(r => r._1 == region && r._2 == yr).foreach { r =>
+      assert(r._4 === raw(r._3), s"rev mismatch for ${r._3}")
+    }
+  }
+}

@@ -1219,6 +1219,75 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q132: transition matrix is join-free — one user-keyed fold, " +
+    "pairs by generator, normalizer window at types² cardinality") {
+    val p = plan("q132_event_transitions")
+    assert(!p.contains("Join"),
+      s"the ordered walk is array HOFs over one fold, never a join:\n$p")
+    assert(p.contains("Generate explode(transform(sequence"),
+      s"pairs must expand via the HOF generator:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 3,
+      s"user fold + pair fold + src window bound the exchanges:\n$p")
+  }
+
+  test("q134: burst detection is join-free — one corpus fold, trailing " +
+    "window on the axis frame") {
+    val p = plan("q134_burst_detect")
+    assert(!p.contains("Join"), s"no join anywhere in the alert path:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2,
+      s"(type, hour) fold + type-partitioned window only:\n$p")
+  }
+
+  test("q135: inter-arrival stats are window-free and join-free — " +
+    "exactly one user-keyed exchange") {
+    val p = plan("q135_interarrival")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"order statistics are array HOFs inside the fold:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"events shuffle user-keyed exactly once:\n$p")
+  }
+
+  test("q137: one cached (user, week) distinct feeds all three branches") {
+    val p = plan("q137_weekly_churn")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the (user, week) distinct cached")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"active counts, churn fold, and max-week must read the cache:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"weekly counts join broadcast:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q133: one cached custkey fold; rank windows read the cache") {
+    val p = plan("q133_rfm_segments")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the per-customer frame cached")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"gmax and the ranked frame must both read the cache:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"the 1-row gmax rides a broadcast cross join:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q136: broadcast dim hops; share is a window over the output " +
+    "frame, never a second fact pass") {
+    val p = plan("q136_market_share")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"customer/nation/region hops must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("windowspecdefinition(region"),
+      s"the region-year normalizer must be a window over the agg " +
+        s"output:\n$p")
+    // exactly one scan of the fact table: a join-back for totals would
+    // show a second lineitem scan
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) === 1,
+      s"the fact table must scan once:\n$p")
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
