@@ -266,5 +266,108 @@ object PackJoin {
       "broadcast dim hops, share via a window over the output frame; " +
       "exact integer e4 money")
 
-  val all: Seq[Q] = Seq(q13, q17, q18, q19, q128, q136)
+  /** q138 — late-order priority count (round 15, the TPC-H Q4 shape):
+    * per order priority, how many orders had AT LEAST ONE line item
+    * shipped more than 60 days after the order date — the correlated
+    * EXISTS surface as a catalog operator. Late = `datediff > 60` on
+    * calendar dates (integer days, both engines).
+    *
+    * Plan shape: one LEFT SEMI join of orders against the late-filtered
+    * lineitem projection on the orderkey — the semi stops at first
+    * match, never multiplies rows (the EXISTS semantics in the join
+    * algebra). Deliberately UNHINTED (q127's posture): at gated SFs the
+    * planner broadcasts the late set, past the threshold it degrades to
+    * the q17 large-large SMJ shape, both correct. The late filter
+    * prunes lineitem BEFORE the join — only late lines travel.
+    */
+  private val q138 = Q(
+    "q138_late_orders",
+    (s, d) => {
+      val late = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+        .select(col("l_orderkey"))
+      Tables.orders(s, d)
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_late_orders
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+        AND date_diff('day', cast(o.o_orderdate AS DATE),
+              cast(l.l_shipdate AS DATE)) > 60)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """),
+    doc = "TPC-H Q4 shape: correlated EXISTS as one left-semi join on " +
+      "the pre-filtered late set; unhinted so the planner degrades " +
+      "broadcast->SMJ with scale")
+
+  /** q139 — sole-blame late suppliers (round 15, the TPC-H Q21 shape):
+    * for multi-supplier orders where EXACTLY ONE supplier shipped late,
+    * blame that supplier — per supplier, the blamed-order count and its
+    * nation. Q21's reference formulation is lineitem self-joined twice
+    * (an exists + a not-exists against the same fact); here the whole
+    * per-order decision is ONE orderkey-keyed fold — distinct-supplier
+    * count and the late-supplier set fold together, the
+    * exactly-one-blamed test is `size(set) = 1` on the folded row, and
+    * the fact table is never self-joined at all. At 100 TB that is the
+    * difference between one shuffle and three.
+    *
+    * Plan shape: lineitem⋈orders on the orderkey (unhinted — q138's
+    * degradation story), ONE orderkey fold (collect_set hard-bounded by
+    * suppliers-per-order), a supplier-cardinality count, and two
+    * broadcast dim hops. The oracle reaches the same rows through
+    * DuckDB's FILTERed list aggregates — independent mechanism, same
+    * semantics.
+    */
+  private val q139 = Q(
+    "q139_blame_supplier",
+    (s, d) => {
+      val blamed = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          expr("array_distinct(collect_list(CASE WHEN " +
+            "datediff(l_shipdate, o_orderdate) > 60 " +
+            "THEN l_suppkey END))").as("late_supps"))
+        .filter(col("n_supp") >= 2 && size(col("late_supps")) === 1)
+        .select(element_at(col("late_supps"), 1).as("s_suppkey"))
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_blamed"))
+      blamed
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_name", "s_nationkey")), "s_suppkey")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nationkey"),
+            col("n_name").as("nation"))), "s_nationkey")
+        .select(col("s_name"), col("nation"), col("n_blamed"))
+        .orderBy(col("n_blamed").desc, col("s_name"))
+    },
+    Some("""
+      WITH f AS (SELECT l.l_orderkey,
+               count(DISTINCT l.l_suppkey) AS n_supp,
+               list_distinct(list(l.l_suppkey) FILTER (
+                 date_diff('day', cast(o.o_orderdate AS DATE),
+                   cast(l.l_shipdate AS DATE)) > 60)) AS late_supps
+             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             GROUP BY l.l_orderkey),
+      b AS (SELECT late_supps[1] AS s_suppkey, count(*) AS n_blamed
+            FROM f WHERE n_supp >= 2 AND len(late_supps) = 1
+            GROUP BY 1)
+      SELECT s.s_name, n.n_name AS nation, b.n_blamed
+      FROM b JOIN supplier s USING (s_suppkey)
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      ORDER BY b.n_blamed DESC, s.s_name
+    """),
+    doc = "TPC-H Q21 shape as ONE orderkey fold: exactly-one-late-" +
+      "supplier via bounded collect_set, no fact self-join; broadcast " +
+      "supplier/nation hops")
+
+  val all: Seq[Q] = Seq(q13, q17, q18, q19, q128, q136, q138, q139)
 }

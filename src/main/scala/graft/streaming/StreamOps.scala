@@ -1107,6 +1107,69 @@ object StreamOps {
       }.toDF()
   }
 
+  final case class BurstState(next: Long, pending: Map[Long, Long],
+      ring: Seq[(Long, Long)])
+  final case class BurstRow(event_type: String, hour: Long, n: Long,
+      trail_n: Long, trail_sum: Long, burst: Long)
+
+  /** Streaming twin of q134's burst detection — the LIVE alerting form:
+    * hourly buckets close as the per-type observed frontier advances
+    * (gapfillStream's finalize-on-advance device), and each closing
+    * bucket is judged against the trailing ≤24 CLOSED observed buckets
+    * by the same integer cross-multiplication (`n·trail_n >
+    * 3·trail_sum`). Rows emit only once the warm-up bound (6 trailing
+    * buckets) is met — exactly the batch predicate, so the alert fires
+    * the moment the batch report WOULD have flagged the bucket, not at
+    * end of day.
+    *
+    * State per type: the frontier, the open-tail pending counts
+    * (gapfillStream's bound), and the 24-slot closed-bucket ring —
+    * fixed footprint whatever streams past. Ordering contract and late
+    * handling are gapfillStream's verbatim: within-batch free,
+    * cross-batch time-ordered, below-frontier rows dropped as
+    * finalized-bucket stragglers.
+    *
+    * `events` columns: (event_type string, hour long).
+    */
+  def burstStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("event_type"), col("hour"))
+      .as[GapEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BurstState, BurstRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ, rows, state) =>
+          val rs = rows.toSeq
+          val st = state.getOption
+            .getOrElse(BurstState(-1L, Map.empty, Seq.empty))
+          val origin = if (st.next >= 0L) st.next else rs.map(_.hour).min
+          var pending = st.pending
+          rs.foreach { r =>
+            if (r.hour >= origin)
+              pending = pending.updated(r.hour,
+                pending.getOrElse(r.hour, 0L) + 1L)
+          }
+          val frontier = pending.keys.foldLeft(origin)(math.max)
+          var ring = st.ring
+          val out = scala.collection.mutable.ListBuffer.empty[BurstRow]
+          // q134's axis is OBSERVED buckets only: closing hours are the
+          // pending keys below the frontier, in axis order
+          pending.keys.filter(_ < frontier).toSeq.sorted.foreach { h =>
+            val n = pending(h)
+            val (tn, ts) = (ring.size.toLong, ring.map(_._2).sum)
+            if (tn >= 6)
+              out += BurstRow(typ, h, n, tn, ts,
+                if (n * tn > 3L * ts) 1L else 0L)
+            ring = (ring :+ (h, n)).takeRight(24)
+          }
+          state.update(
+            BurstState(frontier, pending.filter(_._1 >= frontier), ring))
+          out.iterator
+      }.toDF()
+  }
+
   final case class ZIncRow(file_id: Long, event_id: Long)
   final case class ZMaintState(cnt: Long)
   final case class ZMaintReport(file_id: Long, n_base: Long, n_inc: Long,

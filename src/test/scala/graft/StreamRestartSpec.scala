@@ -913,6 +913,60 @@ class StreamRestartSpec extends SparkSpec {
       "recovered open-tail counts must merge with run-2 arrivals")
   }
 
+  test("burst trailing ring survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import spark.implicits._
+    val in = Files.createTempDirectory("burst-in").toString
+    val out = Files.createTempDirectory("burst-out").toString
+    val ckpt = Files.createTempDirectory("burst-ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)].collect().toSeq
+      .map { case (t, us) => (t, us / 3600000000L) }
+      .sortBy(_._2)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("hour", LongType)))
+    def startQuery() = StreamOps.burstStream(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rows: Seq[(String, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("burst-tmp").toString
+      rows.toDF("event_type", "hour").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val hiOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // a lost ring would misjudge run-2's first closing buckets (wrong
+    // trail_n/trail_sum); a lost frontier would re-emit run-1 buckets
+    land(b2 ++ hiOf.toSeq.map { case (t, hi) => (t, hi + 2L) },
+      "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.groupBy(r => (r._1, r._2)).values.forall(_.size == 1),
+      "a recovered frontier must never re-emit a closed bucket")
+    val got = rows.sortBy(r => (r._1, r._2))
+    val batch = graft.queries.Catalog.queries("q134_burst_detect")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    graft.ops.CacheScope.drain()
+    assert(got === batch,
+      "recovered ring + pending counts must continue the batch series")
+  }
+
   test("retention delta mask survives a checkpointed restart") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.{col, unix_micros}

@@ -855,6 +855,39 @@ class StreamingSpec extends SparkSpec {
       assert(got.exists(_._4 == 1L), "the axis must contain filled zeros")
     } finally q.stop()
   }
+  test("streaming burst detection reproduces batch q134 alerts as " +
+    "buckets close") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)].collect().toSeq
+      .map { case (t, us) => (t, us / 3600000000L) }
+      .sortBy(_._2)
+    val ms = MemoryStream[(String, Long)]
+    val q = StreamOps.burstStream(ms.toDF.toDF("event_type", "hour"))
+      .writeStream.format("memory").queryName("t_burst")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      val hiOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      ms.addData(hiOf.toSeq.map { case (t, hi) => (t, hi + 2L) })
+      q.processAllAvailable()
+      val got = spark.table("t_burst")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      val batch = graft.queries.Catalog.queries("q134_burst_detect")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      graft.ops.CacheScope.drain()
+      assert(got === batch,
+        "live alerts must equal the batch burst report, bucket for bucket")
+    } finally q.stop()
+  }
   test("streaming weighted sample tolerates WITHIN-batch disorder " +
     "(the ordering contract's free half)") {
     implicit val ctx = spark.sqlContext
