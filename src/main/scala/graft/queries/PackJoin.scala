@@ -333,10 +333,15 @@ object PackJoin {
         .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        // BOTH statistics fold from one collect_list: a countDistinct
+        // here would rewrite to a (orderkey, suppkey) pre-aggregation —
+        // a SECOND fact-sized exchange (measured in the plan) — while
+        // the per-order array is hard-bounded by lines-per-order
+        .agg(expr("array_distinct(collect_list(l_suppkey))").as("supps"),
           expr("array_distinct(collect_list(CASE WHEN " +
             "datediff(l_shipdate, o_orderdate) > 60 " +
             "THEN l_suppkey END))").as("late_supps"))
+        .withColumn("n_supp", size(col("supps")).cast("long"))
         .filter(col("n_supp") >= 2 && size(col("late_supps")) === 1)
         .select(element_at(col("late_supps"), 1).as("s_suppkey"))
         .groupBy("s_suppkey").agg(count(lit(1)).as("n_blamed"))

@@ -1288,6 +1288,29 @@ class PlanSpec extends SparkSpec {
       s"the fact table must scan once:\n$p")
   }
 
+  test("q138: the EXISTS is one left-semi join; late filter prunes " +
+    "below it") {
+    val p = plan("q138_late_orders")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("LeftSemi")),
+      s"the correlated EXISTS must plan as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q139: ONE fact-sized exchange — the countDistinct pre-shuffle " +
+    "must not exist") {
+    val p = plan("q139_blame_supplier")
+    // a countDistinct in the fold rewrites to an (orderkey, suppkey)
+    // pre-aggregation: a SECOND fact-sized exchange. Both statistics
+    // fold from one collect_list instead, so the exchanges are the
+    // orderkey fold + the supplier-cardinality blame count only
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2,
+      s"orderkey fold + supplier count bound the exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"supplier/nation hops must broadcast at this SF:\n$p")
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
