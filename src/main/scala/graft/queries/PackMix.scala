@@ -277,5 +277,84 @@ object PackMix {
       "over an explicit quadratic mix — a pure projection, the output " +
       "sort is the only exchange; resize moves only the moved shard's docs")
 
-  val all: Seq[Q] = Seq(q63, q64, q92, q101, q103)
+  /** q140 — epoch LEDGER (round 15): the accounting table attached to
+    * every training run — per language, the PLANNED epoch contribution
+    * under q63's weights (docs and tokens, in exact e4 units) against
+    * the EXECUTED contribution under q64's floor + LCG-stochastic-
+    * rounding expansion, with signed deviation in basis points. This is
+    * the audit that certifies the mixture was delivered: floor-only
+    * rounding would show every rare language systematically short, and
+    * a broken draw would show deviations far beyond the ±1-draw-per-doc
+    * envelope.
+    *
+    * The ledger never materializes the epoch: executed counts fold from
+    * the per-doc `n_copies` FORMULA (q64's exact arithmetic, shared
+    * constant for constant) at language cardinality — auditing a 10⁹-
+    * doc epoch costs two corpus column scans (histogram pass, fold
+    * pass — q57's two-pass shape, the thresholds idiom), not an
+    * epoch-sized explode.
+    */
+  private val q140 = Q(
+    "q140_epoch_ledger",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val hist = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val totals = hist.agg(sum("n_lang").as("n_docs"),
+        count(lit(1)).as("n_langs"))
+      val weights = hist.crossJoin(broadcast(totals))
+        .select(col("lang"), col("n_lang"),
+          expr("n_docs * 10000 div (n_langs * n_lang)").as("weight_bp"))
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(broadcast(weights), "lang")
+        .withColumn("n_copies",
+          expr("weight_bp div 10000 + if(((doc_id % 2147483648) * 1103515245" +
+            " + 12345) % 10000 < weight_bp % 10000, 1, 0)"))
+        .groupBy(col("lang"))
+        .agg(
+          max("n_lang").as("n_docs"), max("weight_bp").as("weight_bp"),
+          expr("max(n_lang) * max(weight_bp)").as("planned_docs_e4"),
+          sum("n_copies").as("exec_docs"),
+          expr("sum(n_chars) * max(weight_bp)").as("planned_toks_e4"),
+          expr("sum(n_chars * n_copies)").as("exec_toks"))
+        .select(col("lang"), col("n_docs"), col("weight_bp"),
+          col("planned_docs_e4"), col("exec_docs"),
+          col("planned_toks_e4"), col("exec_toks"),
+          expr("(exec_docs * 10000 - planned_docs_e4) * 10000 " +
+            "div planned_docs_e4").as("dev_docs_bp"),
+          expr("(exec_toks * 10000 - planned_toks_e4) * 10000 " +
+            "div planned_toks_e4").as("dev_toks_bp"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH hist AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_docs,
+                   count(*) AS n_langs FROM hist),
+      w AS (SELECT lang, n_lang,
+              n_docs * 10000 // (n_langs * n_lang) AS weight_bp
+            FROM hist CROSS JOIN t),
+      nc AS (SELECT d.lang, w.n_lang, w.weight_bp, d.n_chars,
+                    w.weight_bp // 10000
+                    + CASE WHEN ((d.doc_id % 2147483648) * 1103515245 + 12345) % 10000
+                           < w.weight_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+             FROM documents d JOIN w USING (lang))
+      SELECT lang, CAST(max(n_lang) AS BIGINT) AS n_docs,
+             max(weight_bp) AS weight_bp,
+             CAST(max(n_lang) * max(weight_bp) AS BIGINT) AS planned_docs_e4,
+             CAST(sum(n_copies) AS BIGINT) AS exec_docs,
+             CAST(sum(n_chars) * max(weight_bp) AS BIGINT) AS planned_toks_e4,
+             CAST(sum(n_chars * n_copies) AS BIGINT) AS exec_toks,
+             (CAST(sum(n_copies) AS BIGINT) * 10000
+               - max(n_lang) * max(weight_bp)) * 10000
+               // (max(n_lang) * max(weight_bp)) AS dev_docs_bp,
+             (CAST(sum(n_chars * n_copies) AS BIGINT) * 10000
+               - CAST(sum(n_chars) AS BIGINT) * max(weight_bp)) * 10000
+               // (CAST(sum(n_chars) AS BIGINT) * max(weight_bp))
+               AS dev_toks_bp
+      FROM nc GROUP BY lang ORDER BY lang
+    """),
+    doc = "epoch accounting ledger: planned (q63 weights) vs executed " +
+      "(q64 expansion formula) docs + tokens per language, deviation " +
+      "in bp — audited at histogram cost, the epoch never materializes")
+
+  val all: Seq[Q] = Seq(q63, q64, q92, q101, q103, q140)
 }

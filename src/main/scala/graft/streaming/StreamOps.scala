@@ -1107,6 +1107,45 @@ object StreamOps {
       }.toDF()
   }
 
+  final case class TransEvent(user_id: Long, event_type: String, us: Long,
+      event_id: Long)
+  final case class TransState(us: Long, event_id: Long, event_type: String)
+  final case class TransDelta(src: String, dst: String)
+
+  /** Streaming twin of q132's transition matrix — the live Sankey feed:
+    * each arriving event emits one (src, dst) delta against its user's
+    * LAST event, and the dashboard is a running count over the deltas
+    * (the test folds them and pins the result to batch q132's matrix).
+    * State per user is one (us, event_id, event_type) triple — the
+    * minimum that continues the walk — so state is user-cardinality
+    * whatever streams past, and a restart resumes mid-walk exactly.
+    *
+    * Ordering contract (funnelStream's): batches replay in time order;
+    * within a batch the fold sorts by (us, event_id) — q132's exact
+    * tie-break — before walking.
+    */
+  def transitionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("event_type"), col("us"),
+        col("event_id"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var prev = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer.empty[TransDelta]
+          rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+            if (prev != null) out += TransDelta(prev.event_type, r.event_type)
+            prev = TransState(r.us, r.event_id, r.event_type)
+          }
+          state.update(prev)
+          out.iterator
+      }.toDF()
+  }
+
   final case class BurstState(next: Long, pending: Map[Long, Long],
       ring: Seq[(Long, Long)])
   final case class BurstRow(event_type: String, hour: Long, n: Long,

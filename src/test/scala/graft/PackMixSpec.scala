@@ -152,4 +152,36 @@ class PackMixSpec extends SparkSpec {
     assert(moved.size < got.size / 4,
       s"${moved.size}/${got.size} moved - resize is not minimal")
   }
+
+  test("q140: ledger equals the materialized-epoch recount; deviation " +
+    "stays inside the one-draw-per-doc envelope") {
+    import org.apache.spark.sql.functions.col
+    val got = Catalog.queries("q140_epoch_ledger")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // recount by actually materializing the epoch q64-style
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)].collect().toSeq
+    val hist = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (nDocs, nLangs) = (docs.size.toLong, hist.size.toLong)
+    val wOf = hist.map { case (l, n) => l -> nDocs * 10000L / (nLangs * n) }
+    def copies(id: Long, w: Long): Long =
+      w / 10000L + (if (((id % 2147483648L) * 1103515245L + 12345L) % 10000L
+        < w % 10000L) 1L else 0L)
+    got.foreach { r =>
+      val (lang, nLang, w) = (r._1, r._2, r._3)
+      assert(nLang === hist(lang) && w === wOf(lang))
+      val ids = docs.filter(_._2 == lang)
+      val exec = ids.map(d => copies(d._1, w)).sum
+      val execT = ids.map(d => d._3 * copies(d._1, w)).sum
+      assert(r._5 === exec, s"$lang exec_docs")
+      assert(r._7 === execT, s"$lang exec_toks")
+      assert(r._4 === nLang * w && r._6 === ids.map(_._3).sum * w)
+      // one stochastic draw per doc bounds the doc deviation envelope
+      val floorSum = nLang * (w / 10000L)
+      assert(exec >= floorSum && exec <= floorSum + nLang,
+        s"$lang deviation outside the one-draw envelope")
+    }
+  }
 }

@@ -1311,6 +1311,16 @@ class PlanSpec extends SparkSpec {
       s"supplier/nation hops must broadcast at this SF:\n$p")
   }
 
+  test("q140: ledger folds at language cardinality — weights broadcast, " +
+    "no epoch explode") {
+    val p = plan("q140_epoch_ledger")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the language-cardinality weight frame must broadcast:\n$p")
+    assert(!p.contains("Generate explode"),
+      s"the ledger must audit by formula, never materialize the epoch:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),

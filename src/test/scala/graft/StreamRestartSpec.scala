@@ -913,6 +913,61 @@ class StreamRestartSpec extends SparkSpec {
       "recovered open-tail counts must merge with run-2 arrivals")
   }
 
+  test("transition last-event state survives a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import spark.implicits._
+    val in = Files.createTempDirectory("trans-in").toString
+    val out = Files.createTempDirectory("trans-out").toString
+    val ckpt = Files.createTempDirectory("trans-ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+      .sortBy(r => (r._3, r._4))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("us", LongType), StructField("event_id", LongType)))
+    def startQuery() = StreamOps.transitionStream(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rows: Seq[(Long, String, Long, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("trans-tmp").toString
+      rows.toDF("user_id", "event_type", "us", "event_id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // a lost last-event state would drop every user's cross-run
+    // transition (run-2's first event would start a fresh walk)
+    land(b2, "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val deltas = spark.read.parquet(out)
+      .as[(String, String)].collect().toSeq
+    val counts = deltas.groupBy(identity).view.mapValues(_.size.toLong)
+    val srcTot = deltas.groupBy(_._1).view.mapValues(_.size.toLong)
+    val got = counts.toSeq.map { case ((a, b), n) =>
+      (a, b, n, srcTot(a), n * 10000L / srcTot(a))
+    }.sortBy(r => (r._1, r._2))
+    val batch = graft.queries.Catalog
+      .queries("q132_event_transitions")(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got === batch,
+      "recovered walks must continue across the restart boundary")
+  }
+
   test("burst trailing ring survives a checkpointed restart") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.{col, unix_micros}

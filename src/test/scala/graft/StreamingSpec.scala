@@ -855,6 +855,40 @@ class StreamingSpec extends SparkSpec {
       assert(got.exists(_._4 == 1L), "the axis must contain filled zeros")
     } finally q.stop()
   }
+  test("streaming transition deltas fold to batch q132's matrix") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+      .sortBy(r => (r._3, r._4))
+    val ms = MemoryStream[(Long, String, Long, Long)]
+    val q = StreamOps.transitionStream(
+        ms.toDF.toDF("user_id", "event_type", "us", "event_id"))
+      .writeStream.format("memory").queryName("t_trans")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      val deltas = spark.table("t_trans")
+        .as[(String, String)].collect().toSeq
+      val counts = deltas.groupBy(identity).view.mapValues(_.size.toLong)
+      val srcTot = deltas.groupBy(_._1).view.mapValues(_.size.toLong)
+      val got = counts.toSeq.map { case ((a, b), n) =>
+        (a, b, n, srcTot(a), n * 10000L / srcTot(a))
+      }.sortBy(r => (r._1, r._2))
+      val batch = graft.queries.Catalog
+        .queries("q132_event_transitions")(spark, sf)
+        .as[(String, String, Long, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      assert(got === batch,
+        "folded live deltas must equal the batch matrix")
+    } finally q.stop()
+  }
   test("streaming burst detection reproduces batch q134 alerts as " +
     "buckets close") {
     implicit val ctx = spark.sqlContext
