@@ -374,5 +374,61 @@ object PackJoin {
       "supplier via bounded collect_set, no fact self-join; broadcast " +
       "supplier/nation hops")
 
-  val all: Seq[Q] = Seq(q13, q17, q18, q19, q128, q136, q138, q139)
+  /** q141 — year-over-year revenue growth per nation (round 15): the
+    * lag-window trend readout over q136's revenue frame — per (nation,
+    * year), revenue, the prior year's revenue, and signed growth in
+    * basis points; first observed year per nation is excluded (no
+    * prior, not zero growth). Money rides the exact integer-e4 device.
+    *
+    * Plan shape: q136's exactly — one fact pass, broadcast dim hops,
+    * (nation, year) fold — then a nation-partitioned lag window over
+    * the ≤ |nations|·|years| output frame. The window never sees the
+    * fact stream; partitions are bounded by the year count.
+    */
+  private val q141 = Q(
+    "q141_yoy_growth",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(cast(l_extendedprice * (1 - l_discount) " +
+          "as decimal(22,4)) * 10000 as bigint)").as("net4"))
+      val or = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      val rev = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("yr"))
+        .agg(sum("net4").as("rev_e4"))
+      rev
+        .withColumn("prev_e4", lag("rev_e4", 1).over(
+          Window.partitionBy("nation").orderBy("yr")))
+        .filter(col("prev_e4").isNotNull)
+        .select(col("nation"), col("yr"), col("rev_e4"), col("prev_e4"),
+          expr("(rev_e4 - prev_e4) * 10000 div prev_e4").as("yoy_bp"))
+        .orderBy("nation", "yr")
+    },
+    Some("""
+      WITH f AS (SELECT n_name AS nation, year(o_orderdate) AS yr,
+               CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(22,4)) * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY 1, 2),
+      l AS (SELECT nation, yr, rev_e4,
+              lag(rev_e4) OVER (PARTITION BY nation ORDER BY yr) AS prev_e4
+            FROM f)
+      SELECT nation, yr, rev_e4, prev_e4,
+             (rev_e4 - prev_e4) * 10000 // prev_e4 AS yoy_bp
+      FROM l WHERE prev_e4 IS NOT NULL ORDER BY nation, yr
+    """),
+    doc = "YoY revenue growth per nation: one fact pass + broadcast " +
+      "dims, lag window over the bounded (nation, year) frame, signed " +
+      "bp growth, first year excluded")
+
+  val all: Seq[Q] = Seq(q13, q17, q18, q19, q128, q136, q138, q139, q141)
 }

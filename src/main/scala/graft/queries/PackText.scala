@@ -448,5 +448,74 @@ object PackText {
     doc = "top-10 duplicated 50-token passages: shared fingerprint " +
       "candidate stage, string-exact recount, literal top-10")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q109, q113, q123)
+  /** q142 — prefix-sharing report (round 15): the PROMPT-CACHING
+    * economics readout — group documents by their first-16-token
+    * prefix, and for every shared prefix (≥ 2 docs) report how many
+    * documents share it and the tokens a prefix cache would save
+    * ((n−1)·16 — every doc after the first reuses the cached prefix
+    * KV block). Top-10 groups by share count, each row carrying the
+    * corpus-level totals (groups, docs-in-groups, total saved — the
+    * q119 report-as-one-frame convention). Boilerplate headers,
+    * templated docs, and mirrored crawls light this up; a clean corpus
+    * reads near-empty — which is itself the answer.
+    *
+    * Plan shape: ONE corpus tokenize folds by the prefix string
+    * (map-side partials collapse template-heavy keys), cached at
+    * shared-prefix cardinality; the top-10 is a literal rank bound
+    * (rides TakeOrderedAndProject over the cache) and the totals are a
+    * 1-row broadcast fold off the same cache. Nothing after the fold
+    * is corpus-sized.
+    */
+  private val q142 = Q(
+    "q142_prefix_sharing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = 16
+      val ws = filter(split(lower(col("text")), "\\W+"),
+        t => length(t) > 0)
+      val groups = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(ws.as("ws"))
+          .filter(size(col("ws")) >= P)
+          .select(array_join(slice(col("ws"), 1, P), " ").as("prefix"))
+          .groupBy("prefix").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2))
+      val totals = groups.agg(
+        count(lit(1)).as("n_groups"),
+        coalesce(sum("n_docs"), lit(0L)).as("docs_in_groups"),
+        coalesce(sum(expr(s"(n_docs - 1) * $P")), lit(0L))
+          .as("total_saved_toks"))
+      groups
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_docs").desc, col("prefix"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .crossJoin(broadcast(totals))
+        .select(col("rank"), col("prefix"), col("n_docs"),
+          expr(s"(n_docs - 1) * $P").as("saved_toks"),
+          col("n_groups"), col("docs_in_groups"),
+          col("total_saved_toks"))
+        .orderBy("rank")
+    },
+    Some("""
+      WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      g AS (SELECT array_to_string(ws[1:16], ' ') AS prefix,
+              count(*) AS n_docs
+            FROM t WHERE len(ws) >= 16 GROUP BY 1 HAVING count(*) >= 2),
+      tot AS (SELECT count(*) AS n_groups,
+                CAST(COALESCE(sum(n_docs), 0) AS BIGINT) AS docs_in_groups,
+                CAST(COALESCE(sum((n_docs - 1) * 16), 0) AS BIGINT)
+                  AS total_saved_toks FROM g),
+      r AS (SELECT prefix, n_docs,
+              row_number() OVER (ORDER BY n_docs DESC, prefix) AS rank
+            FROM g)
+      SELECT CAST(rank AS BIGINT) AS rank, prefix, n_docs,
+             (n_docs - 1) * 16 AS saved_toks,
+             n_groups, docs_in_groups, total_saved_toks
+      FROM r CROSS JOIN tot WHERE rank <= 10 ORDER BY rank
+    """),
+    doc = "prompt-cache prefix sharing: one prefix-keyed fold (map-side " +
+      "partials), cached at shared-prefix cardinality, literal top-10 " +
+      "+ 1-row totals broadcast")
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q109, q113, q123, q142)
 }

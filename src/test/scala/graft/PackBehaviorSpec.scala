@@ -160,6 +160,57 @@ class PackBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q141: growth re-derives from the revenue frame; first year " +
+    "per nation excluded") {
+    val got = Catalog.queries("q141_yoy_growth")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val rev = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"),
+        expr("cast(cast(l_extendedprice * (1 - l_discount) " +
+          "as decimal(22,4)) * 10000 as bigint)").as("net4"))
+      .as[(String, Long, Long)].collect().toSeq
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toSeq
+    val expect = rev.groupBy(_._1._1).toSeq.flatMap { case (nat, ys) =>
+      val sorted = ys.sortBy(_._1._2)
+      sorted.zip(sorted.drop(1)).map { case ((_, prev), ((_, y), cur)) =>
+        (nat, y, cur, prev, (cur - prev) * 10000L / prev)
+      }
+    }.sortBy(r => (r._1, r._2))
+    // integer div semantics differ for negative growth: Spark's `div`
+    // truncates toward zero, Scala's / likewise — consistent
+    assert(got === expect)
+    val firstYears = rev.groupBy(_._1._1).view
+      .mapValues(_.map(_._1._2).min)
+    assert(got.forall { r => r._2 > firstYears(r._1) },
+      "first observed year per nation must not report")
+  }
+
+  test("q142: prefix groups re-derive from a token recount; totals " +
+    "constant across rows") {
+    val got = Catalog.queries("q142_prefix_sharing")(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    val prefixes = Tables.documents(spark, sf)
+      .select("text").as[String].collect().toSeq
+      .map(_.toLowerCase.split("\\W+").filter(_.nonEmpty))
+      .filter(_.length >= 16)
+      .map(_.take(16).mkString(" "))
+    val groups = prefixes.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toSeq
+    val expect = groups.sortBy(g => (-g._2, g._1)).zipWithIndex
+      .take(10).map { case ((pfx, n), i) =>
+        (i + 1L, pfx, n, (n - 1) * 16L, groups.size.toLong,
+          groups.map(_._2).sum, groups.map(g => (g._2 - 1) * 16L).sum)
+      }
+    assert(got === expect)
+  }
+
   test("q136: nation shares sum to ~10000 bp per region-year and " +
     "revenue re-derives from raw rows") {
     val got = Catalog.queries("q136_market_share")(spark, sf)

@@ -1321,6 +1321,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("q141: lag window rides the bounded (nation, year) frame; dims " +
+    "broadcast; one fact scan") {
+    val p = plan("q141_yoy_growth")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"customer/nation hops must broadcast:\n$p")
+    assert(p.contains("windowspecdefinition(nation"),
+      s"the lag must partition by nation over the agg output:\n$p")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) === 1,
+      s"the fact table must scan once:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q142: one cached prefix fold; literal top-10 rides " +
+    "TakeOrderedAndProject; totals broadcast") {
+    val p = plan("q142_prefix_sharing")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the shared-prefix group frame cached")
+      assert(p.contains("TakeOrderedAndProject(limit=10"),
+        s"the top-10 must never globally sort the group frame:\n$p")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"rank and totals must both read the cache:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
