@@ -430,5 +430,107 @@ object PackJoin {
       "dims, lag window over the bounded (nation, year) frame, signed " +
       "bp growth, first year excluded")
 
-  val all: Seq[Q] = Seq(q13, q17, q18, q19, q128, q136, q138, q139, q141)
+  /** q143 — small-quantity revenue audit per brand (round 15, the
+    * TPC-H Q17 shape): line items whose quantity is below 20% of their
+    * PART's average (the "could have been batched" fulfillment-waste
+    * signal), folded to per-brand counts and lost revenue. The
+    * correlated scalar subquery (`qty < 0.2 * (SELECT avg ... same
+    * part)`) is expressed as an integer cross-multiplication against
+    * per-part windowed stats: `5·qty·n < Σqty` — no float average, no
+    * parity trapdoor, no join-back.
+    *
+    * Plan shape: ONE fact shuffle — the per-part stats ride a window
+    * PARTITIONED by partkey (partitions bounded by lines-per-part), so
+    * the Q17 textbook form's second fact-sized exchange (fold + join
+    * back on partkey) never exists. Brand attribution is a broadcast
+    * part hop; the report folds at brand cardinality.
+    */
+  private val q143 = Q(
+    "q143_small_qty_audit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_partkey")
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("cast(cast(l_extendedprice * (1 - l_discount) " +
+            "as decimal(22,4)) * 10000 as bigint)").as("net4"))
+        .withColumn("sum_q", sum("qty").over(w))
+        .withColumn("n_q", count(lit(1)).over(w))
+        .filter(expr("5 * qty * n_q < sum_q"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_small_lines"),
+          sum("net4").as("lost_rev_e4"))
+        .orderBy("brand")
+    },
+    Some("""
+      WITH t AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+               CAST(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(22,4)) * 10000 AS BIGINT) AS net4,
+               CAST(sum(CAST(l_quantity AS BIGINT))
+                 OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_q,
+               count(*) OVER (PARTITION BY l_partkey) AS n_q
+             FROM lineitem)
+      SELECT p.p_brand AS brand, count(*) AS n_small_lines,
+             CAST(sum(t.net4) AS BIGINT) AS lost_rev_e4
+      FROM t JOIN part p ON t.l_partkey = p.p_partkey
+      WHERE 5 * t.qty * t.n_q < t.sum_q
+      GROUP BY 1 ORDER BY brand
+    """),
+    doc = "TPC-H Q17 shape in ONE fact shuffle: correlated scalar avg " +
+      "as integer cross-multiplication over a partkey-partitioned " +
+      "window, broadcast brand hop, brand-cardinality fold")
+
+  /** q144 — top revenue supplier per nation (round 15, the TPC-H Q15
+    * shape, tie-safe): revenue folds per supplier, and each nation
+    * reports its maximum-revenue supplier(s) — ALL of them on a tie,
+    * which is the Q15 subtlety a LIMIT 1 gets wrong. The max is a
+    * window aggregate (not a rank) so ties survive by construction.
+    *
+    * Plan shape: one fact fold at supplier cardinality, broadcast
+    * supplier/nation hops, then a nation-partitioned max window over
+    * the supplier-cardinality frame — the fact stream never sees a
+    * window or a second pass.
+    */
+  private val q144 = Q(
+    "q144_top_supplier",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(expr("sum(cast(cast(l_extendedprice * (1 - l_discount) " +
+          "as decimal(22,4)) * 10000 as bigint))").as("rev_e4"))
+      rev
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_name", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .withColumn("mx", max("rev_e4").over(
+          Window.partitionBy("n_name")))
+        .filter(col("rev_e4") === col("mx"))
+        .select(col("n_name").as("nation"), col("s_name"), col("rev_e4"))
+        .orderBy("nation", "s_name")
+    },
+    Some("""
+      WITH rev AS (SELECT l_suppkey,
+               CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(22,4)) * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+             FROM lineitem GROUP BY l_suppkey),
+      j AS (SELECT n.n_name AS nation, s.s_name, rev.rev_e4,
+              max(rev.rev_e4) OVER (PARTITION BY n.n_name) AS mx
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey)
+      SELECT nation, s_name, rev_e4 FROM j WHERE rev_e4 = mx
+      ORDER BY nation, s_name
+    """),
+    doc = "TPC-H Q15 shape, tie-safe: supplier revenue fold, broadcast " +
+      "hops, nation-partitioned max window at supplier cardinality — " +
+      "ties survive")
+
+  val all: Seq[Q] = Seq(q13, q17, q18, q19, q128, q136, q138, q139,
+    q141, q143, q144)
 }

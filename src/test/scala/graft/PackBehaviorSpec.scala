@@ -211,6 +211,61 @@ class PackBehaviorSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q143: small-quantity lines re-derive from the per-part recount") {
+    val got = Catalog.queries("q143_small_qty_audit")(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity").cast("long"),
+        expr("cast(cast(l_extendedprice * (1 - l_discount) " +
+          "as decimal(22,4)) * 10000 as bigint)"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val brandOf = Tables.part(spark, sf).select("p_partkey", "p_brand")
+      .as[(Long, String)].collect().toMap
+    val stats = li.groupBy(_._1).view
+      .mapValues(g => (g.map(_._2).sum, g.size.toLong)).toMap
+    val expect = li.filter { case (pk, q, _) =>
+      val (sq, n) = stats(pk); 5 * q * n < sq
+    }.groupBy(r => brandOf(r._1)).toSeq
+      .map { case (b, g) => (b, g.size.toLong, g.map(_._3).sum) }
+      .sortBy(_._1)
+    assert(got === expect)
+    assert(got.map(_._2).sum > 0, "the audit must flag something at sf0.001")
+  }
+
+  test("q144: per-nation winners re-derive; ALL maxima survive a " +
+    "planted tie") {
+    val got = Catalog.queries("q144_top_supplier")(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    val rev = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"),
+        expr("cast(cast(l_extendedprice * (1 - l_discount) " +
+          "as decimal(22,4)) * 10000 as bigint)"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val supp = Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .as[(Long, String, Int)].collect().toSeq
+    val natOf = Tables.nation(spark, sf).select("n_nationkey", "n_name")
+      .as[(Int, String)].collect().toMap
+    val expect = supp.map(s => (natOf(s._3), s._2, rev.getOrElse(s._1, 0L)))
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val mx = g.map(_._3).max
+        g.filter(_._3 == mx)
+      }.sortBy(r => (r._1, r._2))
+    assert(got === expect)
+    // tie-safety is structural (max-equality filter): prove it on a
+    // synthetic frame where two suppliers tie exactly
+    import spark.implicits._
+    val tied = Seq(("n1", "sA", 5L), ("n1", "sB", 5L), ("n1", "sC", 3L))
+      .toDF("nation", "s_name", "rev_e4")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("nation")
+    val winners = tied
+      .withColumn("mx", org.apache.spark.sql.functions.max("rev_e4").over(w))
+      .filter(col("rev_e4") === col("mx"))
+      .select("s_name").as[String].collect().sorted
+    assert(winners === Seq("sA", "sB"), "both tied maxima must report")
+  }
+
   test("q136: nation shares sum to ~10000 bp per region-year and " +
     "revenue re-derives from raw rows") {
     val got = Catalog.queries("q136_market_share")(spark, sf)

@@ -1347,6 +1347,30 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q143: per-part stats ride ONE partkey window — the Q17 " +
+    "fold-plus-join-back second exchange must not exist") {
+    val p = plan("q143_small_qty_audit")
+    assert(p.contains("windowspecdefinition(l_partkey"),
+      s"the correlated avg must be a partkey-partitioned window:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2,
+      s"partkey window + brand fold bound the exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"brand attribution must broadcast:\n$p")
+  }
+
+  test("q144: tie-safe max window at supplier cardinality; no rank; " +
+    "one fact scan") {
+    val p = plan("q144_top_supplier")
+    assert(p.contains("windowspecdefinition(n_name"),
+      s"the nation max must window over the supplier frame:\n$p")
+    assert(!p.contains("row_number"),
+      s"tie-safety requires the max-equality filter, not a rank:\n$p")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) === 1,
+      s"the fact table must scan once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
