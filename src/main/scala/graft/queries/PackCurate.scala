@@ -462,5 +462,62 @@ object PackCurate {
       "token-to-symbol-count probe — induction work never scales " +
       "with corpus size")
 
-  val all: Seq[Q] = Seq(q68, q69, q70, q71, q79, q80)
+  /** q145 — tokenizer FERTILITY per language (round 15): the
+    * tokenizer-equity readout every multilingual corpus ships with —
+    * per language, word instances, BPE units after q79/q80's learned
+    * merges, character units, fertility (BPE units per word, bp) and
+    * compression (BPE units per character, bp). A language the merges
+    * never learned reads fertility ≈ its character count — the signal
+    * that its token budget is being taxed (the "tokenizer tax" the
+    * vocab-allocation literature optimizes).
+    *
+    * Plan shape: q80's exactly — the induction work rides the shared
+    * cached vocab rounds (never corpus-scaled), the corpus encodes via
+    * ONE broadcast token→symbol-count probe, and the report folds at
+    * language cardinality instead of q80's doc cardinality. Shared
+    * machinery, different roll-up — the oracle reuses the same merge
+    * CTEs verbatim.
+    */
+  private val q145 = Q(
+    "q145_tokenizer_fertility",
+    (s, d) => {
+      val (_, _, _, v3) = Bpe.learn3(s, d)
+      val enc = v3.select(col("tok"),
+        length(col("tok")).as("n_chr"),
+        size(expr("split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')"))
+          .as("n_sym"))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(toks).as("tok"))
+        .join(broadcast(enc), "tok")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_sym").as("n_units_bpe"),
+          sum("n_chr").as("n_units_char"))
+        .select(col("lang"), col("n_words"),
+          col("n_units_bpe"), col("n_units_char"),
+          expr("n_units_bpe * 10000 div n_words").as("fertility_bp"),
+          expr("n_units_bpe * 10000 div n_units_char")
+            .as("compression_bp"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH ${Bpe.oracleCtes},
+      enc AS (SELECT tok, length(tok) AS n_chr,
+                     len(string_split(substr(s, 2, length(s) - 2), ')(')) AS n_sym
+              FROM v3),
+      p AS (SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0)) AS tok FROM documents)
+      SELECT p.lang, count(*) AS n_words,
+             CAST(sum(e.n_sym) AS BIGINT) AS n_units_bpe,
+             CAST(sum(e.n_chr) AS BIGINT) AS n_units_char,
+             CAST(sum(e.n_sym) AS BIGINT) * 10000 // count(*) AS fertility_bp,
+             CAST(sum(e.n_sym) AS BIGINT) * 10000
+               // CAST(sum(e.n_chr) AS BIGINT) AS compression_bp
+      FROM p JOIN enc e USING (tok)
+      GROUP BY p.lang ORDER BY lang
+    """),
+    doc = "per-language tokenizer fertility + compression under the " +
+      "learned BPE merges: q80's broadcast probe, language-cardinality " +
+      "roll-up — the tokenizer-tax report")
+
+  val all: Seq[Q] = Seq(q68, q69, q70, q71, q79, q80, q145)
 }

@@ -194,6 +194,54 @@ class PackCurateSpec extends SparkSpec {
     assert(got.forall(r => r._4 < r._3), "3 merges must shrink every doc")
   }
 
+  test("q145: per-language fertility agrees with the in-memory " +
+    "learn-then-encode roll-up") {
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "text").as[(String, String)].collect()
+    val tokenized = docs.map { case (l, t) =>
+      l -> t.toLowerCase.split("\\W+").filter(_.nonEmpty) }
+    var symbols: Map[String, List[String]] = tokenized.flatMap(_._2).distinct
+      .map(w => w -> w.map(_.toString).toList).toMap
+    val counts = tokenized.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    def applyMerge(sy: List[String], a: String, b: String): List[String] = {
+      val out = collection.mutable.ListBuffer.empty[String]
+      var rest = sy
+      while (rest.nonEmpty) rest match {
+        case x :: y :: tl if x == a && y == b => out += (a + b); rest = tl
+        case x :: tl => out += x; rest = tl
+        case Nil => ()
+      }
+      out.toList
+    }
+    (1 to 3).foreach { _ =>
+      val pc = collection.mutable.Map.empty[String, Long]
+      symbols.foreach { case (w, sy) =>
+        sy.zip(sy.tail).foreach { case (a, b) =>
+          pc(s"$a|$b") = pc.getOrElse(s"$a|$b", 0L) + counts(w)
+        }
+      }
+      val (pair, _) = pc.toSeq.minBy { case (p, c) => (-c, p) }
+      val Array(a, b) = pair.split("\\|", 2)
+      symbols = symbols.view.mapValues(applyMerge(_, a, b)).toMap
+    }
+    val expect = tokenized.groupBy(_._1).toSeq.map { case (lang, g) =>
+      val ws = g.flatMap(_._2)
+      val nW = ws.length.toLong
+      val nBpe = ws.map(w => symbols(w).length.toLong).sum
+      val nChr = ws.map(_.length.toLong).sum
+      (lang, nW, nBpe, nChr, nBpe * 10000L / nW, nBpe * 10000L / nChr)
+    }.sortBy(_._1)
+    val got = run("q145_tokenizer_fertility")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain() // induction caches — don't leak into
+    // a same-thread PlanSpec liveCount pin
+    assert(got === expect)
+    // merges learned on the pooled corpus: every language compresses,
+    // and fertility must stay >= 10000 bp (>= one unit per word)
+    assert(got.forall(r => r._5 >= 10000L && r._6 < 10000L))
+  }
+
   test("q79 merge device: replace is greedy non-overlapping left-to-right") {
     // the property the whole oracle parity rests on: applying merge
     // (a, a) to "aaa" must give "(aa)(a)" — BPE's greedy order — and to

@@ -535,6 +535,18 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q145: fertility rides q80's broadcast probe at language " +
+    "cardinality; induction caches shared") {
+    val p = plan("q145_tokenizer_fertility")
+    try {
+      assert(p.contains("BroadcastHashJoin"),
+        s"token->symbol-count must broadcast:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 4,
+        "expected v0..v3 cached (q80's shared induction machinery)")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q81: gram dedup is document-local; no corpus cartesian, no window") {
     val p = plan("q81_ngram_novelty")
     // per-doc gram dedup happens inside the shingle kernel (the r14
