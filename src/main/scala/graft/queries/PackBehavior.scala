@@ -239,5 +239,73 @@ object PackBehavior {
       "collect_set fold with w+1-membership HOF (no activity self-join), " +
       "final week excluded")
 
-  val all: Seq[Q] = Seq(q132, q134, q135, q137)
+  /** q147 — last-touch conversion attribution (round 15): every
+    * purchase is credited to the most recent view or click by the same
+    * user within the preceding 30 minutes (q23's session gap), ties on
+    * the microsecond settled by event_id — purchases with no qualifying
+    * touch report as 'none' (the dark-conversion share marketers
+    * actually argue about). Output: per attributed channel, purchase
+    * count and share in basis points.
+    *
+    * Plan shape: ONE user-keyed fold (q125's posture); the per-purchase
+    * look-back is an array_max over a filtered struct array INSIDE the
+    * folded row — struct comparison is lexicographic on (us, event_id),
+    * which is exactly the latest-touch order — so there is no
+    * self-join, no window, and nothing corpus-sized after the fold. The
+    * oracle reaches the same credit through an independent mechanism
+    * (correlated join + row_number), so the gate checks semantics, not
+    * plan.
+    */
+  private val q147 = Q(
+    "q147_attribution",
+    (s, d) => {
+      val W = 1800000000L // 30 min in us
+      val credited = ev(s, d)
+        .groupBy("user_id")
+        .agg(collect_list(
+          struct(col("us"), col("event_id"), col("event_type"))).as("evs"))
+        .select(explode(expr(
+          "transform(filter(evs, e -> e.event_type = 'purchase'), " +
+            s"p -> array_max(transform(filter(evs, c -> " +
+            s"c.event_type IN ('view', 'click') AND c.us < p.us AND " +
+            s"c.us >= p.us - ${W}L), " +
+            "c -> struct(c.us, c.event_id, c.event_type))))")).as("t"))
+        .select(coalesce(col("t.event_type"), lit("none"))
+          .as("attributed"))
+      // channel-cardinality cache: the totals fold reads it instead of
+      // re-running the user fold + explode (q130's doubling)
+      val counts = graft.ops.CacheScope.persisted(
+        credited.groupBy("attributed")
+          .agg(count(lit(1)).as("n_purchases")))
+      val total = counts.agg(sum("n_purchases").as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("attributed"), col("n_purchases"),
+          expr("n_purchases * 10000 div total").as("share_bp"))
+        .orderBy("attributed")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) AS us FROM events),
+      p AS (SELECT user_id, us, event_id AS pid FROM e
+            WHERE event_type = 'purchase'),
+      j AS (SELECT p.pid, c.event_type,
+              row_number() OVER (PARTITION BY p.pid
+                ORDER BY c.us DESC, c.event_id DESC) AS rn
+            FROM p JOIN e c ON c.user_id = p.user_id
+              AND c.event_type IN ('view', 'click')
+              AND c.us < p.us AND c.us >= p.us - 1800000000),
+      a AS (SELECT pid, event_type FROM j WHERE rn = 1),
+      cr AS (SELECT COALESCE(a.event_type, 'none') AS attributed
+             FROM p LEFT JOIN a USING (pid)),
+      c AS (SELECT attributed, count(*) AS n_purchases FROM cr GROUP BY 1),
+      t AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS total FROM c)
+      SELECT attributed, n_purchases,
+             n_purchases * 10000 // total AS share_bp
+      FROM c CROSS JOIN t ORDER BY attributed
+    """),
+    doc = "last-touch attribution with a 30-minute window: one " +
+      "user-keyed fold, per-purchase look-back as array_max over a " +
+      "filtered struct array, dark conversions reported as 'none'")
+
+  val all: Seq[Q] = Seq(q132, q134, q135, q137, q147)
 }

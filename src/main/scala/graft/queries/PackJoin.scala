@@ -531,6 +531,62 @@ object PackJoin {
       "hops, nation-partitioned max window at supplier cardinality — " +
       "ties survive")
 
+  /** q146 — revenue CUBE over (nation, priority) (round 15): the
+    * grouping-sets surface completed — q128 covers ROLLUP (the
+    * hierarchy walk); CUBE adds the cross-tab's marginals in BOTH
+    * directions plus the grand total, one Expand, four grouping
+    * combinations, `grouping_id` disambiguating NULL-as-subtotal from
+    * NULL-as-value exactly as q128 documents.
+    *
+    * Plan shape: q128's — one fact shuffle, broadcast dim hops, the
+    * Expand multiplies the PRE-AGGREGATED stream (partial aggregation
+    * below the exchange), never the raw fact rows.
+    */
+  private val q146 = Q(
+    "q146_revenue_cube",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      val or = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority").as("priority"))
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("priority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_items"),
+          Det.dsum4(col("rev")).as("revenue"))
+        .select(coalesce(col("n_name"), lit("(all)")).as("nation"),
+          coalesce(col("priority"), lit("(all)")).as("priority"),
+          col("gid"), col("n_items"), col("revenue"))
+        .orderBy("gid", "nation", "priority")
+    },
+    Some("""
+      SELECT COALESCE(n_name, '(all)') AS nation,
+             COALESCE(o_orderpriority, '(all)') AS priority,
+             CAST(GROUPING(n_name, o_orderpriority) AS BIGINT) AS gid,
+             count(*) AS n_items,
+             cast(sum(cast(rev AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+      FROM (SELECT n_name, o_orderpriority,
+              l_extendedprice * (1.0 - l_discount) AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey)
+      GROUP BY CUBE(n_name, o_orderpriority)
+      ORDER BY gid, nation, priority
+    """),
+    doc = "revenue CUBE over (nation, priority): one Expand over the " +
+      "pre-aggregated stream, both marginals + grand total, " +
+      "grouping_id discriminates subtotal rows")
+
   val all: Seq[Q] = Seq(q13, q17, q18, q19, q128, q136, q138, q139,
-    q141, q143, q144)
+    q141, q143, q144, q146)
 }

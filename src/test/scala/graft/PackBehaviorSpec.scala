@@ -266,6 +266,50 @@ class PackBehaviorSpec extends SparkSpec {
     assert(winners === Seq("sA", "sB"), "both tied maxima must report")
   }
 
+  test("q147: credits re-derive from the per-user look-back recount; " +
+    "shares sum to 10000ish") {
+    val got = Catalog.queries("q147_attribution")(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val W = 1800000000L
+    val credits = events().groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val evs = g.map(e => (e._4, e._1, e._3)) // (us, id, type)
+      evs.filter(_._3 == "purchase").map { p =>
+        val cand = evs.filter(c => (c._3 == "view" || c._3 == "click") &&
+          c._1 < p._1 && c._1 >= p._1 - W)
+        if (cand.isEmpty) "none" else cand.max._3
+      }
+    }
+    val total = credits.size.toLong
+    val expect = credits.groupBy(identity).toSeq.map { case (t, g) =>
+      (t, g.size.toLong, g.size.toLong * 10000L / total)
+    }.sortBy(_._1)
+    assert(got === expect)
+    val s = got.map(_._3).sum
+    assert(s <= 10000L && s > 10000L - got.size)
+  }
+
+  test("q146: the grand total equals the sum of the cells; marginals " +
+    "are internally consistent") {
+    val got = Catalog.queries("q146_revenue_cube")(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    val cells = got.filter(_._3 == 0L)
+    val natMarg = got.filter(_._3 == 1L)  // priority rolled away
+    val priMarg = got.filter(_._3 == 2L)  // nation rolled away
+    val grand = got.filter(_._3 == 3L)
+    assert(grand.size === 1)
+    assert(grand.head._4 === cells.map(_._4).sum)
+    assert(math.abs(grand.head._5 - cells.map(_._5).sum) < 1e-6)
+    natMarg.foreach { m =>
+      val mine = cells.filter(_._1 == m._1)
+      assert(m._4 === mine.map(_._4).sum, s"nation ${m._1} count marginal")
+      assert(math.abs(m._5 - mine.map(_._5).sum) < 1e-6)
+    }
+    priMarg.foreach { m =>
+      val mine = cells.filter(_._2 == m._2)
+      assert(m._4 === mine.map(_._4).sum, s"priority ${m._2} count marginal")
+    }
+  }
+
   test("q136: nation shares sum to ~10000 bp per region-year and " +
     "revenue re-derives from raw rows") {
     val got = Catalog.queries("q136_market_share")(spark, sf)

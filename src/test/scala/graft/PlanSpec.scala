@@ -1383,6 +1383,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("q146: CUBE is one Expand over the pre-aggregated stream; dims " +
+    "broadcast") {
+    val p = plan("q146_revenue_cube")
+    assert(p.contains("Expand"),
+      s"CUBE must plan as one Expand, not four aggregations:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"customer/nation hops must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"the expanded stream must partial-aggregate map-side:\n$p")
+  }
+
+  test("q147: attribution is one user-keyed fold — look-back is an " +
+    "array HOF, never a self-join or window; totals read the cache") {
+    val p = plan("q147_attribution")
+    try {
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"no self-join may exist:\n$p")
+      assert(!p.contains("Window"),
+        s"the look-back is array_max inside the fold:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the channel-count frame cached")
+      assert(p.contains("InMemoryTableScan"),
+        s"the totals fold must read the channel cache:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
