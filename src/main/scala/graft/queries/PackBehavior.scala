@@ -307,5 +307,65 @@ object PackBehavior {
       "user-keyed fold, per-purchase look-back as array_max over a " +
       "filtered struct array, dark conversions reported as 'none'")
 
-  val all: Seq[Q] = Seq(q132, q134, q135, q137, q147)
+  /** q148 — rolling 7-day active users (round 15): per epoch day, the
+    * distinct users that day (DAU), the distinct users over the
+    * trailing 7 days (WAU), and stickiness = DAU/WAU in basis points —
+    * the engagement ratio every product dashboard leads with. Rolling
+    * DISTINCT does not decompose into a window aggregate (distinct is
+    * not subtractable), so the scalable form is contribution
+    * expansion: each (user, day) activity row contributes to the 7
+    * window-days it stays visible in — a ×7 generate of the
+    * user-day-cardinality DISTINCT frame (never the raw corpus) —
+    * then one distinct + fold per window day. Days with no activity
+    * simply don't report (q131's gap-fill composes on top when the
+    * dense axis is wanted).
+    *
+    * Plan shape: one corpus-sized (user, day) distinct (map-side
+    * partial dedup) CACHED; DAU folds off it directly; the ×7
+    * expansion runs at user-day cardinality, re-deduplicates
+    * (user, window-day) — the second bounded exchange — and folds to
+    * WAU. The trailing-window-of-distincts never exists as state;
+    * at 10⁹ users/day the ×7 frame is still 7 rows per activity
+    * fact, linear, and the swap-in for tighter budgets is q34's HLL
+    * (mergeable sketches per day, union over 7) — documented, q42
+    * style.
+    */
+  private val q148 = Q(
+    "q148_rolling_active",
+    (s, d) => {
+      val ud = graft.ops.CacheScope.persisted(ev(s, d)
+        .select(col("user_id"), expr("us div 86400000000").as("day"))
+        .distinct())
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(expr(
+          "sequence(day, day + 6)")).as("wday"))
+        .distinct()
+        .groupBy(col("wday").as("day"))
+        .agg(count(lit(1)).as("wau"))
+      // a window day only reports when the day itself had activity
+      // (trailing windows at the axis head are partial by nature and
+      // the dau join prunes pre-activity days)
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 10000 div wau").as("stickiness_bp"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id,
+               epoch_us(cast(ts AS TIMESTAMP)) // 86400000000 AS day
+             FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      wx AS (SELECT DISTINCT user_id, day + k AS wday
+             FROM ud CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS k) t),
+      wau AS (SELECT wday AS day, count(*) AS wau FROM wx GROUP BY wday)
+      SELECT dau.day, dau.dau, wau.wau,
+             dau.dau * 10000 // wau.wau AS stickiness_bp
+      FROM dau JOIN wau USING (day) ORDER BY day
+    """),
+    doc = "rolling 7-day distinct actives: contribution expansion of " +
+      "the cached (user, day) distinct (x7, linear), second bounded " +
+      "dedup, DAU/WAU stickiness; HLL swap-in documented")
+
+  val all: Seq[Q] = Seq(q132, q134, q135, q137, q147, q148)
 }

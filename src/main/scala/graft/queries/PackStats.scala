@@ -389,5 +389,93 @@ object PackStats {
       "row-number device at customer cardinality (approx-threshold " +
       "swap-in documented), exact-decimal money totals")
 
-  val all: Seq[Q] = Seq(q126, q127, q129, q133)
+  /** q149 — per-source DATASHEET (round 15): the one-row-per-source
+    * summary a dataset card ships with — documents, exact-dup documents
+    * (sha2 within source) and their share, token and char totals, mean
+    * doc length, dominant language with its share, and language count.
+    * Each number exists elsewhere in the catalog as a full query
+    * (q24 dedup, q26 token stats, q29 lang-id's dimension); this is
+    * their roll-up into the publishable table, which is exactly how a
+    * release pipeline consumes them.
+    *
+    * Plan shape: ONE corpus pass folds per-source counts/tokens AND the
+    * sha-distinct side folds off a (source, sha) pre-dedup (map-side
+    * partial dedup — q24's shape); the language breakdown folds at
+    * (source, lang) cardinality with the dominant row settled by the
+    * max-count device (tie on lang name — deterministic, no rank
+    * window over anything corpus-sized). Everything joins back at
+    * SOURCE cardinality, broadcast.
+    */
+  private val q149 = Q(
+    "q149_source_datasheet",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val toks = filter(split(lower(col("text")), "\\W+"),
+        t => length(t) > 0)
+      val base = docs
+        .select(col("source"), size(toks).cast("long").as("n_toks"),
+          col("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_toks"),
+          sum("n_chars").as("total_chars"))
+      val distinctSha = docs
+        .select(col("source"), sha2(col("text"), 256).as("h")).distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+      val langs = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_l"))
+      val topLang = langs
+        .withColumn("r", row_number().over(Window.partitionBy("source")
+          .orderBy(col("n_l").desc, col("lang"))))
+        .filter(col("r") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("n_l").as("top_lang_docs"))
+      val nLangs = langs.groupBy("source")
+        .agg(count(lit(1)).as("n_langs"))
+      base
+        .join(broadcast(distinctSha), "source")
+        .join(broadcast(topLang), "source")
+        .join(broadcast(nLangs), "source")
+        .select(col("source"), col("n_docs"),
+          (col("n_docs") - col("n_distinct")).as("dup_docs"),
+          expr("(n_docs - n_distinct) * 10000 div n_docs").as("dup_bp"),
+          col("total_toks"), col("total_chars"),
+          expr("total_toks div n_docs").as("mean_toks"),
+          col("top_lang"),
+          expr("top_lang_docs * 10000 div n_docs").as("top_lang_bp"),
+          col("n_langs"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH base AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(len(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0))) AS BIGINT) AS total_toks,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+             FROM documents GROUP BY source),
+      ds AS (SELECT source, count(*) AS n_distinct
+             FROM (SELECT DISTINCT source, sha256(text) FROM documents)
+             GROUP BY source),
+      lg AS (SELECT source, lang, count(*) AS n_l FROM documents
+             GROUP BY 1, 2),
+      tl AS (SELECT source, lang AS top_lang, n_l AS top_lang_docs
+             FROM (SELECT *, row_number() OVER (PARTITION BY source
+                     ORDER BY n_l DESC, lang) AS r FROM lg)
+             WHERE r = 1),
+      nl AS (SELECT source, count(*) AS n_langs FROM lg GROUP BY source)
+      SELECT base.source, base.n_docs,
+             base.n_docs - ds.n_distinct AS dup_docs,
+             (base.n_docs - ds.n_distinct) * 10000 // base.n_docs AS dup_bp,
+             base.total_toks, base.total_chars,
+             base.total_toks // base.n_docs AS mean_toks,
+             tl.top_lang,
+             tl.top_lang_docs * 10000 // base.n_docs AS top_lang_bp,
+             nl.n_langs
+      FROM base JOIN ds USING (source) JOIN tl USING (source)
+      JOIN nl USING (source)
+      ORDER BY source
+    """),
+    doc = "per-source dataset datasheet: docs, exact-dup share, token/" +
+      "char totals, mean length, dominant language + share, language " +
+      "count — all folds, source-cardinality joins broadcast")
+
+  val all: Seq[Q] = Seq(q126, q127, q129, q133, q149)
 }

@@ -310,6 +310,45 @@ class PackBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q148: DAU/WAU re-derive from the set recount; WAU dominates " +
+    "DAU; windows see 7 days") {
+    val got = Catalog.queries("q148_rolling_active")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    val ud = events().map(e => (e._2, e._4 / 86400000000L)).distinct
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val expect = byDay.keys.toSeq.sorted.map { d =>
+      val dau = byDay(d).size.toLong
+      val wau = (d - 6 to d).flatMap(byDay.get).flatten.toSet.size.toLong
+      (d, dau, wau, dau * 10000L / wau)
+    }
+    assert(got === expect)
+    assert(got.forall(r => r._3 >= r._2), "WAU must dominate DAU")
+    assert(got.exists(r => r._3 > r._2),
+      "some window must union more than one day")
+  }
+
+  test("q149: datasheet re-derives from raw per-source recounts") {
+    val got = Catalog.queries("q149_source_datasheet")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, String, Long, Long)]
+      .collect().toSeq
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text", "lang", "n_chars")
+      .as[(String, String, String, Long)].collect().toSeq
+    val expect = docs.groupBy(_._1).toSeq.map { case (src, g) =>
+      val n = g.size.toLong
+      val toks = g.map(_._2.toLowerCase.split("\\W+")
+        .count(_.nonEmpty).toLong).sum
+      val chars = g.map(_._4).sum
+      val nDistinct = g.map(_._2).distinct.size.toLong
+      val langs = g.groupBy(_._3).view.mapValues(_.size.toLong).toSeq
+      val (topLang, topN) = langs.minBy { case (l, c) => (-c, l) }
+      (src, n, n - nDistinct, (n - nDistinct) * 10000L / n, toks, chars,
+        toks / n, topLang, topN * 10000L / n, langs.size.toLong)
+    }.sortBy(_._1)
+    assert(got === expect)
+  }
+
   test("q136: nation shares sum to ~10000 bp per region-year and " +
     "revenue re-derives from raw rows") {
     val got = Catalog.queries("q136_market_share")(spark, sf)

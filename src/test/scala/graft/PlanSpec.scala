@@ -1410,6 +1410,31 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q148: one cached (user, day) distinct; x7 expansion is a " +
+    "generator over the cache, never the corpus") {
+    val p = plan("q148_rolling_active")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the (user, day) distinct cached")
+      assert(p.contains("Generate explode(sequence"),
+        s"window contribution must expand via the sequence generator:\n$p")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"DAU and the expansion must both read the cache:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"the day-cardinality join must broadcast:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q149: datasheet joins at source cardinality broadcast; the " +
+    "dominant-language rank rides the (source, lang) frame") {
+    val p = plan("q149_source_datasheet")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"sha/top-lang/lang-count frames must broadcast:\n$p")
+    assert(p.contains("windowspecdefinition(source"),
+      s"the dominant-language rank partitions by source:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
