@@ -367,5 +367,64 @@ object PackBehavior {
       "the cached (user, day) distinct (x7, linear), second bounded " +
       "dedup, DAU/WAU stickiness; HLL swap-in documented")
 
-  val all: Seq[Q] = Seq(q132, q134, q135, q137, q147, q148)
+  /** q150 — activity trend slope per event type (round 15): ordinary
+    * least squares over the hourly counts — is this event type growing
+    * or shrinking, and how fast? The slope is computed ENTIRELY in
+    * integer arithmetic from the classic closed form
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, scaled to e6 events/hour —
+    * no float means, no engine-rounding trapdoor. The x axis is each
+    * type's own hour index (hour − first hour), which keeps every
+    * intermediate within int64 at any realistic axis length.
+    *
+    * Plan shape: q131's corpus fold to the types×hours frame, the
+    * per-type index base as a broadcast min-join, one 5-sum fold at
+    * TYPE cardinality, stateless slope projection. Types with a single
+    * bucket are excluded (no slope exists — the zero denominator is a
+    * domain fact, not a guard).
+    */
+  private val q150 = Q(
+    "q150_trend_slope",
+    (s, d) => {
+      // types×hours cache: the per-type index base AND the sum fold
+      // both read it — uncached, the base side re-runs the corpus fold
+      // (q131's doubling)
+      val obs = graft.ops.CacheScope.persisted(ev(s, d)
+        .groupBy(col("event_type"), expr("us div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("n")))
+      val base = obs.groupBy("event_type").agg(min("hour").as("h0"))
+      obs.join(broadcast(base), "event_type")
+        .withColumn("x", col("hour") - col("h0"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum("x").as("sx"), sum("n").as("sy"),
+          sum(expr("x * n")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .filter(col("n_buckets") >= 2)
+        .select(col("event_type"), col("n_buckets"), col("sy").as("events"),
+          expr("(n_buckets * sxy - sx * sy) * 1000000 " +
+            "div (n_buckets * sxx - sx * sx)").as("slope_e6"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH obs AS (SELECT event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) // 3600000000 AS hour,
+               count(*) AS n
+             FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, min(hour) AS h0 FROM obs GROUP BY 1),
+      x AS (SELECT obs.event_type, obs.hour - b.h0 AS x, obs.n
+            FROM obs JOIN b USING (event_type)),
+      f AS (SELECT event_type, count(*) AS n_buckets,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+              CAST(sum(x * n) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM x GROUP BY event_type)
+      SELECT event_type, n_buckets, sy AS events,
+             (n_buckets * sxy - sx * sy) * 1000000
+               // (n_buckets * sxx - sx * sx) AS slope_e6
+      FROM f WHERE n_buckets >= 2 ORDER BY event_type
+    """),
+    doc = "OLS trend slope per event type in exact integer arithmetic " +
+      "(closed form, e6 scale, per-type x rebasing): corpus fold + " +
+      "type-cardinality 5-sum fold, no float means")
+
+  val all: Seq[Q] = Seq(q132, q134, q135, q137, q147, q148, q150)
 }

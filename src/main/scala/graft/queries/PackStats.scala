@@ -477,5 +477,73 @@ object PackStats {
       "char totals, mean length, dominant language + share, language " +
       "count — all folds, source-cardinality joins broadcast")
 
-  val all: Seq[Q] = Seq(q126, q127, q129, q133, q149)
+  /** q151 — revenue-concentration Gini per nation (round 15): how
+    * unequally is order revenue distributed across a nation's
+    * customers? Gini by the exact rank formula
+    * `(2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)` over each nation's customers
+    * sorted ascending by their cent-exact order total (rank i settled
+    * by the row-number device, ties on custkey), reported in basis
+    * points (0 = perfectly equal, →10⁴ = one customer is the whole
+    * market). The concentration readout a revenue-risk dashboard
+    * leads with — and exactly the same inequality math a data-mixture
+    * owner runs over per-source token counts.
+    *
+    * Plan shape: one orders fold at customer cardinality, cents as
+    * exact integers (DECIMAL(18,2)·100 — both engines round
+    * identically), a nation-partitioned rank window over the customer
+    * frame, and a 2-sum fold at nation cardinality. Magnitudes stay
+    * within int64 through ~10⁶ customers·cents per nation; past that
+    * the e-scaled sums move to DECIMAL(38) (q136's documented swap).
+    */
+  private val q151 = Q(
+    "q151_revenue_gini",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_custkey"))
+        .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2))) * 100 " +
+          "as bigint)").as("cents"))
+      per
+        .withColumn("i", row_number().over(Window.partitionBy("nation")
+          .orderBy(col("cents"), col("o_custkey"))).cast("long"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_cust"),
+          sum("cents").as("total_cents"),
+          sum(expr("i * cents")).as("swx"))
+        .select(col("nation"), col("n_cust"), col("total_cents"),
+          expr("(2 * swx - (n_cust + 1) * total_cents) * 10000 " +
+            "div (n_cust * total_cents)").as("gini_bp"))
+        .orderBy("nation")
+    },
+    Some("""
+      WITH per AS (SELECT n.n_name AS nation, o.o_custkey,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS cents
+             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             JOIN nation n ON c.c_nationkey = n.n_nationkey
+             GROUP BY 1, 2),
+      rk AS (SELECT nation, cents,
+               row_number() OVER (PARTITION BY nation
+                 ORDER BY cents, o_custkey) AS i
+             FROM per),
+      f AS (SELECT nation, count(*) AS n_cust,
+              CAST(sum(cents) AS BIGINT) AS total_cents,
+              CAST(sum(i * cents) AS BIGINT) AS swx
+            FROM rk GROUP BY nation)
+      SELECT nation, n_cust, total_cents,
+             (2 * swx - (n_cust + 1) * total_cents) * 10000
+               // (n_cust * total_cents) AS gini_bp
+      FROM f ORDER BY nation
+    """),
+    doc = "exact Gini per nation by the rank formula in integer cents: " +
+      "customer fold, nation-partitioned rank window, 2-sum fold — " +
+      "the revenue-concentration readout")
+
+  val all: Seq[Q] = Seq(q126, q127, q129, q133, q149, q151)
 }

@@ -349,6 +349,102 @@ class PackBehaviorSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q150: slopes equal the integer closed-form recount; a planted " +
+    "rising series reads positive") {
+    val got = Catalog.queries("q150_trend_slope")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    val obs = events().groupBy(e => (e._3, e._4 / 3600000000L))
+      .view.mapValues(_.size.toLong).toSeq.map { case ((t, h), n) => (t, h, n) }
+    val expect = obs.groupBy(_._1).toSeq.filter(_._2.size >= 2)
+      .map { case (t, g) =>
+        val h0 = g.map(_._2).min
+        val pts = g.map(p => (p._2 - h0, p._3))
+        val n = pts.size.toLong
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        (t, n, sy, (n * sxy - sx * sy) * 1000000L / (n * sxx - sx * sx))
+      }.sortBy(_._1)
+    assert(got === expect)
+    // synthetic monotone series: slope must read ~ +1e6 (1 event/hour)
+    val dir = java.nio.file.Files.createTempDirectory("q150-syn").toString
+    (0 until 24).flatMap(h => (0 to h).map(i =>
+        (h.toLong * 100 + i, 1700000000000000L + h * 3600000000L, 1L)))
+      .toDF("event_id", "us", "user_id")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), lit("grow").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val syn = Catalog.queries("q150_trend_slope")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(syn.head._4 === 1000000L, s"unit-slope series read ${syn.head._4}")
+  }
+
+  test("q151: Gini equals the rank-formula recount and sits in [0, 1e4)") {
+    val got = Catalog.queries("q151_revenue_gini")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val per = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey"), col("o_totalprice"))
+      .as[(String, Long, Double)].collect().toSeq
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((nat, c), g) =>
+        (nat, c, g.map(r => BigDecimal(r._3).setScale(2)).sum * 100)
+      }
+    val expect = per.groupBy(_._1).toSeq.map { case (nat, g) =>
+      val xs = g.sortBy(c => (c._3, c._2)).map(_._3.toLongExact)
+      val n = xs.size.toLong
+      val tot = xs.sum
+      val swx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (nat, n, tot, (2 * swx - (n + 1) * tot) * 10000L / (n * tot))
+    }.sortBy(_._1)
+    assert(got === expect)
+    assert(got.forall(r => r._4 >= 0L && r._4 < 10000L))
+  }
+
+  test("q147 fuzz: random tie-heavy event sets match the look-back " +
+    "recount") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 5557)
+      val types = Seq("view", "click", "purchase", "error")
+      val evs = (0 until 80).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong, types(rnd.nextInt(4)),
+          1700000000000000L + rnd.nextInt(8) * 900000000L) // heavy ties
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"q147-fuzz-$seed").toString
+      evs.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      val got = Catalog.queries("q147_attribution")(spark, dir)
+        .as[(String, Long, Long)].collect().toSeq
+      graft.ops.CacheScope.drain()
+      val W = 1800000000L
+      val credits = evs.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+        val es = g.map(e => (e._4, e._1, e._3))
+        es.filter(_._3 == "purchase").map { p =>
+          val cand = es.filter(c => (c._3 == "view" || c._3 == "click") &&
+            c._1 < p._1 && c._1 >= p._1 - W)
+          if (cand.isEmpty) "none" else cand.max._3
+        }
+      }
+      if (credits.nonEmpty) {
+        val total = credits.size.toLong
+        val expect = credits.groupBy(identity).toSeq.map { case (t, g) =>
+          (t, g.size.toLong, g.size.toLong * 10000L / total)
+        }.sortBy(_._1)
+        assert(got === expect, s"seed $seed diverged under ties")
+      } else assert(got.isEmpty)
+    }
+  }
+
   test("q136: nation shares sum to ~10000 bp per region-year and " +
     "revenue re-derives from raw rows") {
     val got = Catalog.queries("q136_market_share")(spark, sf)

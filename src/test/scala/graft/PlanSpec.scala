@@ -1435,6 +1435,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("q150: one cached axis frame; index base broadcast; slope folds " +
+    "at type cardinality") {
+    val p = plan("q150_trend_slope")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the types×hours frame cached")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"base and the sum fold must both read the cache:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the per-type index base must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q151: rank window rides the customer-cardinality fold; dims " +
+    "broadcast; one orders scan") {
+    val p = plan("q151_revenue_gini")
+    assert(p.contains("windowspecdefinition(nation"),
+      s"the rank must partition by nation over the customer frame:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"customer/nation hops must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("orders.parquet")) === 1,
+      s"orders must scan once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
