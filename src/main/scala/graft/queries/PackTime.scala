@@ -291,5 +291,81 @@ object PackTime {
       "generated from the observed span, zeros as explicit rows, one " +
       "corpus fold")
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q125, q130, q131)
+  /** q152 — funnel time-to-convert (round 15): for users who completed
+    * q125's full view→click→purchase walk, the distribution of total
+    * conversion latency (t₃ − t₁, microseconds): count, min, exact
+    * discrete p50/p90 (value at ⌈q·n⌉ in ascending order — q119's
+    * row-number device, no interpolation), and max. The "how long does
+    * the funnel take" readout that turns q125's conversion COUNTS into
+    * a latency SLA.
+    *
+    * Plan shape: q125's ONE user-keyed fold (same chained array HOFs)
+    * filtered to converters; everything after runs at CONVERTING-USER
+    * cardinality — the rank window is unpartitioned by design over that
+    * post-fold frame (q119's posture and the same documented swap-in:
+    * at 10⁸⁺ converters use q99's histogram readout). One row out.
+    */
+  private val q152 = Q(
+    "q152_funnel_latency",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val conv = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy("user_id")
+        .agg(collect_list(struct(col("us"), col("event_type"))).as("evs"))
+        .withColumn("t1", expr("array_min(transform(" +
+          "filter(evs, e -> e.event_type = 'view'), e -> e.us))"))
+        .withColumn("t2", expr("array_min(transform(" +
+          "filter(evs, e -> e.event_type = 'click' AND e.us > t1), " +
+          "e -> e.us))"))
+        .withColumn("t3", expr("array_min(transform(" +
+          "filter(evs, e -> e.event_type = 'purchase' AND e.us > t2), " +
+          "e -> e.us))"))
+        .filter(col("t3").isNotNull)
+        .select(col("user_id"), (col("t3") - col("t1")).as("lat"))
+      // converting-user-cardinality cache: the count and the ranked
+      // percentile pass both read it (q130's doubling otherwise)
+      val convC = graft.ops.CacheScope.persisted(conv)
+      val n1 = convC.agg(count(lit(1)).as("n"))
+      convC
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("lat"), col("user_id"))).cast("long"))
+        .crossJoin(broadcast(n1))
+        .agg(count(lit(1)).as("n_conv"), min("lat").as("min_us"),
+          max(when(col("r") === expr("(n * 50 + 99) div 100"),
+            col("lat"))).as("p50_us"),
+          max(when(col("r") === expr("(n * 90 + 99) div 100"),
+            col("lat"))).as("p90_us"),
+          max("lat").as("max_us"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) AS us FROM events),
+      s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT ev.user_id, min(us) AS t2 FROM ev JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id),
+      s3 AS (SELECT ev.user_id, min(us) AS t3 FROM ev JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id),
+      lat AS (SELECT s3.user_id, s3.t3 - s1.t1 AS lat
+              FROM s3 JOIN s1 USING (user_id)),
+      rk AS (SELECT lat, user_id,
+               row_number() OVER (ORDER BY lat, user_id) AS r,
+               count(*) OVER () AS n
+             FROM lat)
+      SELECT count(*) AS n_conv,
+             CAST(min(lat) AS BIGINT) AS min_us,
+             CAST(max(CASE WHEN r = (n * 50 + 99) // 100 THEN lat END)
+               AS BIGINT) AS p50_us,
+             CAST(max(CASE WHEN r = (n * 90 + 99) // 100 THEN lat END)
+               AS BIGINT) AS p90_us,
+             CAST(max(lat) AS BIGINT) AS max_us
+      FROM rk
+    """),
+    doc = "funnel time-to-convert: q125's fold filtered to converters, " +
+      "exact discrete p50/p90 by the row-number device at " +
+      "converting-user cardinality, one row out")
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q125, q130, q131, q152)
 }

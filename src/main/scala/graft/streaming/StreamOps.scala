@@ -1209,6 +1209,66 @@ object StreamOps {
       }.toDF()
   }
 
+  final case class TrendState(h0: Long, next: Long,
+      pending: Map[Long, Long], n: Long, sx: Long, sy: Long, sxy: Long,
+      sxx: Long)
+  final case class TrendRow(event_type: String, n_buckets: Long,
+      events: Long, slope_e6: Long)
+
+  /** Streaming twin of q150's OLS trend — ONLINE regression: the five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulate per type
+    * as hourly buckets CLOSE (gapfillStream's frontier device decides
+    * closure; the open bucket's count may still grow, so it never
+    * enters the sums), and each micro-batch that closes ≥ 1 bucket
+    * emits the refreshed slope once n ≥ 2 — the live trend line under
+    * the dashboard, recomputed from O(1) state per type, never from
+    * history. x rebases to the type's first observed hour exactly as
+    * the batch operator does, so feeding batch q150's events plus a
+    * flush sentinel reproduces its rows as each type's LAST emission
+    * (pinned by test); a checkpointed restart recovers the sums and
+    * continues the fit.
+    *
+    * Ordering contract and late handling are gapfillStream's verbatim.
+    * `events` columns: (event_type string, hour long).
+    */
+  def trendStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("event_type"), col("hour"))
+      .as[GapEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TrendState, TrendRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ, rows, state) =>
+          val rs = rows.toSeq
+          val st = state.getOption.getOrElse(
+            TrendState(-1L, -1L, Map.empty, 0L, 0L, 0L, 0L, 0L))
+          val h0 = if (st.h0 >= 0L) st.h0 else rs.map(_.hour).min
+          val origin = if (st.next >= 0L) st.next else h0
+          var pending = st.pending
+          rs.foreach { r =>
+            if (r.hour >= origin)
+              pending = pending.updated(r.hour,
+                pending.getOrElse(r.hour, 0L) + 1L)
+          }
+          val frontier = pending.keys.foldLeft(origin)(math.max)
+          var (n, sx, sy, sxy, sxx) = (st.n, st.sx, st.sy, st.sxy, st.sxx)
+          var closed = false
+          pending.keys.filter(_ < frontier).toSeq.sorted.foreach { h =>
+            val (x, y) = (h - h0, pending(h))
+            n += 1; sx += x; sy += y; sxy += x * y; sxx += x * x
+            closed = true
+          }
+          state.update(TrendState(h0, frontier,
+            pending.filter(_._1 >= frontier), n, sx, sy, sxy, sxx))
+          if (closed && n >= 2)
+            Iterator.single(TrendRow(typ, n, sy,
+              (n * sxy - sx * sy) * 1000000L / (n * sxx - sx * sx)))
+          else Iterator.empty
+      }.toDF()
+  }
+
   final case class ZIncRow(file_id: Long, event_id: Long)
   final case class ZMaintState(cnt: Long)
   final case class ZMaintReport(file_id: Long, n_base: Long, n_inc: Long,

@@ -968,6 +968,59 @@ class StreamRestartSpec extends SparkSpec {
       "recovered walks must continue across the restart boundary")
   }
 
+  test("online-OLS sufficient statistics survive a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import spark.implicits._
+    val in = Files.createTempDirectory("trend-in").toString
+    val out = Files.createTempDirectory("trend-out").toString
+    val ckpt = Files.createTempDirectory("trend-ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)].collect().toSeq
+      .map { case (t, us) => (t, us / 3600000000L) }
+      .sortBy(_._2)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("hour", LongType)))
+    def startQuery() = StreamOps.trendStream(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rows: Seq[(String, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("trend-tmp").toString
+      rows.toDF("event_type", "hour").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val hiOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // lost sums would restart the fit mid-series: run-2's final slope
+    // would fit only the second half (wrong h0, wrong n)
+    land(b2 ++ hiOf.toSeq.map { case (t, hi) => (t, hi + 2L) },
+      "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .as[(String, Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSeq
+      .sortBy(_._1)
+    val batch = graft.queries.Catalog.queries("q150_trend_slope")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    graft.ops.CacheScope.drain()
+    assert(got === batch,
+      "recovered sums must continue the fit across the restart")
+  }
+
   test("burst trailing ring survives a checkpointed restart") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.{col, unix_micros}

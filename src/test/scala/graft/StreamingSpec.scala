@@ -889,6 +889,40 @@ class StreamingSpec extends SparkSpec {
         "folded live deltas must equal the batch matrix")
     } finally q.stop()
   }
+  test("streaming online OLS converges to batch q150 as buckets close") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)].collect().toSeq
+      .map { case (t, us) => (t, us / 3600000000L) }
+      .sortBy(_._2)
+    val ms = MemoryStream[(String, Long)]
+    val q = StreamOps.trendStream(ms.toDF.toDF("event_type", "hour"))
+      .writeStream.format("memory").queryName("t_trend")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      val hiOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      ms.addData(hiOf.toSeq.map { case (t, hi) => (t, hi + 2L) })
+      q.processAllAvailable()
+      // the LAST emission per type (largest n_buckets) is the full fit
+      val got = spark.table("t_trend")
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSeq
+        .sortBy(_._1)
+      val batch = graft.queries.Catalog.queries("q150_trend_slope")(spark, sf)
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .sortBy(_._1)
+      graft.ops.CacheScope.drain()
+      assert(got === batch,
+        "the online fit's final emission must equal the batch OLS")
+    } finally q.stop()
+  }
   test("streaming burst detection reproduces batch q134 alerts as " +
     "buckets close") {
     implicit val ctx = spark.sqlContext
