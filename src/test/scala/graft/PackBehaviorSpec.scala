@@ -445,6 +445,55 @@ class PackBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q137/q148 fuzz: random sparse activity matches the set " +
+    "recounts (single-week users, gap weeks, lone days)") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 3271)
+      val base = 1700000000000000L
+      val evs = (0 until 120).map { i =>
+        // sparse: clustered days with gaps, some users appear once
+        val day = rnd.nextInt(40) + (if (rnd.nextBoolean()) 60 else 0)
+        (i.toLong, rnd.nextInt(12).toLong, "view",
+          base + day.toLong * 86400000000L +
+            rnd.nextInt(86400).toLong * 1000000L)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"beh-fuzz-$seed").toString
+      evs.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      // q137 churn recount
+      val gotC = Catalog.queries("q137_weekly_churn")(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      graft.ops.CacheScope.drain()
+      val uw = evs.map(e => (e._2, e._4 / 604800000000L)).distinct
+      val byWk = uw.groupBy(_._2)
+      val mx = uw.map(_._2).max
+      val expC = byWk.toSeq.filter(_._1 < mx).map { case (wk, g) =>
+        val users = g.map(_._1)
+        val next = byWk.getOrElse(wk + 1, Seq.empty).map(_._1).toSet
+        val ch = users.count(u => !next.contains(u)).toLong
+        (wk, users.size.toLong, ch, ch * 10000L / users.size)
+      }.sortBy(_._1)
+      assert(gotC === expC, s"seed $seed churn diverged")
+      // q148 DAU/WAU recount
+      val gotA = Catalog.queries("q148_rolling_active")(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      graft.ops.CacheScope.drain()
+      val ud = evs.map(e => (e._2, e._4 / 86400000000L)).distinct
+      val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      val expA = byDay.keys.toSeq.sorted.map { d =>
+        val dau = byDay(d).size.toLong
+        val wau = (d - 6 to d).flatMap(byDay.get).flatten.toSet.size.toLong
+        (d, dau, wau, dau * 10000L / wau)
+      }
+      assert(gotA === expA, s"seed $seed actives diverged")
+    }
+  }
+
   test("q136: nation shares sum to ~10000 bp per region-year and " +
     "revenue re-derives from raw rows") {
     val got = Catalog.queries("q136_market_share")(spark, sf)

@@ -1461,6 +1461,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("q152: one cached converter frame; percentile rank reads the " +
+    "cache; funnel fold shuffles user-keyed once") {
+    val p = plan("q152_funnel_latency")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the converter latency frame cached")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"count and the ranked pass must both read the cache:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"the 1-row count rides a broadcast cross join:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
