@@ -541,6 +541,14 @@ object PackJoin {
     * Plan shape: q128's — one fact shuffle, broadcast dim hops, the
     * Expand multiplies the PRE-AGGREGATED stream (partial aggregation
     * below the exchange), never the raw fact rows.
+    *
+    * Stage economics (`tools/ProfileQ146`, sf0.1, steady-state): the
+    * bare star join is the floor at ~1.0 s (600k-row probe against the
+    * 150k-row broadcast orders build); the flat aggregation, the CUBE's
+    * Expand, and the exact-decimal sum together add ~0.3–0.8 s and are
+    * within noise of each other — i.e. the in-catalog ~2.3 s for this
+    * pair is join-scan-bound, not grouping-sets-bound, and the join is
+    * already the minimal one-pass shape.
     */
   private val q146 = Q(
     "q146_revenue_cube",
