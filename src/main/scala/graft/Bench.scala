@@ -17,9 +17,14 @@ object Bench {
     // 100 TB deployment runs with it; SURVEY §6 records the on/off
     // delta). SPARK_GRAFT_AQE=false reproduces the static-plan run.
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    // SPARK_GRAFT_SHUFFLE decouples partition count from thread count
+    // for the robustness experiment (SURVEY §6): a 1000-executor
+    // deployment runs thousands of shuffle partitions, so the catalog
+    // must not be tuned to partitions == cores.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", aqe)
