@@ -80,4 +80,80 @@ class PackPipelineSpec extends SparkSpec {
       got.foreach { case (comp, keep, _, _) => assert(keep >= comp) }
     } finally graft.ops.CacheScope.drain()
   }
+
+  test("q78 fuzz: planted near-dup families collapse to one argmax " +
+    "survivor each; distinct docs stay singletons (3 seeds)") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 8887)
+      // tokens must differ within their FIRST 8 chars: the fingerprint
+      // kernel hashes min(len, 8) leading chars (PolyHashExprs), so a
+      // shared long prefix would degenerate every gram hash to one
+      // value and the >= 2-shared-fingerprints candidate gate could
+      // never pass — the fuzz must test the pipeline, not the prefix
+      // families over DISJOINT vocab slices: base doc of 60 unique
+      // words; each copy edits exactly ONE word (4-gram Jaccard vs base
+      // >= 53/61 ~ 0.87 - a safe margin over the 0.8 gate), so the
+      // family connects transitively THROUGH the base even where
+      // copy-copy edges fall below the gate - the property composing
+      // CC over verified edges adds and a pairwise check cannot see
+      var nextId = 0L
+      def id() = { nextId += 1; nextId }
+      val families = (0 until 3).map { f =>
+        val sizes = Seq(2, 3, 4)(f)
+        val base = (0 until 60).map(i => s"w$i" + s"f$f" + s"s$seed")
+        val baseId = id()
+        val members = Seq((baseId, base.mkString(" "))) ++
+          (1 until sizes).map { c =>
+            val pos = 5 + rnd.nextInt(50)
+            // one copy per family repeats an existing word instead of
+            // introducing a fresh one: its distinct-token score drops
+            // below the others, exercising the argmax (not min-id) pick
+            val edit = if (c == 1) base((pos + 7) % 60)
+              else s"e$c" + s"f$f" + s"s$seed"
+            (id(), base.updated(pos, edit).mkString(" "))
+          }
+        members
+      }
+      val distinctDocs = (0 until 6).map { k =>
+        (id(), (0 until 40).map(i => s"u$i" + s"k$k" + s"s$seed").mkString(" "))
+      }
+      val shortDocs = (0 until 2).map { k =>
+        (id(), s"tiny${seed}doc$k only three words")
+      }
+      val docs = families.flatten ++ distinctDocs ++ shortDocs
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"q78-fuzz-$seed").toString
+      docs.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("s0").as("source"), length(col("text")).as("n_chars"))
+        .write.parquet(s"$dir/documents.parquet")
+      val got = Catalog.queries("q78_dedup_pipeline")(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      graft.ops.CacheScope.drain()
+      def score(text: String): Long = {
+        val ws = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        ws.distinct.length.toLong * 10000L / math.max(ws.length, 1)
+      }
+      // every doc appears in exactly one cluster row
+      assert(got.map(_._4).sum === docs.size.toLong,
+        s"seed $seed: membership must partition the corpus")
+      families.foreach { members =>
+        val ids = members.map(_._1).toSet
+        val row = got.find(r => r._1 == ids.min)
+          .getOrElse(fail(s"seed $seed: family ${ids.min} missing"))
+        assert(row._4 === ids.size.toLong,
+          s"seed $seed: family ${ids.min} must collapse whole")
+        val expectKeep = members.map { case (i, t) => (i, score(t)) }
+          .minBy { case (i, sc) => (-sc, i) }
+        assert(row._2 === expectKeep._1 && row._3 === expectKeep._2,
+          s"seed $seed: family ${ids.min} survivor must be the argmax")
+      }
+      (distinctDocs ++ shortDocs).foreach { case (i, _) =>
+        val row = got.find(_._1 == i)
+          .getOrElse(fail(s"seed $seed: singleton $i missing"))
+        assert(row._2 === i && row._4 === 1L,
+          s"seed $seed: distinct doc $i must survive as its own cluster")
+      }
+    }
+  }
 }
