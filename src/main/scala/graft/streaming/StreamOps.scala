@@ -1209,6 +1209,48 @@ object StreamOps {
       }.toDF()
   }
 
+  /** STREAM-STREAM interval join — the attribution pair feed under
+    * q147: purchases and touches arrive as two live streams, and every
+    * (purchase, preceding-touch-within-30-min) pair emits the moment
+    * both sides exist. This is the one streaming-join class the rest
+    * of the catalog's twins don't exercise (they are stateful folds or
+    * stream-STATIC probes): both sides carry event-time watermarks and
+    * the join condition is time-bounded in both directions, which is
+    * exactly what lets Spark expire join state — without the interval
+    * bound the touch buffer would grow forever. Inner-join semantics
+    * emit eagerly (no flush needed); the last-touch argmax is the
+    * consumer's fold (the test pins pairs→argmax ≡ batch q147's
+    * attributed rows), because collapsing to the winner inside the
+    * stream would need a second stateful stage that append-mode
+    * stream-stream joins cannot chain — a real pipeline lands the
+    * pairs and lets the mart fold them, so the operator models that.
+    *
+    * `purchases` columns: (user_id long, event_id long, us long);
+    * `touches` columns: (user_id long, event_id long, event_type
+    * string, us long).
+    */
+  def touchPairsStream(purchases: DataFrame, touches: DataFrame)
+      : DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        timestamp_micros(col("us")).as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val t = touches
+      .select(col("user_id").as("t_user"),
+        col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"),
+        timestamp_micros(col("us")).as("t_ts"))
+      .withWatermark("t_ts", "1 hour")
+    p.join(t,
+        col("user_id") === col("t_user") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("user_id"),
+        col("touch_id"), col("touch_type"),
+        unix_micros(col("p_ts")).as("p_us"),
+        unix_micros(col("t_ts")).as("t_us"))
+  }
+
   final case class TrendState(h0: Long, next: Long,
       pending: Map[Long, Long], n: Long, sx: Long, sy: Long, sxy: Long,
       sxx: Long)

@@ -889,6 +889,56 @@ class StreamingSpec extends SparkSpec {
         "folded live deltas must equal the batch matrix")
     } finally q.stop()
   }
+  test("stream-stream interval join: attribution pairs fold to batch " +
+    "q147's attributed channels") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+      .sortBy(_._4)
+    val purchases = ev.filter(_._3 == "purchase")
+      .map(e => (e._1, e._2, e._4))
+    val touches = ev.filter(e => e._3 == "view" || e._3 == "click")
+      .map(e => (e._1, e._2, e._3, e._4))
+    val mp = MemoryStream[(Long, Long, Long)]
+    val mt = MemoryStream[(Long, Long, String, Long)]
+    val q = StreamOps.touchPairsStream(
+        mp.toDF.toDF("user_id", "event_id", "us"),
+        mt.toDF.toDF("user_id", "event_id", "event_type", "us"))
+      .writeStream.format("memory").queryName("t_pairs")
+      .outputMode("append").start()
+    try {
+      // both streams advance together in time order (two micro-batches)
+      mp.addData(purchases.take(purchases.size / 2))
+      mt.addData(touches.take(touches.size / 2))
+      q.processAllAvailable()
+      mp.addData(purchases.drop(purchases.size / 2))
+      mt.addData(touches.drop(touches.size / 2))
+      q.processAllAvailable()
+      val pairs = spark.table("t_pairs")
+        .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+      // last-touch fold over the pairs: argmax (t_us, touch_id)
+      val credits = pairs.groupBy(_._1).values
+        .map(_.maxBy(r => (r._6, r._3))._4).toSeq
+      val got = credits.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val batch = graft.queries.Catalog
+        .queries("q147_attribution")(spark, sf)
+        .as[(String, Long, Long)].collect().toSeq
+        .filter(_._1 != "none").map(r => (r._1, r._2)).sortBy(_._1)
+      graft.ops.CacheScope.drain()
+      assert(got === batch,
+        "pairs folded to last-touch must equal q147's attributed rows")
+      // the pair feed covers every credited purchase (it is the
+      // superset the consumer folds; at this SF purchases happen to
+      // have exactly one qualifying touch each)
+      assert(credits.nonEmpty && pairs.size >= credits.size)
+    } finally q.stop()
+  }
   test("streaming online OLS converges to batch q150 as buckets close") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
