@@ -968,6 +968,72 @@ class StreamRestartSpec extends SparkSpec {
       "recovered walks must continue across the restart boundary")
   }
 
+  test("stream-stream join buffers survive a checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import spark.implicits._
+    val inP = Files.createTempDirectory("ssj-p").toString
+    val inT = Files.createTempDirectory("ssj-t").toString
+    val out = Files.createTempDirectory("ssj-out").toString
+    val ckpt = Files.createTempDirectory("ssj-ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+      .sortBy(_._4)
+    val purchases = ev.filter(_._3 == "purchase").map(e => (e._1, e._2, e._4))
+    val touches = ev.filter(e => e._3 == "view" || e._3 == "click")
+      .map(e => (e._1, e._2, e._3, e._4))
+    val pSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("us", LongType)))
+    val tSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("us", LongType)))
+    def startQuery() = StreamOps.touchPairsStream(
+        spark.readStream.schema(pSchema).parquet(inP),
+        spark.readStream.schema(tSchema).parquet(inT))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land[A <: Product : org.apache.spark.sql.Encoder](
+        rows: Seq[A], dir: String, cols: Seq[String], name: String): Unit = {
+      val tmp = Files.createTempDirectory("ssj-tmp").toString
+      rows.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(dir, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // run 1: HALF the touches and ALL purchases — cross-run pairs only
+    // exist if the buffered purchase rows survive the restart
+    land(purchases, inP, Seq("user_id", "event_id", "us"), "b1.parquet")
+    land(touches.take(touches.size / 2), inT,
+      Seq("user_id", "event_id", "event_type", "us"), "b1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    land(touches.drop(touches.size / 2), inT,
+      Seq("user_id", "event_id", "event_type", "us"), "b2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val pairs = spark.read.parquet(out)
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+    assert(pairs.groupBy(r => (r._1, r._3)).values.forall(_.size == 1),
+      "a recovered buffer must never re-emit a pair")
+    val credits = pairs.groupBy(_._1).values
+      .map(_.maxBy(r => (r._6, r._3))._4).toSeq
+    val got = credits.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val batch = graft.queries.Catalog
+      .queries("q147_attribution")(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+      .filter(_._1 != "none").map(r => (r._1, r._2)).sortBy(_._1)
+    graft.ops.CacheScope.drain()
+    assert(got === batch,
+      "pairs matched across the restart must complete the credit")
+  }
+
   test("online-OLS sufficient statistics survive a checkpointed restart") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.{col, unix_micros}
