@@ -598,5 +598,104 @@ object PackLayout {
       "HOF assignment), per-file growth + split flags — base never " +
       "re-sorts")
 
-  val all: Seq[Q] = Seq(q116, q118, q119, q120, q121, q124)
+  /** q153 — data-SKIPPING effectiveness audit (round 15): q116 builds
+    * the z-order layout and asserts its pruning claim in a spec; this
+    * query puts the claim in the CATALOG as data, against the honest
+    * alternative. Two layouts over the same events — the Morton-curve
+    * files (q116's) and a time-RANGE-partitioned layout (equal time
+    * spans, the default every ingest pipeline starts with) — each
+    * reduced to per-file min/max ranges on BOTH dimensions (exactly the
+    * parquet/Iceberg footer stats a scan planner reads), and for each
+    * (layout, dimension) the average number of files a point lookup
+    * must touch, over every bucket value of that dimension. The
+    * expected shape IS the z-order argument: the time layout reads ~1
+    * file per time lookup but nearly ALL files per user lookup, while
+    * z-order reads ~√F on both — the audit a table owner runs before
+    * choosing OPTIMIZE ZORDER.
+    *
+    * Plan shape: the z side reuses zAssigned's cached bucket frame
+    * (F-row file stats); the time side is a STATELESS projection (range
+    * partitioning needs no rank — that's its virtue) folding to F rows;
+    * the probe is a generate of B=64 values against the ≤ 2F-row stats
+    * union — everything after the two folds is constant-sized.
+    */
+  private val q153 = Q(
+    "q153_skipping_audit",
+    (s, d) => {
+      val (assigned, _) = zAssigned(s, d)
+      val zf = assigned.groupBy("file_id")
+        .agg(min("xb").as("min_x"), max("xb").as("max_x"),
+          min("yb").as("min_y"), max("yb").as("max_y"))
+        .withColumn("layout", lit("zorder"))
+      val ev = evFrame(s, d)
+      val lin = ev.crossJoin(broadcast(evStats(ev)))
+        .select(
+          expr(s"(us - t_lo) * $F div (t_hi - t_lo + 1)").as("file_id"),
+          expr(s"(user_id - u_lo) * $B div (u_hi - u_lo + 1)").as("xb"),
+          expr(s"(us - t_lo) * $B div (t_hi - t_lo + 1)").as("yb"))
+        .groupBy("file_id")
+        .agg(min("xb").as("min_x"), max("xb").as("max_x"),
+          min("yb").as("min_y"), max("yb").as("max_y"))
+        .withColumn("layout", lit("time_range"))
+      val probes = zf.unionByName(lin)
+        .crossJoin(broadcast(
+          s.range(B).select(col("id").as("v"))))
+        .select(col("layout"), expr(
+          "stack(2, 'user_id', CASE WHEN v BETWEEN min_x AND max_x " +
+            "THEN 1L ELSE 0L END, " +
+            "'ts', CASE WHEN v BETWEEN min_y AND max_y " +
+            "THEN 1L ELSE 0L END)")
+          .as(Seq("dim", "touched")))
+      val nf = zf.unionByName(lin).groupBy("layout")
+        .agg(count(lit(1)).as("n_files"))
+      probes.groupBy("layout", "dim")
+        .agg(sum("touched").as("file_probes"))
+        .join(broadcast(nf), "layout")
+        .select(col("layout"), col("dim"), col("n_files"),
+          expr(s"file_probes * 100 div $B").as("avg_files_touched_e2"))
+        .orderBy("layout", "dim")
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_id, user_id, epoch_us(cast(ts AS TIMESTAMP)) AS us FROM events),
+      st AS (SELECT min(user_id) u_lo, max(user_id) u_hi, min(us) t_lo, max(us) t_hi FROM ev),
+      b AS (SELECT event_id,
+              (user_id - u_lo) * $B // (u_hi - u_lo + 1) AS xb,
+              (us - t_lo) * $B // (t_hi - t_lo + 1) AS yb,
+              (us - t_lo) * $F // (t_hi - t_lo + 1) AS lfile
+            FROM ev CROSS JOIN st),
+      z AS (SELECT event_id, xb, yb, ${mortonSql("xb", "yb")} AS z FROM b),
+      rn AS (SELECT xb, yb,
+               (row_number() OVER (ORDER BY z, event_id) - 1)
+                 * $F // (SELECT count(*) FROM z) AS file_id
+             FROM z),
+      zf AS (SELECT 'zorder' AS layout, file_id, min(xb) AS min_x,
+               max(xb) AS max_x, min(yb) AS min_y, max(yb) AS max_y
+             FROM rn GROUP BY file_id),
+      lf AS (SELECT 'time_range' AS layout, lfile AS file_id,
+               min(xb) AS min_x, max(xb) AS max_x,
+               min(yb) AS min_y, max(yb) AS max_y
+             FROM b GROUP BY lfile),
+      u AS (SELECT * FROM zf UNION ALL SELECT * FROM lf),
+      vals AS (SELECT unnest(range(0, $B)) AS v),
+      pr AS (SELECT layout, 'user_id' AS dim,
+               CASE WHEN v BETWEEN min_x AND max_x THEN 1 ELSE 0 END AS touched
+             FROM u CROSS JOIN vals
+             UNION ALL
+             SELECT layout, 'ts',
+               CASE WHEN v BETWEEN min_y AND max_y THEN 1 ELSE 0 END
+             FROM u CROSS JOIN vals),
+      nf AS (SELECT layout, count(*) AS n_files FROM u GROUP BY layout)
+      SELECT pr.layout, pr.dim, nf.n_files,
+             CAST(sum(pr.touched) AS BIGINT) * 100 // $B
+               AS avg_files_touched_e2
+      FROM pr JOIN nf USING (layout)
+      GROUP BY pr.layout, pr.dim, nf.n_files
+      ORDER BY layout, dim
+    """),
+    doc = "data-skipping effectiveness as data: per-file min/max stats " +
+      "for the z-order vs time-range layouts, average files touched " +
+      "per point lookup on each dimension — the OPTIMIZE ZORDER " +
+      "decision input")
+
+  val all: Seq[Q] = Seq(q116, q118, q119, q120, q121, q124, q153)
 }

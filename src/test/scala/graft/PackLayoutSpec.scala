@@ -249,4 +249,30 @@ class PackLayoutSpec extends SparkSpec {
     val p50 = got.head.getLong(7)
     assert(cnts.head >= p50, "top hitter at least the median by definition")
   }
+
+  test("q153: the audit reads the textbook trade-off — time layout " +
+    "perfect on ts / full-scan on user, z-order balanced near sqrt(F)") {
+    val got = Catalog.queries("q153_skipping_audit")(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    graft.ops.CacheScope.drain()
+    val F = 16L
+    // time-range: every ts point lookup touches exactly one file
+    // (equal-span partitioning aligns bucket and file boundaries);
+    // a user_id lookup touches nearly every file - "nearly" because a
+    // sparse small-SF file can miss extreme user buckets entirely
+    assert(got(("time_range", "ts"))._2 === 100L)
+    val tru = got(("time_range", "user_id"))._2
+    assert(tru >= F * 80L, s"time layout must near-full-scan on user: $tru")
+    // z-order: both dims prune (strictly better than full scan,
+    // necessarily worse than the perfectly-aligned dim) and the two
+    // dims are BALANCED - neither costs 2x the other
+    val zx = got(("zorder", "user_id"))._2
+    val zy = got(("zorder", "ts"))._2
+    assert(zx > 100L && zx < tru, s"z user_id pruning: $zx vs $tru")
+    assert(zy > 100L && zy < F * 100L, s"z ts pruning: $zy")
+    assert(math.max(zx, zy) < 2 * math.min(zx, zy),
+      s"z dims must be balanced: $zx vs $zy")
+    assert(got.values.forall(_._1 === F))
+  }
 }

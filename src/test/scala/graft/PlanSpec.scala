@@ -1474,6 +1474,21 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q153: z side reuses the one cached bucket frame; time side is " +
+    "stateless; probes are constant-sized") {
+    val p = plan("q153_skipping_audit")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly zAssigned's bucket frame cached (q116's)")
+      // the time-range layout needs NO rank and NO window — range
+      // partitioning is a stateless projection, which is its virtue
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"probe values and file counts ride broadcasts:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"the z file stats must fold off the cache:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
