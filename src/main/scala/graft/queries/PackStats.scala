@@ -545,5 +545,74 @@ object PackStats {
       "customer fold, nation-partitioned rank window, 2-sum fold — " +
       "the revenue-concentration readout")
 
-  val all: Seq[Q] = Seq(q126, q127, q129, q133, q149, q151)
+  /** q156 — order-to-ship latency SLA per priority (round 15): per
+    * order priority, line count and exact p50/p90/max shipping latency
+    * in days. The percentile device here is the SCALABLE one — q119's
+    * rank window sorts the value frame, which is fine post-aggregation
+    * but wrong on raw fact rows (a priority-partitioned rank would put
+    * a fifth of the fact table through each of five tasks); instead the
+    * fact folds ONCE to a (priority, lat_days) HISTOGRAM — bounded by
+    * the latency domain (~hundreds of days), whatever the fact count —
+    * and the exact percentile reads off the cumulative histogram:
+    * p(q) = smallest day with cum ≥ ⌈q·n⌉. Same exact answer, state
+    * bounded by the AXIS, not the data — the device q154's scaladoc
+    * points at.
+    *
+    * Plan shape: one fact-sized fold (map-side partials on the tiny
+    * key space), a priority-partitioned cumulative window over the
+    * ≤ |priorities|·|days| frame, per-priority totals broadcast back,
+    * one readout fold.
+    */
+  private val q156 = Q(
+    "q156_ship_latency",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = graft.ops.CacheScope.persisted(
+        Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+          .join(Tables.orders(s, d)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("priority"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+              .as("lat"))
+          .groupBy("priority", "lat").agg(count(lit(1)).as("c")))
+      val totals = hist.groupBy("priority").agg(sum("c").as("n"))
+      hist
+        .withColumn("cum", sum("c").over(Window.partitionBy("priority")
+          .orderBy("lat").rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(totals), "priority")
+        .groupBy("priority")
+        .agg(max("n").as("n_lines"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("lat")))
+            .as("p50_days"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("lat")))
+            .as("p90_days"),
+          max("lat").as("max_days"))
+        .orderBy("priority")
+    },
+    Some("""
+      WITH j AS (SELECT o.o_orderpriority AS priority,
+               date_diff('day', cast(o.o_orderdate AS DATE),
+                 cast(l.l_shipdate AS DATE)) AS lat
+             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      h AS (SELECT priority, lat, count(*) AS c FROM j GROUP BY 1, 2),
+      t AS (SELECT priority, CAST(sum(c) AS BIGINT) AS n FROM h
+            GROUP BY priority),
+      cw AS (SELECT h.priority, h.lat, t.n,
+               CAST(sum(h.c) OVER (PARTITION BY h.priority ORDER BY h.lat
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             FROM h JOIN t USING (priority))
+      SELECT priority, max(n) AS n_lines,
+             CAST(min(CASE WHEN cum * 100 >= n * 50 THEN lat END)
+               AS BIGINT) AS p50_days,
+             CAST(min(CASE WHEN cum * 100 >= n * 90 THEN lat END)
+               AS BIGINT) AS p90_days,
+             CAST(max(lat) AS BIGINT) AS max_days
+      FROM cw GROUP BY priority ORDER BY priority
+    """),
+    doc = "ship-latency SLA per priority: exact p50/p90 read off a " +
+      "bounded (priority, day) cumulative histogram — one fact fold, " +
+      "axis-sized state, never a fact-partitioned rank")
+
+  val all: Seq[Q] = Seq(q126, q127, q129, q133, q149, q151, q156)
 }

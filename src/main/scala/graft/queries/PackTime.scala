@@ -367,5 +367,131 @@ object PackTime {
       "exact discrete p50/p90 by the row-number device at " +
       "converting-user cardinality, one row out")
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q125, q130, q131, q152)
+  /** q154 — session-depth distribution (round 15): q23 aggregates each
+    * session; this rolls the sessions themselves up — per session DEPTH
+    * (event count), how many sessions exist and their total/min/max
+    * duration. The engagement histogram ("how deep do visits go")
+    * behind every bounce-rate number, and the empirical input q23's
+    * 30-minute gap constant is tuned against.
+    *
+    * Plan shape: the standard sessionize — TWO user-partitioned windows
+    * (lag for gap flags, running sum for session ids; partitions
+    * bounded by per-user activity), a (user, session) fold, then a
+    * DEPTH-cardinality fold. Per-depth duration stats are sum/min/max
+    * only — mergeable folds; a median here would need per-depth value
+    * lists, which is exactly the unbounded state this catalog refuses
+    * (q156 shows the bounded-histogram percentile device instead).
+    */
+  private val q154 = Q(
+    "q154_session_depth",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val G = 1800000000L // 30 min, q23's gap
+      val wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sessions = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag("us", 1).over(wu))
+        .withColumn("brk",
+          when(col("prev").isNull || col("us") - col("prev") >= G, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          wu.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("depth"),
+          (max("us") - min("us")).as("dur_us"))
+      sessions.groupBy("depth")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("dur_us").as("total_dur_us"),
+          min("dur_us").as("min_dur_us"),
+          max("dur_us").as("max_dur_us"))
+        .orderBy("depth")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id,
+               epoch_us(cast(ts AS TIMESTAMP)) AS us FROM events),
+      l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS prev FROM e),
+      g AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev >= 1800000000
+              THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+            FROM l),
+      sess AS (SELECT user_id, sid, count(*) AS depth,
+                 max(us) - min(us) AS dur_us
+               FROM g GROUP BY user_id, sid)
+      SELECT depth, count(*) AS n_sessions,
+             CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+             CAST(min(dur_us) AS BIGINT) AS min_dur_us,
+             CAST(max(dur_us) AS BIGINT) AS max_dur_us
+      FROM sess GROUP BY depth ORDER BY depth
+    """),
+    doc = "session-depth histogram: two user-partitioned windows " +
+      "(bounded partitions), session fold, depth-cardinality roll-up " +
+      "with mergeable duration stats")
+
+  /** q155 — top event paths (round 15): the most common 3-step
+    * event-type sequences across users, in (us, event_id) order —
+    * q132's matrix extended one step, which is the difference between
+    * "what follows a click" and "what JOURNEY converts". Top-10 by
+    * count with each row carrying the total path mass (q142's
+    * report-as-one-frame convention).
+    *
+    * Plan shape: q132's — ONE user-keyed fold, trigrams by an array
+    * HOF, a path-string fold (cardinality ≤ |types|³), literal top-10
+    * riding TakeOrderedAndProject over the cached path frame, 1-row
+    * totals broadcast.
+    */
+  private val q155 = Q(
+    "q155_top_paths",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val paths = graft.ops.CacheScope.persisted(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(
+            struct(col("us"), col("event_id"), col("event_type"))))
+            .as("evs"))
+          .filter(size(col("evs")) >= 3)
+          .select(explode(expr(
+            "transform(sequence(1, size(evs) - 2), i -> concat(" +
+              "element_at(evs, i).event_type, '>', " +
+              "element_at(evs, i + 1).event_type, '>', " +
+              "element_at(evs, i + 2).event_type))")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n")))
+      val totals = paths.agg(sum("n").as("total"))
+      paths
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("path"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .crossJoin(broadcast(totals))
+        .select(col("rank"), col("path"), col("n"),
+          expr("n * 10000 div total").as("share_bp"))
+        .orderBy("rank")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) AS us, event_id FROM events),
+      l AS (SELECT event_type AS a,
+              lead(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS b,
+              lead(event_type, 2) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS c
+            FROM e),
+      p AS (SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+            FROM l WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM p),
+      r AS (SELECT path, n,
+              row_number() OVER (ORDER BY n DESC, path) AS rank FROM p)
+      SELECT CAST(rank AS BIGINT) AS rank, path, n,
+             n * 10000 // total AS share_bp
+      FROM r CROSS JOIN t WHERE rank <= 10 ORDER BY rank
+    """),
+    doc = "top-10 3-step event paths: one user-keyed fold, trigram " +
+      "HOF, types^3-bounded path fold cached, literal top-10 + totals " +
+      "broadcast")
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q125, q130, q131, q152, q154,
+    q155)
 }

@@ -494,6 +494,67 @@ class PackBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q154: session depths re-derive from a gaps-and-islands recount") {
+    val got = Catalog.queries("q154_session_depth")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val G = 1800000000L
+    val sessions = events().groupBy(_._2).values.toSeq.flatMap { g =>
+      val times = g.sortBy(e => (e._4, e._1)).map(_._4)
+      val out = scala.collection.mutable.ListBuffer.empty[Seq[Long]]
+      times.foreach { t =>
+        if (out.isEmpty || t - out.last.last >= G)
+          out += Seq(t)
+        else out(out.size - 1) = out.last :+ t
+      }
+      out.toSeq
+    }
+    val expect = sessions.groupBy(_.size.toLong).toSeq
+      .map { case (depth, ss) =>
+        val durs = ss.map(s0 => s0.max - s0.min)
+        (depth, ss.size.toLong, durs.sum, durs.min, durs.max)
+      }.sortBy(_._1)
+    assert(got === expect)
+    // every event lands in exactly one session
+    assert(sessions.map(_.size).sum === events().size)
+  }
+
+  test("q155: top paths re-derive from the trigram recount; shares " +
+    "are consistent") {
+    val got = Catalog.queries("q155_top_paths")(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    val tris = events().groupBy(_._2).values.toSeq.flatMap { g =>
+      val w = g.sortBy(e => (e._4, e._1)).map(_._3)
+      w.sliding(3).filter(_.size == 3).map(_.mkString(">")).toSeq
+    }
+    val counts = tris.groupBy(identity).view.mapValues(_.size.toLong)
+    val total = tris.size.toLong
+    val expect = counts.toSeq.sortBy(p => (-p._2, p._1)).take(10)
+      .zipWithIndex.map { case ((path, n), i) =>
+        (i + 1L, path, n, n * 10000L / total)
+      }
+    assert(got === expect)
+  }
+
+  test("q156: histogram percentiles equal the sorted-latency recount") {
+    val got = Catalog.queries("q156_ship_latency")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    val lat = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val expect = lat.groupBy(_._1).toSeq.map { case (p, g) =>
+      val xs = g.map(_._2).sorted
+      val n = xs.size
+      def pct(q: Int) = xs((n * q + 99) / 100 - 1)
+      (p, n.toLong, pct(50), pct(90), xs.last)
+    }.sortBy(_._1)
+    assert(got === expect)
+  }
+
   test("q136: nation shares sum to ~10000 bp per region-year and " +
     "revenue re-derives from raw rows") {
     val got = Catalog.queries("q136_market_share")(spark, sf)

@@ -1489,6 +1489,46 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q154: sessionize windows partition by user — no global window, " +
+    "no join") {
+    val p = plan("q154_session_depth")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"lag + running sum must partition by user:\n$p")
+    assert(!p.contains("Join"), s"sessionize is window + folds only:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 3,
+      s"user window + session fold + depth fold bound the exchanges:\n$p")
+  }
+
+  test("q155: one cached path fold; literal top-10 rides " +
+    "TakeOrderedAndProject; totals broadcast") {
+    val p = plan("q155_top_paths")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the path-count frame cached")
+      assert(p.contains("TakeOrderedAndProject(limit=10"),
+        s"the top-10 must never globally sort the path frame:\n$p")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"rank and totals must both read the cache:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q156: percentiles read the cached bounded histogram — the " +
+    "cumulative window partitions by priority over the axis frame") {
+    val p = plan("q156_ship_latency")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "expected exactly the (priority, day) histogram cached")
+      assert(p.contains("windowspecdefinition(priority"),
+        s"the cumulative sum must partition by priority:\n$p")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"totals and the cumulative pass must both read the cache:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"per-priority totals broadcast back:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q122: one source-partitioned cumulative window; totals broadcast") {
     val p = plan("q122_weighted_sample")
     assert(p.contains("windowspecdefinition(source"),
