@@ -158,5 +158,135 @@ object PackGraph {
     doc = "per-dup-cluster canonical selection: CC labels + argmax " +
       "quality via min(struct) aggregate, min-id tiebreak")
 
-  val all: Seq[Q] = Seq(q61, q62)
+  /** q160 — degree-ordered triangle counting (round 15): the third
+    * classic distributed-graph computation after CC (q48) and PageRank
+    * (q61) — count the triangles of the user co-occurrence graph and
+    * read off the global clustering coefficient, the standard
+    * community-structure diagnostic for a behavioral graph.
+    *
+    * Graph construction: users co-occurring in ≥ 3 shared (event_type,
+    * hour) buckets share an edge — the association-rule SUPPORT
+    * threshold, and it is load-bearing twice over: semantically, a
+    * single shared bucket is coincidence, not affinity; structurally,
+    * the unthresholded graph DENSIFIES with scale (at sf0.1 it reaches
+    * 70% of complete — 789k edges on 1,500 users, 833M wedges — and a
+    * dense graph makes ANY triangle algorithm cubic; measured 62 s
+    * before the threshold, 1361 triangles on 137k edges after).
+    * Buckets are DISTINCT-membered and capped at 50 users (the q66
+    * blocking bound — a celebrity bucket would otherwise emit C(n,2)
+    * pairs; at 100 TB the cap drops the degenerate buckets a
+    * co-occurrence definition never meant to connect). Pairs come from
+    * the bounded combinations HOF (q121's device), folded to support
+    * counts in the same exchange the dedup would have cost.
+    *
+    * Plan shape — the part that holds at scale: the naive triangle
+    * join (E⋈E⋈E) explodes on high-degree hubs (a degree-d vertex
+    * contributes d² wedges). The standard fix is DEGREE ORIENTATION
+    * (Schank's algorithm): orient every edge from its lower-(degree,
+    * id) endpoint to the higher, so each out-neighborhood is bounded
+    * by O(√m) and each triangle is counted exactly once — at its
+    * lowest-pair edge, as |out(s) ∩ out(t)| summed over oriented
+    * edges (s→t). The intersection form matters as much as the
+    * orientation: wedges NEVER materialize as rows (the first cut
+    * exploded a wedge-pair HOF and semi-joined it — 27M wedge rows at
+    * sf0.1, 5.7 s; this form joins the edge list against the
+    * out-neighbor arrays twice and intersects two O(√m)-bounded
+    * sorted arrays per edge with a native kernel — edge-cardinality
+    * dataflow end to end). The oracle counts the same triangles via
+    * the orientation-INVARIANT id-ordered 3-way join — independent
+    * mechanism, same count, which is exactly what makes the
+    * orientation device safe to gate.
+    *
+    * Measured (`tools/ProfileQ160`, sf0.1, 137,641 edges, 1.38M
+    * triangles): event distinct ~0.5 s warm, pair explode + support
+    * fold ~1 s (the 1.36M-instance fold is the data-proportional
+    * core), orientation + outN + intersection all sub-second;
+    * end-to-end 1.71 s warm vs the wedge form's 5.7 s and the
+    * unthresholded graph's 62 s.
+    */
+  private val q160 = Q(
+    "q160_triangle_count",
+    (s, d) => {
+      val mem = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"), col("user_id"))
+        .distinct()
+      val edges = graft.ops.CacheScope.persisted(
+        mem.groupBy("event_type", "hr")
+          .agg(array_sort(collect_set(col("user_id"))).as("us"))
+          .filter(size(col("us")).between(2, 50))
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(us) - 1), " +
+              "i -> transform(slice(us, i + 1, size(us) - i), " +
+              "x -> struct(element_at(us, i) AS u, x AS v))))")).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 3)
+          .select("u", "v"))
+      val deg = graft.ops.CacheScope.persisted(
+        edges.select(explode(array(col("u"), col("v"))).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("deg")))
+      val oriented = graft.ops.CacheScope.persisted(edges
+        .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t")))
+            .as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t")))
+      val outN = oriented.groupBy("s")
+        .agg(array_sort(collect_list(col("t"))).as("nbrs"))
+      val tri = oriented
+        .join(outN, "s")
+        .join(outN.select(col("s").as("t"),
+          col("nbrs").as("nbrs_t")), Seq("t"), "left")
+        .agg(coalesce(sum(size(array_intersect(col("nbrs"),
+          coalesce(col("nbrs_t"), array().cast("array<bigint>"))))), lit(0))
+          .cast("long").as("n_triangles"))
+      val vw = deg.agg(count(lit(1)).as("n_vertices"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      vw.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          expr("n_triangles * 3 * 10000 div greatest(n_wedges, 1)")
+            .as("cc_bp"))
+    },
+    Some("""
+      WITH m AS (SELECT DISTINCT event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) // 3600000000 AS hr,
+               user_id
+             FROM events),
+      b AS (SELECT event_type, hr, count(*) AS c FROM m GROUP BY 1, 2),
+      mb AS (SELECT m.event_type, m.hr, m.user_id
+             FROM m JOIN b USING (event_type, hr)
+             WHERE b.c BETWEEN 2 AND 50),
+      e0 AS (SELECT a.user_id AS u, b2.user_id AS v, count(*) AS w
+             FROM mb a JOIN mb b2 ON a.event_type = b2.event_type
+               AND a.hr = b2.hr AND a.user_id < b2.user_id
+             GROUP BY 1, 2),
+      e AS (SELECT u, v FROM e0 WHERE w >= 3),
+      deg AS (SELECT x, count(*) AS d FROM
+                (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+              GROUP BY x),
+      tri AS (SELECT count(*) AS t
+              FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      vw AS (SELECT count(*) AS nv,
+               CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS nw
+             FROM deg),
+      ne AS (SELECT count(*) AS n FROM e)
+      SELECT vw.nv AS n_vertices, ne.n AS n_edges, vw.nw AS n_wedges,
+             CAST(tri.t AS BIGINT) AS n_triangles,
+             tri.t * 3 * 10000 // greatest(vw.nw, 1) AS cc_bp
+      FROM vw CROSS JOIN ne CROSS JOIN tri
+    """),
+    doc = "degree-oriented triangle count + clustering coefficient: " +
+      "capped co-occurrence buckets, lower-(deg,id)->higher " +
+      "orientation, per-source wedge HOF, one closing equi-join; " +
+      "oracle counts via the orientation-invariant id-ordered 3-way " +
+      "join")
+
+  val all: Seq[Q] = Seq(q61, q62, q160)
 }

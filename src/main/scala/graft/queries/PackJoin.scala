@@ -595,6 +595,124 @@ object PackJoin {
       "pre-aggregated stream, both marginals + grand total, " +
       "grouping_id discriminates subtotal rows")
 
+  /** q157 — customer order-count distribution (round 15, the TPC-H Q13
+    * shape): how many customers placed exactly k orders, INCLUDING the
+    * k = 0 customers the inner join would silently drop — the
+    * distribution every retention model is fitted against.
+    *
+    * Plan shape: Q13's reference formulation left-joins the raw orders
+    * table onto customer and counts per customer — a fact-sized join
+    * carrying customer attributes through the shuffle. Here orders
+    * folds FIRST to per-custkey counts (one fact-sized fold with
+    * map-side partials; output is custkey-cardinality), and only that
+    * folded frame left-joins onto the customer keys — both join inputs
+    * are custkey-cardinality, so the join shuffles |customers| rows
+    * instead of |orders|. The zero-preservation is `coalesce(cnt, 0)`
+    * on the outer join. The final histogram fold is k-cardinality
+    * (≤ max orders per customer).
+    */
+  private val q157 = Q(
+    "q157_order_count_dist",
+    (s, d) => {
+      val cnts = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(cnts, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("n_orders").desc)
+    },
+    Some("""
+      WITH oc AS (SELECT o_custkey, count(*) AS cnt FROM orders
+                  GROUP BY o_custkey),
+      pc AS (SELECT c.c_custkey,
+               CAST(COALESCE(oc.cnt, 0) AS BIGINT) AS n_orders
+             FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey)
+      SELECT n_orders, count(*) AS n_customers
+      FROM pc GROUP BY n_orders
+      ORDER BY n_customers DESC, n_orders DESC
+    """),
+    doc = "TPC-H Q13 shape: orders folded to custkey counts BEFORE the " +
+      "outer join, zeros preserved by coalesce, k-cardinality histogram")
+
+  /** q158 — dormant high-balance customers (round 15, the TPC-H Q22
+    * shape): customers whose balance beats the positive-balance average
+    * yet who placed NO order in the final year of the data — per
+    * nation, how many and how much capital sits idle. Q22's two
+    * subquery devices both appear: the scalar aggregate threshold and
+    * the NOT EXISTS (here windowed to the trailing 365 days, because
+    * this dataset gives every customer SOME order — "never ordered"
+    * would gate an empty frame, and an empty frame hash-matches
+    * anything).
+    *
+    * Plan shape: money rides the exact integer-cents device (the
+    * DECIMAL(18,2) cast both engines round identically). The
+    * positive-balance average is a 1-row (sum, count) fold broadcast
+    * back, and the threshold test is the division-free cross-multiply
+    * `bal_cents * n_pos > sum_cents` — integer-exact in both engines,
+    * no float average to disagree over. The dormancy horizon is a
+    * second 1-row broadcast (max orderdate), the recency test rides
+    * integer datediff (no interval arithmetic for engines to disagree
+    * over), and NOT EXISTS is one left-anti join against the
+    * recent-orders custkey projection (unhinted — q138's
+    * broadcast→SMJ degradation posture). Nothing here is fact-sized
+    * except the single anti-join probe of the date-filtered fact
+    * slice — and that filter reaches the scan.
+    */
+  private val q158 = Q(
+    "q158_dormant_rich",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)")
+            .as("bal_cents"))
+      val thr = cust.filter(col("bal_cents") > 0)
+        .agg(sum("bal_cents").as("sum_cents"),
+          count(lit(1)).as("n_pos"))
+      val mx = Tables.orders(s, d).agg(max("o_orderdate").as("mo"))
+      val recent = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"))
+        .crossJoin(broadcast(mx))
+        .filter(datediff(col("mo"), col("o_orderdate")) < 365)
+        .select(col("o_custkey"))
+      cust
+        .crossJoin(broadcast(thr))
+        .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nationkey"),
+            col("n_name").as("nation"))), "c_nationkey")
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_custs"),
+          sum("bal_cents").as("total_cents"))
+        .orderBy("nation")
+    },
+    Some("""
+      WITH c AS (SELECT c_custkey, c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS bal_cents
+             FROM customer),
+      t AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+               count(*) AS n_pos
+            FROM c WHERE bal_cents > 0),
+      mx AS (SELECT max(o_orderdate) AS mo FROM orders)
+      SELECT n.n_name AS nation, count(*) AS n_custs,
+             CAST(sum(c.bal_cents) AS BIGINT) AS total_cents
+      FROM c CROSS JOIN t CROSS JOIN mx
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.bal_cents * t.n_pos > t.sum_cents
+        AND NOT EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              AND date_diff('day', cast(o.o_orderdate AS DATE),
+                    cast(mx.mo AS DATE)) < 365)
+      GROUP BY n.n_name ORDER BY nation
+    """),
+    doc = "TPC-H Q22 shape: 1-row threshold + horizon folds broadcast, " +
+      "division-free integer compare, integer-datediff recency, " +
+      "left-anti NOT EXISTS on the date-filtered fact slice")
+
   val all: Seq[Q] = Seq(q13, q17, q18, q19, q128, q136, q138, q139,
-    q141, q143, q144, q146)
+    q141, q143, q144, q146, q157, q158)
 }

@@ -614,5 +614,113 @@ object PackStats {
       "bounded (priority, day) cumulative histogram — one fact fold, " +
       "axis-sized state, never a fact-partitioned rank")
 
-  val all: Seq[Q] = Seq(q126, q127, q129, q133, q149, q151, q156)
+  /** q159 — declarative constraint audit (round 15): the data-validation
+    * gate (the Deequ/Great-Expectations shape) a 100 TB ingest runs
+    * BEFORE training ever sees a shard — a set of declared constraints
+    * over orders (row-count floor, key uniqueness, completeness, range,
+    * domain membership, regex pattern, and one deliberately strict
+    * price floor that FAILS on this data so the report exercises both
+    * verdict branches), evaluated in a fixed number of passes and
+    * emitted as one (check, observed, pass) frame.
+    *
+    * Plan shape — the part that matters: SEVEN constraints cost TWO
+    * folds, not seven scans. Every row-local check folds as an
+    * indicator sum in a single per-orderkey pre-aggregation (map-side
+    * partials; output is key-cardinality), which SIMULTANEOUSLY gives
+    * uniqueness — dup rows = n_rows − n_keys — without a second
+    * countDistinct pass (q126's partial-dedup device; a naive
+    * agg(countDistinct, ...) would rewrite to the multi-distinct
+    * Expand, re-scanning the fact per distinct). The global fold is
+    * 1 row; the report rows explode from an in-memory array of structs
+    * — adding a constraint is one struct literal, zero new passes.
+    */
+  private val q159 = Q(
+    "q159_constraint_audit",
+    (s, d) => {
+      val perKey = Tables.orders(s, d)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nulls"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+            .as("nonpos"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("bad_status"),
+          sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L)
+            .otherwise(0L)).as("bad_prio"),
+          sum(when(col("o_totalprice") < 5000, 1L).otherwise(0L))
+            .as("below_floor"))
+      perKey.agg(
+        sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+        sum("nulls").as("nulls"), sum("nonpos").as("nonpos"),
+        sum("bad_status").as("bad_status"),
+        sum("bad_prio").as("bad_prio"),
+        sum("below_floor").as("below_floor"))
+        .select(explode(array(
+          struct(lit("c1_row_count_min_100").as("check_name"),
+            col("n_rows").as("observed"),
+            (col("n_rows") >= 100).cast("long").as("pass")),
+          struct(lit("c2_orderkey_unique").as("check_name"),
+            (col("n_rows") - col("n_keys")).as("observed"),
+            (col("n_rows") === col("n_keys")).cast("long").as("pass")),
+          struct(lit("c3_custkey_complete").as("check_name"),
+            col("nulls").as("observed"),
+            (col("nulls") === 0).cast("long").as("pass")),
+          struct(lit("c4_totalprice_positive").as("check_name"),
+            col("nonpos").as("observed"),
+            (col("nonpos") === 0).cast("long").as("pass")),
+          struct(lit("c5_status_in_domain").as("check_name"),
+            col("bad_status").as("observed"),
+            (col("bad_status") === 0).cast("long").as("pass")),
+          struct(lit("c6_priority_pattern").as("check_name"),
+            col("bad_prio").as("observed"),
+            (col("bad_prio") === 0).cast("long").as("pass")),
+          struct(lit("c7_totalprice_min_5000").as("check_name"),
+            col("below_floor").as("observed"),
+            (col("below_floor") === 0).cast("long").as("pass"))))
+          .as("r"))
+        .select(col("r.check_name").as("check_name"), col("r.observed"),
+          col("r.pass"))
+        .orderBy("check_name")
+    },
+    Some("""
+      WITH k AS (SELECT o_orderkey, count(*) AS c,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos,
+               sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                 THEN 1 ELSE 0 END) AS bad_status,
+               sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                 THEN 1 ELSE 0 END) AS bad_prio,
+               sum(CASE WHEN o_totalprice < 5000 THEN 1 ELSE 0 END)
+                 AS below_floor
+             FROM orders GROUP BY o_orderkey),
+      g AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+              CAST(sum(nulls) AS BIGINT) AS nulls,
+              CAST(sum(nonpos) AS BIGINT) AS nonpos,
+              CAST(sum(bad_status) AS BIGINT) AS bad_status,
+              CAST(sum(bad_prio) AS BIGINT) AS bad_prio,
+              CAST(sum(below_floor) AS BIGINT) AS below_floor
+            FROM k)
+      SELECT * FROM (
+        SELECT 'c1_row_count_min_100' AS check_name, n_rows AS observed,
+               CAST(n_rows >= 100 AS BIGINT) AS pass FROM g
+        UNION ALL SELECT 'c2_orderkey_unique', n_rows - n_keys,
+               CAST(n_rows = n_keys AS BIGINT) FROM g
+        UNION ALL SELECT 'c3_custkey_complete', nulls,
+               CAST(nulls = 0 AS BIGINT) FROM g
+        UNION ALL SELECT 'c4_totalprice_positive', nonpos,
+               CAST(nonpos = 0 AS BIGINT) FROM g
+        UNION ALL SELECT 'c5_status_in_domain', bad_status,
+               CAST(bad_status = 0 AS BIGINT) FROM g
+        UNION ALL SELECT 'c6_priority_pattern', bad_prio,
+               CAST(bad_prio = 0 AS BIGINT) FROM g
+        UNION ALL SELECT 'c7_totalprice_min_5000', below_floor,
+               CAST(below_floor = 0 AS BIGINT) FROM g)
+      ORDER BY check_name
+    """),
+    doc = "declarative 7-constraint validation gate in TWO folds: " +
+      "per-key indicator pre-aggregation gives uniqueness without a " +
+      "countDistinct Expand, 1-row global fold, report rows explode " +
+      "from struct literals")
+
+  val all: Seq[Q] = Seq(q126, q127, q129, q133, q149, q151, q156, q159)
 }

@@ -14,6 +14,44 @@ class PackGraphSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = Catalog.queries(name)(spark, sf)
 
+  test("q160: triangle count matches a driver-side brute-force recount") {
+    // independent third mechanism (the oracle uses the id-ordered 3-way
+    // join, the engine uses degree orientation): set-intersection count
+    // over an adjacency map built per the same co-occurrence definition
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"), col("user_id"))
+      .as[(String, Long, Long)].collect()
+    val buckets = evs.distinct.groupBy(e => (e._1, e._2))
+      .filter { case (_, ms) =>
+        val n = ms.map(_._3).distinct.size; n >= 2 && n <= 50 }
+    val edges = buckets.values.flatMap { ms =>
+      val us = ms.map(_._3).distinct.sorted
+      for (i <- us.indices; j <- (i + 1) until us.size)
+        yield (us(i), us(j))
+    }.groupBy(identity)
+      // NB: .collect returning a pair would REBUILD a Map here and
+      // collapse edges sharing a first endpoint — filter + keySet
+      .filter { case (_, os) => os.size >= 3 }.keySet
+    val adj = (edges.toSeq.flatMap(e => Seq(e, e.swap)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val verts = adj.keys.toSeq.sorted
+    // per-edge common-neighbor counts triple-count each triangle
+    val tri = edges.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).size.toLong }.sum / 3
+    val wedges = verts.map { v =>
+      val d = adj(v).size.toLong; d * (d - 1) / 2 }.sum
+    try {
+      val got = run("q160_triangle_count")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      assert(got._1 === verts.size.toLong, "n_vertices")
+      assert(got._2 === edges.size.toLong, "n_edges")
+      assert(got._3 === wedges, "n_wedges")
+      assert(got._4 === tri, "n_triangles")
+      assert(got._5 === (if (wedges > 0) tri * 3 * 10000 / wedges else 0L))
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("pageRank: matches the hand-computed two-iteration fixpoint math") {
     // 0→{1,2}, 1→2, 2→0, 3→2 at scale 1e6: worked by hand in integer
     // arithmetic (base 37500; see the derivation in this test's history)

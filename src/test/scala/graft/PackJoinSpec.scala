@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.queries.Catalog
 
 /** q128 star-join ROLLUP: the subtotal algebra the operator exists for —
@@ -32,5 +33,45 @@ class PackJoinSpec extends SparkSpec {
     assert(grand.head._4 === leaves.map(_._4).sum)
     assert(math.abs(grand.head._5 - leaves.map(_._5).sum) < 1e-6)
     assert(grand.head._1 === "(all)" && grand.head._2 === "(all)")
+  }
+
+  test("q157: distribution tiles customers and orders exactly") {
+    val got = Catalog.queries("q157_order_count_dist")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val nCust = graft.queries.Tables.customer(spark, sf).count()
+    val nOrd = graft.queries.Tables.orders(spark, sf).count()
+    // every customer lands in exactly one bucket; buckets weighted by
+    // their order count re-assemble the fact table
+    assert(got.map(_._2).sum === nCust)
+    assert(got.map { case (k, n) => k * n }.sum === nOrd)
+    assert(got.map(_._1).distinct.size === got.size, "duplicate buckets")
+  }
+
+  test("q158: matches a driver-side brute-force replica") {
+    val cust = graft.queries.Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .as[(Long, Long, Double)].collect()
+    val ords = graft.queries.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").cast("string"))
+      .as[(Long, String)].collect()
+    val nations = graft.queries.Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    def cents(b: Double) = BigDecimal(b).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact
+    val pos = cust.map(c => cents(c._3)).filter(_ > 0)
+    val (s, n) = (pos.sum, pos.length.toLong)
+    val maxDay = ords.map(_._2).max
+    def day(sd: String) = java.time.LocalDate.parse(sd).toEpochDay
+    val recent = ords.filter(o => day(maxDay) - day(o._2) < 365)
+      .map(_._1).toSet
+    val expect = cust
+      .filter(c => cents(c._3) * n > s && !recent.contains(c._1))
+      .groupBy(c => nations(c._2))
+      .map { case (nm, cs) =>
+        (nm, cs.length.toLong, cs.map(c => cents(c._3)).sum) }
+      .toSeq.sortBy(_._1)
+    val got = Catalog.queries("q158_dormant_rich")(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === expect)
   }
 }

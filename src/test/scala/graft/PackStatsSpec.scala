@@ -126,4 +126,38 @@ class PackStatsSpec extends SparkSpec {
     assert(self._4 < join._4,
       "the sparse edge must report the larger error")
   }
+
+  test("q159: constraint verdicts match exact driver-side recounts") {
+    val got = Catalog.queries("q159_constraint_audit")(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(
+      "c1_row_count_min_100", "c2_orderkey_unique", "c3_custkey_complete",
+      "c4_totalprice_positive", "c5_status_in_domain",
+      "c6_priority_pattern", "c7_totalprice_min_5000"),
+      "report must carry all seven checks in name order")
+    val ords = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority")
+      .as[(Long, Long, Double, String, String)].collect()
+    val m = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("c1_row_count_min_100") ===
+      ((ords.length.toLong, if (ords.length >= 100) 1L else 0L)))
+    val dups = ords.length.toLong - ords.map(_._1).distinct.length
+    assert(m("c2_orderkey_unique") === ((dups, if (dups == 0) 1L else 0L)))
+    assert(m("c3_custkey_complete") === ((0L, 1L)))
+    val nonpos = ords.count(_._3 <= 0).toLong
+    assert(m("c4_totalprice_positive") ===
+      ((nonpos, if (nonpos == 0) 1L else 0L)))
+    val badStatus = ords.count(o => !Set("O", "F", "P")(o._4)).toLong
+    assert(m("c5_status_in_domain") ===
+      ((badStatus, if (badStatus == 0) 1L else 0L)))
+    val badPrio =
+      ords.count(o => !o._5.matches("^[1-5]-.*")).toLong
+    assert(m("c6_priority_pattern") ===
+      ((badPrio, if (badPrio == 0) 1L else 0L)))
+    // the deliberately strict floor must FAIL on this data — the report
+    // exercises both verdict branches, not just the all-green row shape
+    val below = ords.count(_._3 < 5000).toLong
+    assert(below > 0 && m("c7_totalprice_min_5000") === ((below, 0L)))
+  }
 }

@@ -1538,4 +1538,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"selection is a window + broadcast probe, nothing else:\n$p")
   }
+
+  test("q157: orders fold BEFORE the outer join — one fact scan, the " +
+    "join preserves zeros") {
+    val p = plan("q157_order_count_dist")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"zero-order customers must survive the join:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders")) === 1,
+      s"the fact table must be scanned exactly once:\n$p")
+    assert(!p.contains("Window"),
+      s"the distribution is folds only, no window:\n$p")
+  }
+
+  test("q158: NOT EXISTS is one left-anti join; thresholds broadcast") {
+    val p = plan("q158_dormant_rich")
+    assert(p.contains("LeftAnti"),
+      s"the dormancy test must plan as an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row threshold/horizon folds must broadcast:\n$p")
+  }
+
+  test("q159: seven constraints cost one keyed exchange — no " +
+    "multi-distinct Expand, one fact scan") {
+    val p = plan("q159_constraint_audit")
+    assert(!p.contains("Expand"),
+      s"uniqueness must come from the per-key fold, not Expand:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders")) === 1,
+      s"seven checks, one scan:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1,
+      s"exactly the per-orderkey exchange, got $hashEx:\n$p")
+  }
+
+  test("q160: triangles count via adjacency intersection — wedges " +
+    "never materialize as rows, nothing cartesian beyond 1-row stats") {
+    graft.ops.CacheScope.drain() // isolate from any prior suite's caches
+    val p = plan("q160_triangle_count")
+    try {
+      assert(p.contains("array_intersect"),
+        s"the closing test must be the native sorted-array kernel:\n$p")
+      assert(!p.toLowerCase.contains("explode(flatten(transform(sequence(1, (size(ns"),
+        s"the wedge-pair HOF must stay dead — wedges are never rows:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"only broadcast 1-row joins allowed:\n$p")
+      assert(graft.ops.CacheScope.liveCount === 3,
+        "edges, degrees, and oriented edges are the three scoped caches")
+    } finally graft.ops.CacheScope.drain()
+  }
 }
