@@ -1442,4 +1442,67 @@ object StreamOps {
           out.iterator
       }.toDF()
   }
+
+  final case class SessEvent(
+      user_id: Long, event_id: Long, us: Long, ts: java.sql.Timestamp)
+  final case class SessState(start: Long, last: Long, depth: Long)
+  final case class SessRow(user_id: Long, depth: Long, dur_us: Long)
+
+  /** Streaming twin of q154's sessionize — the LIVE session feed: each
+    * user's session emits the moment it CLOSES, either because a new
+    * event arrives past the 30-minute gap (same boundary rule as the
+    * batch windows) or because the event-time watermark passes the
+    * session's last event + gap (the open-tail close the batch operator
+    * gets for free by seeing the whole table). The depth histogram is a
+    * running fold over these rows — the engagement dashboard without
+    * re-scanning history.
+    *
+    * State per user is THREE longs (start, last, depth) — no event list,
+    * no unbounded growth; eviction is the event-time timeout itself, so
+    * an idle user costs state only until the watermark clears their
+    * session. funnelStream's ordering contract applies (batches replay
+    * in time order; within a batch rows apply in (us, event_id) order).
+    * Emitted rows are FINAL — closing is monotone in the watermark, so
+    * there is no retraction channel, which is what makes the sink
+    * appendable at 100 TB.
+    *
+    * `events` columns: (user_id long, event_id long, ts timestamp);
+    * `delay` is the watermark lateness bound.
+    */
+  def sessionDepthStream(
+      events: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = events.sparkSession
+    import sp.implicits._
+    val G = 1800000000L // 30 min in micros — q154/q23's gap
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .withWatermark("ts", delay)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          val out = scala.collection.mutable.ListBuffer.empty[SessRow]
+          if (state.hasTimedOut) {
+            val st = state.get
+            out += SessRow(uid, st.depth, st.last - st.start)
+            state.remove()
+          } else {
+            var st = state.getOption.orNull
+            rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+              if (st == null) st = SessState(r.us, r.us, 1L)
+              else if (r.us - st.last >= G) {
+                out += SessRow(uid, st.depth, st.last - st.start)
+                st = SessState(r.us, r.us, 1L)
+              } else st = SessState(st.start, r.us, st.depth + 1L)
+            }
+            state.update(st)
+            // close when the watermark clears the gap past the last event
+            state.setTimeoutTimestamp(st.last / 1000L + G / 1000L)
+          }
+          out.iterator
+      }.toDF()
+  }
 }

@@ -1195,4 +1195,68 @@ class StreamRestartSpec extends SparkSpec {
     assert(tri === batch,
       "recovered cohort+mask state must merge with run-2 activity")
   }
+
+  test("session-depth state (start/last/depth) survives a checkpointed " +
+    "restart and the histogram still matches batch q154") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val in = Files.createTempDirectory("sess-in").toString
+    val out = Files.createTempDirectory("sess-out").toString
+    val ckpt = Files.createTempDirectory("sess-ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+      .sortBy(r => (r._3.getTime, r._2))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", TimestampType)))
+    def startQuery() = StreamOps.sessionDepthStream(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rows: Seq[(Long, Long, java.sql.Timestamp)],
+        name: String): Unit = {
+      val tmp = Files.createTempDirectory("sess-tmp").toString
+      rows.toDF("user_id", "event_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // split INSIDE the stream so run-2 must resume mid-session: lost
+    // state would re-open sessions at depth 1 and skew the histogram
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    land(b2, "batch2.parquet")
+    val maxT = ev.map(_._3.getTime).max
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    // flush batches close every still-open session via the event-time
+    // timeout (two: one advances the watermark, one fires the timeouts)
+    land(Seq((-1L, 0L, new java.sql.Timestamp(maxT + 86400000L))),
+      "flush1.parquet")
+    val q3 = startQuery()
+    q3.processAllAvailable()
+    land(Seq((-1L, 1L, new java.sql.Timestamp(maxT + 2 * 86400000L))),
+      "flush2.parquet")
+    q3.processAllAvailable()
+    q3.stop()
+    val sessions = spark.read.parquet(out)
+      .as[(Long, Long, Long)].collect().toSeq.filter(_._1 >= 0)
+    val streamHist = sessions.groupBy(_._2).map { case (d, ss) =>
+      (d, ss.size.toLong, ss.map(_._3).sum, ss.map(_._3).min,
+        ss.map(_._3).max) }.toSeq.sortBy(_._1)
+    val batch = graft.queries.Catalog
+      .queries("q154_session_depth")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(streamHist === batch,
+      "recovered session state must merge with run-2 events exactly")
+  }
 }

@@ -1156,4 +1156,46 @@ class StreamingSpec extends SparkSpec {
         "folded deltas must equal the batch retention triangle")
     } finally q.stop()
   }
+
+  test("streaming session-depth rows fold to batch q154's histogram " +
+    "once the watermark closes every session") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Timestamp)].collect().toSeq
+      .sortBy(r => (r._3.getTime, r._2))
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamOps.sessionDepthStream(
+        ms.toDF.toDF("user_id", "event_id", "ts"))
+      .writeStream.format("memory").queryName("t_sess")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = ev.splitAt(ev.length / 2)
+      ms.addData(b1)
+      q.processAllAvailable()
+      ms.addData(b2)
+      q.processAllAvailable()
+      // two flush events push the watermark past every open session's
+      // last + gap: the first advances max event time, the second
+      // triggers a batch in which the timeouts actually fire
+      val maxT = ev.map(_._3.getTime).max
+      ms.addData(Seq((-1L, 0L, new Timestamp(maxT + 86400000L))))
+      q.processAllAvailable()
+      ms.addData(Seq((-1L, 1L, new Timestamp(maxT + 2 * 86400000L))))
+      q.processAllAvailable()
+      val sessions = spark.table("t_sess")
+        .as[(Long, Long, Long)].collect().toSeq
+        .filter(_._1 >= 0) // drop the flush sentinel's own sessions
+      val streamHist = sessions.groupBy(_._2).map { case (d, ss) =>
+        (d, ss.size.toLong, ss.map(_._3).sum, ss.map(_._3).min,
+          ss.map(_._3).max) }.toSeq.sortBy(_._1)
+      val batch = graft.queries.Catalog
+        .queries("q154_session_depth")(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(streamHist === batch,
+        "closed-session rows must fold to the batch depth histogram")
+    } finally q.stop()
+  }
 }
