@@ -44,102 +44,117 @@ object PackPipeline {
 
   private val PowSql = "[27512614111, 887503681, 28629151, 923521, 29791, 961, 31, 1]"
 
-  /** Stages 1–3 as one frame: winnow fingerprints (cached once) →
-    * stop-fp-capped candidate pairs → exact-Jaccard-verified edges
-    * (a, b). Exposed for PlanSpec: this is the plan that must show the
-    * single fp cache and no cartesian — the composed query consumes it
-    * inside the CC loop (localCheckpoint), so the final plan can't.
+  /** The pipeline as a declarative [[graft.plans.StageGraph]] (round 15
+    * — SURVEY §7.5 #2 shipped): the same four-stage dataflow the
+    * hand-wired form produced, now declared as a graph so ANY prefix is
+    * an entry point and the caching discipline is part of the
+    * declaration, not call-site convention. Stage bodies are verbatim
+    * the gated originals; the q78 oracle hash is what proves the
+    * re-expression changed nothing.
+    *
+    *  - `fps` (cached — read by the stop-fp agg, the semi join, and
+    *    both candidate pair sides): q65 winnow fingerprints.
+    *  - `candidates`: q67 stop-fp-capped pair fold, ≥ 2 shared fps.
+    *  - `verified` (cached — the CC stage reads it twice): q73 exact
+    *    4-gram Jaccard ≥ 8000 bp. The shingle-set projection runs
+    *    corpus-wide under the candidate join — deliberately: it is ONE
+    *    stateless linear pass over text (the same cost class as the
+    *    fingerprint scan, embarrassingly parallel, no shuffle), and
+    *    both measured alternatives lose — semi-joining docs down to
+    *    candidate endpoints first adds an eager-cache barrier per run
+    *    (+1.1 s at sf0.1), computing sets per joined pair row re-plans
+    *    the text join as a corpus shuffle (+0.4 s). The INTERSECTION
+    *    work — the part that is quadratic per pair — runs per
+    *    candidate only.
+    *  - `survivors`: q48-style CC over the verified edges ONLY (a doc
+    *    outside every verified pair is a singleton by construction, so
+    *    the CC node frames are candidate-cardinality, orders smaller
+    *    than the corpus at 100 TB; singletons rejoin as comp = own id)
+    *    + q62-style per-cluster argmax quality.
+    */
+  private[graft] val stages: Seq[graft.plans.Stage] = {
+    import graft.plans.Stage
+    import org.apache.spark.sql.graftglue.ExprGlue
+    def g4 = ExprGlue.column(graft.expr.WordShingleStrings(
+      ExprGlue.expression(toks), 4))
+    Seq(
+      Stage.cached("fps") { (s, d, _) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("ws"))
+          .filter(size(col("ws")) >= 8)
+          .select(col("doc_id"),
+            explode(ExprGlue.column(graft.expr.WinnowFingerprint(
+              ExprGlue.expression(col("ws"))))).as("fp"))
+      },
+      Stage("candidates", "fps") { (_, _, in) =>
+        val fps = in("fps")
+        val stop = fps.groupBy("fp").agg(count(lit(1)).as("dfreq"))
+          .filter(col("dfreq") <= 20)
+        val keep = fps.join(stop.select("fp"), Seq("fp"), "left_semi")
+        keep.select(col("fp"), col("doc_id").as("doc_a"))
+          .join(keep.select(col("fp"), col("doc_id").as("doc_b")),
+            Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+      },
+      Stage.cached("verified", "candidates") { (s, d, in) =>
+        val sets = Tables.documents(s, d)
+          .select(col("doc_id"), g4.as("g"))
+        in("candidates")
+          .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")),
+            Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")),
+            Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            ExprGlue.column(graft.expr.ArrayIntersectCount(
+              ExprGlue.expression(col("ga")),
+              ExprGlue.expression(col("gb"))))
+              .cast("bigint").as("n_common"),
+            (size(col("ga")) + size(col("gb"))).cast("bigint").as("sz"))
+          .filter(expr("n_common * 10000 div (sz - n_common)") >= 8000)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      },
+      Stage("survivors", "verified") { (s, d, in) =>
+        val docs = Tables.documents(s, d)
+        val edges = in("verified")
+        val endpoints = edges.select(col("a").as("id"))
+          .unionByName(edges.select(col("b").as("id"))).distinct()
+        val lbl = GraphOps.connectedComponents(endpoints, edges)
+        val scored = docs.select(col("doc_id"), toks.as("ws"))
+          .select(col("doc_id"),
+            expr(
+              "size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)")
+              .as("score"))
+        docs.select(col("doc_id"))
+          .join(lbl.withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("comp"))
+          .join(scored, "doc_id")
+          .groupBy("comp")
+          .agg(min(struct((-col("score")).as("ns"), col("doc_id"))).as("m"),
+            count(lit(1)).as("n_members"))
+          .select(col("comp"), col("m.doc_id").as("keep_doc"),
+            (-col("m.ns")).as("score"), col("n_members"))
+          .orderBy("comp")
+      })
+  }
+
+  /** Stages 1–3 as one frame — the `verified` entry point of the graph.
+    * Exposed for PlanSpec: this is the plan that must show the fp cache
+    * read by several branches and no cartesian — the composed query
+    * consumes it inside the CC loop (localCheckpoint), so the final
+    * plan can't.
     */
   private[graft] def verifiedEdges(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.graftglue.ExprGlue
-    val docs = Tables.documents(s, d)
-
-    // stage 1 (q65): winnow fingerprints, cached once for the four
-    // downstream branches (df agg, stop-fp semi join, both pair sides)
-    val fps = graft.ops.CacheScope.persisted(
-      docs.select(col("doc_id"), toks.as("ws"))
-        .filter(size(col("ws")) >= 8)
-        .select(col("doc_id"),
-          explode(ExprGlue.column(graft.expr.WinnowFingerprint(
-            ExprGlue.expression(col("ws"))))).as("fp")))
-
-    // stage 2 (q67): candidate pairs — stop-fp cap, ≥ 2 shared fps
-    val stop = fps.groupBy("fp").agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") <= 20)
-    val keep = fps.join(stop.select("fp"), Seq("fp"), "left_semi")
-    val cand = keep.select(col("fp"), col("doc_id").as("doc_a"))
-      .join(keep.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2)
-
-    // stage 3 (q73): exact 4-gram Jaccard on candidates only; an edge
-    // survives at ≥ 8000 basis points. The shingle-set projection runs
-    // corpus-wide under the candidate join — deliberately: it is ONE
-    // stateless linear pass over text (the same cost class as the
-    // fingerprint scan above, embarrassingly parallel, no shuffle), and
-    // both measured alternatives lose — semi-joining docs down to
-    // candidate endpoints first adds an eager-cache barrier per run
-    // (+1.1 s at sf0.1), computing sets per joined pair row re-plans the
-    // text join as a corpus shuffle (+0.4 s). The INTERSECTION work —
-    // the part that is quadratic per pair — runs per candidate only.
-    def g4 = ExprGlue.column(graft.expr.WordShingleStrings(
-      ExprGlue.expression(toks), 4))
-    val sets = docs.select(col("doc_id"), g4.as("g"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")),
-        Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        ExprGlue.column(graft.expr.ArrayIntersectCount(
-          ExprGlue.expression(col("ga")), ExprGlue.expression(col("gb"))))
-          .cast("bigint").as("n_common"),
-        (size(col("ga")) + size(col("gb"))).cast("bigint").as("sz"))
-      .filter(expr("n_common * 10000 div (sz - n_common)") >= 8000)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-  }
+      : org.apache.spark.sql.DataFrame =
+    graft.plans.StageGraph.compose(stages, "verified")(s, d)
 
   private val q78 = Q(
     "q78_dedup_pipeline",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-
-      // stage 4 (q48): connected components over the verified edges
-      // ONLY — a doc outside every verified pair is a singleton by
-      // construction, so the CC node (and label) frames are
-      // candidate-cardinality, orders smaller than the corpus at
-      // 100 TB; singletons rejoin as comp = own id below. (Running CC
-      // over all corpus nodes would drag the full corpus through every
-      // hook/shortcut round for labels that provably never change.)
-      // The edge frame is persisted: it is read twice here (endpoints +
-      // the CC edge list) and costs the whole stage-1..3 chain to
-      // recompute, while holding only the verified pairs.
-      val edges = graft.ops.CacheScope.persisted(verifiedEdges(s, d))
-      val endpoints = edges.select(col("a").as("id"))
-        .unionByName(edges.select(col("b").as("id"))).distinct()
-      val lbl = GraphOps.connectedComponents(endpoints, edges)
-
-      // stage 5 (q62): per-cluster argmax quality (distinct-token share
-      // in basis points), min doc_id on ties — the survivor frame
-      val scored = docs.select(col("doc_id"), toks.as("ws"))
-        .select(col("doc_id"),
-          expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)")
-            .as("score"))
-      docs.select(col("doc_id"))
-        .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("comp"))
-        .join(scored, "doc_id")
-        .groupBy("comp")
-        .agg(min(struct((-col("score")).as("ns"), col("doc_id"))).as("m"),
-          count(lit(1)).as("n_members"))
-        .select(col("comp"), col("m.doc_id").as("keep_doc"),
-          (-col("m.ns")).as("score"), col("n_members"))
-        .orderBy("comp")
-    },
+    (s, d) => graft.plans.StageGraph.compose(stages, "survivors")(s, d),
     Some(s"""
       WITH RECURSIVE
       t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),

@@ -387,8 +387,12 @@ class PlanSpec extends SparkSpec {
       val caches = ep.linesIterator.count(_.contains("InMemoryTableScan"))
       assert(caches >= 2,
         s"fp frame must be scope-cached and read by several branches:\n$ep")
-      assert(graft.ops.CacheScope.liveCount === 1,
-        s"exactly ONE cache (the fp frame), not one per stage:\n$ep")
+      // two caches live: the fp frame, plus the `verified` TARGET frame
+      // itself (the graph declares it cached for the CC stage's double
+      // read; unread here, it costs nothing until an action) — NOT one
+      // per stage: candidates/survivors stay uncached
+      assert(graft.ops.CacheScope.liveCount === 2,
+        s"exactly the declared caches (fps + verified), not one per stage:\n$ep")
       assert(ep.contains("winnow_fp") && ep.contains("array_intersect_count"),
         s"fingerprint + verify must be the native expressions:\n$ep")
       assert(!ep.contains("CartesianProduct"),
