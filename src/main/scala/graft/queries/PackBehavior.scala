@@ -426,5 +426,79 @@ object PackBehavior {
       "(closed form, e6 scale, per-type x rebasing): corpus fold + " +
       "type-cardinality 5-sum fold, no float means")
 
-  val all: Seq[Q] = Seq(q132, q134, q135, q137, q147, q148, q150)
+  /** q162 — robust anomaly days by median absolute deviation (round
+    * 15): per event type, the days whose count deviates from the
+    * type's median by more than 3× the MAD — the ROBUST outlier rule
+    * (one wild day cannot drag the threshold the way q134's trailing
+    * mean can; median and MAD have breakdown point 1/2, the reason
+    * monitoring systems prefer them to z-scores on spiky series).
+    * "Median" is the LOWER median throughout — the smallest value with
+    * rank ≥ ⌈n/2⌉ — so the whole statistic stays integer-exact in both
+    * engines (an even-count midpoint average would go fractional).
+    *
+    * Plan shape: ONE fact-sized fold to the (type, day) daily frame
+    * (bounded by the axis — |types|·|days| rows — and scope-cached for
+    * its three readers); both medians come from rank windows over THAT
+    * frame, q119's post-aggregation posture (the window input is
+    * axis-sized, never the fact stream; at an unbounded axis the
+    * swap-in is q156's cumulative-histogram readout). Med and MAD
+    * frames are type-cardinality broadcasts; a MAD of 0 (more than
+    * half the days at the median) flags any deviation — documented
+    * property of the estimator, not a divide guard.
+    */
+  private val q162 = Q(
+    "q162_anomaly_days",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = graft.ops.CacheScope.persisted(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n")))
+      def lowerMedian(df: org.apache.spark.sql.DataFrame, v: String,
+          out: String) =
+        df.withColumn("rn", row_number().over(Window
+            .partitionBy("event_type").orderBy(col(v), col("day"))))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("rn") >= expr("(cnt + 1) div 2"))
+          .groupBy("event_type").agg(min(col(v)).as(out))
+      val med = lowerMedian(daily, "n", "med")
+      val resid = daily.join(broadcast(med), "event_type")
+        .withColumn("r", abs(col("n") - col("med")))
+      val mad = lowerMedian(resid, "r", "mad")
+      resid.join(broadcast(mad), "event_type")
+        .filter(col("r") > lit(3) * col("mad"))
+        .select(col("event_type"), col("day"), col("n"), col("med"),
+          col("mad"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH d AS (SELECT event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) // 86400000000 AS day,
+               count(*) AS n
+             FROM events GROUP BY 1, 2),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY n, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt FROM d),
+      med AS (SELECT event_type, CAST(min(n) AS BIGINT) AS med FROM rk
+              WHERE rn >= (cnt + 1) // 2 GROUP BY 1),
+      res AS (SELECT d.event_type, d.day, d.n, m.med,
+                abs(d.n - m.med) AS r
+              FROM d JOIN med m USING (event_type)),
+      rk2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY r, day) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS cnt FROM res),
+      mad AS (SELECT event_type, CAST(min(r) AS BIGINT) AS mad FROM rk2
+              WHERE rn >= (cnt + 1) // 2 GROUP BY 1)
+      SELECT res.event_type, res.day, res.n, res.med, mad.mad
+      FROM res JOIN mad USING (event_type)
+      WHERE res.r > 3 * mad.mad
+      ORDER BY event_type, day
+    """),
+    doc = "3x-MAD robust outlier days per event type: one axis-bounded " +
+      "daily fold cached, lower-median rank windows over the axis " +
+      "frame, type-cardinality broadcasts, integer-exact end to end")
+
+  val all: Seq[Q] = Seq(q132, q134, q135, q137, q147, q148, q150, q162)
 }

@@ -713,6 +713,83 @@ object PackJoin {
       "division-free integer compare, integer-datediff recency, " +
       "left-anti NOT EXISTS on the date-filtered fact slice")
 
+  /** q161 — market-basket co-purchase affinity (round 15): the top part
+    * pairs by LIFT among pairs bought together in ≥ 3 orders, with
+    * support and confidence — the frequent-2-itemset readout behind
+    * every "customers also bought" surface, and the warehouse sibling
+    * of q105's source-overlap lift (same statistic, transaction-keyed
+    * instead of corpus-keyed).
+    *
+    * Plan shape: the fact folds ONCE, straight to per-order baskets
+    * (collect_set dedups within the basket — a separate distinct pass
+    * would be a second fact-sized exchange for nothing), and the
+    * basket frame — order-cardinality, arrays bounded by
+    * lines-per-order — is scope-cached for its three readers: pair
+    * generation, part frequencies (explode of the cached arrays), and
+    * the 1-row order total (a plain count, no countDistinct). Pairs
+    * come from the per-basket combinations HOF — fan-out bounded by
+    * C(lines-per-order, 2), never parts² — and fold to supports in
+    * one exchange; the ≥ 3 support gate kills the heavy tail before
+    * any join. Part frequencies and the order total broadcast onto
+    * the surviving pairs, the lift/confidence arithmetic is integer
+    * basis points end to end, and the literal top-10 rides
+    * TakeOrderedAndProject — never a global sort of the pair frame.
+    */
+  private val q161 = Q(
+    "q161_copurchase",
+    (s, d) => {
+      val baskets = graft.ops.CacheScope.persisted(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy("l_orderkey")
+          .agg(array_sort(collect_set(col("l_partkey"))).as("ps")))
+      val pairs = baskets
+        .filter(size(col("ps")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ps) - 1), " +
+            "i -> transform(slice(ps, i + 1, size(ps) - i), " +
+            "x -> struct(element_at(ps, i) AS pa, x AS pb))))")).as("p"))
+        .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 3)
+      val freq = baskets.select(explode(col("ps")).as("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("nf"))
+      val tot = baskets.agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(broadcast(freq.select(col("l_partkey").as("part_a"),
+          col("nf").as("n_a"))), "part_a")
+        .join(broadcast(freq.select(col("l_partkey").as("part_b"),
+          col("nf").as("n_b"))), "part_b")
+        .crossJoin(broadcast(tot))
+        .select(col("part_a"), col("part_b"), col("n_both"),
+          col("n_a"), col("n_b"),
+          expr("n_both * 10000 div n_a").as("conf_bp"),
+          expr("n_both * n_orders * 10000 div (n_a * n_b)").as("lift_bp"))
+        .orderBy(col("lift_bp").desc, col("part_a"), col("part_b"))
+        .limit(10)
+    },
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_both
+             FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 3),
+      f AS (SELECT l_partkey, count(*) AS nf FROM items GROUP BY 1),
+      t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+      SELECT pr.part_a, pr.part_b, pr.n_both,
+             fa.nf AS n_a, fb.nf AS n_b,
+             pr.n_both * 10000 // fa.nf AS conf_bp,
+             pr.n_both * t.n_orders * 10000 // (fa.nf * fb.nf) AS lift_bp
+      FROM pr JOIN f fa ON pr.part_a = fa.l_partkey
+      JOIN f fb ON pr.part_b = fb.l_partkey
+      CROSS JOIN t
+      ORDER BY lift_bp DESC, part_a, part_b LIMIT 10
+    """),
+    doc = "frequent-pair mining: one cached item-set fold, basket-" +
+      "bounded pair HOF, support gate before any join, broadcast " +
+      "frequencies, integer lift/confidence, literal top-10")
+
   val all: Seq[Q] = Seq(q13, q17, q18, q19, q128, q136, q138, q139,
-    q141, q143, q144, q146, q157, q158)
+    q141, q143, q144, q146, q157, q158, q161)
 }

@@ -587,4 +587,72 @@ class PackBehaviorSpec extends SparkSpec {
       assert(r._4 === raw(r._3), s"rev mismatch for ${r._3}")
     }
   }
+
+  /** Write a synthetic events table with the given per-day counts for
+    * one event type and return the dir Catalog queries can read.
+    */
+  private def plantDaily(counts: Seq[(Long, Int)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("q162-fixture").toString
+    var id = 0L
+    val rows = counts.flatMap { case (day, c) =>
+      (0 until c).map { i =>
+        id += 1
+        (id, new java.sql.Timestamp(day * 86400000L + i * 1000L),
+          id % 7, "a", 0.0, "")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q162: a planted spike is flagged, 3x-MAD-bounded wobble is not") {
+    // 10 days at 10, 10 days at 11, one day at 25:
+    //   lower median (rank 11 of 21) = 11; residuals = ten 1s, ten 0s,
+    //   one 14 -> MAD = 1 -> only the spike (14 > 3) flags
+    val days = (0L until 10L).map((_, 10)) ++
+      (10L until 20L).map((_, 11)) ++ Seq((20L, 25))
+    val dir = plantDaily(days)
+    val got = Catalog.queries("q162_anomaly_days")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === Seq(("a", 20L, 25L, 11L, 1L)),
+      s"exactly the planted spike with med=11 mad=1, got $got")
+  }
+
+  test("q162: a flat series flags nothing; zero MAD flags any deviation") {
+    val flat = plantDaily((0L until 15L).map((_, 8)))
+    val gotFlat = Catalog.queries("q162_anomaly_days")(spark, flat)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(gotFlat.isEmpty, s"flat series must flag nothing: $gotFlat")
+    // 14 identical days + one off-by-two day: med=8, MAD=0 -> the
+    // deviating day flags (documented estimator property)
+    val nearFlat = plantDaily((0L until 14L).map((_, 8)) ++ Seq((14L, 10)))
+    val gotNear = Catalog.queries("q162_anomaly_days")(spark, nearFlat)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(gotNear === Seq(("a", 14L, 10L, 8L, 0L)))
+  }
+
+  test("q162: sf0.001 output matches an exact in-memory recount") {
+    val daily = events().map(e => (e._3, e._4 / 86400000000L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, d), n) => (t, d, n) }
+    def lowerMed(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s(((s.size + 1) / 2) - 1)
+    }
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val med = lowerMed(rows.map(_._3))
+      val mad = lowerMed(rows.map(r => math.abs(r._3 - med)))
+      rows.collect { case (_, d, n) if math.abs(n - med) > 3 * mad =>
+        (t, d, n, med, mad) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Catalog.queries("q162_anomaly_days")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === expect)
+    assert(got.nonEmpty, "sf0.001 must contain at least one outlier day")
+  }
 }

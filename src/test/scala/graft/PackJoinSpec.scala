@@ -74,4 +74,29 @@ class PackJoinSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got === expect)
   }
+
+  test("q161: top-10 lift pairs match a driver-side brute-force recount") {
+    val items = graft.queries.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey")
+      .as[(Long, Long)].collect().distinct
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2)
+      .distinct.sorted).toMap
+    val supp = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.size)
+        supp((ps(i), ps(j))) = supp.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val freq = items.groupBy(_._2).view.mapValues(_.map(_._1)
+      .distinct.size.toLong).toMap
+    val n = byOrder.size.toLong
+    val expect = supp.toSeq.collect { case ((a, b), c) if c >= 3 =>
+      (a, b, c, freq(a), freq(b), c * 10000 / freq(a),
+        c * n * 10000 / (freq(a) * freq(b)))
+    }.sortBy(r => (-r._7, r._1, r._2)).take(10)
+    val got = Catalog.queries("q161_copurchase")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === expect)
+    assert(got.nonEmpty, "support-3 pairs must exist at sf0.001")
+  }
 }

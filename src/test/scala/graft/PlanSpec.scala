@@ -1576,6 +1576,40 @@ class PlanSpec extends SparkSpec {
       s"exactly the per-orderkey exchange, got $hashEx:\n$p")
   }
 
+  test("q161: one cached item-set fold; frequencies broadcast; " +
+    "literal top-10 rides TakeOrderedAndProject") {
+    graft.ops.CacheScope.drain()
+    val p = plan("q161_copurchase")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "exactly the per-order basket cache")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"pairs, frequencies, and the total must all read the cache:\n$p")
+      assert(p.contains("TakeOrderedAndProject(limit=10"),
+        s"the top-10 must never globally sort the pair frame:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"part frequencies must broadcast onto surviving pairs:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"nothing may shuffle-join or go cartesian:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q162: medians rank over the cached axis-bounded daily frame; " +
+    "med/mad broadcast back") {
+    graft.ops.CacheScope.drain()
+    val p = plan("q162_anomaly_days")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "exactly the (type, day) daily fold cached")
+      assert(p.contains("windowspecdefinition(event_type"),
+        s"rank windows must partition by type over the axis frame:\n$p")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"daily frame must be read from cache by its three readers:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"med/mad are type-cardinality broadcasts:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q160: triangles count via adjacency intersection — wedges " +
     "never materialize as rows, nothing cartesian beyond 1-row stats") {
     graft.ops.CacheScope.drain() // isolate from any prior suite's caches
