@@ -500,5 +500,93 @@ object PackBehavior {
       "daily fold cached, lower-median rank windows over the axis " +
       "frame, type-cardinality broadcasts, integer-exact end to end")
 
-  val all: Seq[Q] = Seq(q132, q134, q135, q137, q147, q148, q150, q162)
+  /** q163 — decile gains/lift table (round 15): rank users by an
+    * activity score (event count), cut the population into score
+    * deciles, and report per decile the conversion rate, cumulative
+    * gain (share of ALL converters captured so far), and lift vs the
+    * base rate — the standard model-evaluation artifact (gains chart /
+    * lift table) every targeting model ships with; here the "model" is
+    * the activity-propensity baseline and conversion = has a purchase.
+    *
+    * Plan shape — the scalable deciling device: assigning exact deciles
+    * needs a GLOBAL rank over users, which at 10⁹ users is one sorted
+    * task. Instead the user fold (one fact exchange) collapses to the
+    * SCORE-VALUE axis — (score, n_users, n_converters), cardinality
+    * bounded by max activity, cached — and deciles are assigned to
+    * VALUE GROUPS by where their cumulative end lands:
+    * decile(v) = ⌈cum_users(≥v) · 10 / N⌉. Score ties share a decile
+    * (the "grouped gains table" — the honest convention, since a model
+    * cannot distinguish tied scores), a large tie group may span
+    * several nominal deciles leaving gaps, and every window after the
+    * fold runs on the axis frame or the 10-row decile frame, never on
+    * users. Totals are a 1-row broadcast; arithmetic is integer basis
+    * points end to end.
+    */
+  private val q163 = Q(
+    "q163_gains_table",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = graft.ops.CacheScope.persisted(
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("score"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("conv"))
+          .groupBy("score")
+          .agg(count(lit(1)).as("nu"), sum("conv").as("nc")))
+      val tot = vals.agg(sum("nu").as("n_all"), sum("nc").as("c_all"))
+      val deciles = vals
+        .withColumn("cum_u", sum("nu").over(Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(cum_u * 10 + n_all - 1) div n_all"))
+        .groupBy("decile")
+        .agg(sum("nu").as("n_users"), sum("nc").as("n_conv"),
+          max("n_all").as("n_all"), max("c_all").as("c_all"))
+      deciles
+        .withColumn("cum_conv", sum("n_conv").over(
+          Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("decile"), col("n_users"), col("n_conv"),
+          expr("n_conv * 10000 div n_users").as("conv_bp"),
+          expr("cum_conv * 10000 div greatest(c_all, 1)").as("cum_gain_bp"),
+          expr("n_conv * n_all * 10000 div (n_users * greatest(c_all, 1))")
+            .as("lift_bp"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH u AS (SELECT user_id, count(*) AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+             FROM events GROUP BY user_id),
+      v AS (SELECT score, count(*) AS nu,
+              CAST(sum(conv) AS BIGINT) AS nc
+            FROM u GROUP BY score),
+      t AS (SELECT CAST(sum(nu) AS BIGINT) AS n_all,
+              CAST(sum(nc) AS BIGINT) AS c_all FROM v),
+      cu AS (SELECT v.*, t.n_all, t.c_all,
+               CAST(sum(nu) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_u
+             FROM v CROSS JOIN t),
+      dd AS (SELECT (cum_u * 10 + n_all - 1) // n_all AS decile,
+               CAST(sum(nu) AS BIGINT) AS n_users,
+               CAST(sum(nc) AS BIGINT) AS n_conv,
+               max(n_all) AS n_all, max(c_all) AS c_all
+             FROM cu GROUP BY 1)
+      SELECT decile, n_users, n_conv,
+             n_conv * 10000 // n_users AS conv_bp,
+             CAST(sum(n_conv) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10000
+               // greatest(c_all, 1) AS cum_gain_bp,
+             n_conv * n_all * 10000 // (n_users * greatest(c_all, 1))
+               AS lift_bp
+      FROM dd ORDER BY decile
+    """),
+    doc = "decile gains/lift table via the score-value-axis deciling " +
+      "device: user fold -> cached value axis, deciles assigned to " +
+      "value groups by cumulative end, ties share a decile, windows " +
+      "only ever on axis/decile frames, integer bp")
+
+  val all: Seq[Q] = Seq(q132, q134, q135, q137, q147, q148, q150, q162,
+    q163)
 }

@@ -1443,6 +1443,53 @@ object StreamOps {
       }.toDF()
   }
 
+  final case class BasketItem(l_orderkey: Long, l_partkey: Long)
+  final case class BasketState(ps: List[Long])
+  final case class PairDelta(part_a: Long, part_b: Long)
+
+  /** Streaming twin of q161's support fold — the live co-purchase feed:
+    * lineitems arrive continuously, and the moment an order's basket
+    * gains a part, one (part_a, part_b) delta emits per EXISTING basket
+    * member. Folding the deltas downstream yields exactly the batch
+    * pair-support counts (pinned by test), so the affinity dashboard
+    * updates per arriving line without ever re-scanning order history.
+    *
+    * State per order is its part set — hard-bounded by parts-per-order
+    * (the same C(n,2) bound that makes q161's pair HOF safe); duplicate
+    * (order, part) arrivals are absorbed by set membership, so
+    * re-delivery can never double-count a pair. Deltas are FINAL
+    * (supports only grow — append sink, no retractions). A production
+    * deployment evicts closed orders on an order-completion signal or
+    * processing-time timeout; the operator itself needs no watermark
+    * because lineitem rows carry no event time (matches cmsStream's
+    * posture).
+    */
+  def copurchaseStream(items: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = items.sparkSession
+    import sp.implicits._
+    items.select(col("l_orderkey"), col("l_partkey"))
+      .as[BasketItem]
+      .groupByKey(_.l_orderkey)
+      .flatMapGroupsWithState[BasketState, PairDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var ps = state.getOption.map(_.ps).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[PairDelta]
+          rows.toSeq.sortBy(_.l_partkey).foreach { r =>
+            if (!ps.contains(r.l_partkey)) {
+              ps.foreach { p =>
+                out += PairDelta(math.min(p, r.l_partkey),
+                  math.max(p, r.l_partkey))
+              }
+              ps = r.l_partkey :: ps
+            }
+          }
+          state.update(BasketState(ps))
+          out.iterator
+      }.toDF()
+  }
+
   final case class SessEvent(
       user_id: Long, event_id: Long, us: Long, ts: java.sql.Timestamp)
   final case class SessState(start: Long, last: Long, depth: Long)

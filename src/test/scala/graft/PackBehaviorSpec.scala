@@ -655,4 +655,35 @@ class PackBehaviorSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty, "sf0.001 must contain at least one outlier day")
   }
+
+  test("q163: gains table matches an exact in-memory decile recount") {
+    val users = events().groupBy(_._2).toSeq.map { case (_, g) =>
+      (g.size.toLong, if (g.exists(_._3 == "purchase")) 1L else 0L) }
+    val nAll = users.size.toLong
+    val cAll = users.map(_._2).sum
+    val axis = users.groupBy(_._1).toSeq
+      .map { case (s, g) => (s, g.size.toLong, g.map(_._2).sum) }
+      .sortBy(-_._1)
+    var cum = 0L
+    val withDec = axis.map { case (s, nu, nc) =>
+      cum += nu
+      ((cum * 10 + nAll - 1) / nAll, nu, nc)
+    }
+    val byDec = withDec.groupBy(_._1).toSeq.map { case (d, g) =>
+      (d, g.map(_._2).sum, g.map(_._3).sum) }.sortBy(_._1)
+    var cumConv = 0L
+    val expect = byDec.map { case (d, nu, nc) =>
+      cumConv += nc
+      (d, nu, nc, nc * 10000 / nu, cumConv * 10000 / math.max(cAll, 1L),
+        nc * nAll * 10000 / (nu * math.max(cAll, 1L)))
+    }
+    val got = Catalog.queries("q163_gains_table")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === expect)
+    // structural sanity: deciles partition the population and the last
+    // cumulative gain captures every converter
+    assert(got.map(_._2).sum === nAll)
+    assert(got.last._5 === 10000L)
+  }
 }

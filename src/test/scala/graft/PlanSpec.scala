@@ -1610,6 +1610,22 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q163: deciling windows run on the cached score-value axis, " +
+    "never on users") {
+    graft.ops.CacheScope.drain()
+    val p = plan("q163_gains_table")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "exactly the score-value axis cached")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"the axis frame feeds both the cumulative pass and totals:\n$p")
+      assert(!p.contains("windowspecdefinition(user_id"),
+        s"no user-partitioned (or user-sized) window allowed:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"totals ride a 1-row broadcast:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q160: triangles count via adjacency intersection — wedges " +
     "never materialize as rows, nothing cartesian beyond 1-row stats") {
     graft.ops.CacheScope.drain() // isolate from any prior suite's caches

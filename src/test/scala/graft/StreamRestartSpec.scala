@@ -1259,4 +1259,56 @@ class StreamRestartSpec extends SparkSpec {
     assert(streamHist === batch,
       "recovered session state must merge with run-2 events exactly")
   }
+
+  test("co-purchase basket state survives a checkpointed restart: " +
+    "cross-boundary pairs count exactly once") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val in = Files.createTempDirectory("cop-in").toString
+    val out = Files.createTempDirectory("cop-out").toString
+    val ckpt = Files.createTempDirectory("cop-ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val items = graft.queries.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().toSeq
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType)))
+    def startQuery() = StreamOps.copurchaseStream(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rows: Seq[(Long, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("cop-tmp").toString
+      rows.toDF("l_orderkey", "l_partkey").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // split mid-order: baskets spanning the boundary only produce their
+    // cross-half pairs if the recovered state still holds the first half
+    val (b1, b2) = items.splitAt(items.length / 2)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    land(b2, "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val supports = spark.read.parquet(out).as[(Long, Long)]
+      .collect().toSeq.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val expect = items.distinct.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(supports === expect,
+      "recovered baskets must complete their cross-boundary pairs " +
+        "exactly once")
+  }
 }

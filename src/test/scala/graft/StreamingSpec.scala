@@ -1198,4 +1198,48 @@ class StreamingSpec extends SparkSpec {
         "closed-session rows must fold to the batch depth histogram")
     } finally q.stop()
   }
+
+  test("streaming co-purchase deltas fold to the batch pair supports") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val items = graft.queries.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().toSeq
+    val ms = MemoryStream[(Long, Long)]
+    val q = StreamOps.copurchaseStream(
+        ms.toDF.toDF("l_orderkey", "l_partkey"))
+      .writeStream.format("memory").queryName("t_cop")
+      .outputMode("append").start()
+    try {
+      // split mid-order on purpose: pairs spanning the batch boundary
+      // only count right if the basket state carries across batches
+      val (b1, b2) = items.splitAt(items.length / 2)
+      ms.addData(b1)
+      q.processAllAvailable()
+      ms.addData(b2)
+      q.processAllAvailable()
+      val supports = spark.table("t_cop").as[(Long, Long)]
+        .collect().toSeq.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val expect = items.distinct.groupBy(_._1).values.toSeq.flatMap {
+        g =>
+          val ps = g.map(_._2).distinct.sorted
+          for (i <- ps.indices; j <- (i + 1) until ps.size)
+            yield (ps(i), ps(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(supports === expect,
+        "folded deltas must equal the batch basket-pair supports")
+      // ...and the >=3 gate over the folded deltas reproduces q161's
+      // surviving pair set
+      val gated = supports.filter(_._2 >= 3L).keySet
+      val batchPairs = graft.queries.Catalog
+        .queries("q161_copurchase")(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2)).toSet
+      graft.ops.CacheScope.drain()
+      assert(batchPairs.subsetOf(gated),
+        "every q161 top pair must be present in the streamed supports")
+    } finally q.stop()
+  }
 }
