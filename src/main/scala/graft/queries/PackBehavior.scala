@@ -506,7 +506,10 @@ object PackBehavior {
     * gain (share of ALL converters captured so far), and lift vs the
     * base rate — the standard model-evaluation artifact (gains chart /
     * lift table) every targeting model ships with; here the "model" is
-    * the activity-propensity baseline and conversion = has a purchase.
+    * the activity-propensity baseline and conversion = heavy purchaser
+    * (≥ 14 purchase events: the threshold straddles the per-user median
+    * at every SF so both classes stay populated — a has-any-purchase
+    * label saturates at ~67 events/user).
     *
     * Plan shape — the scalable deciling device: assigning exact deciles
     * needs a GLOBAL rank over users, which at 10⁹ users is one sorted
@@ -530,8 +533,8 @@ object PackBehavior {
         Tables.events(s, d)
           .groupBy("user_id")
           .agg(count(lit(1)).as("score"),
-            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-              .as("conv"))
+            when(sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)) >= 14L, 1L).otherwise(0L).as("conv"))
           .groupBy("score")
           .agg(count(lit(1)).as("nu"), sum("conv").as("nc")))
       val tot = vals.agg(sum("nu").as("n_all"), sum("nc").as("c_all"))
@@ -556,8 +559,8 @@ object PackBehavior {
     },
     Some("""
       WITH u AS (SELECT user_id, count(*) AS score,
-               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                 AS conv
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                 THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
              FROM events GROUP BY user_id),
       v AS (SELECT score, count(*) AS nu,
               CAST(sum(conv) AS BIGINT) AS nc
@@ -587,6 +590,78 @@ object PackBehavior {
       "value groups by cumulative end, ties share a decile, windows " +
       "only ever on axis/decile frames, integer bp")
 
+  /** q164 — exact ROC-AUC of the activity-propensity baseline (round
+    * 15): the probability that a random converter outranks a random
+    * non-converter under the activity score, with ties at half credit —
+    * the Mann-Whitney U statistic, THE model-discrimination number next
+    * to q163's gains table (same "model", same label). Also reports the
+    * Gini coefficient (2·AUC − 1, the accuracy-ratio convention).
+    *
+    * Plan shape — the same score-value-axis device as q163: AUC's
+    * textbook form ranks every user (a global sort), but U only depends
+    * on how many NEGATIVES sit strictly below / tied with each positive,
+    * and both are axis-level numbers: fold users to (score, n_users,
+    * n_converters), then per value group
+    *   u2 += nc · (2·cum_neg_below + neg_here)
+    * (u2 = 2U keeps the half-credit tie term integral). One exclusive
+    * running sum over the axis frame, a 1-row final fold, integer basis
+    * points; the corpus shuffles once (the user fold), users never sort.
+    */
+  private val q164 = Q(
+    "q164_roc_auc",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("score"),
+          when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14L, 1L).otherwise(0L).as("conv"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("nu"), sum("conv").as("nc"))
+        .withColumn("neg", col("nu") - col("nc"))
+      vals
+        .withColumn("cum_neg", coalesce(sum("neg").over(
+          Window.orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .agg(sum("nc").as("p_users"), sum("neg").as("n_users"),
+          sum(col("nc") * (lit(2L) * col("cum_neg") + col("neg")))
+            .as("u2"))
+        .select(col("p_users"), col("n_users"), col("u2"),
+          expr("u2 * 10000 div greatest(2 * p_users * n_users, 1)")
+            .as("auc_bp"),
+          expr("(u2 - p_users * n_users) * 10000 div " +
+            "greatest(p_users * n_users, 1)").as("gini_bp"))
+    },
+    Some("""
+      WITH u AS (SELECT user_id, count(*) AS score,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                 THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+             FROM events GROUP BY user_id),
+      v AS (SELECT score, count(*) AS nu, CAST(sum(conv) AS BIGINT) AS nc,
+              count(*) - CAST(sum(conv) AS BIGINT) AS neg
+            FROM u GROUP BY score),
+      c AS (SELECT nc, neg,
+              COALESCE(CAST(sum(neg) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS cum_neg
+            FROM v)
+      SELECT CAST(sum(nc) AS BIGINT) AS p_users,
+             CAST(sum(neg) AS BIGINT) AS n_users,
+             CAST(sum(nc * (2 * cum_neg + neg)) AS BIGINT) AS u2,
+             CAST(sum(nc * (2 * cum_neg + neg)) AS BIGINT) * 10000
+               // greatest(2 * CAST(sum(nc) AS BIGINT)
+                 * CAST(sum(neg) AS BIGINT), 1) AS auc_bp,
+             (CAST(sum(nc * (2 * cum_neg + neg)) AS BIGINT)
+               - CAST(sum(nc) AS BIGINT) * CAST(sum(neg) AS BIGINT))
+               * 10000 // greatest(CAST(sum(nc) AS BIGINT)
+                 * CAST(sum(neg) AS BIGINT), 1) AS gini_bp
+      FROM c
+    """),
+    doc = "exact ROC-AUC + Gini by the Mann-Whitney rank-sum on the " +
+      "score-value axis: one user fold, one exclusive running sum at " +
+      "axis cardinality, ties at half credit via the 2U integerization, " +
+      "users never globally sort")
+
   val all: Seq[Q] = Seq(q132, q134, q135, q137, q147, q148, q150, q162,
-    q163)
+    q163, q164)
 }

@@ -790,6 +790,72 @@ object PackJoin {
       "bounded pair HOF, support gate before any join, broadcast " +
       "frequencies, integer lift/confidence, literal top-10")
 
+  /** q167 — cross-nation trade flows (round 15): TPC-H Q7's shape
+    * generalized (Q7 fixes one nation pair; `/root/reference` has no
+    * SQL surface at all, so the shape is sourced from the public TPC-H
+    * spec) — yearly revenue between every (supplier nation → customer
+    * nation) pair with the two sides different: the trade-balance
+    * matrix. Exercises the one join layout the catalog's star queries
+    * don't: the SAME broadcast dimension (nation) joined TWICE under
+    * two roles against one fact exchange.
+    *
+    * Plan shape: lineitem carries both l_suppkey and l_orderkey, so the
+    * fact needs exactly ONE non-broadcast join — lineitem⋈orders on
+    * orderkey (the only key too big to broadcast at 100 TB) — while
+    * supplier, customer, and both nation roles ride broadcast hash
+    * joins onto it. Aggregation lands on the (25×24×years)-bounded
+    * pair-year frame; revenue sums through the exact DECIMAL device.
+    */
+  private val q167 = Q(
+    "q167_nation_flows",
+    (s, d) => {
+      val nat = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      li.join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).cast("long").as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+            col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(count(lit(1)).as("n_items"), Det.dsum4(col("rev")).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    },
+    Some("""
+      SELECT supp_nation, cust_nation, yr, count(*) AS n_items,
+             cast(sum(cast(rev AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+      FROM (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(year(o_orderdate) AS BIGINT) AS yr,
+              l_extendedprice * (1.0 - l_discount) AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name <> cn.n_name)
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """),
+    doc = "TPC-H Q7 generalized to the full trade-balance matrix: one " +
+      "fact-fact exchange (lineitem x orders), supplier/customer and " +
+      "BOTH nation roles broadcast, pair-year-bounded aggregation, " +
+      "exact decimal revenue")
+
   val all: Seq[Q] = Seq(q13, q17, q18, q19, q128, q136, q138, q139,
-    q141, q143, q144, q146, q157, q158, q161)
+    q141, q143, q144, q146, q157, q158, q161, q167)
 }

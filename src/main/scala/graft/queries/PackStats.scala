@@ -722,5 +722,72 @@ object PackStats {
       "countDistinct Expand, 1-row global fold, report rows explode " +
       "from struct literals")
 
-  val all: Seq[Q] = Seq(q126, q127, q129, q133, q149, q151, q156, q159)
+  /** q165 — k-anonymity audit (round 15): the privacy-release gate.
+    * Before a customer extract ships (to a vendor, an analyst, a
+    * training corpus), the releasing side must know how identifiable
+    * each row is under its QUASI-IDENTIFIERS — the attribute
+    * combination an adversary can join to an external dataset. A row in
+    * an equivalence class of size k hides among k−1 others; k < 5 is
+    * the conventional re-identification-risk line (HIPAA Safe Harbor
+    * reasoning, k-anonymity per Sweeney 2002 — public literature).
+    *
+    * QIDs here: (nation, market segment, account-balance band of 1000)
+    * — the classic "coarse demographics still identify" trio. Output is
+    * the CLASS-SIZE DISTRIBUTION: for each observed k, how many
+    * classes, how many rows, the cumulative share of the population at
+    * ≤ k (basis points), and the at-risk flag — the exact table a
+    * data-protection review reads, plus the suppression cost of
+    * enforcing k ≥ 5 (drop every at-risk row) as the cum share at k=4.
+    *
+    * Plan shape: two folds, both mergeable — customers → equivalence
+    * classes (one exchange on the QID triple), classes → the k axis
+    * (cardinality ≤ max class size). The running share is a window on
+    * the k axis; totals ride a 1-row broadcast. floor() on the balance
+    * band keeps negative balances exact in both engines.
+    */
+  private val q165 = Q(
+    "q165_kanonymity",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val classes = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0)).as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("k"))
+      val axis = classes.groupBy("k")
+        .agg(count(lit(1)).as("n_classes"),
+          (col("k") * count(lit(1))).as("n_rows"))
+      val tot = axis.agg(sum("n_rows").as("n_all"))
+      axis
+        .withColumn("cum_rows", sum("n_rows").over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_classes"), col("n_rows"),
+          expr("cum_rows * 10000 div n_all").as("cum_share_bp"),
+          when(col("k") < 5, 1L).otherwise(0L).as("at_risk"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH cls AS (SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               count(*) AS k
+             FROM customer GROUP BY 1, 2, 3),
+      ax AS (SELECT k, count(*) AS n_classes,
+               k * count(*) AS n_rows
+             FROM cls GROUP BY k),
+      t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_all FROM ax)
+      SELECT k, n_classes, n_rows,
+             CAST(sum(n_rows) OVER (ORDER BY k
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10000
+               // n_all AS cum_share_bp,
+             CAST(CASE WHEN k < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+      FROM ax CROSS JOIN t ORDER BY k
+    """),
+    doc = "k-anonymity class-size distribution over the (nation, " +
+      "segment, balance-band) quasi-identifiers: two mergeable folds " +
+      "(rows -> classes -> k axis), running share on the k axis, " +
+      "1-row broadcast total — the privacy-release gate as data")
+
+  val all: Seq[Q] = Seq(q126, q127, q129, q133, q149, q151, q156, q159,
+    q165)
 }

@@ -492,6 +492,85 @@ object PackTime {
       "HOF, types^3-bounded path fold cached, literal top-10 + totals " +
       "broadcast")
 
+  /** q166 — CUSUM changepoint detection on the daily event-rate series
+    * (round 15): the sequential drift detector (Page 1954) that catches
+    * a sustained LEVEL SHIFT q134's burst rule misses — burst detection
+    * fires on one loud bucket; CUSUM accumulates small persistent
+    * excesses until their sum clears a decision interval, which is how
+    * data-quality monitors catch "the pipeline started double-emitting
+    * clicks on Tuesday" rather than "one hot hour".
+    *
+    * Semantics, integer-exact end to end: per event_type, the first 7
+    * observed days fix the baseline sum B (μ = B/7); monitored days
+    * (index > 7) score x′ = 14·x − 3·B (i.e. (x − 3B/14)·14 — target μ
+    * plus allowance μ/2, scaled by 14 so nothing ever divides), and the
+    * one-sided CUSUM S_t = max(0, S_{t−1} + x′_t) raises an alarm when
+    * S_t > 8·B (decision interval h = 4μ).
+    *
+    * Plan shape — the recurrence is NOT computed as a recurrence: by
+    * the prefix-minimum identity S_t = P_t − min(0, min_{j≤t} P_j)
+    * (P = running sum of x′), the fold becomes two stacked windows —
+    * a running sum and a running min — over the (type, day) axis frame,
+    * both partitioned by type. One corpus fold to the axis (cached:
+    * read by the baseline fold and the scoring pass), baseline a
+    * type-cardinality broadcast, monitored days ordered output.
+    */
+  private val q166 = Q(
+    "q166_cusum_drift",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = graft.ops.CacheScope.persisted(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("idx", row_number().over(
+            Window.partitionBy("event_type").orderBy("day"))))
+      val base = daily.filter(col("idx") <= 7)
+        .groupBy("event_type").agg(sum("n").as("b"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.filter(col("idx") > 7)
+        .join(broadcast(base), Seq("event_type"))
+        .withColumn("xp", lit(14L) * col("n") - lit(3L) * col("b"))
+        .withColumn("p", sum("xp").over(w))
+        .withColumn("s", col("p") - least(min("p").over(w), lit(0L)))
+        .select(col("event_type"), col("day"), col("n"), col("b"),
+          col("s"), when(col("s") > lit(8L) * col("b"), 1L)
+            .otherwise(0L).as("alarm"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH daily AS (SELECT event_type,
+               epoch_us(cast(ts AS TIMESTAMP)) // 86400000000 AS day,
+               count(*) AS n
+             FROM events GROUP BY 1, 2),
+      ix AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY day) AS idx FROM daily),
+      base AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS b
+               FROM ix WHERE idx <= 7 GROUP BY 1),
+      sc AS (SELECT ix.event_type, day, n, b, 14 * n - 3 * b AS xp
+             FROM ix JOIN base ON ix.event_type = base.event_type
+             WHERE idx > 7),
+      pp AS (SELECT *, CAST(sum(xp) OVER (PARTITION BY event_type
+               ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+             FROM sc),
+      ss AS (SELECT *, p - least(CAST(min(p) OVER (PARTITION BY
+               event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS BIGINT), 0) AS s
+             FROM pp)
+      SELECT event_type, day, n, b, s,
+             CAST(CASE WHEN s > 8 * b THEN 1 ELSE 0 END AS BIGINT)
+               AS alarm
+      FROM ss ORDER BY event_type, day
+    """),
+    doc = "one-sided CUSUM level-shift detector: the max(0, ...) " +
+      "recurrence realized as running-sum minus clamped running-min " +
+      "(the prefix-minimum identity) — two stacked windows on the " +
+      "cached (type, day) axis, 7-day baseline broadcast, integer x14 " +
+      "scaling, alarm at h = 4*mu")
+
   val all: Seq[Q] = Seq(q21, q22, q23, q125, q130, q131, q152, q154,
-    q155)
+    q155, q166)
 }

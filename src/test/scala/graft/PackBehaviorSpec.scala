@@ -658,7 +658,7 @@ class PackBehaviorSpec extends SparkSpec {
 
   test("q163: gains table matches an exact in-memory decile recount") {
     val users = events().groupBy(_._2).toSeq.map { case (_, g) =>
-      (g.size.toLong, if (g.exists(_._3 == "purchase")) 1L else 0L) }
+      (g.size.toLong, if (g.count(_._3 == "purchase") >= 14) 1L else 0L) }
     val nAll = users.size.toLong
     val cAll = users.map(_._2).sum
     val axis = users.groupBy(_._1).toSeq
@@ -685,5 +685,58 @@ class PackBehaviorSpec extends SparkSpec {
     // cumulative gain captures every converter
     assert(got.map(_._2).sum === nAll)
     assert(got.last._5 === 10000L)
+  }
+
+  test("q164: AUC equals the brute-force pairwise Mann-Whitney count") {
+    val users = events().groupBy(_._2).toSeq.map { case (_, g) =>
+      (g.size.toLong, if (g.count(_._3 == "purchase") >= 14) 1L else 0L) }
+    val pos = users.filter(_._2 == 1L).map(_._1)
+    val neg = users.filter(_._2 == 0L).map(_._1)
+    // the definition itself: every (positive, negative) pair scored
+    val u2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val pn = pos.size.toLong * neg.size.toLong
+    val expect = (pos.size.toLong, neg.size.toLong, u2,
+      u2 * 10000L / math.max(2L * pn, 1L),
+      (u2 - pn) * 10000L / math.max(pn, 1L))
+    val got = Catalog.queries("q164_roc_auc")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(expect))
+    assert(pos.nonEmpty && neg.nonEmpty,
+      "fixture must exercise both classes")
+  }
+
+  test("q164: planted separations read 10000 / 0 / 5000 bp") {
+    def run(evs: Seq[(Long, Long, String, Long)]): (Long, Long) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("q164-plant").toString
+      evs.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      val r = Catalog.queries("q164_roc_auc")(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      (r._4, r._5)
+    }
+    var id = 0L
+    // a converter is >= 14 purchase events; score = total events
+    def user(u: Long, n: Int, conv: Boolean): Seq[(Long, Long, String, Long)] =
+      (0 until n).map { i =>
+        id += 1
+        (id, u, if (conv) "purchase" else "view", 1000L + i)
+      }
+    // converters all score 15, non-converters all score 2: perfect model
+    val perfect = (0L until 3L).flatMap(u => user(u, 15, conv = true)) ++
+      (10L until 13L).flatMap(u => user(u, 2, conv = false))
+    assert(run(perfect) === ((10000L, 10000L)))
+    // inverted: converters always score lower
+    val inverted = (0L until 3L).flatMap(u => user(u, 14, conv = true)) ++
+      (10L until 13L).flatMap(u => user(u, 20, conv = false))
+    assert(run(inverted) === ((0L, -10000L)))
+    // all tied: AUC is exactly chance, Gini zero
+    val tied = (0L until 3L).flatMap(u => user(u, 14, conv = true)) ++
+      (10L until 13L).flatMap(u => user(u, 14, conv = false))
+    assert(run(tied) === ((5000L, 0L)))
   }
 }

@@ -47,6 +47,49 @@ class PackJoinSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size === got.size, "duplicate buckets")
   }
 
+  test("q167: trade-flow matrix equals the in-memory five-way join " +
+    "recount") {
+    import graft.queries.Tables
+    val got = Catalog.queries("q167_nation_flows")(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    val natName = Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name")
+      .as[(Int, String)].collect().toMap
+    val suppNat = Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_nationkey")
+      .as[(Long, Int)].collect().toMap
+    val custNat = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey")
+      .as[(Long, Int)].collect().toMap
+    val ordInfo = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map(o => o._1 -> ((o._2, o._3))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val rows = li.flatMap { case (ok, sk, price, disc) =>
+      ordInfo.get(ok).flatMap { case (ck, yr) =>
+        val sn = natName(suppNat(sk))
+        val cn = natName(custNat(ck))
+        if (sn != cn) Some(((sn, cn, yr), price * (1.0 - disc))) else None
+      }
+    }
+    val expectCounts = rows.groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    assert(got.map(r => (r._1, r._2, r._3) -> r._4).toMap === expectCounts)
+    assert(got.map(r => (r._1, r._2, r._3)).distinct.size === got.size)
+    // revenue: exact-decimal total must match the double recount
+    val totExpect = rows.map(_._2).sum
+    val totGot = got.map(_._5).sum
+    assert(math.abs(totGot - totExpect) / totExpect < 1e-9)
+    // the matrix is two-sided: some pair flows in both directions
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.exists { case (a, b) => pairs((b, a)) },
+      "trade must flow both ways somewhere at sf0.001")
+  }
+
   test("q158: matches a driver-side brute-force replica") {
     val cust = graft.queries.Tables.customer(spark, sf)
       .select("c_custkey", "c_nationkey", "c_acctbal")

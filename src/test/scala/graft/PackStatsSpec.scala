@@ -160,4 +160,30 @@ class PackStatsSpec extends SparkSpec {
     val below = ords.count(_._3 < 5000).toLong
     assert(below > 0 && m("c7_totalprice_min_5000") === ((below, 0L)))
   }
+
+  test("q165: class-size distribution equals the in-memory QID recount") {
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, Int, String, Double)].collect().toSeq
+    val classes = cust.groupBy(c =>
+      (c._2, c._3, math.floor(c._4 / 1000.0).toLong))
+      .values.map(_.size.toLong).toSeq
+    val nAll = cust.size.toLong
+    val axis = classes.groupBy(identity).toSeq
+      .map { case (k, g) => (k, g.size.toLong, k * g.size.toLong) }
+      .sortBy(_._1)
+    var cum = 0L
+    val expect = axis.map { case (k, nCls, nRows) =>
+      cum += nRows
+      (k, nCls, nRows, cum * 10000L / nAll, if (k < 5) 1L else 0L)
+    }
+    val got = Catalog.queries("q165_kanonymity")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // the distribution tiles the population and ends at 100%
+    assert(got.map(_._3).sum === nAll)
+    assert(got.last._4 === 10000L)
+    assert(got.exists(_._5 == 1L),
+      "sf0.001's sparse classes must exercise the at-risk branch")
+  }
 }

@@ -101,4 +101,66 @@ class PackTimeSpec extends SparkSpec {
     assert(got.map(_._3).sum === ev.size.toLong)
     assert(got.exists(_._4 == 1L), "the sf0.001 stream must have gaps")
   }
+
+  test("q166: the window identity equals the literal max(0,...) " +
+    "recurrence replayed in memory") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")))
+      .as[(String, Long)].collect().toSeq
+      .map { case (t, us) => (t, us / 86400000000L) }
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val days = g.groupBy(_._2).toSeq
+        .map { case (d, rows) => (d, rows.size.toLong) }.sortBy(_._1)
+      val b = days.take(7).map(_._2).sum
+      var s = 0L
+      days.drop(7).map { case (d, n) =>
+        s = math.max(0L, s + 14L * n - 3L * b) // the recurrence itself
+        (t, d, n, b, s, if (s > 8L * b) 1L else 0L)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Catalog.queries("q166_cusum_drift")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === expect)
+    assert(got.nonEmpty, "every type has more than 7 observed days")
+  }
+
+  test("q166: a planted level shift alarms; the steady series never " +
+    "does") {
+    def run(counts: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] = {
+      // expand per-day counts into individual events
+      var id = 0L
+      val evs = counts.flatMap { case (t, day, n) =>
+        (0L until n).map { i =>
+          id += 1
+          (id, t, day * 86400000000L + i)
+        }
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory("q166-plant").toString
+      evs.toDF("event_id", "event_type", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          lit(1L).as("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      val r = Catalog.queries("q166_cusum_drift")(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      graft.ops.CacheScope.drain()
+      r.map(x => (x._1, x._2, x._6))
+    }
+    // steady 10/day: monitored days stay silent (allowance absorbs noise)
+    val steady = (0L until 20L).map(d => ("a", d, 10L))
+    assert(run(steady).forall(_._3 == 0L), "steady series must not alarm")
+    // level shift to 25/day from day 7: CUSUM accumulates 2x the daily
+    // excess and must alarm once it clears h = 8B, and STAY alarmed
+    val shifted = (0L until 7L).map(d => ("a", d, 10L)) ++
+      (7L until 20L).map(d => ("a", d, 25L))
+    val alarms = run(shifted)
+    assert(alarms.exists(_._3 == 1L), "sustained shift must alarm")
+    val firstAlarm = alarms.filter(_._3 == 1L).map(_._2).min
+    assert(alarms.filter(_._2 >= firstAlarm).forall(_._3 == 1L),
+      "a sustained shift keeps the alarm raised")
+    // b = 70, excess/day = 14*25-3*70 = 140, h = 560 -> 5th monitored day
+    assert(firstAlarm === 11L)
+  }
 }

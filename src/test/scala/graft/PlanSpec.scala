@@ -1626,6 +1626,63 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q164: AUC folds on the score axis — one exchange on user_id, " +
+    "no user-sized window, no join at all") {
+    val p = plan("q164_roc_auc")
+    assert(!p.contains("windowspecdefinition(user_id"),
+      s"the Mann-Whitney sum must ride the axis window, not users:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"),
+      s"q164 is windows + folds only — no join belongs in this plan:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Exchange hashpartitioning")
+      && l.contains("user_id")) <= 1,
+      s"the corpus shuffles once, on the user fold:\n$p")
+  }
+
+  test("q165: k-anonymity folds rows->classes->axis; totals ride a " +
+    "1-row broadcast, never a sort-merge join") {
+    val p = plan("q165_kanonymity")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the only join is the broadcast of the 1-row total:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"totals must broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition(c_custkey") &&
+      !p.contains("windowspecdefinition(c_nationkey, c_mktsegment"),
+      s"the running share runs on the k axis, not on rows or classes:\n$p")
+  }
+
+  test("q166: CUSUM windows are type-partitioned on the cached axis; " +
+    "baseline broadcasts") {
+    graft.ops.CacheScope.drain()
+    val p = plan("q166_cusum_drift")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "exactly the (type, day) axis frame cached")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"the axis feeds both the baseline fold and the scoring pass:\n$p")
+      assert(p.contains("windowspecdefinition(event_type"),
+        s"running sum/min must partition by type:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the 7-day baseline is a type-cardinality broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q167: ONE fact-fact exchange (lineitem x orders); supplier, " +
+    "customer and both nation roles broadcast") {
+    val p = plan("q167_nation_flows")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4,
+      s"supplier + customer + 2 nation roles must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"only lineitem x orders may shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val read = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_extendedprice")).getOrElse("")
+    assert(!read.contains("l_quantity") && !read.contains("l_shipdate"),
+      s"lineitem scan must prune to the 4 used columns:\n$read")
+  }
+
   test("q160: triangles count via adjacency intersection — wedges " +
     "never materialize as rows, nothing cartesian beyond 1-row stats") {
     graft.ops.CacheScope.drain() // isolate from any prior suite's caches
