@@ -1209,6 +1209,71 @@ object StreamOps {
       }.toDF()
   }
 
+  final case class CusumState(next: Long, pending: Map[Long, Long],
+      seen: Long, b: Long, s: Long)
+  final case class CusumRow(event_type: String, day: Long, n: Long,
+      b: Long, s: Long, alarm: Long)
+
+  /** Streaming twin of q166's CUSUM drift detector — the LIVE
+    * level-shift monitor: daily buckets close as the per-type observed
+    * frontier advances (gapfillStream's finalize-on-advance device),
+    * the first 7 closed days fix the baseline sum B, and every later
+    * closing day folds straight through the recurrence
+    * `S ← max(0, S + 14·n − 3·B)` — O(1) state per type, the batch
+    * operator's prefix-minimum window identity un-needed here because a
+    * stream IS the recurrence. The alarm (`S > 8·B`) raises the moment
+    * the shifted day closes, not at end of report.
+    *
+    * Emitted rows are FINAL (each monitored day is scored exactly once,
+    * at closure — append sink, no retractions). Feeding batch q166's
+    * events plus a flush sentinel beyond the last day reproduces its
+    * monitored rows exactly (pinned by test); a checkpointed restart
+    * recovers (frontier, baseline, S) and continues the fold, so a
+    * mid-baseline split cannot corrupt B. Ordering contract and late
+    * handling are gapfillStream's verbatim: within-batch free,
+    * cross-batch time-ordered, below-frontier stragglers dropped.
+    *
+    * `events` columns: (event_type string, day long).
+    */
+  def cusumStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("event_type"), col("day").as("hour"))
+      .as[GapEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ, rows, state) =>
+          val rs = rows.toSeq
+          val st = state.getOption
+            .getOrElse(CusumState(-1L, Map.empty, 0L, 0L, 0L))
+          val origin = if (st.next >= 0L) st.next else rs.map(_.hour).min
+          var pending = st.pending
+          rs.foreach { r =>
+            if (r.hour >= origin)
+              pending = pending.updated(r.hour,
+                pending.getOrElse(r.hour, 0L) + 1L)
+          }
+          val frontier = pending.keys.foldLeft(origin)(math.max)
+          var (seen, b, s) = (st.seen, st.b, st.s)
+          val out = scala.collection.mutable.ListBuffer.empty[CusumRow]
+          pending.keys.filter(_ < frontier).toSeq.sorted.foreach { d =>
+            val n = pending(d)
+            seen += 1
+            if (seen <= 7L) b += n
+            else {
+              s = math.max(0L, s + 14L * n - 3L * b)
+              out += CusumRow(typ, d, n, b, s,
+                if (s > 8L * b) 1L else 0L)
+            }
+          }
+          state.update(CusumState(frontier,
+            pending.filter(_._1 >= frontier), seen, b, s))
+          out.iterator
+      }.toDF()
+  }
+
   /** STREAM-STREAM interval join — the attribution pair feed under
     * q147: purchases and touches arrive as two live streams, and every
     * (purchase, preceding-touch-within-30-min) pair emits the moment

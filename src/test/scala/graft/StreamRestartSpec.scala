@@ -1260,6 +1260,63 @@ class StreamRestartSpec extends SparkSpec {
       "recovered session state must merge with run-2 events exactly")
   }
 
+  test("CUSUM state survives a checkpointed restart mid-baseline: " +
+    "baseline sum, frontier, and S recover exactly") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val in = Files.createTempDirectory("cus-in").toString
+    val out = Files.createTempDirectory("cus-out").toString
+    val ckpt = Files.createTempDirectory("cus-ckpt").toString
+    // planted series, one type: 7 baseline days of 10, then a shift to
+    // 25/day — the restart lands at day 4, INSIDE the baseline window,
+    // so a dropped or doubled B is guaranteed to surface downstream
+    val days = (0L until 7L).map(d => (d, 10L)) ++
+      (7L until 20L).map(d => (d, 25L))
+    val evs = days.flatMap { case (d, n) =>
+      (0L until n).map(i => ("a", d))
+    } :+ (("a", 22L)) // flush sentinel past the last real day
+    val (b1, b2) = evs.splitAt(days.take(4).map(_._2).sum.toInt)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("day", LongType)))
+    def startQuery() = StreamOps.cusumStream(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rows: Seq[(String, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("cus-tmp").toString
+      rows.toDF("event_type", "day").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    land(b2, "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._2)
+    // replay the recurrence over the full series: B = 70, monitored
+    // days score 14*25 - 3*70 = +140 each, alarm above 560
+    var s = 0L
+    val expect = days.drop(7).map { case (d, n) =>
+      s = math.max(0L, s + 14L * n - 3L * 70L)
+      ("a", d, n, 70L, s, if (s > 560L) 1L else 0L)
+    }
+    assert(got === expect,
+      "recovered CUSUM must continue the recurrence as if never stopped")
+    assert(got.filter(_._6 == 1L).map(_._2).min === 11L,
+      "the planted shift must alarm on its fifth monitored day")
+  }
+
   test("co-purchase basket state survives a checkpointed restart: " +
     "cross-boundary pairs count exactly once") {
     import org.apache.spark.sql.types._

@@ -1199,6 +1199,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM reproduces batch q166 monitored rows as days " +
+    "close") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)].collect().toSeq
+      .map { case (t, us) => (t, us / 86400000000L) }
+      .sortBy(_._2)
+    val ms = MemoryStream[(String, Long)]
+    val q = StreamOps.cusumStream(ms.toDF.toDF("event_type", "day"))
+      .writeStream.format("memory").queryName("t_cusum")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 5)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      // flush sentinel: one fake event past each type's last real day
+      // closes it; the sentinel's own bucket never closes, never emits
+      val hiOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      ms.addData(hiOf.toSeq.map { case (t, hi) => (t, hi + 2L) })
+      q.processAllAvailable()
+      val got = spark.table("t_cusum")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      val batch = graft.queries.Catalog.queries("q166_cusum_drift")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      graft.ops.CacheScope.drain()
+      assert(got === batch,
+        "live CUSUM rows must equal the batch monitored rows exactly")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming co-purchase deltas fold to the batch pair supports") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.col
