@@ -553,7 +553,13 @@ object PackBehavior {
         .select(col("decile"), col("n_users"), col("n_conv"),
           expr("n_conv * 10000 div n_users").as("conv_bp"),
           expr("cum_conv * 10000 div greatest(c_all, 1)").as("cum_gain_bp"),
-          expr("n_conv * n_all * 10000 div (n_users * greatest(c_all, 1))")
+          // lift's numerator multiplies three corpus-scale counts —
+          // n_conv·n_all·10⁴ reaches ~10²² at the documented 10⁹ users,
+          // past int64 — so the product routes through DECIMAL(38,0)
+          // (exact to 10³⁸; `div` on decimals returns BIGINT, schema
+          // unchanged). Non-ANSI bigint would WRAP silently here.
+          expr("cast(n_conv as decimal(38,0)) * n_all * 10000 div " +
+            "(cast(n_users as decimal(38,0)) * greatest(c_all, 1))")
             .as("lift_bp"))
         .orderBy("decile")
     },
@@ -581,8 +587,9 @@ object PackBehavior {
              CAST(sum(n_conv) OVER (ORDER BY decile
                ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10000
                // greatest(c_all, 1) AS cum_gain_bp,
-             n_conv * n_all * 10000 // (n_users * greatest(c_all, 1))
-               AS lift_bp
+             CAST(CAST(n_conv AS HUGEINT) * n_all * 10000
+               // (CAST(n_users AS HUGEINT) * greatest(c_all, 1))
+               AS BIGINT) AS lift_bp
       FROM dd ORDER BY decile
     """),
     doc = "decile gains/lift table via the score-value-axis deciling " +
@@ -626,11 +633,18 @@ object PackBehavior {
         .agg(sum("nc").as("p_users"), sum("neg").as("n_users"),
           sum(col("nc") * (lit(2L) * col("cum_neg") + col("neg")))
             .as("u2"))
+        // u2 ≤ 2·P·N ≤ N²/2 ~ 5·10¹⁷ at 10⁹ users — inside int64 — but
+        // u2·10⁴ (~5·10²¹) and the gini numerator are NOT: both route
+        // through DECIMAL(38,0) so non-ANSI bigint cannot wrap silently
+        // (div on decimals returns BIGINT, schema unchanged)
         .select(col("p_users"), col("n_users"), col("u2"),
-          expr("u2 * 10000 div greatest(2 * p_users * n_users, 1)")
+          expr("cast(u2 as decimal(38,0)) * 10000 div " +
+            "greatest(cast(2 as decimal(38,0)) * p_users * n_users, 1)")
             .as("auc_bp"),
-          expr("(u2 - p_users * n_users) * 10000 div " +
-            "greatest(p_users * n_users, 1)").as("gini_bp"))
+          expr("(cast(u2 as decimal(38,0)) - " +
+            "cast(p_users as decimal(38,0)) * n_users) * 10000 div " +
+            "greatest(cast(p_users as decimal(38,0)) * n_users, 1)")
+            .as("gini_bp"))
     },
     Some("""
       WITH u AS (SELECT user_id, count(*) AS score,
@@ -648,13 +662,13 @@ object PackBehavior {
       SELECT CAST(sum(nc) AS BIGINT) AS p_users,
              CAST(sum(neg) AS BIGINT) AS n_users,
              CAST(sum(nc * (2 * cum_neg + neg)) AS BIGINT) AS u2,
-             CAST(sum(nc * (2 * cum_neg + neg)) AS BIGINT) * 10000
-               // greatest(2 * CAST(sum(nc) AS BIGINT)
-                 * CAST(sum(neg) AS BIGINT), 1) AS auc_bp,
-             (CAST(sum(nc * (2 * cum_neg + neg)) AS BIGINT)
-               - CAST(sum(nc) AS BIGINT) * CAST(sum(neg) AS BIGINT))
-               * 10000 // greatest(CAST(sum(nc) AS BIGINT)
-                 * CAST(sum(neg) AS BIGINT), 1) AS gini_bp
+             CAST(CAST(sum(nc * (2 * cum_neg + neg)) AS HUGEINT) * 10000
+               // greatest(2 * CAST(sum(nc) AS HUGEINT)
+                 * CAST(sum(neg) AS BIGINT), 1) AS BIGINT) AS auc_bp,
+             CAST((CAST(sum(nc * (2 * cum_neg + neg)) AS HUGEINT)
+               - CAST(sum(nc) AS HUGEINT) * CAST(sum(neg) AS BIGINT))
+               * 10000 // greatest(CAST(sum(nc) AS HUGEINT)
+                 * CAST(sum(neg) AS BIGINT), 1) AS BIGINT) AS gini_bp
       FROM c
     """),
     doc = "exact ROC-AUC + Gini by the Mann-Whitney rank-sum on the " +

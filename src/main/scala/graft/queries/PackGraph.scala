@@ -211,6 +211,15 @@ object PackGraph {
         .select(col("event_type"),
           expr("unix_micros(ts) div 3600000000").as("hr"), col("user_id"))
         .distinct()
+      // Pair-support fold on PACKED keys (q113's 8-byte-fingerprint
+      // device, r16): `us` is sorted ascending so u < v, and both ids
+      // are non-negative, so u·2³² + v is a bijective single-long pack
+      // for ids < 2³² — the support exchange (the plan's
+      // data-proportional core: 1.36M pair instances at sf0.1) carries
+      // one 8-byte key instead of a two-field struct, and the hash
+      // aggregate probes on a primitive long. Ids ≥ 2³² would need the
+      // struct form back (or a 2×32-bit re-mapping pass) — documented
+      // bound, same as q113's 62-bit positional fingerprint.
       val edges = graft.ops.CacheScope.persisted(
         mem.groupBy("event_type", "hr")
           .agg(array_sort(collect_set(col("user_id"))).as("us"))
@@ -218,11 +227,11 @@ object PackGraph {
           .select(explode(expr(
             "flatten(transform(sequence(1, size(us) - 1), " +
               "i -> transform(slice(us, i + 1, size(us) - i), " +
-              "x -> struct(element_at(us, i) AS u, x AS v))))")).as("p"))
-          .select(col("p.u").as("u"), col("p.v").as("v"))
-          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+              "x -> element_at(us, i) * 4294967296L + x)))")).as("p"))
+          .groupBy("p").agg(count(lit(1)).as("w"))
           .filter(col("w") >= 3)
-          .select("u", "v"))
+          .select(expr("p div 4294967296L").as("u"),
+            expr("p % 4294967296L").as("v")))
       val deg = graft.ops.CacheScope.persisted(
         edges.select(explode(array(col("u"), col("v"))).as("x"))
           .groupBy("x").agg(count(lit(1)).as("deg")))

@@ -46,40 +46,56 @@ object PackRelease {
   private def ws = filter(split(lower(col("text")), "\\W+"),
     t => length(t) > 0)
 
-  private val q95 = Q(
-    "q95_release_pipeline",
-    (s, d) => {
-      import org.apache.spark.sql.graftglue.ExprGlue
-      def sh4 = ExprGlue.column(graft.expr.WordShingleStrings(
-        ExprGlue.expression(ws), 4))
-      val docsAll = Tables.documents(s, d)
-      val evalSh = docsAll.filter(col("doc_id") < 25)
-        .select(explode(sh4).as("sh")).distinct()
-      val corpus = docsAll.filter(col("doc_id") >= 25)
+  /** The release pipeline as a declarative [[graft.plans.StageGraph]]
+    * (round 16 — VERDICT r15 item 6: the second pipeline on the DAG,
+    * proving the abstraction generalizes beyond q78). Stage bodies are
+    * VERBATIM the hand-wired r15 form; the q95 oracle hash plus the
+    * existing PlanSpec pins (broadcasts, WindowGroupLimit, one cache,
+    * fused quota windows) are what prove the re-expression changed
+    * nothing. `base` is the one cached stage — the survivor frame
+    * carrying (sha2, shingles) that dedup, decon, quota, and the
+    * manifest all read.
+    */
+  private[graft] val stages: Seq[graft.plans.Stage] = {
+    import graft.plans.Stage
+    import org.apache.spark.sql.graftglue.ExprGlue
+    def sh4 = ExprGlue.column(graft.expr.WordShingleStrings(
+      ExprGlue.expression(ws), 4))
+    Seq(
       // stage 1: q57's score + global band — 1-row thresholds broadcast
-      val scored = corpus
-        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
-          ws.as("ws"))
-        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
-          expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)" +
-            " + length(text) * 100L div greatest(size(ws), 1)").as("score"))
-      val thresholds = scored.agg(
-        expr("percentile(score, 0.1)").as("lo"),
-        expr("percentile(score, 0.9)").as("hi"))
-      val base = graft.ops.CacheScope.persisted(
+      Stage.cached("base") { (s, d, _) =>
+        val scored = Tables.documents(s, d).filter(col("doc_id") >= 25)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+            ws.as("ws"))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+            expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)" +
+              " + length(text) * 100L div greatest(size(ws), 1)").as("score"))
+        val thresholds = scored.agg(
+          expr("percentile(score, 0.1)").as("lo"),
+          expr("percentile(score, 0.9)").as("hi"))
         scored.crossJoin(broadcast(thresholds))
           .filter(col("score") >= col("lo") && col("score") <= col("hi"))
           .select(col("doc_id"), col("source"), col("n_chars"),
-            col("score"), sha2(col("text"), 256).as("h"), sh4.as("shs")))
+            col("score"), sha2(col("text"), 256).as("h"), sh4.as("shs"))
+      },
       // stage 2: q24's first-wins exact dedup on the content hash
-      val canon = base.groupBy("h").agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
-      val dedup = base.join(canon, Seq("doc_id"), "left_semi")
-      // stage 3: q40's decontamination — any shared eval 4-gram drops the doc
-      val contam = dedup.select(col("doc_id"), explode(col("shs")).as("sh"))
-        .join(broadcast(evalSh), Seq("sh"))
-        .select("doc_id").distinct()
-      val clean = dedup.join(contam, Seq("doc_id"), "left_anti")
+      Stage("dedup", "base") { (_, _, in) =>
+        val base = in("base")
+        val canon = base.groupBy("h").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        base.join(canon, Seq("doc_id"), "left_semi")
+      },
+      // stage 3: q40's decontamination — any shared eval 4-gram drops
+      // the doc; the eval shingle set distinct-compresses and BROADCASTS
+      Stage("clean", "dedup") { (s, d, in) =>
+        val dedup = in("dedup")
+        val evalSh = Tables.documents(s, d).filter(col("doc_id") < 25)
+          .select(explode(sh4).as("sh")).distinct()
+        val contam = dedup.select(col("doc_id"), explode(col("shs")).as("sh"))
+          .join(broadcast(evalSh), Seq("sh"))
+          .select("doc_id").distinct()
+        dedup.join(contam, Seq("doc_id"), "left_anti")
+      },
       // stage 4: q68's largest-remainder quotas over the CLEANED corpus.
       // The whole apportionment (grand total, base shares, leftover
       // seats, remainder ranks) is window functions over the |sources|-
@@ -89,30 +105,41 @@ object PackRelease {
       // tiny-job scheduling residue was q95's measured overhead. The
       // frame is source-cardinality by construction, so the
       // single-partition window is bounded whatever the corpus size.
-      val wAll = Window.partitionBy(lit(1))
-      val quota = clean.groupBy("source").agg(count(lit(1)).as("n"))
-        .withColumn("nn", sum("n").over(wAll))
-        .withColumn("base", expr(s"($B * n) div nn"))
-        .withColumn("extra", lit(B) - sum(expr(s"($B * n) div nn")).over(wAll))
-        .withColumn("rr", row_number().over(
-          Window.orderBy(expr(s"($B * n) % nn").desc, col("source"))))
-        .select(col("source"),
-          (col("base") + when(col("rr") <= col("extra"), 1).otherwise(0))
-            .as("quota"))
-      val released = clean.join(broadcast(quota), "source")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("source")
-            .orderBy(col("n_chars").desc, col("doc_id"))))
-        .filter(col("rk") <= lit(B) && col("rk") <= col("quota"))
-      // stage 5: q60's deterministic md5 split on the shipped rows
-      val hx = substring(md5(col("doc_id").cast("string")), 1, 2)
-      released
-        .select(col("doc_id"), col("source"), col("score"),
-          col("quota"), col("rk"),
-          when(hx < "cc", "train").when(hx < "e6", "val")
-            .otherwise("test").as("split"))
-        .orderBy("doc_id")
-    },
+      Stage("quota", "clean") { (_, _, in) =>
+        val wAll = Window.partitionBy(lit(1))
+        in("clean").groupBy("source").agg(count(lit(1)).as("n"))
+          .withColumn("nn", sum("n").over(wAll))
+          .withColumn("base", expr(s"($B * n) div nn"))
+          .withColumn("extra",
+            lit(B) - sum(expr(s"($B * n) div nn")).over(wAll))
+          .withColumn("rr", row_number().over(
+            Window.orderBy(expr(s"($B * n) % nn").desc, col("source"))))
+          .select(col("source"),
+            (col("base") + when(col("rr") <= col("extra"), 1).otherwise(0))
+              .as("quota"))
+      },
+      // stage 5: per-source rank against the broadcast quota (literal
+      // rk <= B keeps WindowGroupLimit pushable below the rank
+      // exchange) + q60's deterministic md5 split on the shipped rows
+      Stage("manifest", "clean", "quota") { (_, _, in) =>
+        val released = in("clean").join(broadcast(in("quota")), "source")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rk") <= lit(B) && col("rk") <= col("quota"))
+        val hx = substring(md5(col("doc_id").cast("string")), 1, 2)
+        released
+          .select(col("doc_id"), col("source"), col("score"),
+            col("quota"), col("rk"),
+            when(hx < "cc", "train").when(hx < "e6", "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      })
+  }
+
+  private val q95 = Q(
+    "q95_release_pipeline",
+    (s, d) => graft.plans.StageGraph.compose(stages, "manifest")(s, d),
     Some(s"""
       WITH w AS (SELECT doc_id, source, n_chars, text, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents WHERE doc_id >= 25),
       s AS (SELECT doc_id, source, n_chars, text, ws, (CAST(len(list_distinct(ws)) AS BIGINT) * 10000) // greatest(len(ws), 1) + (CAST(length(text) AS BIGINT) * 100) // greatest(len(ws), 1) AS score FROM w),

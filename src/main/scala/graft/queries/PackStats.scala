@@ -643,10 +643,15 @@ object PackStats {
           sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nulls"),
           sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
             .as("nonpos"),
-          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
-            .otherwise(0L)).as("bad_status"),
-          sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L)
-            .otherwise(0L)).as("bad_prio"),
+          // domain/pattern indicators are INVERTED (pass ⇒ 0, else 1) so
+          // a NULL status/priority lands in the otherwise-branch and is
+          // COUNTED as a violation — the direct `when(NOT in-domain, 1)`
+          // form evaluates to NULL for null input and silently passes,
+          // a semantic hole for a validation gate (ADVICE r15)
+          sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L)
+            .otherwise(1L)).as("bad_status"),
+          sum(when(col("o_orderpriority").rlike("^[1-5]-"), 0L)
+            .otherwise(1L)).as("bad_prio"),
           sum(when(col("o_totalprice") < 5000, 1L).otherwise(0L))
             .as("below_floor"))
       perKey.agg(
@@ -686,10 +691,10 @@ object PackStats {
       WITH k AS (SELECT o_orderkey, count(*) AS c,
                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls,
                sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos,
-               sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                 THEN 1 ELSE 0 END) AS bad_status,
-               sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
-                 THEN 1 ELSE 0 END) AS bad_prio,
+               sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                 THEN 0 ELSE 1 END) AS bad_status,
+               sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                 THEN 0 ELSE 1 END) AS bad_prio,
                sum(CASE WHEN o_totalprice < 5000 THEN 1 ELSE 0 END)
                  AS below_floor
              FROM orders GROUP BY o_orderkey),

@@ -46,4 +46,60 @@ object PartitionedStore {
       .outputMode("append")
       .format("parquet")
       .start()
+
+  /** A manifest-pruned read: the frame (with the residual predicate
+    * still applied — the manifest prunes FILES, parquet row-group stats
+    * prune within survivors) plus the skipping audit numbers.
+    */
+  final case class PrunedScan(df: DataFrame, filesRead: Int,
+      filesTotal: Int)
+
+  /** Write `df` as `nFiles` files RANGE-partitioned on `layoutCol`
+    * (a z-order key — q116's curve — or any sort key), plus a per-file
+    * min/max MANIFEST over `statCols`: the Delta/Iceberg add-file-stats
+    * shape, and the skipping-stats CONSUMER q153 only audits (VERDICT
+    * r15 item 3). `repartitionByRange` is Spark's distributed sampled
+    * range sort — the real writer's form at any scale; the manifest is
+    * file-cardinality by construction (one row per file, folded from a
+    * group-by on `input_file_name` over the files just written — stats
+    * observed from the data, never trusted from the writer's intent).
+    */
+  def writeWithManifest(df: DataFrame, layoutCol: String,
+      statCols: Seq[String], nFiles: Int, path: String): Unit = {
+    df.repartitionByRange(nFiles, col(layoutCol))
+      .write.mode("overwrite").parquet(s"$path/data")
+    val sp = df.sparkSession
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    sp.read.parquet(s"$path/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // file-cardinality frame: one small manifest file
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** Read only the files whose manifest [min_`statCol`, max_`statCol`]
+    * range INTERSECTS [lo, hi] — min/max data skipping at the file
+    * level, planned from the manifest alone (the base footers of pruned
+    * files are never opened). The manifest collect is file-cardinality
+    * (the same bound every table format's planner carries); survivors
+    * are listed explicitly to the reader, so `df.inputFiles` IS the
+    * skipping audit. An empty survivor set returns the empty frame with
+    * the layout's schema (limit 0 — no data file is read).
+    */
+  def readPruned(spark: SparkSession, path: String, statCol: String,
+      lo: Long, hi: Long): PrunedScan = {
+    val man = spark.read.parquet(s"$path/_manifest")
+    val total = man.count().toInt
+    val keep = man
+      .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+      .select("file")
+      .collect().map(_.getString(0)) // bounded: ≤ one row per file
+    val residual = (c: DataFrame) =>
+      c.filter(col(statCol) >= lo && col(statCol) <= hi)
+    val df =
+      if (keep.isEmpty) spark.read.parquet(s"$path/data").limit(0)
+      else residual(spark.read.parquet(keep.toIndexedSeq: _*))
+    PrunedScan(df, keep.length, total)
+  }
 }

@@ -80,4 +80,61 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(after.count() === ev.count() + 5)
     assert(after.filter(col("dt") === day).count() === expected)
   }
+
+  test("min/max manifest pruning: a point lookup on the z-order layout " +
+    "touches ~sqrt(F) files and returns exactly the full-scan rows") {
+    import graft.queries.PackLayout
+    val dir = Files.createTempDirectory("skipstore").toString
+    val B = PackLayout.B
+    // q116's z-order layout, written as REAL files: bucket events on the
+    // (user_id, ts) 64x64 grid, Morton-interleave, range-partition on z
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+    val st = ev.agg(min("user_id").as("u_lo"), max("user_id").as("u_hi"),
+      min("us").as("t_lo"), max("us").as("t_hi"))
+    val bucketed = ev.crossJoin(broadcast(st))
+      .withColumn("xb", expr(s"(user_id - u_lo) * $B div (u_hi - u_lo + 1)"))
+      .withColumn("yb", expr(s"(us - t_lo) * $B div (t_hi - t_lo + 1)"))
+      .withColumn("z", expr(PackLayout.mortonSql("xb", "yb")))
+      .select("event_id", "xb", "yb", "z")
+    PartitionedStore.writeWithManifest(bucketed, "z", Seq("xb", "yb"),
+      PackLayout.F, dir)
+
+    val full = spark.read.parquet(s"$dir/data")
+    assert(full.inputFiles.length === PackLayout.F)
+
+    // point lookup on ONE user bucket — the dimension a time-sorted
+    // layout cannot prune at all. On the z curve each of the 16 files
+    // spans ~16 of the 64 x-buckets (q116's sqrt-span audit), so a
+    // single x column intersects ~F/sqrt(F) = sqrt(F) = 4 files.
+    val probe = full.agg(max("xb")).as[Long].head / 2
+    val scan = PartitionedStore.readPruned(spark, dir, "xb", probe, probe)
+    val expect = full.filter(col("xb") === probe)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(scan.df.select("event_id").as[Long].collect().sorted.toSeq
+      === expect, "pruned scan must return exactly the full-scan rows")
+    assert(scan.filesTotal === PackLayout.F)
+    assert(scan.filesRead < PackLayout.F,
+      s"manifest must prune files: read ${scan.filesRead}")
+    assert(scan.filesRead <= 2 * math.sqrt(PackLayout.F).toInt,
+      s"z-order point lookup should touch ~sqrt(F) files, " +
+        s"read ${scan.filesRead} of ${scan.filesTotal}")
+    // the plan pin: the executed scan's file set IS the survivor list
+    assert(scan.df.inputFiles.length === scan.filesRead,
+      "the pruned scan must plan over only the surviving files")
+
+    // the OTHER dimension prunes through the same manifest
+    val yprobe = full.agg(max("yb")).as[Long].head / 2
+    val yscan = PartitionedStore.readPruned(spark, dir, "yb", yprobe, yprobe)
+    assert(yscan.filesRead < PackLayout.F)
+    assert(yscan.df.count() ===
+      full.filter(col("yb") === yprobe).count())
+
+    // a disjoint range opens ZERO data files and returns the empty frame
+    val none = PartitionedStore.readPruned(spark, dir, "xb",
+      10 * B.toLong, 20 * B.toLong)
+    assert(none.filesRead === 0)
+    assert(none.df.count() === 0)
+  }
 }

@@ -1368,4 +1368,109 @@ class StreamRestartSpec extends SparkSpec {
       "recovered baskets must complete their cross-boundary pairs " +
         "exactly once")
   }
+
+  test("MAD monitor's trailing ring survives a checkpointed restart: " +
+    "post-restart days are judged against pre-restart medians") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val in = Files.createTempDirectory("mad-in").toString
+    val out = Files.createTempDirectory("mad-out").toString
+    val ckpt = Files.createTempDirectory("mad-ckpt").toString
+    // planted series: 20 quiet days at n=10, then a 5x spike at day 20;
+    // the quiet ring's MAD is 0, so ANY deviation flags (q162's
+    // documented estimator property) — day 20 must alarm
+    val rows = (0L until 20L).flatMap(d => Seq.fill(10)(("a", d))) ++
+      Seq.fill(50)(("a", 20L)) ++ Seq(("a", 23L)) // flush sentinel
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("day", LongType)))
+    def startQuery() = StreamOps.madStream(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rs: Seq[(String, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("mad-tmp").toString
+      rs.toDF("event_type", "day").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // split MID-RING: days 0..12 before the restart, the rest after —
+    // the spike's verdict depends entirely on recovered ring state
+    val (b1, b2) = rows.partition(_._2 <= 12L)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    land(b2, "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._2)
+    val expect = (6L to 20L).map { d =>
+      val n = if (d == 20L) 50L else 10L
+      ("a", d, n, 10L, 0L, if (d == 20L) 1L else 0L)
+    }
+    assert(got === expect,
+      "recovered ring must judge post-restart days as if never stopped")
+  }
+
+  test("AUC delta feed's per-user state survives a checkpointed " +
+    "restart: the folded axis equals the batch axis exactly") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val in = Files.createTempDirectory("auc-in").toString
+    val out = Files.createTempDirectory("auc-out").toString
+    val ckpt = Files.createTempDirectory("auc-ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        (col("event_type") === "purchase").cast("long").as("is_purchase"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_id", LongType),
+      StructField("is_purchase", LongType)))
+    def startQuery() = StreamOps.aucDeltaStream(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rs: Seq[(Long, Long, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("auc-tmp").toString
+      rs.toDF("user_id", "event_id", "is_purchase").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // split mid-user: without recovered (score, purchases) state the
+    // second half re-adds from zero and the fold double-counts
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    land(b2, "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val axis = spark.read.parquet(out).as[(Long, Long, Long)]
+      .collect().toSeq.groupBy(_._1)
+      .map { case (s, g) => (s, g.map(_._2).sum, g.map(_._3).sum) }
+      .filter(r => r._2 != 0L || r._3 != 0L)
+      .toSeq.sortBy(_._1)
+    val expect = ev.groupBy(_._1).valuesIterator.map { g =>
+      (g.size.toLong, if (g.map(_._3).sum >= 14L) 1L else 0L)
+    }.toSeq.groupBy(_._1).map { case (s, g) =>
+      (s, g.count(_._2 == 1L).toLong, g.count(_._2 == 0L).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(axis === expect,
+      "the recovered delta feed must fold to the exact batch axis")
+  }
 }

@@ -1278,4 +1278,143 @@ class StreamingSpec extends SparkSpec {
         "every q161 top pair must be present in the streamed supports")
     } finally q.stop()
   }
+
+  test("co-purchase eviction removes idle basket state after the TTL") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val q = StreamOps.copurchaseStream(
+        ms.toDF.toDF("l_orderkey", "l_partkey"),
+        evictAfter = Some("50 milliseconds"))
+      .writeStream.format("memory").queryName("t_cop_ttl")
+      .outputMode("append").start()
+    // ProcessingTimeTimeout keeps the engine planning batches on its own
+    // clock, which defeats processAllAvailable's no-new-data latch
+    // (observed hang) — so this test POLLS the sink for the expected set
+    // instead; each step's marker basket proves the prior batch committed
+    def awaitSink(expect: Set[(Long, Long)]): Unit = {
+      def sink = spark.table("t_cop_ttl").as[(Long, Long)].collect().toSet
+      val deadline = System.currentTimeMillis() + 60000
+      while (sink != expect && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(sink === expect)
+    }
+    try {
+      ms.addData(Seq((1L, 10L), (1L, 20L)))
+      awaitSink(Set((10L, 20L)))
+      Thread.sleep(300) // let order 1's TTL expire
+      // this batch fires order 1's expired timeout (groups only time out
+      // in a batch where they receive NO data) and marks itself via the
+      // order-2 pair
+      ms.addData(Seq((2L, 5L), (2L, 6L)))
+      awaitSink(Set((10L, 20L), (5L, 6L)))
+      // order 1's basket was evicted: a late line re-opens an EMPTY
+      // basket and emits no pairs (the documented TTL trade-off) —
+      // keep-forever semantics would have emitted (10,30) and (20,30);
+      // the order-3 marker pair proves this batch committed
+      ms.addData(Seq((1L, 30L), (3L, 7L), (3L, 8L)))
+      awaitSink(Set((10L, 20L), (5L, 6L), (7L, 8L)))
+    } finally q.stop()
+  }
+
+  test("streaming MAD anomaly monitor matches the trailing-window " +
+    "batch reference day for day") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)].collect().toSeq
+      .map { case (t, us) => (t, us / 86400000000L) }
+      .sortBy(_._2)
+    val ms = MemoryStream[(String, Long)]
+    val q = StreamOps.madStream(ms.toDF.toDF("event_type", "day"))
+      .writeStream.format("memory").queryName("t_mad")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      // flush sentinel past the last observed day closes every bucket
+      val hiOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      ms.addData(hiOf.toSeq.map { case (t, hi) => (t, hi + 2L) })
+      q.processAllAvailable()
+      val got = spark.table("t_mad")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      // brute-force trailing-window reference: per type, judge each day
+      // against the lower median/MAD of the ≤24 closed days before it
+      def lowerMedian(vs: Seq[Long]): Long = {
+        val s = vs.sorted; s((s.size + 1) / 2 - 1)
+      }
+      val expect = ev.groupBy { case (t, d) => (t, d) }
+        .map { case ((t, d), g) => (t, d, g.size.toLong) }.toSeq
+        .groupBy(_._1).toSeq.flatMap { case (t, ds) =>
+          val days = ds.sortBy(_._2)
+          days.indices.flatMap { i =>
+            val ring = days.slice(math.max(0, i - 24), i).map(_._3)
+            if (ring.size >= 6) {
+              val med = lowerMedian(ring)
+              val mad = lowerMedian(ring.map(v => math.abs(v - med)))
+              val n = days(i)._3
+              Some((t, days(i)._2, n, med, mad,
+                if (math.abs(n - med) > 3L * mad) 1L else 0L))
+            } else None
+          }
+        }.sortBy(r => (r._1, r._2))
+      assert(got === expect,
+        "live MAD rows must equal the trailing-window reference exactly")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("AUC delta feed folds to q164's score axis and refreshes the " +
+    "exact batch AUC") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        (col("event_type") === "purchase").cast("long").as("is_purchase"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = StreamOps.aucDeltaStream(
+        ms.toDF.toDF("user_id", "event_id", "is_purchase"))
+      .writeStream.format("memory").queryName("t_aucd")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      // fold the deltas to the score-value axis (the mart's job)
+      val axis = spark.table("t_aucd").as[(Long, Long, Long)]
+        .collect().toSeq.groupBy(_._1)
+        .map { case (s, g) => (s, g.map(_._2).sum, g.map(_._3).sum) }
+        .filter(r => r._2 != 0L || r._3 != 0L)
+        .toSeq.sortBy(_._1)
+      // retract/add pairs must cancel: the folded axis IS q164's
+      // (valuesIterator, NOT Map.map to pairs — that would dedup users
+      // sharing a (score, conv) bucket)
+      val expectAxis = ev.groupBy(_._1).valuesIterator.map { g =>
+        (g.size.toLong, if (g.map(_._3).sum >= 14L) 1L else 0L)
+      }.toSeq.groupBy(_._1).map { case (s, g) =>
+        (s, g.count(_._2 == 1L).toLong, g.count(_._2 == 0L).toLong)
+      }.toSeq.sortBy(_._1)
+      assert(axis === expectAxis,
+        "folded deltas must equal the batch score-value axis")
+      // the refreshed AUC off the folded axis equals batch q164 exactly
+      var (cumNeg, u2, p, n) = (0L, 0L, 0L, 0L)
+      axis.foreach { case (_, nc, neg) =>
+        u2 += nc * (2L * cumNeg + neg)
+        cumNeg += neg; p += nc; n += neg
+      }
+      val aucBp = u2 * 10000L / math.max(2L * p * n, 1L)
+      val batch = graft.queries.Catalog.queries("q164_roc_auc")(spark, sf)
+        .select("p_users", "n_users", "u2", "auc_bp")
+        .as[(Long, Long, Long, Long)].head()
+      assert((p, n, u2, aucBp) === batch,
+        "the delta-fed axis must refresh to the batch Mann-Whitney AUC")
+    } finally q.stop()
+  }
 }
