@@ -197,20 +197,31 @@ object PackGraph {
     * mechanism, same count, which is exactly what makes the
     * orientation device safe to gate.
     *
-    * Measured (`tools/ProfileQ160`, sf0.1, 137,641 edges, 1.38M
-    * triangles): event distinct ~0.5 s warm, pair explode + support
-    * fold ~1 s (the 1.36M-instance fold is the data-proportional
-    * core), orientation + outN + intersection all sub-second;
-    * end-to-end 1.71 s warm vs the wedge form's 5.7 s and the
-    * unthresholded graph's 62 s.
+    * Measured (`tools/ProfileQ160b` — steady-state medians with fresh
+    * caches per run, Bench's protocol; sf0.1, 137,641 edges, 1.38M
+    * triangles): edge fold (corpus scan → packed pair explode →
+    * support) 1.45 s — the data-proportional core; degrees +0.45 s;
+    * orientation +0.06 s; outN + intersection +0.64 s; full query
+    * 2.6 s quiet / 3.0–3.6 s in the Bench harness, down from r15's
+    * 3.9–4.0 s. The r16 cuts, in measured order: persist outN once
+    * and broadcast it to both intersection sides (r15 built the
+    * collect_list exchange twice — the 1.6 s misattributed to the
+    * "intersection"), broadcast both degree probes, and pack the pair
+    * keys to 8-byte longs. Historical baselines: the wedge form read
+    * 5.7 s, the unthresholded graph 62 s.
     */
   private val q160 = Q(
     "q160_triangle_count",
     (s, d) => {
+      // The (type, hr, user) de-dup rides INSIDE collect_set — the r15
+      // form ran an explicit `.distinct()` first, a full extra corpus
+      // exchange that bought nothing (ObjectHashAggregate's map-side
+      // partial sets dedup each partition before the one (type, hr)
+      // shuffle anyway) — found by the r16 stage profile: the distinct
+      // was the single largest stage at 2.6 s of the 3.9 s total.
       val mem = Tables.events(s, d)
         .select(col("event_type"),
           expr("unix_micros(ts) div 3600000000").as("hr"), col("user_id"))
-        .distinct()
       // Pair-support fold on PACKED keys (q113's 8-byte-fingerprint
       // device, r16): `us` is sorted ascending so u < v, and both ids
       // are non-negative, so u·2³² + v is a bijective single-long pack
@@ -235,21 +246,31 @@ object PackGraph {
       val deg = graft.ops.CacheScope.persisted(
         edges.select(explode(array(col("u"), col("v"))).as("x"))
           .groupBy("x").agg(count(lit(1)).as("deg")))
+      // deg is vertex-cardinality — broadcast both orientation probes
       val oriented = graft.ops.CacheScope.persisted(edges
-        .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
-        .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+        .join(broadcast(deg.select(col("x").as("u"), col("deg").as("du"))),
+          "u")
+        .join(broadcast(deg.select(col("x").as("v"), col("deg").as("dv"))),
+          "v")
         .select(
           when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
             struct(col("u").as("s"), col("v").as("t")))
             .otherwise(struct(col("v").as("s"), col("u").as("t")))
             .as("e"))
         .select(col("e.s").as("s"), col("e.t").as("t")))
-      val outN = oriented.groupBy("s")
-        .agg(array_sort(collect_list(col("t"))).as("nbrs"))
+      // outN is VERTEX-cardinality (≤ |V| rows of O(√m)-bounded arrays)
+      // and BOTH intersection sides read it — r15 built it twice, one
+      // collect_list exchange per join side (the r16 steady-state
+      // profile put outN+intersection at 1.6 s of the 3.8 s total, the
+      // other data-proportional chunk next to the edge fold). Persist
+      // once, broadcast to both sides: the oriented-edge frame never
+      // shuffles to meet it.
+      val outN = graft.ops.CacheScope.persisted(oriented.groupBy("s")
+        .agg(array_sort(collect_list(col("t"))).as("nbrs")))
       val tri = oriented
-        .join(outN, "s")
-        .join(outN.select(col("s").as("t"),
-          col("nbrs").as("nbrs_t")), Seq("t"), "left")
+        .join(broadcast(outN), "s")
+        .join(broadcast(outN.select(col("s").as("t"),
+          col("nbrs").as("nbrs_t"))), Seq("t"), "left")
         .agg(coalesce(sum(size(array_intersect(col("nbrs"),
           coalesce(col("nbrs_t"), array().cast("array<bigint>"))))), lit(0))
           .cast("long").as("n_triangles"))

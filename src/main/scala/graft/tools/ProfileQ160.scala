@@ -31,11 +31,12 @@ object ProfileQ160 {
       .select(explode(expr(
         "flatten(transform(sequence(1, size(us) - 1), " +
           "i -> transform(slice(us, i + 1, size(us) - i), " +
-          "x -> struct(element_at(us, i) AS u, x AS v))))")).as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"))
-    t("pair explode")(pairs.count())
-    val edges = pairs.groupBy("u", "v").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 3).select("u", "v").persist()
+          "x -> element_at(us, i) * 4294967296L + x)))")).as("p"))
+    t("pair explode (packed)")(pairs.count())
+    val edges = pairs.groupBy("p").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 3)
+      .select(expr("p div 4294967296L").as("u"),
+        expr("p % 4294967296L").as("v")).persist()
     t("support fold -> edges")(edges.count())
     val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("deg")).persist()
