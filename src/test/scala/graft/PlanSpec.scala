@@ -1694,8 +1694,62 @@ class PlanSpec extends SparkSpec {
         s"the wedge-pair HOF must stay dead — wedges are never rows:\n$p")
       assert(!p.contains("CartesianProduct"),
         s"only broadcast 1-row joins allowed:\n$p")
-      assert(graft.ops.CacheScope.liveCount === 3,
-        "edges, degrees, and oriented edges are the three scoped caches")
+      assert(graft.ops.CacheScope.liveCount === 4,
+        "edges, degrees, oriented edges, and outN are the scoped caches " +
+          "(outN persisted in r16: both intersection sides read it)")
     } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q168/q170/q172: top-N plans TakeOrderedAndProject, never a " +
+    "global sort") {
+    Seq("q168_shipping_priority", "q170_returned_revenue",
+      "q172_big_baskets").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q must plan per-partition top-N heaps:\n$p")
+    }
+  }
+
+  test("q168: the revenue fold rides the join's orderkey partitioning " +
+    "— no second fact exchange") {
+    val p = plan("q168_shipping_priority")
+    // group key ⊃ join key, so HashAggregate must sit directly on the
+    // join output without an Exchange between them; counting exchanges
+    // is brittle under AQE, so pin the date filters reaching the scans
+    // plus the absence of any cartesian instead
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThan(l_shipdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"both date predicates must reach their scans:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q169/q171/q173: dim probes broadcast — supplier, part, nation " +
+    "never shuffle the fact side") {
+    Seq("q169_local_volume", "q171_promo_share", "q173_bracket_revenue")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("BroadcastHashJoin"),
+          s"$q must broadcast its dim probes:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      }
+  }
+
+  test("q174: every predicate reaches the parquet scan; four-column read") {
+    // the plan STRING elides the PushedFilters list past ~100 chars, so
+    // read the scan node's metadata directly (untruncated)
+    val scan = Catalog.queries("q174_forecast_delta")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("GreaterThanOrEqual(l_discount") &&
+      pushed.contains("LessThanOrEqual(l_discount") &&
+      pushed.contains("LessThan(l_quantity"),
+      s"ship year, discount band, and quantity cap must push:\n$pushed")
+    val read = scan.metadata("ReadSchema")
+    assert(!read.contains("l_orderkey") && !read.contains("l_tax"),
+      s"scan must read only the four used columns:\n$read")
   }
 }
