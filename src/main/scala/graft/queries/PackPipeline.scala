@@ -210,5 +210,117 @@ object PackPipeline {
       "exact verify (8000 bp) → CC over verified edges → argmax-quality " +
       "canonical per cluster — the five-stage chain as one plan")
 
-  val all: Seq[Q] = Seq(q78)
+  /** q175 — dedup THRESHOLD SENSITIVITY (round 16): what does moving
+    * q78's 0.8 Jaccard gate buy? For each candidate threshold
+    * {5000, 6000, 7000, 8000, 9000} bp, the pairs that would verify and
+    * the documents that would be TOUCHED (≥ one passing pair) — the
+    * sweep a corpus build reads before spending the near-dup budget,
+    * produced in ONE pass over the candidate set instead of five
+    * re-runs of the pipeline.
+    *
+    * Plan shape: the candidate stage is `StageGraph.compose(stages,
+    * "candidates")` — the SAME graph q78 ships, third entry point —
+    * and the exact Jaccard projects once per candidate pair (never per
+    * doc pair). Both readouts fold from the pair frame: pair counts as
+    * five conditional sums in one aggregate; doc counts via the
+    * per-doc MAX-jaccard fold (endpoint explode at 2× candidate
+    * cardinality, then doc-cardinality max), so "docs ≥ t" is a
+    * conditional count over the max frame — no per-threshold distinct,
+    * no Expand. The 5-row report explodes from one struct array
+    * (q159's device). 100 TB: everything after the candidate join is
+    * candidate- or doc-cardinality; thresholds are literals, so adding
+    * one is a column, not a pass.
+    */
+  private val q175 = Q(
+    "q175_dedup_sensitivity",
+    (s, d) => {
+      import org.apache.spark.sql.graftglue.ExprGlue
+      def g4 = ExprGlue.column(graft.expr.WordShingleStrings(
+        ExprGlue.expression(toks), 4))
+      val sets = Tables.documents(s, d).select(col("doc_id"), g4.as("g"))
+      val jac = graft.ops.CacheScope.persisted(
+        graft.plans.StageGraph.compose(stages, "candidates")(s, d)
+          .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")),
+            Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")),
+            Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            ExprGlue.column(graft.expr.ArrayIntersectCount(
+              ExprGlue.expression(col("ga")),
+              ExprGlue.expression(col("gb"))))
+              .cast("bigint").as("nc"),
+            (size(col("ga")) + size(col("gb"))).cast("bigint").as("sz"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("nc * 10000 div (sz - nc)").as("jac")))
+      val ths = Seq(5000L, 6000L, 7000L, 8000L, 9000L)
+      val pairCols = ths.map(t =>
+        sum(when(col("jac") >= t, 1L).otherwise(0L)).as(s"p$t"))
+      val pairRow = jac.agg(pairCols.head, pairCols.tail: _*)
+      val docCols = ths.map(t =>
+        sum(when(col("mj") >= t, 1L).otherwise(0L)).as(s"d$t"))
+      val docRow = jac
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"),
+          col("jac"))
+        .groupBy("doc").agg(max("jac").as("mj"))
+        .agg(docCols.head, docCols.tail: _*)
+      val report = ths.map(t =>
+        struct(lit(t).as("threshold_bp"),
+          col(s"p$t").as("n_pairs"), col(s"d$t").as("n_docs")))
+      pairRow.crossJoin(broadcast(docRow))
+        .select(explode(array(report: _*)).as("r"))
+        .select(col("r.threshold_bp"), col("r.n_pairs"), col("r.n_docs"))
+        .orderBy("threshold_bp")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      h AS (SELECT doc_id,
+              list_transform(ws, tok ->
+                CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1),
+                  i -> ascii(substr(tok, i, 1)) * $PowSql[i])) % 1048573 AS BIGINT)) AS th
+            FROM t WHERE len(ws) >= 8),
+      g AS (SELECT doc_id,
+              list_transform(range(1, len(th) - 2), i ->
+                ((((th[i] * 1000003 + th[i + 1]) % 2147483647)
+                   * 1000003 + th[i + 2]) % 2147483647
+                   * 1000003 + th[i + 3]) % 2147483647) AS gh
+            FROM h),
+      w AS (SELECT doc_id, CAST(unnest(list_distinct(list_transform(range(5, len(gh) + 1),
+              j -> list_aggregate(gh[j-4:j], 'min')))) AS BIGINT) AS fp
+            FROM g),
+      df AS (SELECT fp FROM w GROUP BY fp HAVING count(*) <= 20),
+      keep AS (SELECT w.doc_id, w.fp FROM w JOIN df USING (fp)),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+      s4 AS (SELECT doc_id,
+               CASE WHEN len(ws) >= 4
+                 THEN list_distinct(list_transform(range(1, len(ws) - 2),
+                   i -> array_to_string(ws[i:i+3], ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END AS g
+             FROM t),
+      j AS (SELECT p.doc_a, p.doc_b,
+              len(list_intersect(a.g, b.g)) * 10000
+                // (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+            FROM pairs p JOIN s4 a ON a.doc_id = p.doc_a
+                         JOIN s4 b ON b.doc_id = p.doc_b),
+      th2 AS (SELECT CAST(unnest([5000, 6000, 7000, 8000, 9000]) AS BIGINT)
+                AS threshold_bp),
+      dm AS (SELECT doc, max(jac) AS mj FROM (
+               SELECT doc_a AS doc, jac FROM j
+               UNION ALL SELECT doc_b AS doc, jac FROM j) GROUP BY doc),
+      pc AS (SELECT th2.threshold_bp,
+               CAST(sum(CASE WHEN j.jac >= th2.threshold_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+             FROM th2 CROSS JOIN j GROUP BY 1),
+      dc AS (SELECT th2.threshold_bp,
+               CAST(sum(CASE WHEN dm.mj >= th2.threshold_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+             FROM th2 CROSS JOIN dm GROUP BY 1)
+      SELECT pc.threshold_bp, pc.n_pairs, dc.n_docs
+      FROM pc JOIN dc USING (threshold_bp) ORDER BY threshold_bp
+    """),
+    doc = "dedup threshold sensitivity: one pass over the q78 candidate " +
+      "graph (third StageGraph entry point), exact per-pair jaccard " +
+      "projected once, five conditional sums + a doc-max fold — the " +
+      "gate-tuning sweep without five pipeline re-runs")
+
+  val all: Seq[Q] = Seq(q78, q175)
 }

@@ -571,6 +571,75 @@ object PackTime {
       "cached (type, day) axis, 7-day baseline broadcast, integer x14 " +
       "scaling, alarm at h = 4*mu")
 
+  /** q176 — order BACKLOG curve (round 16): per day, orders opened,
+    * orders fully shipped, and the count of orders still open — the
+    * operations dashboard's work-in-progress line, computed as an
+    * INTERVAL COUNT: each order contributes a +1 delta at its open day
+    * and a −1 the day after its last line ships, and the backlog is the
+    * running sum of deltas. The interval-count device is the scalable
+    * form — the naive "for each day, count orders with open ≤ d ≤
+    * close" is a day×order range join.
+    *
+    * Plan shape: lineitem folds to ORDER cardinality first (max
+    * shipdate, map-side partials), THEN meets orders — fold-then-join,
+    * q170's posture; the ±1 deltas explode at 2× order cardinality and
+    * fold to the DAY AXIS; the single running-sum window rides that
+    * axis frame (bounded by the calendar — ~2.5k rows here, never the
+    * fact). Only days where the delta changes emit (gap-fill composes
+    * via q131 when the dense axis is wanted).
+    */
+  private val q176 = Q(
+    "q176_order_backlog",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val close = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000"))
+          .as("close_d"))
+      val oc = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("open_d"))
+        .join(close, col("o_orderkey") === col("l_orderkey"))
+        .select(col("open_d"),
+          greatest(col("open_d"), col("close_d")).as("close_d"))
+      oc.select(explode(array(
+          struct(col("open_d").as("day"), lit(1L).as("op"),
+            lit(0L).as("cl")),
+          struct((col("close_d") + 1L).as("day"), lit(0L).as("op"),
+            lit(1L).as("cl")))).as("e"))
+        .groupBy(col("e.day").as("day"))
+        .agg(sum("e.op").as("n_opened"), sum("e.cl").as("n_closed"))
+        .withColumn("backlog",
+          sum(col("n_opened") - col("n_closed")).over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("day")
+    },
+    Some("""
+      WITH oc AS (SELECT o.o_orderkey,
+               epoch_us(cast(o.o_orderdate AS TIMESTAMP)) // 86400000000
+                 AS open_d,
+               greatest(epoch_us(cast(o.o_orderdate AS TIMESTAMP))
+                   // 86400000000,
+                 max(epoch_us(cast(l.l_shipdate AS TIMESTAMP))
+                   // 86400000000)) AS close_d
+             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             GROUP BY 1, 2),
+      ev AS (SELECT open_d AS day, 1 AS op, 0 AS cl FROM oc
+             UNION ALL SELECT close_d + 1, 0, 1 FROM oc),
+      dd AS (SELECT day, CAST(sum(op) AS BIGINT) AS n_opened,
+               CAST(sum(cl) AS BIGINT) AS n_closed
+             FROM ev GROUP BY day)
+      SELECT day, n_opened, n_closed,
+             CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+      FROM dd ORDER BY day
+    """),
+    doc = "order backlog by the interval-count device: order-cardinality " +
+      "close fold, +-1 deltas to the day axis, one axis-sized running " +
+      "sum — never a day x order range join")
+
   val all: Seq[Q] = Seq(q21, q22, q23, q125, q130, q131, q152, q154,
-    q155, q166)
+    q155, q166, q176)
 }

@@ -156,4 +156,28 @@ class PackPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("q175: sensitivity sweep is monotone and its 8000 row equals " +
+    "q78's verified edge count (independent mechanism)") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val rows = Catalog.queries("q175_dedup_sensitivity")(spark, sf)
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      graft.ops.CacheScope.drain()
+      assert(rows.map(_._1) === Seq(5000L, 6000L, 7000L, 8000L, 9000L))
+      // raising the gate can only shrink both readouts
+      rows.sliding(2).foreach { case Seq(lo, hi) =>
+        assert(hi._2 <= lo._2 && hi._3 <= lo._3,
+          s"monotonicity broke between ${lo._1} and ${hi._1}")
+      }
+      // every passing pair touches two docs; dedup of endpoints only shrinks
+      rows.foreach { r => assert(r._3 <= 2 * r._2) }
+      // cross-mechanism pin: the 8000 row IS q78's verify gate
+      val verified = graft.queries.PackPipeline
+        .verifiedEdges(spark, sf).count()
+      graft.ops.CacheScope.drain()
+      assert(rows.find(_._1 == 8000L).get._2 === verified,
+        "the sweep's 8000 bp row must equal the pipeline's verified pairs")
+    } finally graft.ops.CacheScope.drain()
+  }
 }

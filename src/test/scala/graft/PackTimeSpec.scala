@@ -163,4 +163,35 @@ class PackTimeSpec extends SparkSpec {
     // b = 70, excess/day = 14*25-3*70 = 140, h = 560 -> 5th monitored day
     assert(firstAlarm === 11L)
   }
+
+  test("q176: backlog conserves mass and matches direct interval counts") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Catalog.queries("q176_order_backlog")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // conservation: every opened order closes, so the curve ends at 0
+    assert(got.map(_._2).sum === got.map(_._3).sum,
+      "total opens must equal total closes")
+    assert(got.last._4 === 0L, "the backlog must drain to zero")
+    assert(got.forall(_._4 >= 0L), "a backlog can never go negative")
+    // direct interval recount on three sampled days: backlog(d) =
+    // #orders with open <= d <= close
+    val close = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")).as("c"))
+      .as[(Long, Long)].collect().toMap
+    val opens = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+      .as[(Long, Long)].collect().toSeq
+      .filter(o => close.contains(o._1))
+    val closeOf = opens.map { case (k, o) =>
+      k -> math.max(o, close(k)) }.toMap
+    val byDay = got.map(r => r._1 -> r._4).toMap
+    Seq(got(got.length / 4)._1, got(got.length / 2)._1,
+      got(3 * got.length / 4)._1).foreach { d =>
+      val direct = opens.count { case (k, o) => o <= d && d <= closeOf(k) }
+      assert(byDay(d) === direct.toLong,
+        s"backlog at day $d must equal the direct interval count")
+    }
+  }
 }

@@ -113,4 +113,23 @@ class StageGraphSpec extends SparkSpec {
       assert(clusterMass > 0 || viaPrefix.isEmpty)
     } finally graft.ops.CacheScope.drain()
   }
+
+  test("the q95 release graph's prefixes are consistent entry points: " +
+    "clean ⊆ dedup ⊆ base, and the manifest ships only clean docs") {
+    val sf = "/root/testdata/sf0.001"
+    def ids(target: String): Set[Long] =
+      StageGraph.compose(graft.queries.PackRelease.stages, target)(
+        spark, sf).select("doc_id").as[Long].collect().toSet
+    try {
+      val base = ids("base")
+      val dedup = ids("dedup")
+      val clean = ids("clean")
+      val manifest = ids("manifest")
+      assert(dedup.subsetOf(base), "dedup must only drop base docs")
+      assert(clean.subsetOf(dedup), "decon must only drop dedup docs")
+      assert(manifest.subsetOf(clean),
+        "the manifest must ship only decontaminated survivors")
+      assert(base.nonEmpty && manifest.nonEmpty)
+    } finally graft.ops.CacheScope.drain()
+  }
 }
