@@ -1770,4 +1770,63 @@ object StreamOps {
           out.iterator
       }.toDF()
   }
+
+  final case class BacklogItem(l_orderkey: Long, open_d: Long, ship_d: Long)
+  final case class BacklogState(close_d: Long)
+  final case class BacklogDelta(day: Long, d_open: Long, d_close: Long)
+
+  /** Streaming twin of q176's backlog curve — the LIVE work-in-progress
+    * feed: lineitems arrive continuously, each order's first sighting
+    * emits its +1 open delta and a close delta at its current interval
+    * end, and a line that EXTENDS an order's interval emits a
+    * retract/re-emit pair moving the close delta right (aucDeltaStream's
+    * retraction posture — an order's last-ship day is only provisional
+    * while lines keep arriving). Folding the deltas by day yields
+    * exactly batch q176's (day, n_opened, n_closed) frame (pinned by
+    * test), and the running sum over the folded frame is the live
+    * backlog curve.
+    *
+    * State per order is ONE long (the current close day); the open day
+    * rides the stream via the stream-static orders probe, so first
+    * sighting is `state.isEmpty` — no per-order open flag. Interval
+    * semantics are the batch operator's verbatim: [open, max(open,
+    * last_ship)]. Deltas within a batch coalesce (one retract/re-emit
+    * pair per order per batch however many lines land), re-delivery of
+    * an already-seen ship day is absorbed by the max. A production
+    * deployment evicts closed orders on a completion signal, exactly as
+    * copurchaseStream documents.
+    *
+    * `items` columns: (l_orderkey long, open_d long, ship_d long) — the
+    * open day joined on from the orders dimension upstream (a
+    * stream-static broadcast probe, annServeStream's posture).
+    */
+  def backlogStream(items: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = items.sparkSession
+    import sp.implicits._
+    items.select(col("l_orderkey"), col("open_d"), col("ship_d"))
+      .as[BacklogItem]
+      .groupByKey(_.l_orderkey)
+      .flatMapGroupsWithState[BacklogState, BacklogDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val rs = rows.toSeq
+          val open = rs.head.open_d
+          val shipMax = rs.map(_.ship_d).max
+          val out = scala.collection.mutable.ListBuffer.empty[BacklogDelta]
+          state.getOption match {
+            case None =>
+              val close = math.max(open, shipMax)
+              out += BacklogDelta(open, 1L, 0L)
+              out += BacklogDelta(close + 1L, 0L, 1L)
+              state.update(BacklogState(close))
+            case Some(st) if shipMax > st.close_d =>
+              out += BacklogDelta(st.close_d + 1L, 0L, -1L)
+              out += BacklogDelta(shipMax + 1L, 0L, 1L)
+              state.update(BacklogState(shipMax))
+            case _ => // interval unchanged — nothing to emit
+          }
+          out.iterator
+      }.toDF()
+  }
 }

@@ -1473,4 +1473,65 @@ class StreamRestartSpec extends SparkSpec {
     assert(axis === expect,
       "the recovered delta feed must fold to the exact batch axis")
   }
+
+  test("backlog feed's per-order close state survives a checkpointed " +
+    "restart: post-restart lines retract the right provisional close") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val in = Files.createTempDirectory("bkl-in").toString
+    val out = Files.createTempDirectory("bkl-out").toString
+    val ckpt = Files.createTempDirectory("bkl-ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val items = graft.queries.Tables.lineitem(spark, sf)
+      .join(graft.queries.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("open_d"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("ship_d"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("open_d", LongType),
+      StructField("ship_d", LongType)))
+    def startQuery() = StreamOps.backlogStream(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def land(rs: Seq[(Long, Long, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("bkl-tmp").toString
+      rs.toDF("l_orderkey", "open_d", "ship_d").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(in, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // split so orders straddle the boundary: SHUFFLE then halve — a
+    // second-half line extending an order must retract the close the
+    // FIRST run emitted, which only works off recovered state
+    val rnd = new scala.util.Random(11)
+    val (b1, b2) = rnd.shuffle(items).splitAt(items.length / 2)
+    land(b1, "batch1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    land(b2, "batch2.parquet")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val folded = spark.read.parquet(out).as[(Long, Long, Long)]
+      .collect().toSeq.groupBy(_._1)
+      .map { case (d, g) => (d, g.map(_._2).sum, g.map(_._3).sum) }
+      .filter(r => r._2 != 0L || r._3 != 0L)
+      .toSeq.sortBy(_._1)
+    val batch = graft.queries.Catalog
+      .queries("q176_order_backlog")(spark, sf)
+      .select("day", "n_opened", "n_closed")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(folded === batch,
+      "the recovered feed must fold to the exact batch day frame")
+  }
 }

@@ -1417,4 +1417,49 @@ class StreamingSpec extends SparkSpec {
         "the delta-fed axis must refresh to the batch Mann-Whitney AUC")
     } finally q.stop()
   }
+
+  test("backlog delta feed folds to batch q176's day frame as orders' " +
+    "close days move right") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr, greatest, lit, max => fmax}
+    val sf = "/root/testdata/sf0.001"
+    val items = graft.queries.Tables.lineitem(spark, sf)
+      .join(graft.queries.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("open_d"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("ship_d"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = StreamOps.backlogStream(
+        ms.toDF.toDF("l_orderkey", "open_d", "ship_d"))
+      .writeStream.format("memory").queryName("t_backlog")
+      .outputMode("append").start()
+    try {
+      // shuffled feed: lines of one order land across batches, so close
+      // days genuinely move right and retractions fire
+      val rnd = new scala.util.Random(7)
+      rnd.shuffle(items).grouped(math.max(1, items.length / 4)).foreach {
+        b => ms.addData(b); q.processAllAvailable()
+      }
+      val folded = spark.table("t_backlog").as[(Long, Long, Long)]
+        .collect().toSeq.groupBy(_._1)
+        .map { case (d, g) => (d, g.map(_._2).sum, g.map(_._3).sum) }
+        .filter(r => r._2 != 0L || r._3 != 0L)
+        .toSeq.sortBy(_._1)
+      val batch = graft.queries.Catalog
+        .queries("q176_order_backlog")(spark, sf)
+        .select("day", "n_opened", "n_closed")
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(folded === batch,
+        "folded deltas must equal the batch (day, opened, closed) frame")
+      // retractions actually fired: a no-retraction run emits exactly
+      // two rows per order (open + provisional close)
+      val raw = spark.table("t_backlog").count()
+      assert(raw > 2L * items.map(_._1).distinct.size,
+        "the shuffled feed must have moved at least one close day")
+    } finally q.stop()
+  }
 }
