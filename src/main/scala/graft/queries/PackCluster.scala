@@ -668,5 +668,104 @@ object PackCluster {
       "in 1e-8 units: one posexplode fold to mergeable (label, dim) " +
       "sums, global vector re-folded from cells, broadcast dim join")
 
-  val all: Seq[Q] = Seq(q56, q57, q74, q75, q83, q97, q100)
+  /** q177 — quality-band SENSITIVITY sweep (round 16, q175's one-pass
+    * multi-threshold device applied to q57's gate): for each symmetric
+    * trim level {0, 5, 10, 20}%, the documents and character mass a
+    * [P(p), P(1−p)] score band would keep — the budget-vs-strictness
+    * curve a corpus build reads before fixing the gate, without
+    * re-running the gate per candidate level.
+    *
+    * Plan shape: the score projects ONCE to a doc-cardinality cached
+    * frame; ALL six percentile probes ride one 1-row aggregate
+    * (mergeable partials — approx_percentile is the 100 TB swap-in,
+    * q57's note); band membership is conditional sums in ONE pass over
+    * the cached frame; the 4-row report explodes from a struct array
+    * (q159's device). Adding a trim level is a column, not a pass.
+    */
+  private val q177 = Q(
+    "q177_quality_band_sweep",
+    (s, d) => {
+      val scored = graft.ops.CacheScope.persisted(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), col("text"),
+            filter(split(lower(col("text")), "\\W+"),
+              t => length(t) > 0).as("ws"))
+          .select(col("doc_id"), col("n_chars"),
+            expr("size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)" +
+              " + length(text) * 100L div greatest(size(ws), 1)").as("score")))
+      val thresholds = scored.agg(
+        expr("percentile(score, array(0.05, 0.10, 0.20))").as("lo"),
+        expr("percentile(score, array(0.95, 0.90, 0.80))").as("hi"))
+      val trims = Seq(0, 500, 1000, 2000) // bp trimmed off EACH tail
+      val conds = trims.flatMap { t =>
+        val in =
+          if (t == 0) lit(true)
+          else {
+            val i = trims.indexOf(t) // 1-based into the prob arrays
+            col("score") >= element_at(col("lo"), i) &&
+              col("score") <= element_at(col("hi"), i)
+          }
+        Seq(sum(when(in, 1L).otherwise(0L)).as(s"n$t"),
+          sum(when(in, col("n_chars")).otherwise(0L)).as(s"c$t"))
+      }
+      val folded = scored.crossJoin(broadcast(thresholds))
+        .agg(conds.head, conds.tail: _*)
+        .withColumn("n_all", col("n0"))
+      val report = trims.map(t =>
+        struct(lit(t.toLong).as("trim_bp"), col(s"n$t").as("n_docs"),
+          col(s"c$t").as("n_chars"),
+          expr(s"n$t * 10000 div greatest(n_all, 1)").as("share_bp")))
+      folded
+        .select(explode(array(report: _*)).as("r"))
+        .select(col("r.trim_bp"), col("r.n_docs"), col("r.n_chars"),
+          col("r.share_bp"))
+        .orderBy("trim_bp")
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id, n_chars,
+               (CAST(len(list_distinct(ws)) AS BIGINT) * 10000)
+                 // greatest(len(ws), 1)
+               + (CAST(length(text) AS BIGINT) * 100) // greatest(len(ws), 1)
+               AS score
+        FROM (SELECT doc_id, n_chars, text,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                       x -> len(x) > 0) AS ws
+              FROM documents)),
+      t AS (SELECT quantile_cont(score, 0.05) AS lo5,
+                   quantile_cont(score, 0.95) AS hi5,
+                   quantile_cont(score, 0.10) AS lo10,
+                   quantile_cont(score, 0.90) AS hi10,
+                   quantile_cont(score, 0.20) AS lo20,
+                   quantile_cont(score, 0.80) AS hi20 FROM s),
+      c AS (SELECT count(*) AS n0, CAST(sum(n_chars) AS BIGINT) AS c0,
+              CAST(sum(CASE WHEN score >= lo5 AND score <= hi5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n500,
+              CAST(sum(CASE WHEN score >= lo5 AND score <= hi5
+                THEN n_chars ELSE 0 END) AS BIGINT) AS c500,
+              CAST(sum(CASE WHEN score >= lo10 AND score <= hi10
+                THEN 1 ELSE 0 END) AS BIGINT) AS n1000,
+              CAST(sum(CASE WHEN score >= lo10 AND score <= hi10
+                THEN n_chars ELSE 0 END) AS BIGINT) AS c1000,
+              CAST(sum(CASE WHEN score >= lo20 AND score <= hi20
+                THEN 1 ELSE 0 END) AS BIGINT) AS n2000,
+              CAST(sum(CASE WHEN score >= lo20 AND score <= hi20
+                THEN n_chars ELSE 0 END) AS BIGINT) AS c2000
+            FROM s CROSS JOIN t)
+      SELECT CAST(0 AS BIGINT) AS trim_bp, n0 AS n_docs, c0 AS n_chars,
+             n0 * 10000 // greatest(n0, 1) AS share_bp FROM c
+      UNION ALL SELECT 500, n500, c500, n500 * 10000 // greatest(n0, 1)
+        FROM c
+      UNION ALL SELECT 1000, n1000, c1000, n1000 * 10000 // greatest(n0, 1)
+        FROM c
+      UNION ALL SELECT 2000, n2000, c2000, n2000 * 10000 // greatest(n0, 1)
+        FROM c
+      ORDER BY trim_bp
+    """),
+    doc = "quality-band sensitivity: one cached doc-cardinality score " +
+      "frame, six percentile probes in one 1-row aggregate, band " +
+      "membership as conditional sums in one pass — the gate-tuning " +
+      "curve without per-level re-runs")
+
+  val all: Seq[Q] = Seq(q56, q57, q74, q75, q83, q97, q100, q177)
 }

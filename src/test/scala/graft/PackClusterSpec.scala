@@ -344,4 +344,28 @@ class PackClusterSpec extends SparkSpec {
     assert(got.forall(r => r._4 > 0L),
       "every cell must have received increment members at this sf")
   }
+
+  test("q177: band sweep is monotone, trim-0 is the corpus, and the " +
+    "1000 bp row equals q57's own survivor count (independent gate)") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val rows = Catalog.queries("q177_quality_band_sweep")(spark, sf)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      graft.ops.CacheScope.drain()
+      assert(rows.map(_._1) === Seq(0L, 500L, 1000L, 2000L))
+      // a wider trim can only shrink docs and chars
+      rows.sliding(2).foreach { case Seq(lo, hi) =>
+        assert(hi._2 <= lo._2 && hi._3 <= lo._3)
+      }
+      val docs = Tables.documents(spark, sf)
+      assert(rows.head._2 === docs.count())
+      assert(rows.head._3 ===
+        docs.agg(sum("n_chars")).as[Long].head())
+      assert(rows.head._4 === 10000L)
+      // cross-mechanism pin: the 10% trim band IS q57's [P10, P90] gate
+      val q57n = Catalog.queries("q57_quality_gate")(spark, sf).count()
+      assert(rows.find(_._1 == 1000L).get._2 === q57n,
+        "the sweep's 1000 bp row must equal q57's survivors")
+    } finally graft.ops.CacheScope.drain()
+  }
 }
