@@ -233,9 +233,11 @@ object PackShapes {
              CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
                  THEN CAST(l.l_extendedprice * (1 - l.l_discount)
                    AS DECIMAL(22,4))
-                 ELSE CAST(0 AS DECIMAL(22,4)) END) AS HUGEINT) * 10000
+                 ELSE CAST(0 AS DECIMAL(22,4)) END) * 10000 AS HUGEINT)
+                 * 10000
                // greatest(CAST(sum(CAST(l.l_extendedprice
-                   * (1 - l.l_discount) AS DECIMAL(22,4))) AS HUGEINT), 1)
+                   * (1 - l.l_discount) AS DECIMAL(22,4))) * 10000
+                   AS HUGEINT), 1)
                AS BIGINT) AS promo_bp
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
