@@ -153,10 +153,22 @@ object PackJoin {
   private val q128 = Q(
     "q128_revenue_rollup",
     (s, d) => {
+      // ORDER-cardinality pre-fold below the orders join (r16 — the
+      // §7.5 experiment, measured by ProfileQ146b on the CUBE sibling:
+      // 2.59 → 1.40 s at sf0.1): per-order line count + exact decimal
+      // revenue fold map-side-partials through one fact exchange, so
+      // the Expand multiplies ~orders rows, not ~lines — a 4× smaller
+      // grouping-sets stream for one well-compressed shuffle. Decimal
+      // addition is associative, so the two-level sum is bit-identical
+      // to the per-line Det.dsum4.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("rev"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("nl"),
+          sum(col("rev").cast(org.apache.spark.sql.types
+            .DecimalType(22, 4))).as("revd"))
       val or = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           concat(year(col("o_orderdate")), lit("-Q"),
@@ -173,8 +185,8 @@ object PackJoin {
           col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("qtr"))
         .agg(grouping_id().cast("long").as("gid"),
-          count(lit(1)).as("n_items"),
-          Det.dsum4(col("rev")).as("revenue"))
+          sum("nl").as("n_items"),
+          sum("revd").cast("double").as("revenue"))
         .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
           coalesce(col("qtr"), lit("(all)")).as("qtr"),
           col("gid"), col("n_items"), col("revenue"))
@@ -542,21 +554,31 @@ object PackJoin {
     * Expand multiplies the PRE-AGGREGATED stream (partial aggregation
     * below the exchange), never the raw fact rows.
     *
-    * Stage economics (`tools/ProfileQ146`, sf0.1, steady-state): the
-    * bare star join is the floor at ~1.0 s (600k-row probe against the
-    * 150k-row broadcast orders build); the flat aggregation, the CUBE's
-    * Expand, and the exact-decimal sum together add ~0.3–0.8 s and are
-    * within noise of each other — i.e. the in-catalog ~2.3 s for this
-    * pair is join-scan-bound, not grouping-sets-bound, and the join is
-    * already the minimal one-pass shape.
+    * Stage economics, revised r16 (`tools/ProfileQ146b`): the r15
+    * audit (`ProfileQ146`) read the pair as join-scan-bound with the
+    * bare star join a ~1.0 s floor — but the §7.5 pre-fold experiment
+    * found the real lever: folding lineitem to ORDER cardinality below
+    * the orders join (one map-side-partialed fact exchange) shrinks
+    * the Expand's input ~4× and measured **2.59 → 1.40 s** here and
+    * 2.14 → 1.68 s on the q128 sibling. The two-level decimal sum is
+    * associative, so the rework is hash-identical to the per-line
+    * Det.dsum4 form.
     */
   private val q146 = Q(
     "q146_revenue_cube",
     (s, d) => {
+      // q128's r16 order-cardinality pre-fold, measured HERE by
+      // ProfileQ146b: 2.59 → 1.40 s at sf0.1 — the Expand multiplies
+      // ~orders rows instead of ~lines for one map-side-partialed fact
+      // exchange; the two-level decimal sum is exact (associative)
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("rev"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("nl"),
+          sum(col("rev").cast(org.apache.spark.sql.types
+            .DecimalType(22, 4))).as("revd"))
       val or = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderpriority").as("priority"))
@@ -569,8 +591,8 @@ object PackJoin {
           col("c_nationkey") === col("n_nationkey"))
         .cube(col("n_name"), col("priority"))
         .agg(grouping_id().cast("long").as("gid"),
-          count(lit(1)).as("n_items"),
-          Det.dsum4(col("rev")).as("revenue"))
+          sum("nl").as("n_items"),
+          sum("revd").cast("double").as("revenue"))
         .select(coalesce(col("n_name"), lit("(all)")).as("nation"),
           coalesce(col("priority"), lit("(all)")).as("priority"),
           col("gid"), col("n_items"), col("revenue"))
