@@ -121,17 +121,21 @@ object PackPipeline {
         val endpoints = edges.select(col("a").as("id"))
           .unionByName(edges.select(col("b").as("id"))).distinct()
         val lbl = GraphOps.connectedComponents(endpoints, edges)
+        // ONE corpus scan carries both the id and the score (r16: the
+        // prior form scanned documents twice — bare ids for the label
+        // join, then a second scan joined back for scores — an extra
+        // scan AND a doc-cardinality join for nothing; scored covers
+        // every doc, so the left label join on it is identical)
         val scored = docs.select(col("doc_id"), toks.as("ws"))
           .select(col("doc_id"),
             expr(
               "size(array_distinct(ws)) * 10000L div greatest(size(ws), 1)")
               .as("score"))
-        docs.select(col("doc_id"))
+        scored
           .join(lbl.withColumnRenamed("id", "doc_id"),
             Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("score"),
             coalesce(col("comp"), col("doc_id")).as("comp"))
-          .join(scored, "doc_id")
           .groupBy("comp")
           .agg(min(struct((-col("score")).as("ns"), col("doc_id"))).as("m"),
             count(lit(1)).as("n_members"))
