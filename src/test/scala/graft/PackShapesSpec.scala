@@ -69,6 +69,30 @@ class PackShapesSpec extends SparkSpec {
     assert(nations.nonEmpty && nations.subsetOf(asia))
   }
 
+  test("q172: planted quantity tie — both orders survive, ranked by " +
+    "the orderkey tiebreak (the determinism LIMIT alone can't give)") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("q172-tie").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // orders 1 and 2 tie at 250 units; order 3 sits below the threshold
+    val li = Seq((1L, 100.0), (1L, 150.0), (2L, 250.0), (3L, 150.0))
+    li.toDF("l_orderkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 10L, ts("1996-01-01 00:00:00"), 111.0),
+      (2L, 20L, ts("1996-02-01 00:00:00"), 222.0),
+      (3L, 30L, ts("1996-03-01 00:00:00"), 333.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((10L, "cust-a"), (20L, "cust-b"), (30L, "cust-c"))
+      .toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = Catalog.queries("q172_big_baskets")(spark, dir)
+      .select("o_orderkey", "c_name", "total_qty")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "cust-a", 250L), (2L, "cust-b", 250L)),
+      "tied orders must both report, in orderkey order")
+  }
+
   test("q170: revenue only counts returned lines inside the quarter") {
     val got = Catalog.queries("q170_returned_revenue")(spark, sf)
       .select("c_custkey", "rev_e4").as[(Long, Long)].collect().toMap
