@@ -58,20 +58,35 @@ object Stage {
 object StageGraph {
 
   def compose(stages: Seq[Stage], target: String)(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String): DataFrame =
+    composeAll(stages, Seq(target))(spark, dir)(target)
+
+  /** Multi-target composition: build the UNION of the targets' ancestor
+    * sets exactly once — shared stages (and, critically, their scoped
+    * caches) are built a single time however many targets read them —
+    * and return the requested frames by name. This is what lets a
+    * consumer that needs several frames of one graph (the ANN serving
+    * twin reads reps + ranges + codes; the batch search reads their
+    * descendant) share the one cached statistics pass instead of
+    * re-composing per frame: `CacheScope.persisted` is eager and
+    * unmemoized by design, so N separate `compose` calls would run the
+    * expensive cache build N times.
+    */
+  def composeAll(stages: Seq[Stage], targets: Seq[String])(
+      spark: SparkSession, dir: String): Map[String, DataFrame] = {
     val dups = stages.groupBy(_.name).collect {
       case (n, ss) if ss.size > 1 => n }
     if (dups.nonEmpty) throw new IllegalArgumentException(
       s"duplicate stage name(s): ${dups.mkString(", ")}")
     val m = stages.map(s => s.name -> s).toMap
-    if (!m.contains(target)) throw new IllegalArgumentException(
-      s"unknown target stage: $target")
+    for (target <- targets if !m.contains(target))
+      throw new IllegalArgumentException(s"unknown target stage: $target")
     for (s <- stages; d <- s.deps if !m.contains(d))
       throw new IllegalArgumentException(
         s"stage '${s.name}' depends on unknown stage '$d'")
 
-    // post-order DFS from the target: deps insert before dependents
-    // (topological order) and only ancestors of the target are visited
+    // post-order DFS from each target: deps insert before dependents
+    // (topological order) and only ancestors of some target are visited
     val order = scala.collection.mutable.LinkedHashSet.empty[String]
     def visit(n: String, path: List[String]): Unit = {
       if (path.contains(n)) throw new IllegalArgumentException(
@@ -81,7 +96,7 @@ object StageGraph {
         order += n
       }
     }
-    visit(target, Nil)
+    targets.foreach(visit(_, Nil))
 
     val built = scala.collection.mutable.Map.empty[String, DataFrame]
     order.foreach { n =>
@@ -90,6 +105,6 @@ object StageGraph {
       built(n) = if (s.cache) graft.ops.CacheScope.persisted(frame)
         else frame
     }
-    built(target)
+    targets.map(t => t -> built(t)).toMap
   }
 }

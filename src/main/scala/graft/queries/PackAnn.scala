@@ -146,83 +146,137 @@ object PackAnn {
 
   private[graft] val probeScoreExpr = probeScoreOf("dot", "na2", "nb2")
 
+  /** The ANN stack as a declarative [[graft.plans.StageGraph]] (round 16
+    * — SURVEY §7.5 #2, the THIRD pipeline on the DAG after q78/q95).
+    * Stage bodies are verbatim the hand-wired r15 `sq8Parts`/
+    * `annPipeline` forms; the q107 oracle hash plus the PlanSpec pins
+    * (exactly two scoped caches, search tree reads the cached code
+    * frame and only the vec_id<8 query scan, WindowGroupLimit,
+    * cartesian-free) prove the re-expression changed nothing.
+    *
+    * This graph is the reason `composeAll` exists: the batch search is
+    * ONE target, but the streaming serving twin
+    * ([[graft.streaming.StreamOps]] `annServeStream`) needs THREE index
+    * frames (reps, ranges, codes) that share the cached `cellstats`
+    * ancestor — multi-target composition builds that statistics pass
+    * once for all of them, where per-frame `compose` calls would run
+    * the eager cache build once per frame.
+    */
+  private[graft] val stages: Seq[graft.plans.Stage] = {
+    import graft.plans.Stage
+    Seq(
+      // milli-unit integer mapping of the embeddings table (q74's
+      // device): all downstream arithmetic exact
+      Stage("milli") { (s, d, _) =>
+        Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      },
+      Stage("queries", "milli") { (_, _, in) =>
+        in("milli").filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      },
+      Stage("corpus", "milli") { (_, _, in) =>
+        in("milli").filter(col("vec_id") >= 8)
+          .select(col("vec_id").as("c_id"), col("label").as("cell"),
+            col("v"))
+      },
+      // ONE corpus statistics pass: per-(cell, dim) sum + min + max —
+      // mergeable map-side; cached: the centroid fold and the range
+      // re-fold both read it (q100's cell-frame device)
+      Stage.cached("cellstats", "corpus") { (_, _, in) =>
+        in("corpus")
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg(sum("x").as("sv"), min("x").as("lo"), max("x").as("hi"))
+      },
+      // IVF coarse structure: integer centroid-sum vector per cell
+      // (cosine is scale-invariant, so the un-divided sum scores like
+      // the mean)
+      Stage("reps", "cellstats") { (_, _, in) =>
+        in("cellstats").groupBy("cell")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("sv")))),
+            t => t("sv")).as("rv"))
+          .withColumn("nb2",
+            expr("aggregate(rv, 0L, (acc, x) -> acc + x * x)"))
+      },
+      // SQ8 ranges: re-FOLD from the cached cell stats — no second
+      // corpus pass (shard min/max merge by min/min, max/max)
+      Stage("ranges", "cellstats") { (_, _, in) =>
+        in("cellstats").groupBy("dim")
+          .agg(min("lo").as("lo"), max("hi").as("hi"))
+          .agg(sort_array(collect_list(struct(col("dim"), col("lo"))))
+            .as("pl"),
+            sort_array(collect_list(struct(col("dim"), col("hi"))))
+              .as("ph"))
+          .select(expr("transform(pl, p -> p.lo)").as("los"),
+            expr("transform(ph, p -> p.hi)").as("his"))
+      },
+      // the CODE frame — the built index, cached: everything below the
+      // search join reads codes, never the corpus floats (q75's
+      // contract)
+      Stage.cached("codes", "corpus", "ranges") { (_, _, in) =>
+        in("corpus").crossJoin(broadcast(in("ranges")))
+          .select(col("c_id"), col("cell"),
+            expr(encodeExpr.format("v")).as("code"))
+      },
+      // probe: top-2 cells per query by signed squared cosine (no sqrt
+      // — q83/q100's exact-integer ranking device)
+      Stage("probe", "queries", "reps") { (_, _, in) =>
+        val probeW = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("cell"))
+        in("queries").crossJoin(broadcast(in("reps")))
+          .withColumn("dot",
+            expr("aggregate(zip_with(qv, rv, (a, b) -> a * b), 0L," +
+              " (acc, x) -> acc + x)"))
+          .withColumn("na2",
+            expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+          .withColumn("score", expr(probeScoreExpr))
+          .withColumn("cr", row_number().over(probeW))
+          .filter(col("cr") <= 2)
+          .select(col("q_id"), col("cell"))
+      },
+      Stage("qcodes", "queries", "ranges") { (_, _, in) =>
+        in("queries").crossJoin(broadcast(in("ranges")))
+          .select(col("q_id"), expr(encodeExpr.format("qv")).as("qc"))
+      },
+      // ADC-style top-3 entirely on the cached code frame within the
+      // probed cells
+      Stage("search", "probe", "qcodes", "codes") { (_, _, in) =>
+        val topW = Window.partitionBy("q_id")
+          .orderBy(col("qdist"), col("c_id"))
+        in("probe").join(broadcast(in("qcodes")), Seq("q_id"))
+          .join(in("codes"), Seq("cell"))
+          .select(col("q_id"), col("cell"), col("c_id"),
+            expr("aggregate(zip_with(code, qc," +
+              " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+              .as("qdist"))
+          .withColumn("rk", row_number().over(topW))
+          .filter(col("rk") <= 3)
+          .orderBy("q_id", "rk")
+      })
+  }
+
   /** The SQ8/IVF index parts over the embeddings table: the milli-unit
     * query frame, the per-cell centroid reps, the 1-row quantization
-    * ranges, and the cached code frame. ONE cached corpus statistics
-    * pass feeds the centroid fold AND the range re-fold; the code frame
-    * is the second (and last) corpus read.
+    * ranges, and the cached code frame — the four graph frames the
+    * streaming serving twin reads, composed in ONE pass so the cached
+    * statistics ancestor builds once.
     */
   private[graft] def sq8Parts(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val m = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * 1000).cast("long")).as("v"))
-    val q = m.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val c = m.filter(col("vec_id") >= 8)
-      .select(col("vec_id").as("c_id"), col("label").as("cell"), col("v"))
-    // ONE corpus statistics pass: per-(cell, dim) sum + min + max —
-    // mergeable map-side; cached: the centroid fold and the range
-    // re-fold both read it (q100's cell-frame device)
-    val cells = graft.ops.CacheScope.persisted(
-      c.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(sum("x").as("sv"), min("x").as("lo"), max("x").as("hi")))
-    // IVF coarse structure: integer centroid-sum vector per cell (cosine
-    // is scale-invariant, so the un-divided sum scores like the mean)
-    val reps = cells.groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("sv")))),
-        t => t("sv")).as("rv"))
-      .withColumn("nb2",
-        expr("aggregate(rv, 0L, (acc, x) -> acc + x * x)"))
-    // SQ8 ranges: re-FOLD from the cached cell stats — no second corpus
-    // pass (shard min/max merge by min/min, max/max)
-    val ranges = cells.groupBy("dim")
-      .agg(min("lo").as("lo"), max("hi").as("hi"))
-      .agg(sort_array(collect_list(struct(col("dim"), col("lo")))).as("pl"),
-        sort_array(collect_list(struct(col("dim"), col("hi")))).as("ph"))
-      .select(expr("transform(pl, p -> p.lo)").as("los"),
-        expr("transform(ph, p -> p.hi)").as("his"))
-    // the CODE frame — the built index, cached: everything below the
-    // search join reads codes, never the corpus floats (q75's contract)
-    val codes = graft.ops.CacheScope.persisted(
-      c.crossJoin(broadcast(ranges))
-        .select(col("c_id"), col("cell"),
-          expr(encodeExpr.format("v")).as("code")))
-    (q, reps, ranges, codes)
+    val f = graft.plans.StageGraph.composeAll(stages,
+      Seq("queries", "reps", "ranges", "codes"))(s, d)
+    (f("queries"), f("reps"), f("ranges"), f("codes"))
   }
 
   private[graft] def annPipeline(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    val (q, reps, ranges, codes) = sq8Parts(s, d)
-    // probe: top-2 cells per query by signed squared cosine (no sqrt —
-    // q83/q100's exact-integer ranking device)
-    val probeW = Window.partitionBy("q_id")
-      .orderBy(col("score").desc, col("cell"))
-    val probed = q.crossJoin(broadcast(reps))
-      .withColumn("dot",
-        expr("aggregate(zip_with(qv, rv, (a, b) -> a * b), 0L," +
-          " (acc, x) -> acc + x)"))
-      .withColumn("na2", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("score", expr(probeScoreExpr))
-      .withColumn("cr", row_number().over(probeW))
-      .filter(col("cr") <= 2)
-      .select(col("q_id"), col("cell"))
-    val qcodes = q.crossJoin(broadcast(ranges))
-      .select(col("q_id"), expr(encodeExpr.format("qv")).as("qc"))
-    val topW = Window.partitionBy("q_id").orderBy(col("qdist"), col("c_id"))
-    probed.join(broadcast(qcodes), Seq("q_id"))
-      .join(codes, Seq("cell"))
-      .select(col("q_id"), col("cell"), col("c_id"),
-        expr("aggregate(zip_with(code, qc, (a, b) -> (a - b) * (a - b))," +
-          " 0L, (acc, x) -> acc + x)").as("qdist"))
-      .withColumn("rk", row_number().over(topW))
-      .filter(col("rk") <= 3)
-      .orderBy("q_id", "rk")
-  }
+      : org.apache.spark.sql.DataFrame =
+    graft.plans.StageGraph.compose(stages, "search")(s, d)
 
   private val q107 = Q(
     "q107_ann_pipeline",

@@ -23,6 +23,19 @@ object TestSpark {
   }
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterEach {
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** Every test is a CacheScope "runner": whatever scoped caches it
+    * materialized drain when it ends. Tests that drain in a `finally`
+    * are unaffected (draining an empty scope is a no-op); tests that
+    * don't (the recall/e2e suites) would otherwise leak caches into the
+    * NEXT suite scheduled on the same runner thread and break its
+    * `liveCount` pins.
+    */
+  override protected def afterEach(): Unit = {
+    graft.ops.CacheScope.drain()
+    super.afterEach()
+  }
 }

@@ -92,6 +92,63 @@ class StageGraphSpec extends SparkSpec {
       s"got: ${cycle.getMessage}")
   }
 
+  test("composeAll builds shared ancestors (and their caches) once " +
+    "across targets; per-target compose would rebuild them") {
+    graft.ops.CacheScope.drain()
+    val built = scala.collection.mutable.Map.empty[String, Int]
+    try {
+      val g = Seq(
+        Stage.cached("stats") { (_, _, _) =>
+          built.updateWith("stats")(c => Some(c.getOrElse(0) + 1))
+          Seq(1, 2, 3).toDF("x")
+        },
+        Stage("lo", "stats") { (_, _, in) =>
+          in("stats").agg(min("x").as("v")) },
+        Stage("hi", "stats") { (_, _, in) =>
+          in("stats").agg(max("x").as("v")) },
+        Stage("unrelated") { (_, _, _) =>
+          built.updateWith("unrelated")(c => Some(c.getOrElse(0) + 1))
+          Seq(9).toDF("x")
+        })
+      val f = StageGraph.composeAll(g, Seq("lo", "hi"))(spark, "")
+      assert(f.keySet === Set("lo", "hi"))
+      assert(built === Map("stats" -> 1),
+        "the shared cached ancestor builds once; non-ancestors never")
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "one composeAll = one scoped cache for the shared stage")
+      assert(f("lo").as[Int].head() === 1 && f("hi").as[Int].head() === 3)
+      // both targets' plans read the ONE cache, not a rebuild
+      for (t <- Seq("lo", "hi")) {
+        val p = f(t).queryExecution.executedPlan.toString
+        assert(p.contains("InMemoryTableScan"),
+          s"target $t must read the shared cache:\n$p")
+      }
+      val bad = intercept[IllegalArgumentException](
+        StageGraph.composeAll(g, Seq("lo", "nope"))(spark, ""))
+      assert(bad.getMessage.contains("nope"))
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("the ANN graph (q107) exposes the serving twin's index frames " +
+    "as entry points consistent with the batch search") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val f = StageGraph.composeAll(graft.queries.PackAnn.stages,
+        Seq("reps", "ranges", "codes", "search"))(spark, sf)
+      assert(graft.ops.CacheScope.liveCount === 2,
+        "cellstats + codes cached once for all four targets")
+      val cells = f("reps").select("cell").as[String].collect().toSet
+      val codeCells = f("codes").select("cell").as[String]
+        .collect().toSet
+      assert(cells === codeCells,
+        "reps and codes must cover the same IVF cells")
+      assert(f("ranges").count() === 1L, "one global quantization row")
+      val hits = f("search").select("cell").as[String].collect().toSet
+      assert(hits.nonEmpty && hits.subsetOf(cells),
+        "search results come only from indexed cells")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("the q78 graph's verified prefix equals the full chain's edge " +
     "input (same frame, two entry points)") {
     val sf = "/root/testdata/sf0.001"
