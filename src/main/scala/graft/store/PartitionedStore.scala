@@ -78,6 +78,46 @@ object PartitionedStore {
       .write.mode("overwrite").parquet(s"$path/_manifest")
   }
 
+  /** Streaming variant of [[writeWithManifest]]: each micro-batch lands
+    * as its own `batch=<id>/` directory under `data/` (range-partitioned
+    * within the batch on `layoutCol`), and its per-file min/max stats
+    * land as the matching `batch=<id>/` partition of the manifest — an
+    * incremental add-file-stats append, the Delta/Iceberg commit shape,
+    * maintained file-cardinality per batch with no rewrite of prior
+    * batches' stats. Both writes `overwrite` the BATCH directory, so a
+    * replayed batch (crash between the data write and the manifest
+    * write, then restart) rewrites the same two directories
+    * idempotently instead of duplicating files — exactly-once rests on
+    * foreachBatch's deterministic batch ids. [[readPruned]] works
+    * unchanged over the result: parquet partition discovery exposes
+    * `batch` as a column the pruner never consults, and the survivor
+    * list spans batches because the manifest is ONE logical dataset.
+    * Empty micro-batches commit nothing (no empty files, no empty
+    * manifest partitions).
+    */
+  def writeStreamWithManifest(df: DataFrame, layoutCol: String,
+      statCols: Seq[String], filesPerBatch: Int, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val data = s"$path/data/batch=$id"
+          batch.repartitionByRange(filesPerBatch, col(layoutCol))
+            .write.mode("overwrite").parquet(data)
+          val sp = batch.sparkSession
+          val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          sp.read.parquet(data)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+            .coalesce(1) // file-cardinality frame: one stats file per batch
+            .write.mode("overwrite").parquet(s"$path/_manifest/batch=$id")
+        }
+        ()
+      }
+      .start()
+
   /** Read only the files whose manifest [min_`statCol`, max_`statCol`]
     * range INTERSECTS [lo, hi] — min/max data skipping at the file
     * level, planned from the manifest alone (the base footers of pruned
@@ -97,8 +137,12 @@ object PartitionedStore {
       .collect().map(_.getString(0)) // bounded: ≤ one row per file
     val residual = (c: DataFrame) =>
       c.filter(col(statCol) >= lo && col(statCol) <= hi)
+    // survivors are read as leaf files, so the streaming layout's
+    // batch= grouping column never surfaces; mirror that on the
+    // empty-survivor schema branch
     val df =
-      if (keep.isEmpty) spark.read.parquet(s"$path/data").limit(0)
+      if (keep.isEmpty)
+        spark.read.parquet(s"$path/data").drop("batch").limit(0)
       else residual(spark.read.parquet(keep.toIndexedSeq: _*))
     PrunedScan(df, keep.length, total)
   }

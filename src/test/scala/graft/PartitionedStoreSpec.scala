@@ -81,6 +81,70 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(after.filter(col("dt") === day).count() === expected)
   }
 
+  test("streaming manifest writer: each micro-batch appends files AND " +
+    "stats incrementally; pruning spans batches across a restart") {
+    val in = Files.createTempDirectory("mstream-in").toString
+    val dir = Files.createTempDirectory("mstream").toString
+    val ckpt = Files.createTempDirectory("mstream-ckpt").toString
+    def addFile(name: String, lo: Long, hi: Long): Unit =
+      (lo until hi).map(k => (k, k * 10)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$in/$name")
+    def startQuery() = PartitionedStore.writeStreamWithManifest(
+      spark.readStream
+        .schema("k LONG, v LONG")
+        .option("recursiveFileLookup", "true").parquet(in),
+      "k", Seq("k"), 4, dir, ckpt)
+
+    addFile("b1", 0L, 100L)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint: committed batch must not
+    // duplicate, the new one must land as the NEXT batch directory
+    // with its own manifest partition appended
+    addFile("b2", 100L, 200L)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val batches = new java.io.File(s"$dir/data").list()
+      .filter(_.startsWith("batch=")).sorted
+    assert(batches.length === 2, s"two committed batches, got: ${batches.toSeq}")
+    val full = spark.read.parquet(s"$dir/data")
+    assert(full.count() === 200, "restart must not duplicate or lose rows")
+    val manifest = spark.read.parquet(s"$dir/_manifest")
+    assert(manifest.count() === full.inputFiles.length.toLong,
+      "one manifest row per data file, across all batches")
+
+    // a probe inside batch 2's range prunes batch 1 ENTIRELY plus the
+    // non-intersecting files of batch 2 (4 files/batch, each spanning
+    // ~25 keys)
+    val scan = PartitionedStore.readPruned(spark, dir, "k", 150L, 160L)
+    assert(scan.filesTotal === 8)
+    assert(scan.filesRead <= 2,
+      s"cross-batch point probe should touch <=2 of 8 files, read ${scan.filesRead}")
+    assert(scan.df.select("k").as[Long].collect().sorted.toSeq ===
+      (150L to 160L).toSeq)
+    assert(scan.df.inputFiles.forall(_.contains("batch=1")),
+      "survivors of a batch-2-range probe all come from batch=1's directory")
+
+    // a range spanning the batch boundary reads from BOTH batches
+    val span = PartitionedStore.readPruned(spark, dir, "k", 95L, 105L)
+    assert(span.df.select("k").as[Long].collect().sorted.toSeq ===
+      (95L to 105L).toSeq)
+    val spanBatches = span.df.inputFiles
+      .map(f => f.split("/").find(_.startsWith("batch=")).get).toSet
+    assert(spanBatches === Set("batch=0", "batch=1"))
+
+    // a disjoint range opens zero files and the empty frame carries the
+    // DATA schema (the batch grouping dir never surfaces as a column)
+    val none = PartitionedStore.readPruned(spark, dir, "k", 5000L, 6000L)
+    assert(none.filesRead === 0)
+    assert(none.df.columns.toSeq === Seq("k", "v"))
+    assert(none.df.count() === 0)
+  }
+
   test("min/max manifest pruning: a point lookup on the z-order layout " +
     "touches ~sqrt(F) files and returns exactly the full-scan rows") {
     import graft.queries.PackLayout
