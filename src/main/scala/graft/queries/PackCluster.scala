@@ -767,5 +767,147 @@ object PackCluster {
       "membership as conditional sums in one pass — the gate-tuning " +
       "curve without per-level re-runs")
 
-  val all: Seq[Q] = Seq(q56, q57, q74, q75, q83, q97, q100, q177)
+  /** q179 — SemDeDup THRESHOLD SENSITIVITY (round 16, the q175/q177/
+    * q178 sweep family applied to q83's cosine bar): for each candidate
+    * threshold {9000, 9300, 9500, 9700, 9900} bp, the in-cell pairs
+    * that would flag and the vectors that would be DROPPED — the
+    * semantic-dedup budget curve read before fixing the 0.95 bar,
+    * produced from ONE pairing pass instead of five re-runs of q83.
+    *
+    * Plan shape: q83's corpus (planted perturbed copies included),
+    * top-2 multi-probe assignment, and in-cell pairing run ONCE; the
+    * exact signed integer score ([[graft.expr.SimE8]] — sign(dot)
+    * carries, so negative-cosine pairs fail every bar with no extra
+    * guard) projects per pair-INSTANCE and a (vec_id, vec_id2) max
+    * fold collapses the two probe cells' copies of a pair; both
+    * readouts fold from that cached pair frame — pair counts as five
+    * conditional sums, dropped-vector counts via the per-victim MAX
+    * fold (q175's doc-max device: "dropped at t" = max sim over
+    * lower-id clustermates ≥ t²). Thresholds are literals; adding one
+    * is a column, not a pass. 100 TB: identical to q83 — pairwise work
+    * never leaves the cell key, and the sweep adds only
+    * pair-cardinality arithmetic on top.
+    */
+  private val q179 = Q(
+    "q179_semdedup_sensitivity",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.graftglue.ExprGlue
+      val base = quantized(s, d)
+      // GRADED plants: amplitude 3 + 22·(plantIndex mod 6) ∈ {3..113}
+      // milli-units against unit-norm (n2 ≈ 10⁶) vectors spreads the
+      // planted cosines across ~0.75–0.9999, so every bar in the sweep
+      // separates somewhere — q83's fixed ±3 plant passes ALL bars and
+      // would make the curve flat (measured at sf0.001)
+      val planted = base.filter(col("vec_id") % 25 === 0)
+        .withColumn("amp", expr("3 + 22 * pmod(vec_id div 25, 6)"))
+        .select(col("vec_id"),
+          expr("transform(v, (x, i) -> x + pmod(vec_id + i, 2*amp + 1) - amp)")
+            .as("v"))
+        .select((col("vec_id") + 100000).as("vec_id"), col("v"))
+      val corpus = graft.ops.CacheScope.persisted(base.unionByName(planted))
+      val c0 = base.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val probes = corpus.crossJoin(broadcast(c0))
+        .select(col("vec_id"), col("cid"),
+          aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") <= 2)
+      val av = graft.ops.CacheScope.persisted(
+        probes.join(corpus, "vec_id")
+          .select(col("cid"), col("vec_id"), col("v"),
+            expr("aggregate(v, cast(0 as bigint), (a, x) -> a + x * x)")
+              .as("n2")))
+      val sims = graft.ops.CacheScope.persisted(av
+        .join(av.select(col("cid"), col("vec_id").as("vec_id2"),
+          col("v").as("v2"), col("n2").as("n2b")), "cid")
+        .filter(col("vec_id") < col("vec_id2"))
+        .select(col("vec_id"), col("vec_id2"),
+          ExprGlue.column(graft.expr.SimE8(
+            ExprGlue.expression(ExprGlue.column(graft.expr.LongDot(
+              ExprGlue.expression(col("v")),
+              ExprGlue.expression(col("v2"))))),
+            ExprGlue.expression(col("n2")),
+            ExprGlue.expression(col("n2b")))).as("sim"))
+        // a boundary-straddling pair meets in BOTH probe cells: collapse
+        // the instances (same exact score) to one pair row
+        .groupBy("vec_id", "vec_id2").agg(max("sim").as("sim")))
+      val ths = Seq(9000L, 9300L, 9500L, 9700L, 9900L)
+      val pairCols = ths.map(t =>
+        sum(when(col("sim") >= t * t, 1L).otherwise(0L)).as(s"p$t"))
+      val pairRow = sims.agg(pairCols.head, pairCols.tail: _*)
+      val dropCols = ths.map(t =>
+        sum(when(col("mx") >= t * t, 1L).otherwise(0L)).as(s"d$t"))
+      val dropRow = sims.groupBy("vec_id2").agg(max("sim").as("mx"))
+        .agg(dropCols.head, dropCols.tail: _*)
+      val report = ths.map(t =>
+        struct(lit(t).as("threshold_bp"),
+          col(s"p$t").as("n_pairs"), col(s"d$t").as("n_dropped")))
+      pairRow.crossJoin(broadcast(dropRow))
+        .select(explode(array(report: _*)).as("r"))
+        .select(col("r.threshold_bp"), col("r.n_pairs"), col("r.n_dropped"))
+        .orderBy("threshold_bp")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      corpus AS (
+        SELECT vec_id, v FROM q
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(range(1, len(v) + 1),
+                 i -> v[i] + (vec_id + i - 1) % (2 * amp + 1) - amp) AS v
+        FROM (SELECT vec_id, v, 3 + 22 * ((vec_id // 25) % 6) AS amp
+              FROM q WHERE vec_id % 25 = 0)),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $K),
+      dist AS (
+        SELECT t.vec_id, c.cid,
+               sum((t.v[g.i] - c.cv[g.i]) * (t.v[g.i] - c.cv[g.i])) AS d
+        FROM corpus t CROSS JOIN c0 c CROSS JOIN generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      a AS (
+        SELECT vec_id, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+           FROM dist)
+        WHERE rn <= 2),
+      av AS (
+        SELECT a.cid, a.vec_id, t.v,
+               list_sum(list_transform(t.v, x -> x * x)) AS n2
+        FROM a JOIN corpus t USING (vec_id)),
+      p AS (
+        SELECT x.vec_id, y.vec_id AS vec_id2,
+               CAST(list_sum(list_transform(range(1, len(x.v) + 1),
+                 i -> x.v[i] * y.v[i])) AS HUGEINT) AS dot,
+               CAST(x.n2 AS HUGEINT) AS na2, CAST(y.n2 AS HUGEINT) AS nb2
+        FROM av x JOIN av y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+      ps AS (
+        SELECT vec_id, vec_id2,
+               max(CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+                 ((dot * dot * 100000000) // (na2 * nb2)) AS BIGINT)) AS sim
+        FROM p GROUP BY 1, 2),
+      th AS (SELECT CAST(unnest([9000, 9300, 9500, 9700, 9900]) AS BIGINT)
+               AS threshold_bp),
+      pc AS (SELECT th.threshold_bp,
+               CAST(sum(CASE WHEN ps.sim >= th.threshold_bp * th.threshold_bp
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+             FROM th CROSS JOIN ps GROUP BY 1),
+      mx AS (SELECT vec_id2, max(sim) AS mx FROM ps GROUP BY 1),
+      dc AS (SELECT th.threshold_bp,
+               CAST(sum(CASE WHEN mx.mx >= th.threshold_bp * th.threshold_bp
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+             FROM th CROSS JOIN mx GROUP BY 1)
+      SELECT threshold_bp, n_pairs, n_dropped
+      FROM pc JOIN dc USING (threshold_bp) ORDER BY threshold_bp
+    """),
+    doc = "SemDeDup threshold sensitivity: q83's multi-probe in-cell " +
+      "pairing run once, exact signed integer scores, five conditional " +
+      "sums + a per-victim max fold - the cosine-bar tuning curve " +
+      "without five re-runs")
+
+  val all: Seq[Q] = Seq(q56, q57, q74, q75, q83, q97, q100, q177, q179)
 }

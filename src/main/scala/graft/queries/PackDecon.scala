@@ -324,5 +324,70 @@ object PackDecon {
       "asymmetric broadcast eval side — corpus probes banded eval " +
       "signatures shuffle-free, exact Jaccard verify on candidates only")
 
-  val all: Seq[Q] = Seq(q59, q60, q72, q87)
+  /** q178 — decontamination N-GRAM-LENGTH SENSITIVITY (round 16, the
+    * sweep family of q175/q177 applied to the eval-safety gate): what
+    * does the choice of shingle length buy? For each n in {3..7}, the
+    * corpus documents that would be flagged against the eval set and
+    * the number of distinct (doc, n-gram) matches — the strictness
+    * curve a build reads before fixing q40/q59's gate, produced from
+    * ONE corpus scan instead of five re-runs.
+    *
+    * One-pass device: tokenize once, emit all five shingle arrays in
+    * one projection, unpivot them with `stack` (n is a literal column,
+    * not a pass), explode; the eval side distinct-compresses per n and
+    * BROADCASTS exactly as q59's posture demands, so the corpus never
+    * shuffles to meet it and the only exchange is the final
+    * 5-group aggregate. Flagged-doc counts are monotone non-increasing
+    * in n by construction (every shared (n+1)-gram's constituent
+    * n-grams are shared too) — the invariant the spec pins. 100 TB:
+    * probe-side rows grow ×|ns| on the same scan, the eval bitmap/set
+    * stays corpus-independent, and adding an n is one more stack arm.
+    */
+  private val q178 = Q(
+    "q178_decon_ngram_sensitivity",
+    (s, d) => {
+      import org.apache.spark.sql.graftglue.ExprGlue
+      val ns = Seq(3, 4, 5, 6, 7)
+      val tok = Tables.documents(s, d).select(col("doc_id"), toks.as("ws"))
+      def shW(n: Int) = ExprGlue.column(graft.expr.WordShingleStrings(
+        ExprGlue.expression(col("ws")), n))
+      val grams = tok
+        .select(col("doc_id") +: ns.map(n => shW(n).as(s"sh$n")): _*)
+        .select(col("doc_id"),
+          expr(s"stack(${ns.length}, " +
+            ns.map(n => s"$n, sh$n").mkString(", ") + ")")
+            .as(Seq("n", "shs")))
+        .select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+      val eval = grams.filter(col("doc_id") < 50)
+        .select("n", "sh").distinct()
+      grams.filter(col("doc_id") >= 50)
+        .join(broadcast(eval), Seq("n", "sh"))
+        .groupBy("n")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_matches"))
+        .orderBy("n")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws
+        FROM documents),
+      ns AS (SELECT unnest([3, 4, 5, 6, 7]) AS n),
+      g AS (SELECT w.doc_id, ns.n,
+              unnest(CASE WHEN len(ws) >= ns.n
+                THEN list_distinct(list_transform(range(1, len(ws) - ns.n + 2),
+                  i -> array_to_string(list_slice(ws, i, i + ns.n - 1), ' ')))
+                ELSE CAST([] AS VARCHAR[]) END) AS sh
+            FROM w CROSS JOIN ns),
+      e AS (SELECT DISTINCT n, sh FROM g WHERE doc_id < 50),
+      c AS (SELECT g.n, g.doc_id FROM g JOIN e USING (n, sh)
+            WHERE g.doc_id >= 50)
+      SELECT n, count(DISTINCT doc_id) AS n_docs, count(*) AS n_matches
+      FROM c GROUP BY n ORDER BY n
+    """),
+    doc = "decontamination n-gram-length sensitivity: one corpus scan " +
+      "unpivoted over n in {3..7} via stack, broadcast eval set per n " +
+      "- the gate-strictness curve without five re-runs")
+
+  val all: Seq[Q] = Seq(q59, q60, q72, q87, q178)
 }

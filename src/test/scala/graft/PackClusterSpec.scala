@@ -345,6 +345,33 @@ class PackClusterSpec extends SparkSpec {
       "every cell must have received increment members at this sf")
   }
 
+  test("q179: threshold curve is monotone, strictly discriminating on " +
+    "the graded plants, and the mildest plants survive every bar") {
+    val got = run("q179_semdedup_sensitivity").as[(Long, Long, Long)].collect()
+    graft.ops.CacheScope.drain()
+    assert(got.map(_._1).toSeq === Seq(9000L, 9300L, 9500L, 9700L, 9900L))
+    got.foreach { case (t, pairs, dropped) =>
+      assert(pairs >= dropped,
+        s"every dropped vector owes >=1 passing pair at $t")
+    }
+    // raising the bar can only flag fewer pairs / drop fewer vectors
+    got.sliding(2).foreach { case Array((t1, p1, d1), (t2, p2, d2)) =>
+      assert(p1 >= p2, s"n_pairs must not increase: $t1:$p1 -> $t2:$p2")
+      assert(d1 >= d2, s"n_dropped must not increase: $t1:$d1 -> $t2:$d2")
+    }
+    // the graded plants make the sweep DISCRIMINATE: the loosest and
+    // strictest bars must disagree, else the sweep reads flat
+    assert(got.head._3 > got.last._3,
+      "graded plants must separate the 9000 and 9900 bars")
+    // amplitude-3 plants (vec_id % 150 == 0) sit at cosine ~0.9999 and
+    // must be dropped at EVERY bar, including 9900
+    val n3 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 150 === 0).count()
+    assert(n3 > 0)
+    assert(got.last._3 >= n3,
+      s"the $n3 amplitude-3 plants must survive no bar (dropped at 9900)")
+  }
+
   test("q177: band sweep is monotone, trim-0 is the corpus, and the " +
     "1000 bp row equals q57's own survivor count (independent gate)") {
     val sf = "/root/testdata/sf0.001"

@@ -110,6 +110,35 @@ class PackDeconSpec extends SparkSpec {
     }
   }
 
+  test("q178: flagged-doc curve is monotone non-increasing in n, and " +
+    "every n's flags contain the (n+1)-gram flags") {
+    val got = run("q178_decon_ngram_sensitivity")
+      .as[(Int, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(3, 4, 5, 6, 7))
+    // every shared (n+1)-gram's constituent n-grams are shared too, so
+    // the flagged-doc count can only fall as n grows
+    got.sliding(2).foreach { case Array((n1, d1, m1), (n2, d2, m2)) =>
+      assert(d1 >= d2, s"n_docs must not increase: n=$n1:$d1 -> n=$n2:$d2")
+      assert(m1 >= m2, s"n_matches must not increase: n=$n1:$m1 -> n=$n2:$m2")
+    }
+    // brute-force recount at one n (5): independent mechanism — plain
+    // Scala Sets over the tokenized docs, no shingle expression involved
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams5(t: String): Set[String] = {
+      val ws = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      if (ws.length < 5) Set.empty
+      else ws.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val evalSet = docs.filter(_._1 < 50).flatMap(g => grams5(g._2)).toSet
+    val expect = docs.filter(_._1 >= 50)
+      .map { case (id, t) => id -> (grams5(t) & evalSet).size }
+      .filter(_._2 > 0)
+    val (n5docs, n5matches) = got.find(_._1 == 5).map(r => (r._2, r._3)).get
+    assert(n5docs === expect.length.toLong)
+    assert(n5matches === expect.map(_._2.toLong).sum)
+  }
+
   test("q87: every planted eval rephrase is flagged against its source doc") {
     val got = run("q87_fuzzy_decon").as[(Long, Long, Long)].collect()
     graft.ops.CacheScope.drain()
