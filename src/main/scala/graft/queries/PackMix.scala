@@ -356,5 +356,96 @@ object PackMix {
       "(q64 expansion formula) docs + tokens per language, deviation " +
       "in bp — audited at histogram cost, the epoch never materializes")
 
-  val all: Seq[Q] = Seq(q63, q64, q92, q101, q103, q140)
+  /** Exact integer square root as dialect-neutral SQL (Spark and DuckDB
+    * both parse it): float `sqrt` then a ±1 integer correction, so the
+    * result is floor(√x) EXACTLY even when the double rounds across a
+    * perfect square — the hash gate can't tolerate a ulp. Nesting it
+    * gives floor(x^(1/4)) (the floor-of-root composition identity).
+    * Domain: 0 ≤ x ≤ 2⁶² — the correction squares isqrt(x)+1, which
+    * must fit a long (any count this engine can hold is far below).
+    */
+  private[graft] def isqrtSql(x: String): String = {
+    val s0 = s"cast(floor(sqrt(cast(($x) as double))) as bigint)"
+    s"($s0 + (case when ($s0 + 1) * ($s0 + 1) <= ($x) then 1 else 0 end)" +
+      s" - (case when $s0 * $s0 > ($x) then 1 else 0 end))"
+  }
+
+  /** q180 — mixture TEMPERATURE sweep (round 16, the q175–q179 sweep
+    * family applied to q63's knob): per temperature T ∈ {1, 2, 4, ∞},
+    * each language's share of the reweighted epoch, w_l(T) ∝
+    * n_l^(1/T) — T=1 is the natural mix, T=∞ uniform, the in-betweens
+    * the standard multilingual upsampling curve (mT5/XLM-R's knob).
+    * ALL integer: n^(1/2) and n^(1/4) are the ±1-corrected [[isqrtSql]]
+    * (exact floor, no float ties), shares are `r·10⁴ div Σr`, and the
+    * boost column (share vs natural) is a second exact division.
+    *
+    * Plan shape: ONE corpus pass builds the language histogram;
+    * everything after runs on the LANGUAGE axis (root projections, a
+    * 1-row totals fold broadcast back, a 4-struct explode per lang) —
+    * the sweep costs nothing corpus-proportional, which is the whole
+    * argument for tuning T on the histogram instead of materialized
+    * epochs. 100 TB: identical to q63 — the histogram is the only
+    * aggregate, mergeable map-side.
+    */
+  private val q180 = Q(
+    "q180_mixture_temperature",
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        .withColumn("r2", expr(isqrtSql("n_lang")))
+        .withColumn("r4", expr(isqrtSql("r2")))
+        .withColumn("r1", col("n_lang"))
+        .withColumn("rinf", lit(1L))
+      val temps = Seq("1" -> "r1", "2" -> "r2", "4" -> "r4",
+        "inf" -> "rinf")
+      val totals = hist.agg(
+        temps.map { case (t, r) => sum(r).as(s"tot_$t") }.head,
+        temps.map { case (t, r) => sum(r).as(s"tot_$t") }.tail: _*)
+      val report = temps.map { case (t, r) =>
+        struct(lit(t).as("temp"),
+          expr(s"$r * 10000 div tot_$t").as("share_bp"),
+          expr(s"($r * 10000 div tot_$t) * 10000" +
+            s" div greatest(r1 * 10000 div tot_1, 1)").as("boost_bp"))
+      }
+      hist.crossJoin(broadcast(totals))
+        .select(col("lang"), explode(array(report: _*)).as("x"))
+        .select(col("x.temp"), col("lang"), col("x.share_bp"),
+          col("x.boost_bp"))
+        .orderBy("temp", "lang")
+    },
+    Some(s"""
+      WITH hist AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+                    FROM documents GROUP BY lang),
+      r AS (SELECT lang, n_lang AS r1, ${isqrtSql("n_lang")} AS r2
+            FROM hist),
+      r2 AS (SELECT lang, r1, r2, ${isqrtSql("r2")} AS r4, 1 AS rinf
+             FROM r),
+      t AS (SELECT CAST(sum(r1) AS BIGINT) AS tot_1,
+                   CAST(sum(r2) AS BIGINT) AS tot_2,
+                   CAST(sum(r4) AS BIGINT) AS tot_4,
+                   CAST(sum(rinf) AS BIGINT) AS tot_inf FROM r2),
+      x AS (SELECT lang, r1, r2, r4, rinf, tot_1, tot_2, tot_4, tot_inf
+            FROM r2 CROSS JOIN t)
+      SELECT '1' AS temp, lang, r1 * 10000 // tot_1 AS share_bp,
+             (r1 * 10000 // tot_1) * 10000
+               // greatest(r1 * 10000 // tot_1, 1) AS boost_bp FROM x
+      UNION ALL
+      SELECT '2', lang, r2 * 10000 // tot_2,
+             (r2 * 10000 // tot_2) * 10000
+               // greatest(r1 * 10000 // tot_1, 1) FROM x
+      UNION ALL
+      SELECT '4', lang, r4 * 10000 // tot_4,
+             (r4 * 10000 // tot_4) * 10000
+               // greatest(r1 * 10000 // tot_1, 1) FROM x
+      UNION ALL
+      SELECT 'inf', lang, rinf * 10000 // tot_inf,
+             (rinf * 10000 // tot_inf) * 10000
+               // greatest(r1 * 10000 // tot_1, 1) FROM x
+      ORDER BY temp, lang
+    """),
+    doc = "mixture temperature sweep: language histogram once, exact " +
+      "integer roots (corrected isqrt), per-T shares and boosts on the " +
+      "language axis - nothing corpus-proportional after the histogram")
+
+  val all: Seq[Q] = Seq(q63, q64, q92, q101, q103, q140, q180)
 }

@@ -61,8 +61,12 @@ object PackRetrieval {
     * Absent terms (df = 0) contribute 0 — the old form never joined
     * them; the case guard keeps the div defined.
     */
-  private def scoredCandidates(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+  /** The cached per-doc (dl, tf per query term) frame plus its 1-row
+    * stats fold — the ONE corpus pass every scorer here reads
+    * (q86/q117's scoring stack and q181's hyperparameter grid).
+    */
+  private def ftStats(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val terms = QueryTerms.map(_._2).distinct
     val ex = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks).as("term"))
@@ -75,7 +79,12 @@ object PackRetrieval {
       sum("dl").as("n_toks")) ++
       terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
         .as(s"df_$t"))
-    val stats = ft.agg(statAggs.head, statAggs.tail: _*)
+    (ft, ft.agg(statAggs.head, statAggs.tail: _*))
+  }
+
+  private def scoredCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val (ft, stats) = ftStats(s, d)
     def wLong(t: String): String =
       s"(case when df_$t = 0 then 0L else cast(" +
         s"cast((10000 * (n_docs - df_$t)) div df_$t as decimal(38,0)) " +
@@ -247,5 +256,102 @@ object PackRetrieval {
       "top-1 rank in the rival ranking via count-better aggregation " +
       "(no full-ranking window)")
 
-  val all: Seq[Q] = Seq(q86, q117)
+  /** The (k1·100, b·100) hyperparameter grid q181 sweeps. (120, 75) is
+    * q86's production point — its slice of the sweep must equal q86's
+    * own ranking exactly (the spec pins it).
+    */
+  private val Bm25Grid: Seq[(Long, Long)] = for {
+    k1c <- Seq(90L, 120L, 150L)
+    bp <- Seq(0L, 40L, 75L)
+  } yield (k1c, bp)
+
+  /** q181 — BM25 HYPERPARAMETER sweep (round 16, the q175–q180 sweep
+    * family applied to q86's k1/b): the top-3 ranking per query under
+    * every (k1, b) in a 3×3 grid — the tuning table a retrieval stack
+    * reads before fixing its scorer, produced from the SAME single
+    * corpus pass q86 pays (the cached [[ftStats]] frame) instead of
+    * nine re-runs.
+    *
+    * The weight generalizes q86's integer form by scaling numerator and
+    * denominator by 100 (for b in percent) on top of the 100·avgdl
+    * scaling (for k1 in centi):
+    *
+    *   w_bp = idf_bp · tf · (100+k1c) · avgdl · 100
+    *          div (10⁴·avgdl·tf + k1c·(100−b%)·avgdl + k1c·b%·dl)
+    *
+    * at (k1c, b%) = (120, 75) this is q86's formula times 100/100 —
+    * floor(100a/100b) = floor(a/b), so the production slice is
+    * bit-identical (pinned). Grid points are LITERALS: the 36
+    * (grid × query) scorings are stack arms in ONE projection over the
+    * cached doc-cardinality frame, the rank bound is literal (top-3 →
+    * WindowGroupLimit below the exchange), and adding a grid point is
+    * a column, not a pass. 100 TB: q86's posture exactly — the corpus
+    * pass is shared, the sweep multiplies only doc-cardinality rows.
+    */
+  private val q181 = Q(
+    "q181_bm25_sweep",
+    (s, d) => {
+      val (ft, stats) = ftStats(s, d)
+      def wG(t: String, k1c: Long, bp: Long): String =
+        s"(case when df_$t = 0 then 0L else cast(" +
+          s"cast((10000 * (n_docs - df_$t)) div df_$t as decimal(38,0)) " +
+          s"* tf_$t * ${100 + k1c} * (n_toks div n_docs) * 100 div " +
+          s"(cast(10000 as decimal(38,0)) * (n_toks div n_docs) * tf_$t " +
+          s"+ ${k1c * (100 - bp)} * (n_toks div n_docs) " +
+          s"+ ${k1c * bp} * dl) as long) end)"
+      val perQuery = QueryTerms.groupBy(_._1).toSeq.sortBy(_._1)
+      val arms = for {
+        (k1c, bp) <- Bm25Grid
+        (q, qts) <- perQuery
+      } yield Seq(s"${k1c}L", s"${bp}L", s"${q}L",
+        qts.map(t => wG(t._2, k1c, bp)).mkString(" + "),
+        qts.map(t => s"(case when tf_${t._2} > 0 then 1L else 0L end)")
+          .mkString(" + "))
+      ft.crossJoin(broadcast(stats))
+        .select(col("doc_id"), expr(
+          s"stack(${arms.size}, ${arms.flatten.mkString(", ")})")
+          .as(Seq("k1_c", "b_pct", "q_id", "score_bp", "n_terms")))
+        .filter(col("n_terms") > 0)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("k1_c", "b_pct", "q_id")
+            .orderBy(col("score_bp").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("k1_c", "b_pct", "q_id", "rk", "doc_id", "score_bp")
+        .orderBy("k1_c", "b_pct", "q_id", "rk")
+    },
+    Some(s"""
+      WITH qt(q_id, term) AS (VALUES ${QueryTerms
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+      grid(k1_c, b_pct) AS (VALUES ${Bm25Grid
+        .map { case (k, b) => s"($k, $b)" }.mkString(", ")}),
+      t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      ex AS (SELECT doc_id, unnest(ws) AS term FROM t),
+      dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY doc_id),
+      st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+      tq AS (SELECT doc_id, term, count(*) AS tf FROM ex
+             WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+      dff AS (SELECT term, count(*) AS df FROM tq GROUP BY term),
+      sc AS (SELECT g.k1_c, g.b_pct, qt.q_id, tq.doc_id,
+               CAST(CAST((10000 * (st.n_docs - dff.df)) // dff.df AS HUGEINT)
+                 * tq.tf * (100 + g.k1_c) * (st.n_toks // st.n_docs) * 100
+                 // (CAST(10000 AS HUGEINT) * (st.n_toks // st.n_docs) * tq.tf
+                    + g.k1_c * (100 - g.b_pct) * (st.n_toks // st.n_docs)
+                    + g.k1_c * g.b_pct * dl.dl) AS BIGINT) AS w_bp
+             FROM tq JOIN dff USING (term) JOIN dl USING (doc_id)
+             CROSS JOIN st JOIN qt USING (term) CROSS JOIN grid g),
+      agg AS (SELECT k1_c, b_pct, q_id, doc_id,
+                     CAST(sum(w_bp) AS BIGINT) AS score_bp
+              FROM sc GROUP BY 1, 2, 3, 4),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY k1_c, b_pct, q_id
+               ORDER BY score_bp DESC, doc_id) AS rk FROM agg)
+      SELECT CAST(k1_c AS BIGINT) AS k1_c, CAST(b_pct AS BIGINT) AS b_pct,
+             CAST(q_id AS BIGINT) AS q_id, CAST(rk AS BIGINT) AS rk,
+             doc_id, score_bp
+      FROM rk WHERE rk <= 3 ORDER BY k1_c, b_pct, q_id, rk
+    """),
+    doc = "BM25 k1/b grid sweep: nine scorings as stack arms over the " +
+      "one cached corpus pass q86 pays, literal rank bound - the " +
+      "scorer-tuning table without nine re-runs")
+
+  val all: Seq[Q] = Seq(q86, q117, q181)
 }

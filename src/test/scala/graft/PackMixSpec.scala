@@ -184,4 +184,63 @@ class PackMixSpec extends SparkSpec {
         s"$lang deviation outside the one-draw envelope")
     }
   }
+
+  test("isqrtSql is floor(sqrt(x)) EXACTLY, including across perfect " +
+    "squares where the double rounds") {
+    // adversarial axis: perfect squares, their neighbors, and values
+    // large enough that sqrt's double result carries ulp error
+    // domain bound 2^62 (documented): the ±1 correction squares
+    // isqrt(x)+1, which fits a long for every x up to there
+    val xs = (0L to 200L).flatMap(k => Seq(k * k - 1, k * k, k * k + 1))
+      .filter(_ >= 0) ++
+      Seq(999999999999999999L, (1L << 62) - 1, 1L << 62,
+        (2147483647L * 2147483647L) - 1, 2147483647L * 2147483647L,
+        (2147483647L * 2147483647L) + 1)
+    val got = xs.toDF("x")
+      .select(col("x"), expr(graft.queries.PackMix.isqrtSql("x")).as("s"))
+      .as[(Long, Long)].collect()
+    def exactIsqrt(x: Long): Long = {
+      var s = math.sqrt(x.toDouble).toLong
+      while (s > 0 && s * s > x) s -= 1
+      while ((s + 1) * (s + 1) <= x) s += 1
+      s
+    }
+    got.foreach { case (x, s) =>
+      val e = exactIsqrt(x)
+      assert(e * e <= x && (e + 1) * (e + 1) > x, s"reference isqrt($x)")
+      assert(s === e, s"isqrt($x): got $s, want $e")
+    }
+  }
+
+  test("q180: natural row is the identity, inf row is uniform, and the " +
+    "dominant language's share falls monotonically with temperature") {
+    val got = run("q180_mixture_temperature")
+      .as[(String, String, Long, Long)].collect()
+    val byTemp = got.groupBy(_._1)
+    assert(byTemp.keySet === Set("1", "2", "4", "inf"))
+    val nLangs = byTemp("1").length
+    // T=1 is the natural mixture: boost ≡ 10000 by definition
+    byTemp("1").foreach { case (_, l, _, b) =>
+      assert(b === 10000L, s"natural boost for $l") }
+    // T=inf is uniform: every share is exactly 10000 div n_langs
+    byTemp("inf").foreach { case (_, l, s, _) =>
+      assert(s === 10000L / nLangs, s"uniform share for $l") }
+    // per temperature, shares sum to 10000 within the n_langs floor loss
+    byTemp.foreach { case (t, rows) =>
+      val tot = rows.map(_._3).sum
+      assert(tot <= 10000 && tot > 10000 - nLangs,
+        s"T=$t shares sum $tot")
+    }
+    // the dominant language can only LOSE share as T rises toward
+    // uniform (it sits above 1/n_langs at every T)
+    val hist = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect()
+    val top = hist.maxBy(_._2)._1
+    val tops = Seq("1", "2", "4", "inf")
+      .map(t => byTemp(t).find(_._2 == top).get._3)
+    tops.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b, s"dominant-language share must fall: $tops") }
+    assert(tops.head > tops.last,
+      "temperature must actually move the dominant share")
+  }
 }

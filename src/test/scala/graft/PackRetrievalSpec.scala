@@ -135,4 +135,36 @@ class PackRetrievalSpec extends SparkSpec {
     assert(got.forall(r => r._3 >= 1L && r._3 <= r._2))
     assert(got.forall(r => r._5 >= 1L))
   }
+
+  test("q181: the (120, 75) slice IS q86's ranking, every grid point " +
+    "ranks a full top-3, and the grid actually discriminates") {
+    val sweep = run("q181_bm25_sweep")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    graft.ops.CacheScope.drain()
+    val q86top3 = run("q86_bm25_topk")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .filter(_._2 <= 3)
+      .map(r => (r._1, r._2, r._3, r._5)) // (q_id, rk, doc_id, score_bp)
+      .toSeq.sorted
+    graft.ops.CacheScope.drain()
+    // the production point reproduces q86 bit for bit: the ×100 scaling
+    // of numerator and denominator cancels under floor division
+    val slice = sweep.filter(r => r._1 == 120L && r._2 == 75L)
+      .map(r => (r._3, r._4, r._5, r._6)).toSeq.sorted
+    assert(slice === q86top3,
+      "the (k1=1.2, b=0.75) slice must equal q86's top-3 exactly")
+    // complete grid: 9 points x 4 queries x ranks 1..3
+    val groups = sweep.groupBy(r => (r._1, r._2, r._3))
+    assert(groups.size === 36)
+    groups.foreach { case (g, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === Seq(1L, 2L, 3L), s"ranks at $g")
+    }
+    // the sweep must show the knob doing something: some grid point
+    // disagrees with the production ranking on some query's top-3 docs
+    val byPoint = sweep.groupBy(r => (r._1, r._2)).map { case (p, rows) =>
+      p -> rows.sortBy(r => (r._3, r._4)).map(_._5).toSeq
+    }
+    assert(byPoint.values.toSet.size > 1,
+      "all nine grid points rank identically - the sweep is degenerate")
+  }
 }
