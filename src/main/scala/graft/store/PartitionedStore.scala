@@ -118,6 +118,35 @@ object PartitionedStore {
       }
       .start()
 
+  /** Compact the streaming manifest: fold every `batch=` partition into
+    * ONE stats file so a long-running stream's manifest stays
+    * file-cardinality instead of batch-cardinality (the Delta checkpoint
+    * / Iceberg rewrite-manifests move). Stats rows pass through
+    * untouched — only their file layout changes — so [[readPruned]]
+    * returns identical survivors before and after. The swap is
+    * write-new → delete-old → rename: a reader racing the swap in this
+    * single-writer design re-lists and retries; a real multi-writer
+    * table would put the pointer in a commit log, which is out of scope
+    * for the storage layer here. The compacted generation lands as the
+    * `batch=-1` partition (the stream's checkpointed batch ids are
+    * non-negative, so it can't collide) — keeping the key=value layout
+    * uniform, because Spark's partition discovery rejects a directory
+    * mixing root-level files with partition subdirectories. New batches
+    * appended AFTER a compaction land beside it as fresh partitions, so
+    * compaction can run on any cadence.
+    */
+  def compactManifest(spark: SparkSession, path: String): Unit = {
+    val man = s"$path/_manifest"
+    val rows = spark.read.parquet(man).drop("batch")
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$man.compact/batch=-1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(man)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$man.compact"), p)
+  }
+
   /** Read only the files whose manifest [min_`statCol`, max_`statCol`]
     * range INTERSECTS [lo, hi] — min/max data skipping at the file
     * level, planned from the manifest alone (the base footers of pruned

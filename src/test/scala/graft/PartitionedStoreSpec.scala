@@ -143,6 +143,31 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(none.filesRead === 0)
     assert(none.df.columns.toSeq === Seq("k", "v"))
     assert(none.df.count() === 0)
+
+    // compaction folds the per-batch manifest partitions into one stats
+    // file without changing a single pruning decision
+    PartitionedStore.compactManifest(spark, dir)
+    val compacted = spark.read.parquet(s"$dir/_manifest")
+    assert(compacted.inputFiles.length === 1,
+      "compaction must leave exactly one manifest file")
+    assert(compacted.count() === 8)
+    val scanC = PartitionedStore.readPruned(spark, dir, "k", 150L, 160L)
+    assert((scanC.filesRead, scanC.filesTotal) ===
+      (scan.filesRead, scan.filesTotal))
+    assert(scanC.df.select("k").as[Long].collect().sorted.toSeq ===
+      (150L to 160L).toSeq)
+
+    // a post-compaction batch appends beside the compacted generation
+    // and the manifest still reads as ONE dataset
+    addFile("b3", 200L, 250L)
+    val q3 = startQuery()
+    q3.processAllAvailable()
+    q3.stop()
+    val scan3 = PartitionedStore.readPruned(spark, dir, "k", 210L, 220L)
+    assert(scan3.filesTotal === 12, "8 compacted + 4 fresh stats rows")
+    assert(scan3.filesRead <= 2)
+    assert(scan3.df.select("k").as[Long].collect().sorted.toSeq ===
+      (210L to 220L).toSeq)
   }
 
   test("min/max manifest pruning: a point lookup on the z-order layout " +
