@@ -517,5 +517,105 @@ object PackText {
       "partials), cached at shared-prefix cardinality, literal top-10 " +
       "+ 1-row totals broadcast")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q109, q113, q123, q142)
+  /** q182 — substring GRANULARITY sweep (round 16, the last un-swept
+    * knob of the sweep family): how much duplication exists at window
+    * length w ∈ {30, 40, 50, 70}? Per w: string-verified repeated
+    * grams, duplicate (non-first) windows, and documents touched — the
+    * curve Lee et al. tune before fixing 50.
+    *
+    * Unlike the other sweeps there is NO shared fingerprint prefix —
+    * each length hashes different windows — so the honest one-pass form
+    * tokenizes ONCE (the cached planted corpus) and runs one native
+    * 62-bit fingerprint pass per length over the cache, unioned and
+    * bucketed per (w, h) in one exchange: ×|lengths| fingerprint volume
+    * (8 bytes/window), never ×|lengths| corpus text. Candidate→verify
+    * is q113's: singleton buckets die pre-shuffle-read, colliding
+    * buckets re-derive their gram strings (slice length = the row's w)
+    * and settle on EXACT equality, so the counts are string-true.
+    * Planted discrimination: the 60-token donors repeat at w ≤ 50, the
+    * 40-token donors only at w ≤ 40, and nothing survives 70 — the
+    * spec pins all three regimes.
+    */
+  private val q182 = Q(
+    "q182_granularity_sweep",
+    (s, d) => {
+      import org.apache.spark.sql.graftglue.ExprGlue
+      val lens = Seq(30, 40, 50, 70)
+      val docs = graft.ops.CacheScope.persisted(plantedCorpus(s, d))
+      def winsOf(l: Int) = docs.filter(size(col("ws")) >= l)
+        .select(lit(l.toLong).as("w"), col("doc_id"),
+          posexplode(ExprGlue.column(graft.expr.PosShingleHash62(
+            ExprGlue.expression(col("ws")), l))).as(Seq("pos", "h")))
+      val wins = lens.map(winsOf).reduce(_ unionByName _)
+      val candPos = wins
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("w", "h")))
+        .filter(col("c") > 1)
+        .groupBy("w", "doc_id").agg(collect_list(col("pos")).as("ps"))
+      val cg = docs.join(candPos, Seq("doc_id"))
+        .select(col("w"), col("doc_id"), explode(expr(
+          "transform(ps, p -> named_struct('pos', p, 'gram', " +
+            "array_join(slice(ws, p + 1, cast(w as int)), ' ')))")).as("g"))
+        .select(col("w"), col("doc_id"),
+          (col("doc_id") * 1000000L + col("g.pos")).as("k"),
+          col("g.gram").as("gram"))
+      val firstEx = graft.ops.CacheScope.persisted(
+        cg.groupBy("w", "gram")
+          .agg(min("k").as("fk"), count(lit(1)).as("cnt")))
+      val rg = firstEx.filter(col("cnt") >= 2)
+        .groupBy("w").agg(count(lit(1)).as("n_repeat_grams"))
+      val dp = cg.join(firstEx.filter(col("cnt") >= 2), Seq("w", "gram"))
+        .filter(col("k") =!= col("fk"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("n_dup_windows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      import s.implicits._
+      val ls = lens.map(_.toLong).toDF("w")
+      ls.join(broadcast(rg), Seq("w"), "left")
+        .join(broadcast(dp), Seq("w"), "left")
+        .select(col("w"), coalesce(col("n_repeat_grams"), lit(0L))
+          .as("n_repeat_grams"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("w")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
+      d60 AS (SELECT doc_id + 900000 AS doc_id,
+                list_concat(list_concat(ws[1:60],
+                  ['zzuniq' || CAST(doc_id AS VARCHAR)]), ws[1:60]) AS ws
+              FROM t WHERE doc_id % 40 = 3 AND len(ws) >= 60),
+      d40 AS (SELECT doc_id + 950000 AS doc_id, ws[1:40] AS ws
+              FROM t WHERE doc_id % 40 = 7 AND len(ws) >= 40),
+      u AS (SELECT * FROM t UNION ALL SELECT * FROM d60
+            UNION ALL SELECT * FROM d40),
+      ls AS (SELECT CAST(unnest([30, 40, 50, 70]) AS BIGINT) AS w),
+      wn AS (SELECT ls.w, u.doc_id,
+               unnest(CASE WHEN len(ws) >= ls.w
+                 THEN list_transform(range(0, len(ws) - CAST(ls.w AS INTEGER) + 1),
+                   i -> {'pos': i, 'g': array_to_string(
+                     ws[i + 1 : i + CAST(ls.w AS INTEGER)], ' ')})
+                 ELSE [] END) AS uu
+             FROM u CROSS JOIN ls),
+      w2 AS (SELECT w, doc_id, uu.g AS g,
+                    doc_id * 1000000 + CAST(uu.pos AS BIGINT) AS k
+             FROM wn),
+      f AS (SELECT w, g, min(k) AS fk, count(*) AS cnt FROM w2 GROUP BY 1, 2),
+      rg AS (SELECT w, CAST(count(*) AS BIGINT) AS n_repeat_grams
+             FROM f WHERE cnt >= 2 GROUP BY w),
+      dp AS (SELECT w2.w, CAST(count(*) AS BIGINT) AS n_dup_windows,
+                    CAST(count(DISTINCT w2.doc_id) AS BIGINT) AS n_docs
+             FROM w2 JOIN f ON w2.w = f.w AND w2.g = f.g
+             WHERE f.cnt >= 2 AND w2.k <> f.fk GROUP BY 1)
+      SELECT ls.w, coalesce(rg.n_repeat_grams, 0) AS n_repeat_grams,
+             coalesce(dp.n_dup_windows, 0) AS n_dup_windows,
+             coalesce(dp.n_docs, 0) AS n_docs
+      FROM ls LEFT JOIN rg USING (w) LEFT JOIN dp USING (w)
+      ORDER BY ls.w
+    """),
+    doc = "substring granularity sweep: one cached tokenize, one native " +
+      "fingerprint pass per window length, one (w, h) bucket exchange, " +
+      "string-exact verify - the dedup-granularity curve without " +
+      "per-length pipeline re-runs")
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q109, q113, q123, q142, q182)
 }

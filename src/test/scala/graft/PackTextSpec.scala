@@ -193,4 +193,58 @@ class PackTextSpec extends SparkSpec {
         s"corpus seed $seed planted no duplicate mass — generator broken")
     }
   }
+
+  test("q182: brute-force recount at two lengths, and the planted " +
+    "donors land in exactly their granularity regimes") {
+    val got = graft.queries.Catalog.queries("q182_granularity_sweep")(
+      spark, sf).as[(Long, Long, Long, Long)].collect()
+    graft.ops.CacheScope.drain()
+    assert(got.map(_._1).toSeq === Seq(30L, 40L, 50L, 70L))
+
+    // independent mechanism: plain-Scala corpus + window maps
+    val base = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq }
+    val corpus = base ++
+      base.collect { case (id, ws) if id % 40 == 3 && ws.length >= 60 =>
+        (id + 900000L) -> (ws.take(60) ++ Seq(s"zzuniq$id") ++ ws.take(60)) } ++
+      base.collect { case (id, ws) if id % 40 == 7 && ws.length >= 40 =>
+        (id + 950000L) -> ws.take(40) }
+    def recount(w: Int): (Long, Long, Long, Set[Long]) = {
+      val wins = for {
+        (id, ws) <- corpus
+        p <- 0 to ws.length - w
+      } yield (id * 1000000L + p, ws.slice(p, p + w).mkString(" "))
+      val rep = wins.groupBy(_._2).filter(_._2.size >= 2)
+      val dups = rep.values.toSeq.flatMap(v =>
+        v.map(_._1).sorted.drop(1)) // every holder but the first
+      (rep.size.toLong, dups.size.toLong,
+        dups.map(_ / 1000000L).distinct.size.toLong,
+        dups.map(_ / 1000000L).toSet)
+    }
+    val r40 = recount(40)
+    val r70 = recount(70)
+    assert(got.find(_._1 == 40L).get ===
+      ((40L, r40._1, r40._2, r40._3)), "w=40 recount")
+    assert(got.find(_._1 == 70L).get ===
+      ((70L, r70._1, r70._2, r70._3)), "w=70 recount")
+
+    // planted regimes: every 40-token donor duplicates at w=40 (its
+    // whole body repeats the source prefix) and none can hold a
+    // 50-token window at all; no donor of either kind repeats at 70
+    // (the 60-token copies break at the marker)
+    val don40 = corpus.collect {
+      case (id, _) if id >= 950000L => id }.toSet
+    assert(don40.nonEmpty && don40.subsetOf(r40._4),
+      "every 40-token donor must be flagged at w=40")
+    assert(r70._4.forall(_ < 900000L),
+      "no planted donor can hold a duplicated 70-token window")
+    // the sweep is non-degenerate and ordered the way granularity
+    // implies on this corpus: coarser windows find no more than finer
+    got.sliding(2).foreach { case Array((w1, g1, d1, n1), (w2, g2, d2, n2)) =>
+      assert(g1 >= g2 && d1 >= d2 && n1 >= n2,
+        s"counts must not rise with w: $w1 -> $w2")
+    }
+  }
 }
