@@ -390,24 +390,28 @@ object PackMix {
   private val q180 = Q(
     "q180_mixture_temperature",
     (s, d) => {
-      val hist = Tables.documents(s, d)
-        .groupBy("lang").agg(count(lit(1)).as("n_lang"))
-        .withColumn("r2", expr(isqrtSql("n_lang")))
-        .withColumn("r4", expr(isqrtSql("r2")))
-        .withColumn("r1", col("n_lang"))
-        .withColumn("rinf", lit(1L))
+      import org.apache.spark.sql.expressions.Window
       val temps = Seq("1" -> "r1", "2" -> "r2", "4" -> "r4",
         "inf" -> "rinf")
-      val totals = hist.agg(
-        temps.map { case (t, r) => sum(r).as(s"tot_$t") }.head,
-        temps.map { case (t, r) => sum(r).as(s"tot_$t") }.tail: _*)
+      // totals as single-partition window sums over the LANG-cardinality
+      // histogram (q95's fused-quota idiom): a totals-aggregate branch
+      // would recompute the histogram and scan the corpus twice
+      val withTotals = temps.foldLeft(
+        Tables.documents(s, d)
+          .groupBy("lang").agg(count(lit(1)).as("n_lang"))
+          .withColumn("r2", expr(isqrtSql("n_lang")))
+          .withColumn("r4", expr(isqrtSql("r2")))
+          .withColumn("r1", col("n_lang"))
+          .withColumn("rinf", lit(1L))) { case (df, (t, r)) =>
+        df.withColumn(s"tot_$t", sum(col(r)).over(Window.partitionBy()))
+      }
       val report = temps.map { case (t, r) =>
         struct(lit(t).as("temp"),
           expr(s"$r * 10000 div tot_$t").as("share_bp"),
           expr(s"($r * 10000 div tot_$t) * 10000" +
             s" div greatest(r1 * 10000 div tot_1, 1)").as("boost_bp"))
       }
-      hist.crossJoin(broadcast(totals))
+      withTotals
         .select(col("lang"), explode(array(report: _*)).as("x"))
         .select(col("x.temp"), col("lang"), col("x.share_bp"),
           col("x.boost_bp"))

@@ -1752,4 +1752,79 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("l_orderkey") && !read.contains("l_tax"),
       s"scan must read only the four used columns:\n$read")
   }
+
+  test("q178: per-n eval set broadcasts onto the unshuffled corpus " +
+    "stream; the doc-id split pushes to both scans") {
+    val p = plan("q178_decon_ngram_sensitivity")
+    assert(p.contains("BroadcastHashJoin [n#") ||
+      p.contains("BroadcastHashJoin [n,") ||
+      (p.contains("BroadcastHashJoin") && p.contains("stack(5, 3, sh3")),
+      s"the (n, sh) probe must be a broadcast join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(doc_id,50)") &&
+      p.contains("LessThan(doc_id,50)"),
+      s"the corpus/eval split must reach the parquet scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus never shuffles to meet the eval set:\n$p")
+  }
+
+  test("q179: three scoped caches (corpus, assignments, pair scores); " +
+    "probe rank rides WindowGroupLimit; centroids broadcast") {
+    graft.ops.CacheScope.drain()
+    val p = plan("q179_semdedup_sensitivity")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 3,
+        "corpus + av + the deduped pair-score frame")
+      assert(p.contains("WindowGroupLimit"),
+        s"the literal probe bound must prune below the exchange:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"the k-row centroid frame travels broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"nothing may go cartesian:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q181: one cached corpus pass feeds all nine scorings; the " +
+    "literal top-3 rides WindowGroupLimit; stats broadcast") {
+    graft.ops.CacheScope.drain()
+    val p = plan("q181_bm25_sweep")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 1,
+        "exactly the ft frame - the sweep adds no second corpus pass")
+      assert(p.contains("InMemoryTableScan"),
+        s"the grid scores must read the cached ft frame:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"the literal rank bound must prune below the exchange:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"the 1-row stats fold must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"no shuffle join anywhere in the sweep:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q182: buckets partition by (length, fingerprint); two scoped " +
+    "caches; nothing cartesian") {
+    graft.ops.CacheScope.drain()
+    val p = plan("q182_granularity_sweep")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 2,
+        "the tokenized corpus + the verified first-holder frame")
+      assert(p.contains("windowspecdefinition(w#"),
+        s"the collision count must window per (w, h), never globally:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"nothing may go cartesian:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q180: ONE corpus scan; totals fused as single-partition window " +
+    "sums over the language histogram") {
+    val p = plan("q180_mixture_temperature")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1,
+      s"the sweep must not scan the corpus twice for its totals:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) === 1,
+      s"the lang histogram is the only hash exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("Join"),
+      s"no join anywhere — the totals ride the histogram window:\n$p")
+  }
 }
