@@ -299,14 +299,24 @@ object PackCurate {
               "concat('(', substring_index(mp, '|', 1), " +
               "substring_index(mp, '|', -1), ')'))").as("s")))
 
-    /** three learned merges + the vocab frame after each is applied */
-    def learn3(s: SparkSession, d: String)
-        : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    /** the full induction trace: vocab frames v0..v3 (each cached) and
+      * the merges b1..b3 that produced them — q79/q80 read the end
+      * state, q183 reads the whole curve
+      */
+    def rounds(s: SparkSession, d: String)
+        : (Seq[DataFrame], Seq[DataFrame]) = {
       val v0 = vocab0(s, d)
       val b1 = bestOf(pairsOf(v0)); val v1 = applied(v0, b1)
       val b2 = bestOf(pairsOf(v1)); val v2 = applied(v1, b2)
       val b3 = bestOf(pairsOf(v2)); val v3 = applied(v2, b3)
-      (b1, b2, b3, v3)
+      (Seq(v0, v1, v2, v3), Seq(b1, b2, b3))
+    }
+
+    /** three learned merges + the vocab frame after each is applied */
+    def learn3(s: SparkSession, d: String)
+        : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      val (vs, bs) = rounds(s, d)
+      (bs(0), bs(1), bs(2), vs(3))
     }
 
     /** The oracle twin of the chain above — the shared CTE prefix both
@@ -519,5 +529,63 @@ object PackCurate {
       "learned BPE merges: q80's broadcast probe, language-cardinality " +
       "roll-up — the tokenizer-tax report")
 
-  val all: Seq[Q] = Seq(q68, q69, q70, q71, q79, q80, q145)
+  /** q183 — tokenizer VOCAB-GROWTH fertility curve (round 16, the
+    * sweep family applied to q79's induction): after k ∈ {0, 1, 2, 3}
+    * merges, the corpus-weighted symbols-per-word in 1e-4 units — the
+    * compression-vs-vocab-size curve every tokenizer design reads
+    * (fertility at vocab 2⁸ vs 2¹⁵ is the BPE sizing argument). Unlike
+    * a naive per-size re-induction, BPE's merge list is PREFIX-STABLE:
+    * the first k merges of a larger vocab ARE the k-merge tokenizer,
+    * so the whole curve reads the SAME cached round frames q79 already
+    * materializes (one corpus fold + three vocab-cardinality rewrites)
+    * — zero additional induction work.
+    *
+    * Symbol counts are exact integers: every symbol is delimiter-
+    * wrapped, so symbols(s) = count of '(' = length(s) −
+    * length(replace(s, '(', '')). Each merge strictly shrinks the
+    * weighted total (the chosen pair has n_pair > 0 occurrences), so
+    * fertility is strictly decreasing in k — the spec's invariant.
+    * 100 TB: q79's posture verbatim — corpus folded once, everything
+    * after is vocab-cardinality.
+    */
+  private val q183 = Q(
+    "q183_vocab_fertility",
+    (s, d) => {
+      val (vs, _) = Bpe.rounds(s, d)
+      vs.zipWithIndex.map { case (v, k) =>
+        v.select(col("n_w"),
+          (length(col("s")) -
+            length(regexp_replace(col("s"), "\\(", ""))).cast("long")
+            .as("nsym"))
+          .agg(sum(expr("n_w * nsym")).as("total_symbols"),
+            sum("n_w").as("total_words"))
+          .select(lit(k.toLong).as("n_merges"), col("total_symbols"),
+            col("total_words"),
+            expr("total_symbols * 10000 div total_words").as("fert_bp"))
+      }.reduce(_ unionByName _).orderBy("n_merges")
+    },
+    Some(s"""
+      WITH ${Bpe.oracleCtes},
+      sk AS (
+        SELECT 0 AS k, CAST(sum(n_w * (length(s) - length(replace(s, '(', '')))) AS BIGINT) AS total_symbols,
+               CAST(sum(n_w) AS BIGINT) AS total_words FROM v0
+        UNION ALL
+        SELECT 1, CAST(sum(n_w * (length(s) - length(replace(s, '(', '')))) AS BIGINT),
+               CAST(sum(n_w) AS BIGINT) FROM v1
+        UNION ALL
+        SELECT 2, CAST(sum(n_w * (length(s) - length(replace(s, '(', '')))) AS BIGINT),
+               CAST(sum(n_w) AS BIGINT) FROM v2
+        UNION ALL
+        SELECT 3, CAST(sum(n_w * (length(s) - length(replace(s, '(', '')))) AS BIGINT),
+               CAST(sum(n_w) AS BIGINT) FROM v3)
+      SELECT CAST(k AS BIGINT) AS n_merges, total_symbols, total_words,
+             total_symbols * 10000 // total_words AS fert_bp
+      FROM sk ORDER BY n_merges
+    """),
+    doc = "tokenizer fertility vs vocab size: BPE's prefix-stable merge " +
+      "list means the whole curve reads q79's cached round frames - " +
+      "symbols-per-word after each merge, exact integers, zero extra " +
+      "induction")
+
+  val all: Seq[Q] = Seq(q68, q69, q70, q71, q79, q80, q145, q183)
 }

@@ -278,4 +278,28 @@ class PackCurateSpec extends SparkSpec {
     assert(m("rnd") > 2L * m("rep"),
       s"separation too weak: rep=${m("rep")} rnd=${m("rnd")}")
   }
+
+  test("q183: merge-0 fertility is the exact per-character baseline, " +
+    "every merge strictly shrinks it, and the word mass never moves") {
+    val got = run("q183_vocab_fertility")
+      .as[(Long, Long, Long, Long)].collect()
+    graft.ops.CacheScope.drain()
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    // independent mechanism for k=0: before any merge every symbol is
+    // one character, so total_symbols == total token characters
+    val (chars, words) = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.toLowerCase.split("\\W+").filter(_.nonEmpty))
+      .foldLeft((0L, 0L)) { case ((c, w), t) => (c + t.length, w + 1) }
+    assert(got.head._2 === chars, "k=0 symbols = corpus token chars")
+    assert(got.head._3 === words)
+    // the corpus-weighted word count is invariant under merging
+    assert(got.forall(_._3 === words))
+    // each greedy merge replaces > 0 occurrences: strictly decreasing
+    got.sliding(2).foreach { case Array((k1, s1, _, _), (k2, s2, _, _)) =>
+      assert(s1 > s2, s"merge $k2 must strictly shrink: $s1 -> $s2")
+    }
+    // fertility floors at 10000 (one symbol per word)
+    got.foreach { case (_, _, _, f) => assert(f >= 10000L) }
+  }
 }
