@@ -542,11 +542,19 @@ object PackText {
       import org.apache.spark.sql.graftglue.ExprGlue
       val lens = Seq(30, 40, 50, 70)
       val docs = graft.ops.CacheScope.persisted(plantedCorpus(s, d))
-      def winsOf(l: Int) = docs.filter(size(col("ws")) >= l)
-        .select(lit(l.toLong).as("w"), col("doc_id"),
-          posexplode(ExprGlue.column(graft.expr.PosShingleHash62(
-            ExprGlue.expression(col("ws")), l))).as(Seq("pos", "h")))
-      val wins = lens.map(winsOf).reduce(_ unionByName _)
+      // all four fingerprint passes in ONE projection over the cache
+      // (the kernel returns empty below w tokens, so no length filter),
+      // unpivoted by stack — a per-length union would read the cache
+      // once per length
+      val wins = docs
+        .select(col("doc_id") +: lens.map(l =>
+          ExprGlue.column(graft.expr.PosShingleHash62(
+            ExprGlue.expression(col("ws")), l)).as(s"hs$l")): _*)
+        .select(col("doc_id"), expr(s"stack(${lens.size}, " +
+          lens.map(l => s"${l}L, hs$l").mkString(", ") + ")")
+          .as(Seq("w", "hs")))
+        .select(col("w"), col("doc_id"),
+          posexplode(col("hs")).as(Seq("pos", "h")))
       val candPos = wins
         .withColumn("c", count(lit(1)).over(Window.partitionBy("w", "h")))
         .filter(col("c") > 1)
