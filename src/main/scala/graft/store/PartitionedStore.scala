@@ -97,7 +97,8 @@ object PartitionedStore {
     */
   def writeStreamWithManifest(df: DataFrame, layoutCol: String,
       statCols: Seq[String], filesPerBatch: Int, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -113,6 +114,12 @@ object PartitionedStore {
             .agg(aggs.head, aggs.tail: _*)
             .coalesce(1) // file-cardinality frame: one stats file per batch
             .write.mode("overwrite").parquet(s"$path/_manifest/batch=$id")
+          // optional cadence: fold the manifest every N committed
+          // batches so its file count stays bounded on long streams.
+          // Keyed to the checkpointed batch id, so a replayed batch
+          // re-compacts idempotently (compaction preserves rows).
+          if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+            compactManifest(sp, path)
         }
         ()
       }

@@ -170,6 +170,41 @@ class PartitionedStoreSpec extends SparkSpec {
       (210L to 220L).toSeq)
   }
 
+  test("auto-compaction cadence: every Nth batch folds the manifest " +
+    "in-stream; stats and pruning survive unchanged") {
+    val in = Files.createTempDirectory("cstream-in").toString
+    val dir = Files.createTempDirectory("cstream").toString
+    val ckpt = Files.createTempDirectory("cstream-ckpt").toString
+    def addFile(name: String, lo: Long, hi: Long): Unit =
+      (lo until hi).map(k => (k, k)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$in/$name")
+    val q = PartitionedStore.writeStreamWithManifest(
+      spark.readStream.schema("k LONG, v LONG")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      "k", Seq("k"), 2, dir, ckpt, compactEvery = 2)
+    addFile("b1", 0L, 50L); addFile("b2", 50L, 100L)
+    addFile("b3", 100L, 150L)
+    q.processAllAvailable()
+    q.stop()
+    // batches 0..2 committed; the cadence fired at id=2 and folded all
+    // stats so far into the batch=-1 generation
+    val manParts = new java.io.File(s"$dir/_manifest").list()
+      .filter(_.startsWith("batch=")).sorted
+    assert(manParts.contains("batch=-1"),
+      s"compacted generation must exist, got: ${manParts.toSeq}")
+    assert(!manParts.contains("batch=0") && !manParts.contains("batch=1"),
+      s"pre-compaction partitions must be folded away: ${manParts.toSeq}")
+    val man = spark.read.parquet(s"$dir/_manifest")
+    assert(man.count() ===
+      spark.read.parquet(s"$dir/data").inputFiles.length.toLong,
+      "one stats row per data file across generations")
+    val scan = PartitionedStore.readPruned(spark, dir, "k", 60L, 70L)
+    assert(scan.filesRead < scan.filesTotal)
+    assert(scan.df.select("k").as[Long].collect().sorted.toSeq ===
+      (60L to 70L).toSeq)
+  }
+
   test("min/max manifest pruning: a point lookup on the z-order layout " +
     "touches ~sqrt(F) files and returns exactly the full-scan rows") {
     import graft.queries.PackLayout
