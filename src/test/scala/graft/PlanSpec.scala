@@ -1815,6 +1815,23 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q183: the curve reads the four cached induction rounds — no " +
+    "extra corpus pass, merges broadcast") {
+    graft.ops.CacheScope.drain()
+    val p = plan("q183_vocab_fertility")
+    try {
+      assert(graft.ops.CacheScope.liveCount === 4,
+        "vocab0 + the three applied rounds, nothing else")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
+        s"each round's fold must read its cached frame:\n$p")
+      // (FileScan lines appear in the text only as InMemoryRelation
+      // provenance — the cache is what executes, which liveCount and
+      // the InMemoryTableScan reads above pin)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"the chosen merges travel broadcast:\n$p")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q180: ONE corpus scan; totals fused as single-partition window " +
     "sums over the language histogram") {
     val p = plan("q180_mixture_temperature")
