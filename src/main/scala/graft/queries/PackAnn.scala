@@ -255,6 +255,82 @@ object PackAnn {
           .withColumn("rk", row_number().over(topW))
           .filter(col("rk") <= 3)
           .orderBy("q_id", "rk")
+      },
+      // ---- q110's hard-negative mining arm (late r16: the FOURTH
+      // consumer of the one ANN graph, after build/search/serve). A
+      // cache NODE on the shared milli frame: mining reads the corpus
+      // three times (label centroids, probe side, candidate side), and
+      // before this arm moved onto the graph those were three RAW
+      // parquet scans; q107's own paths keep reading the uncached
+      // `milli`, so its pinned plans are untouched.
+      Stage.cached("milli_c", "milli") { (_, _, in) => in("milli") },
+      // per-LABEL centroid sums (q110 points the IVF machinery at the
+      // true labels, not q107's synthetic cells)
+      Stage("mreps", "milli_c") { (_, _, in) =>
+        in("milli_c")
+          .select(col("label").as("cell"),
+            posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim").agg(sum("x").as("sv"))
+          .groupBy("cell")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("sv")))),
+            t => t("sv")).as("rv"))
+          .withColumn("nb2",
+            expr("aggregate(rv, 0L, (acc, x) -> acc + x * x)"))
+      },
+      // top-2 FOREIGN cells per vector by signed squared centroid cosine
+      Stage("mprobe", "milli_c", "mreps") { (_, _, in) =>
+        val probeW = Window.partitionBy("vec_id")
+          .orderBy(col("score").desc, col("cell"))
+        in("milli_c")
+          .withColumn("na2",
+            expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+          .crossJoin(broadcast(in("mreps")))
+          .filter(col("cell") =!= col("label"))
+          .withColumn("dot",
+            expr("aggregate(zip_with(v, rv, (a, b) -> a * b), 0L," +
+              " (acc, x) -> acc + x)"))
+          .withColumn("score", expr(probeScoreExpr))
+          .withColumn("cr", row_number().over(probeW))
+          .filter(col("cr") <= 2)
+          .select(col("vec_id"), col("label"), col("v"), col("na2"),
+            col("cell"))
+      },
+      // candidate side: squared norm PRECOMPUTED once per vector via
+      // the native kernel, never once per pair
+      Stage("mnegs", "milli_c") { (_, _, in) =>
+        in("milli_c").select(col("vec_id").as("neg_id"),
+          col("label").as("cell"), col("v").as("nv"))
+          .withColumn("nb2",
+            org.apache.spark.sql.graftglue.ExprGlue.column(
+              graft.expr.LongDot(
+                org.apache.spark.sql.graftglue.ExprGlue.expression(col("nv")),
+                org.apache.spark.sql.graftglue.ExprGlue.expression(col("nv")))))
+      },
+      // exact-cosine argmax within the probed cells; vectors dropped
+      // before the rank so the WindowGroupLimit shuffle carries scalars
+      Stage("mine", "mprobe", "mnegs") { (_, _, in) =>
+        val negW = Window.partitionBy("vec_id")
+          .orderBy(col("sim_e8").desc, col("neg_id"))
+        in("mprobe").join(in("mnegs"), Seq("cell"))
+          .withColumn("dot",
+            org.apache.spark.sql.graftglue.ExprGlue.column(
+              graft.expr.LongDot(
+                org.apache.spark.sql.graftglue.ExprGlue.expression(col("v")),
+                org.apache.spark.sql.graftglue.ExprGlue.expression(col("nv")))))
+          .withColumn("sim_e8",
+            org.apache.spark.sql.graftglue.ExprGlue.column(
+              graft.expr.SimE8(
+                org.apache.spark.sql.graftglue.ExprGlue.expression(col("dot")),
+                org.apache.spark.sql.graftglue.ExprGlue.expression(col("na2")),
+                org.apache.spark.sql.graftglue.ExprGlue.expression(col("nb2")))))
+          .select(col("vec_id"), col("label"), col("neg_id"), col("cell"),
+            col("sim_e8"))
+          .withColumn("rk", row_number().over(negW))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("label"),
+            col("neg_id"), col("cell").as("neg_label"), col("sim_e8"))
+          .orderBy("vec_id")
       })
   }
 
@@ -364,67 +440,15 @@ object PackAnn {
     */
   private val q110 = Q(
     "q110_hard_negatives",
-    (s, d) => {
-      val m = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000).cast("long")).as("v"))
-      // one stats pass: per-(cell, dim) centroid sums (mergeable)
-      val reps = m
-        .select(col("label").as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(sum("x").as("sv"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("sv")))),
-          t => t("sv")).as("rv"))
-        .withColumn("nb2", expr("aggregate(rv, 0L, (acc, x) -> acc + x * x)"))
-      val probeW = Window.partitionBy("vec_id")
-        .orderBy(col("score").desc, col("cell"))
-      val probed = m
-        .withColumn("na2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
-        .crossJoin(broadcast(reps))
-        .filter(col("cell") =!= col("label")) // FOREIGN cells only
-        .withColumn("dot",
-          expr("aggregate(zip_with(v, rv, (a, b) -> a * b), 0L," +
-            " (acc, x) -> acc + x)"))
-        .withColumn("score", expr(probeScoreExpr))
-        .withColumn("cr", row_number().over(probeW))
-        .filter(col("cr") <= 2)
-        .select(col("vec_id"), col("label"), col("v"), col("na2"), col("cell"))
-      val negW = Window.partitionBy("vec_id")
-        .orderBy(col("sim_e8").desc, col("neg_id"))
-      // candidate side carries its squared norm PRECOMPUTED (once per
-      // vector, not once per pair), and the per-pair dot is the native
-      // codegen'd long_dot — the HOF form measured ~22 s at sf0.1
-      val negs = m.select(col("vec_id").as("neg_id"),
-        col("label").as("cell"), col("v").as("nv"))
-        .withColumn("nb2",
-          org.apache.spark.sql.graftglue.ExprGlue.column(graft.expr.LongDot(
-            org.apache.spark.sql.graftglue.ExprGlue.expression(col("nv")),
-            org.apache.spark.sql.graftglue.ExprGlue.expression(col("nv")))))
-      probed.join(negs, Seq("cell"))
-        .withColumn("dot",
-          org.apache.spark.sql.graftglue.ExprGlue.column(graft.expr.LongDot(
-            org.apache.spark.sql.graftglue.ExprGlue.expression(col("v")),
-            org.apache.spark.sql.graftglue.ExprGlue.expression(col("nv")))))
-        // per-pair score via the native exact Long kernel (graft.expr
-        // .SimE8) — the decimal form allocates a BigDecimal per pair and
-        // measured as the dominant candidate-stage cost; pair-stage
-        // magnitudes sit ~200× inside SimE8's contract
-        .withColumn("sim_e8",
-          org.apache.spark.sql.graftglue.ExprGlue.column(graft.expr.SimE8(
-            org.apache.spark.sql.graftglue.ExprGlue.expression(col("dot")),
-            org.apache.spark.sql.graftglue.ExprGlue.expression(col("na2")),
-            org.apache.spark.sql.graftglue.ExprGlue.expression(col("nb2")))))
-        // drop both 64-long vectors BEFORE the rank: the window's sort
-        // (and the partial WindowGroupLimit's shuffle) must carry five
-        // scalars per candidate, not five scalars plus two arrays
-        .select(col("vec_id"), col("label"), col("neg_id"), col("cell"),
-          col("sim_e8"))
-        .withColumn("rk", row_number().over(negW))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("label"),
-          col("neg_id"), col("cell").as("neg_label"), col("sim_e8"))
-        .orderBy("vec_id")
-    },
+    // late r16: the mining arm lives on the shared ANN StageGraph
+    // (stages "milli_c"/"mreps"/"mprobe"/"mnegs"/"mine" above) — the
+    // FOURTH consumer of the one graph, and the move that turned its
+    // three raw corpus scans into one cached read (the "mining arm"
+    // comment at the stage definitions). Bodies are verbatim the r13
+    // hand-wired forms; the oracle hash and the q110 PlanSpec pins
+    // (both WindowGroupLimit pairs, native kernels, scalar-only rank
+    // exchange) gate the re-expression.
+    (s, d) => graft.plans.StageGraph.compose(stages, "mine")(s, d),
     Some("""
       WITH m AS (SELECT vec_id, label,
                    list_transform(cast(embedding AS DOUBLE[]),
