@@ -208,11 +208,30 @@ object PackGraph {
     * collect_list exchange twice — the 1.6 s misattributed to the
     * "intersection"), broadcast both degree probes, and pack the pair
     * keys to 8-byte longs. Historical baselines: the wedge form read
-    * 5.7 s, the unthresholded graph 62 s.
+    * 5.7 s, the unthresholded graph 62 s. r17: the probe broadcasts
+    * are SIZE-GATED on the measured edge count (see [[triangleCount]])
+    * — at 10⁹ vertices the outN frame does not fit a broadcast, and a
+    * hard hint is a force AQE cannot undo; above the gate the hints
+    * drop away and the planner shuffles both sides from stats.
     */
-  private val q160 = Q(
-    "q160_triangle_count",
-    (s, d) => {
+  /** q160's plan body, parameterized by the broadcast SIZE GATE
+    * (VERDICT r16 item 1). The `deg` and `outN` probe frames are
+    * data-derived — vertex-cardinality, ≤ |V| ≤ 2·|E| rows; outN's
+    * array payload is exactly |E| longs in total (each oriented edge
+    * lands in one out-list) — so a hard `broadcast()` hint on them is
+    * only right while the thresholded graph is small. Gate on the one
+    * number that bounds BOTH frames: the edge count, read off the
+    * persisted edge frame (it is materialized for `n_edges` anyway, so
+    * the gate costs nothing extra). Under `maxBroadcastEdges`
+    * (default 8M edges ≈ 64 MB of packed ids — comfortably inside the
+    * broadcast envelope) the probes broadcast and the oriented-edge
+    * frame never shuffles; above it the hints drop away and the
+    * planner picks from stats — the shuffled fallback form is
+    * plan-pinned and hash-equal in PackGraphSpec.
+    */
+  private[graft] def triangleCount(s: org.apache.spark.sql.SparkSession,
+      d: String, maxBroadcastEdges: Long = 8L * 1024 * 1024)
+      : org.apache.spark.sql.DataFrame = {
       // The (type, hr, user) de-dup rides INSIDE collect_set — the r15
       // form ran an explicit `.distinct()` first, a full extra corpus
       // exchange that bought nothing (ObjectHashAggregate's map-side
@@ -225,7 +244,12 @@ object PackGraph {
       // Pair-support fold on PACKED keys (q113's 8-byte-fingerprint
       // device, r16): `us` is sorted ascending so u < v, and both ids
       // are non-negative, so u·2³² + v is a bijective single-long pack
-      // for ids < 2³² — the support exchange (the plan's
+      // for ids < 2³² — the pack is pure bit-concatenation (u in the
+      // high 32, v in the low 32), so it stays injective even when
+      // u ≥ 2³¹ wraps p negative; the UNPACK therefore uses the
+      // unsigned forms (shiftrightunsigned / mask) rather than div/%,
+      // whose truncating semantics on a negative p would mis-split
+      // (ADVICE r16). The support exchange (the plan's
       // data-proportional core: 1.36M pair instances at sf0.1) carries
       // one 8-byte key instead of a two-field struct, and the hash
       // aggregate probes on a primitive long. Ids ≥ 2³² would need the
@@ -241,16 +265,24 @@ object PackGraph {
               "x -> element_at(us, i) * 4294967296L + x)))")).as("p"))
           .groupBy("p").agg(count(lit(1)).as("w"))
           .filter(col("w") >= 3)
-          .select(expr("p div 4294967296L").as("u"),
-            expr("p % 4294967296L").as("v")))
+          .select(expr("shiftrightunsigned(p, 32)").as("u"),
+            expr("p & 4294967295L").as("v")))
+      // the size gate: one count on the (persisted, later reused)
+      // edge frame decides whether the vertex-cardinality probes may
+      // broadcast. `identity` leaves plain joins for the planner.
+      val nE = edges.count()
+      val hint: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        if (nE <= maxBroadcastEdges) broadcast _ else identity
       val deg = graft.ops.CacheScope.persisted(
         edges.select(explode(array(col("u"), col("v"))).as("x"))
           .groupBy("x").agg(count(lit(1)).as("deg")))
       // deg is vertex-cardinality — broadcast both orientation probes
+      // (size-gated: see scaladoc)
       val oriented = graft.ops.CacheScope.persisted(edges
-        .join(broadcast(deg.select(col("x").as("u"), col("deg").as("du"))),
+        .join(hint(deg.select(col("x").as("u"), col("deg").as("du"))),
           "u")
-        .join(broadcast(deg.select(col("x").as("v"), col("deg").as("dv"))),
+        .join(hint(deg.select(col("x").as("v"), col("deg").as("dv"))),
           "v")
         .select(
           when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
@@ -263,13 +295,14 @@ object PackGraph {
       // collect_list exchange per join side (the r16 steady-state
       // profile put outN+intersection at 1.6 s of the 3.8 s total, the
       // other data-proportional chunk next to the edge fold). Persist
-      // once, broadcast to both sides: the oriented-edge frame never
-      // shuffles to meet it.
+      // once, broadcast (size-gated) to both sides: under the gate the
+      // oriented-edge frame never shuffles to meet it; above the gate
+      // the planner shuffles both sides on s/t as stats dictate.
       val outN = graft.ops.CacheScope.persisted(oriented.groupBy("s")
         .agg(array_sort(collect_list(col("t"))).as("nbrs")))
       val tri = oriented
-        .join(broadcast(outN), "s")
-        .join(broadcast(outN.select(col("s").as("t"),
+        .join(hint(outN), "s")
+        .join(hint(outN.select(col("s").as("t"),
           col("nbrs").as("nbrs_t"))), Seq("t"), "left")
         .agg(coalesce(sum(size(array_intersect(col("nbrs"),
           coalesce(col("nbrs_t"), array().cast("array<bigint>"))))), lit(0))
@@ -282,7 +315,11 @@ object PackGraph {
           col("n_triangles"),
           expr("n_triangles * 3 * 10000 div greatest(n_wedges, 1)")
             .as("cc_bp"))
-    },
+  }
+
+  private val q160 = Q(
+    "q160_triangle_count",
+    (s, d) => triangleCount(s, d),
     Some("""
       WITH m AS (SELECT DISTINCT event_type,
                epoch_us(cast(ts AS TIMESTAMP)) // 3600000000 AS hr,

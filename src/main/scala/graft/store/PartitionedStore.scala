@@ -116,8 +116,10 @@ object PartitionedStore {
             .write.mode("overwrite").parquet(s"$path/_manifest/batch=$id")
           // optional cadence: fold the manifest every N committed
           // batches so its file count stays bounded on long streams.
-          // Keyed to the checkpointed batch id, so a replayed batch
-          // re-compacts idempotently (compaction preserves rows).
+          // Keyed to the checkpointed batch id; a replay straddling a
+          // compaction is safe because compactManifest and readPruned
+          // both dedupe manifest rows by file path (crash protocol in
+          // compactManifest's scaladoc).
           if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
             compactManifest(sp, path)
         }
@@ -130,28 +132,51 @@ object PartitionedStore {
     * file-cardinality instead of batch-cardinality (the Delta checkpoint
     * / Iceberg rewrite-manifests move). Stats rows pass through
     * untouched — only their file layout changes — so [[readPruned]]
-    * returns identical survivors before and after. The swap is
-    * write-new → delete-old → rename: a reader racing the swap in this
-    * single-writer design re-lists and retries; a real multi-writer
-    * table would put the pointer in a commit log, which is out of scope
-    * for the storage layer here. The compacted generation lands as the
-    * `batch=-1` partition (the stream's checkpointed batch ids are
-    * non-negative, so it can't collide) — keeping the key=value layout
-    * uniform, because Spark's partition discovery rejects a directory
-    * mixing root-level files with partition subdirectories. New batches
-    * appended AFTER a compaction land beside it as fresh partitions, so
-    * compaction can run on any cadence.
+    * returns identical survivors before and after.
+    *
+    * Crash-safety (ADVICE r16): the r16 form swapped via write-new →
+    * delete-whole-manifest → rename, which has a window where a crash
+    * LOSES the manifest outright, and a foreachBatch replay straddling
+    * an uncommitted compaction could double-count a batch's rows. The
+    * r17 protocol makes every window either invisible or benign:
+    *
+    *  1. fold all live rows — deduped by file path, because a batch
+    *     replayed across a prior compaction legitimately re-appends
+    *     rows that already sit inside a compacted generation — into a
+    *     DOT-PREFIXED staging dir inside `_manifest` (hidden from
+    *     Spark's file listing, so readers never see a half-written
+    *     generation);
+    *  2. publish with ONE atomic directory rename to `batch=<g>`,
+    *     where g is one below the smallest existing partition id
+    *     (generations count down from -1; stream batch ids are
+    *     non-negative, so no collision, and re-compactions stack
+    *     -1, -2, … without ever overwriting a live generation);
+    *  3. retire the superseded partitions individually.
+    *
+    * A crash before step 2 leaves only hidden staging (readers see the
+    * old manifest; the next compaction overwrites the staging dir). A
+    * crash during step 3 leaves the new generation PLUS some undeleted
+    * old partitions — duplicate rows by file, which [[readPruned]] and
+    * the next compaction both collapse with the same by-file dedupe.
+    * At no instant is the manifest absent or partial. Single-writer by
+    * design; a multi-writer table would put the generation pointer in
+    * a commit log, out of scope for the storage layer here.
     */
   def compactManifest(spark: SparkSession, path: String): Unit = {
     val man = s"$path/_manifest"
-    val rows = spark.read.parquet(man).drop("batch")
-    rows.coalesce(1).write.mode("overwrite")
-      .parquet(s"$man.compact/batch=-1")
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(man)
     val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$man.compact"), p)
+    val parts = fs.listStatus(p).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (parts.isEmpty) return // nothing partitioned to fold
+    val gen = math.min(
+      parts.map(_.getPath.getName.stripPrefix("batch=").toLong).min, 0L) - 1
+    spark.read.parquet(man).drop("batch").dropDuplicates("file")
+      .coalesce(1).write.mode("overwrite").parquet(s"$man/.compacting")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$man/.compacting"),
+      new org.apache.hadoop.fs.Path(s"$man/batch=$gen"))
+    parts.foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Read only the files whose manifest [min_`statCol`, max_`statCol`]
@@ -161,11 +186,17 @@ object PartitionedStore {
     * (the same bound every table format's planner carries); survivors
     * are listed explicitly to the reader, so `df.inputFiles` IS the
     * skipping audit. An empty survivor set returns the empty frame with
-    * the layout's schema (limit 0 — no data file is read).
+    * the layout's schema (limit 0 — no data file is read). Manifest rows
+    * are deduped by file path before anything else: a foreachBatch
+    * replay across a compaction, or a crash inside [[compactManifest]]'s
+    * retire step, can legitimately leave the same file's stats in two
+    * partitions (ADVICE r16) — the dedupe makes both windows invisible,
+    * so `filesTotal`/`filesRead` never double-count and no data file is
+    * ever read twice.
     */
   def readPruned(spark: SparkSession, path: String, statCol: String,
       lo: Long, hi: Long): PrunedScan = {
-    val man = spark.read.parquet(s"$path/_manifest")
+    val man = spark.read.parquet(s"$path/_manifest").dropDuplicates("file")
     val total = man.count().toInt
     val keep = man
       .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)

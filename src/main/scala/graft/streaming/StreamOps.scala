@@ -1533,6 +1533,18 @@ object StreamOps {
     * trade-off of any TTL, tuned by the parameter, and `None` keeps the
     * keep-forever semantics for bounded replays/tests. No watermark:
     * lineitem rows carry no event time (cmsStream's posture).
+    *
+    * State-schema note (ADVICE r16): r16 changed [[BasketState]] from
+    * `List[Long]` to `Set[Long]`, which changes the
+    * flatMapGroupsWithState state ENCODER on the wire — a checkpoint
+    * written by the r15 List form does not restore under this build.
+    * That break is accepted deliberately: no long-lived production
+    * checkpoints exist for this operator (every consumer here replays
+    * from source), and the Set form is what the semantics want
+    * (idempotent re-delivery via O(1) membership). A deployment that
+    * must upgrade a live checkpoint keeps the old encoding on the wire
+    * and converts at the state boundary — the standard state-evolution
+    * move — which this operator would adopt at that point, not before.
     */
   def copurchaseStream(
       items: DataFrame, evictAfter: Option[String] = None): DataFrame = {

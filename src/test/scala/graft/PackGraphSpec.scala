@@ -52,6 +52,50 @@ class PackGraphSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q160: the broadcast size gate — gated and shuffled forms agree, " +
+    "and the fallback plan really shuffles the probes") {
+    // VERDICT r16 item 1: deg/outN are data-derived vertex-cardinality
+    // frames, so their broadcast() hints are SIZE-GATED on the measured
+    // edge count. With autoBroadcast DISABLED the only broadcasts a
+    // plan can carry are forced hints — which isolates exactly what the
+    // gate controls (at sf0.001 the planner would otherwise broadcast
+    // these tiny frames from stats on its own, making the pin vacuous).
+    // Pin both halves: (a) under the gate the hints force
+    // BroadcastHashJoin; above it (threshold 0) NO BroadcastHashJoin
+    // survives — the probes shuffle (the closing 1-row crossJoins are
+    // nested-loop, not hash); (b) the two forms produce identical rows,
+    // so the gate can never change an answer, only a plan.
+    // the two forms are built under DRAINED caches in sequence: Spark's
+    // cache manager strips hints when matching cached plans, so built
+    // together the fallback would silently reuse the gated run's cached
+    // probe frames (whose printed build plans carry the gated BHJs) and
+    // the pin would read the wrong plan.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fallback =
+        graft.queries.PackGraph.triangleCount(spark, sf,
+          maxBroadcastEdges = 0L)
+      val pFall = fallback.queryExecution.executedPlan.toString
+      assert(!pFall.contains("BroadcastHashJoin"),
+        s"above the gate no probe join may carry a broadcast hint:\n$pFall")
+      assert(pFall.contains("SortMergeJoin") ||
+        pFall.contains("ShuffledHashJoin"),
+        s"fallback probes must shuffle:\n$pFall")
+      val b = fallback.as[(Long, Long, Long, Long, Long)].collect()
+      graft.ops.CacheScope.drain()
+      val gated = graft.queries.PackGraph.triangleCount(spark, sf)
+      val pGated = gated.queryExecution.executedPlan.toString
+      assert(pGated.contains("BroadcastHashJoin"),
+        s"under the gate the probes must broadcast:\n$pGated")
+      val a = gated.as[(Long, Long, Long, Long, Long)].collect()
+      assert(a.sameElements(b), "gate changed the answer")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      graft.ops.CacheScope.drain()
+    }
+  }
+
   test("pageRank: matches the hand-computed two-iteration fixpoint math") {
     // 0→{1,2}, 1→2, 2→0, 3→2 at scale 1e6: worked by hand in integer
     // arithmetic (base 37500; see the derivation in this test's history)

@@ -205,6 +205,67 @@ class PartitionedStoreSpec extends SparkSpec {
       (60L to 70L).toSeq)
   }
 
+  test("compaction crash windows: a replayed batch's duplicate stats and " +
+    "a half-finished compaction are invisible to readers and re-fold " +
+    "cleanly (ADVICE r16)") {
+    val in = Files.createTempDirectory("xstream-in").toString
+    val dir = Files.createTempDirectory("xstream").toString
+    val ckpt = Files.createTempDirectory("xstream-ckpt").toString
+    def addFile(name: String, lo: Long, hi: Long): Unit =
+      (lo until hi).map(k => (k, k)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$in/$name")
+    val q = PartitionedStore.writeStreamWithManifest(
+      spark.readStream.schema("k LONG, v LONG")
+        .option("recursiveFileLookup", "true").parquet(in),
+      "k", Seq("k"), 2, dir, ckpt)
+    addFile("b1", 0L, 50L); addFile("b2", 50L, 100L)
+    q.processAllAvailable()
+    q.stop()
+    val man = s"$dir/_manifest"
+    val trueFiles = spark.read.parquet(s"$dir/data").inputFiles.length.toLong
+
+    // window 1: a foreachBatch replay straddling a compaction re-appends
+    // batch 1's stats AFTER they were folded into the compacted
+    // generation — the same file's row now sits in two partitions
+    PartitionedStore.compactManifest(spark, dir)
+    val b1stats = spark.read.parquet(man).drop("batch")
+      .filter(col("file").contains("batch=1"))
+    assert(b1stats.count() > 0)
+    b1stats.write.mode("overwrite").parquet(s"$man/batch=1")
+    assert(spark.read.parquet(man).count() > trueFiles,
+      "the duplicate rows must really exist on disk for this test to bite")
+    val scan = PartitionedStore.readPruned(spark, dir, "k", 60L, 70L)
+    assert(scan.filesTotal === trueFiles,
+      "filesTotal must not double-count a replayed batch's stats")
+    assert(scan.df.inputFiles.length === scan.df.inputFiles.distinct.length,
+      "no data file may be planned twice")
+    assert(scan.df.select("k").as[Long].collect().sorted.toSeq ===
+      (60L to 70L).toSeq)
+
+    // window 2: a compaction that crashed before publishing leaves only
+    // a hidden staging dir — readers must not even see its schema
+    Seq(("garbage", 1L)).toDF("a", "b")
+      .write.mode("overwrite").parquet(s"$man/.compacting")
+    assert(spark.read.parquet(man).columns.contains("file"),
+      "hidden staging must be invisible to partition discovery")
+
+    // the next compaction folds the duplicates away, overwrites the
+    // stale staging, publishes the next generation DOWN, and retires
+    // the superseded partitions
+    PartitionedStore.compactManifest(spark, dir)
+    val parts = new java.io.File(man).list()
+      .filter(_.startsWith("batch=")).sorted
+    assert(parts.toSeq === Seq("batch=-2"),
+      s"one fresh generation, all superseded partitions retired: ${parts.toSeq}")
+    val folded = spark.read.parquet(man)
+    assert(folded.count() === trueFiles, "re-fold must dedupe by file")
+    val scan2 = PartitionedStore.readPruned(spark, dir, "k", 60L, 70L)
+    assert((scan2.filesRead, scan2.filesTotal) ===
+      (scan.filesRead, scan.filesTotal))
+    assert(scan2.df.select("k").as[Long].collect().sorted.toSeq ===
+      (60L to 70L).toSeq)
+  }
+
   test("min/max manifest pruning: a point lookup on the z-order layout " +
     "touches ~sqrt(F) files and returns exactly the full-scan rows") {
     import graft.queries.PackLayout
