@@ -171,10 +171,14 @@ object PackLayout {
     * per-decile token totals fold from the doc-cardinality length frame.
     * Nothing after the two folds is corpus-sized.
     */
-  private val q118 = Q(
-    "q118_heaps_curve",
-    (s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("ws"))
+  /** q118's body from a pre-tokenized frame carrying (doc_id, ws) — the
+    * monitor batch ([[MonitorBatch]]) feeds the SHARED cached token
+    * frame here so four monitors pay one tokenize; the standalone query
+    * tokenizes inline. Result identical either way (spec-pinned).
+    */
+  private[graft] def q118From(tf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val docs = tf.select(col("doc_id"), col("ws"))
       val ids = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
       val bucketed = docs.crossJoin(broadcast(ids))
         .withColumn("decile", expr("(doc_id - lo) * 10 div (hi - lo + 1)"))
@@ -202,7 +206,12 @@ object PackLayout {
           // degenerate input (q125/q119's pattern; ADVICE r14)
           expr("cum_types * 10000 div greatest(cum_toks, 1)").as("ttr_bp"))
         .orderBy("decile")
-    },
+  }
+
+  private val q118 = Q(
+    "q118_heaps_curve",
+    (s, d) => q118From(Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("ws"))),
     Some("""
       WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM documents),
       ids AS (SELECT min(doc_id) lo, max(doc_id) hi FROM t),
@@ -255,12 +264,13 @@ object PackLayout {
     * the same swap q42 and q108 document. The top-5 branch needs no
     * swap: its literal bound already prunes below the exchange.
     */
-  private val q119 = Q(
-    "q119_skew_report",
-    (s, d) => {
+  /** q119's body from a pre-tokenized frame carrying `ws` (see
+    * [[q118From]] — same monitor-batch contract).
+    */
+  private[graft] def q119From(tf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val counts = graft.ops.CacheScope.persisted(
-        Tables.documents(s, d)
-          .select(explode(toks).as("tok"))
+        tf.select(explode(col("ws")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("cnt")))
       val stats = counts.agg(
         count(lit(1)).as("n_keys"), sum("cnt").as("total"),
@@ -291,7 +301,11 @@ object PackLayout {
           expr("least(32L, max_cnt div greatest(total div n_keys, 1))")
             .as("salt_factor"))
         .orderBy("rank")
-    },
+  }
+
+  private val q119 = Q(
+    "q119_skew_report",
+    (s, d) => q119From(Tables.documents(s, d).select(toks.as("ws"))),
     Some("""
       WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) AS tok FROM documents),
       c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
@@ -332,12 +346,14 @@ object PackLayout {
     * the packing stats a 1-row fold broadcast onto it. Nothing after
     * the length fold is corpus-sized.
     */
-  private val q120 = Q(
-    "q120_len_histogram",
-    (s, d) => {
+  /** q120's body from a pre-tokenized frame carrying `ws` (see
+    * [[q118From]] — same monitor-batch contract).
+    */
+  private[graft] def q120From(tf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val C = 128
       val lens = graft.ops.CacheScope.persisted(
-        Tables.documents(s, d).select(size(toks).as("len"))
+        tf.select(size(col("ws")).as("len"))
           .filter(col("len") > 0))
       // bucket = number of powers of two ≤ len, capped at 2^11
       val bucketExpr = (1 to 11)
@@ -357,7 +373,11 @@ object PackLayout {
           expr(s"(chunks_padded * $C - total_toks) * 10000 " +
             s"div (chunks_padded * $C)").as("pad_waste_bp"))
         .orderBy("bucket")
-    },
+  }
+
+  private val q120 = Q(
+    "q120_len_histogram",
+    (s, d) => q120From(Tables.documents(s, d).select(toks.as("ws"))),
     Some(s"""
       WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
       l AS (SELECT len(ws) AS len FROM t WHERE len(ws) > 0),

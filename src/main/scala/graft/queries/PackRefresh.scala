@@ -215,5 +215,174 @@ object PackRefresh {
       "label (min doc_id of the sha2 group), with the naive per-doc " +
       "split and a would-leak audit flag — composes with q78's CC labels")
 
-  val all: Seq[Q] = Seq(q88, q90)
+  /** q48's blocking keys for any (doc_id, text) frame — the identical
+    * 2-token prefix/suffix kernel (parity with the DuckDB replica proven
+    * by q48's gate since r5).
+    */
+  private def keysOf(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("doc_id"), toks.as("ws"))
+    .filter(size(col("ws")) >= 4)
+    .select(col("doc_id").as("id"), explode(array(
+      concat(lit("p:"), concat_ws(" ", slice(col("ws"), 1, 2))),
+      concat(lit("s:"), concat_ws(" ", slice(col("ws"), -2, 2)))))
+      .as("key"))
+
+  /** q184 — INCREMENTAL connected-components label maintenance (VERDICT
+    * r16 item 4): the recurring-dedup gap between q88 (exact/span
+    * increment cleaning) and q48/q78 (global CC). A new-edge batch
+    * merges into the EXISTING cluster labels without re-running global
+    * CC — q112's never-rescan-the-base posture applied to the graph
+    * pack. This is the job a live 100 TB corpus runs nightly: the
+    * corpus was CC-labeled once; increments arrive forever, and each
+    * must be folded into the standing labels, including the hard case
+    * where one new document BRIDGES two existing clusters.
+    *
+    * Stored state (built once here, standing for the on-disk label
+    * table a production system reads): the base label frame
+    * (doc_id → comp, corpus-cardinality, two longs per row) and the
+    * key index (blocking key → comp, key-cardinality — well-defined
+    * because every base doc sharing a key is in one component by CC's
+    * own definition). The increment is synthesized q88-style so every
+    * merge class is planted and observable at any sf: docs with
+    * id%10=7 play the new crawl, and PLANTED BRIDGES (ids 800000+,
+    * text = doc X ⧺ ' ' ⧺ doc Y for paired base docs X=id%100=11,
+    * Y=id%100=12) carry X's prefix key and Y's suffix key, forcing
+    * cross-cluster merges the gate must get right.
+    *
+    * The merge — the part that holds at 100 TB: key the increment,
+    * probe the key index with the BROADCAST increment key set (the
+    * state never shuffles to meet the batch — q88's asymmetry), and
+    * solve CC on the DELTA GRAPH only: new doc ids ∪ touched comp
+    * labels as nodes, connected through the increment's keys. Each
+    * touched base component enters as ONE supernode — a valid
+    * contraction because base components are internally connected, and
+    * label-exact because a base comp IS the min doc_id of its cluster,
+    * so the delta solve's min over {new ids, touched comps} equals the
+    * from-scratch min over all grown-component members. Base labels
+    * then remap through the broadcast (old comp → new comp) frame —
+    * touched-component cardinality, increment-bounded. The base corpus
+    * text is NEVER rescanned: the merge subtree reads only the cached
+    * state and the cached increment (plan-pinned in PackRefreshSpec —
+    * zero parquet scans outside the cache builds). The oracle has no
+    * incremental path at all: it recomputes BOTH fixpoints from scratch
+    * as recursive closures (q48's device, run twice — base graph and
+    * grown graph), so the gate proves merged labels ≡ a from-scratch
+    * rebuild on the grown graph at both SFs.
+    *
+    * Measured (`tools/ProfileQ184`, steady-state medians, sf0.1, 4,500
+    * base docs + 550 increment): keyedB 0.42 s, base CC solve +0.58,
+    * labels+keyIdx caches +0.60, increment build 0.52, delta solve
+    * +0.9, full 3.63 s quiet. The cost is OVERHEAD-bound, not
+    * data-bound: two distributed CC solves each pay fixed
+    * checkpoint/observation jobs — the price of keeping the delta
+    * solve the same 100 TB-shaped solver instead of a driver-side
+    * shortcut (the delta graph is increment-bounded but can still be
+    * millions of rows in production).
+    */
+  private val q184 = Q(
+    "q184_cc_increment",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // ---- stored state: base labels + key index (the nightly job
+      // reads these from disk; built once here and cached) ----
+      val base = docs.filter(col("doc_id") % 10 =!= 7)
+      // keyedB feeds BOTH the CC solve (which checkpoints its own copy)
+      // and the key index — uncached, the base tokenize would run twice
+      val keyedB = graft.ops.CacheScope.persisted(keysOf(base))
+      val (lblB, _) = graft.ops.GraphOps.connectedComponentsByKey(keyedB)
+      val labels = graft.ops.CacheScope.persisted(
+        base.select(col("doc_id"))
+          .join(lblB.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("comp")))
+      val keyIdx = graft.ops.CacheScope.persisted(
+        keyedB.withColumnRenamed("id", "doc_id")
+          .join(labels, "doc_id")
+          .groupBy("key").agg(min("comp").as("comp")))
+      // ---- the increment (synthesis is harness-only: production gets
+      // this frame from ingest; tiny by contract, like q88's inc) ----
+      val xs = docs.filter(col("doc_id") % 100 === 11)
+        .select(expr("doc_id div 100").as("g"), col("doc_id").as("xid"),
+          col("text").as("xt"))
+      val ys = docs.filter(col("doc_id") % 100 === 12)
+        .select(expr("doc_id div 100").as("g"), col("text").as("yt"))
+      val inc = graft.ops.CacheScope.persisted(
+        docs.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), col("text"))
+          .unionByName(xs.join(ys, "g")
+            .select((col("xid") + 800000L).as("doc_id"),
+              concat(col("xt"), lit(" "), col("yt")).as("text"))))
+      // ---- the merge: delta graph only; base never rescans ----
+      val keyedN = keysOf(inc)
+      // state-side probe: ONE pass over the cached key index against the
+      // broadcast increment key set (increment-bounded output)
+      val touched = keyIdx
+        .join(broadcast(keyedN.select("key").distinct()),
+          Seq("key"), "left_semi")
+        .select(col("comp").as("id"), col("key"))
+      val (dLbl, _) = graft.ops.GraphOps.connectedComponentsByKey(
+        keyedN.unionByName(touched))
+      // (old comp → new comp), touched-component cardinality; identity
+      // remaps drop so unaffected clusters never even join
+      val remap = touched.select(col("id")).distinct()
+        .join(dLbl, "id")
+        .filter(col("comp") =!= col("id"))
+        .select(col("id").as("oldc"), col("comp").as("newc"))
+      val baseOut = labels
+        .join(broadcast(remap), col("comp") === col("oldc"), "left")
+        .select(col("doc_id"),
+          coalesce(col("newc"), col("comp")).as("mcomp"),
+          col("comp").as("base_comp"))
+      val newOut = inc.select(col("doc_id"))
+        .join(dLbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("mcomp"),
+          lit(-1L).as("base_comp"))
+      baseOut.unionByName(newOut)
+        .select(col("doc_id"), col("mcomp").as("comp"), col("base_comp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+      inc AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+        UNION ALL
+        SELECT x.doc_id + 800000, x.text || ' ' || y.text
+        FROM (SELECT doc_id, doc_id // 100 AS g, text FROM documents WHERE doc_id % 100 = 11) x
+        JOIN (SELECT doc_id // 100 AS g, text FROM documents WHERE doc_id % 100 = 12) y USING (g)),
+      alldocs AS (SELECT * FROM base UNION ALL SELECT * FROM inc),
+      tb AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM base),
+      kb AS (SELECT doc_id, 'p:' || array_to_string(ws[1:2], ' ') AS key FROM tb WHERE len(ws) >= 4
+             UNION ALL
+             SELECT doc_id, 's:' || array_to_string(ws[-2:], ' ') AS key FROM tb WHERE len(ws) >= 4),
+      sb AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS b FROM kb),
+      e0b AS (SELECT doc_id AS a, b FROM sb WHERE doc_id <> b),
+      eb AS (SELECT a, b FROM e0b UNION SELECT b, a FROM e0b),
+      rb(src, dst) AS (SELECT doc_id, doc_id FROM base
+                       UNION
+                       SELECT rb.src, eb.b FROM rb JOIN eb ON rb.dst = eb.a),
+      cb AS (SELECT src AS doc_id, min(dst) AS base_comp FROM rb GROUP BY src),
+      t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM alldocs),
+      k AS (SELECT doc_id, 'p:' || array_to_string(ws[1:2], ' ') AS key FROM t WHERE len(ws) >= 4
+            UNION ALL
+            SELECT doc_id, 's:' || array_to_string(ws[-2:], ' ') AS key FROM t WHERE len(ws) >= 4),
+      s AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS b FROM k),
+      e0 AS (SELECT doc_id AS a, b FROM s WHERE doc_id <> b),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      r(src, dst) AS (SELECT doc_id, doc_id FROM alldocs
+                      UNION
+                      SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a),
+      c AS (SELECT src AS doc_id, min(dst) AS comp FROM r GROUP BY src)
+      SELECT a.doc_id, c.comp,
+             CAST(coalesce(cb.base_comp, -1) AS BIGINT) AS base_comp
+      FROM alldocs a JOIN c USING (doc_id) LEFT JOIN cb USING (doc_id)
+      ORDER BY a.doc_id
+    """),
+    doc = "incremental CC label maintenance: delta-graph solve over new " +
+      "ids + touched comps (supernode contraction), broadcast remap of " +
+      "standing labels, base corpus never rescanned; oracle rebuilds " +
+      "both fixpoints from scratch via recursive closure")
+
+  val all: Seq[Q] = Seq(q88, q90, q184)
 }

@@ -545,5 +545,166 @@ object PackScale {
       "count — mergeable by truncation (partial WindowGroupLimit IS the " +
       "per-shard sketch), the deterministic twin of q34's HLL")
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q93, q99, q106)
+  /** q185 — single-pass mergeable RANK sketch with unknown range
+    * (VERDICT r16 item 5): q99's histogram needs a known [lo, hi] (its
+    * range pass makes batch q99 two-pass; the streaming twin takes the
+    * range a priori). The production 100 TB quantile tool reads the
+    * corpus ONCE with no prior about the value domain. This is that
+    * tool, in a deterministic form both engines can compute bit-for-bit:
+    * a stride-decimation sketch — the KLL compactor idea with ONE
+    * deterministic compaction level per shard instead of randomized
+    * multi-level buffers, which is exactly what keeps it
+    * oracle-describable (q93's gated-as-data device applied to ranks).
+    *
+    * Build (the one corpus pass): rows shard by a value-INDEPENDENT key
+    * ((l_orderkey + l_linenumber) % 32 — one shuffle, sort within
+    * shard), each shard keeps every t-th value of its sorted run where
+    * t = ⌈n_s / 64⌉ (plus its max, so rank n_s is always represented),
+    * each sample carrying its EXACT in-shard rank. The sketch is a
+    * deterministic function of each shard's multiset — arrival order
+    * cannot change it (pinned in PackScaleSpec).
+    *
+    * Merge = union of the per-shard weighted samples (associative,
+    * order-free — asserted in spec): within a shard the sample weights
+    * r − lag(r) telescope, so the global running sum over samples
+    * ordered by value recovers, at every sample point, the sum of
+    * per-shard ranks — an UNDERESTIMATE of true rank by less than
+    * Σ_s t_s. Readout runs at SKETCH cardinality (≤ 32·65 rows — the
+    * single-partition window is bounded by construction, q99's
+    * posture).
+    *
+    * The guarantee, gated AS DATA: for target rank k = ⌈φ·N⌉ the
+    * estimate (min sample value whose cumulative weight ≥ k) has true
+    * rank window r_le ≥ k and r_lt ≤ k − 1 + Σ_s (t_s − 1) — proven by
+    * the telescoping argument above, and emitted as columns next to
+    * the EXACT φ-quantile so the oracle hash-gates the bound itself,
+    * not just the readout. The exact branch is the AUDIT, not the
+    * sketch (q99's caveat verbatim): its value-keyed fold doesn't scale
+    * past a sorted-group materialization — at 100 TB only the shard
+    * pass and the sketch readout run.
+    *
+    * Measured (`tools/ProfileQ185`, steady-state medians, sf0.1, 600k
+    * rows / 581k distinct cents): sketch build 0.90 s, sample cums
+    * +0.09, exact-audit vcum 1.15 (the documented non-scaling branch —
+    * 46% of the 2.49 s total is the audit, not the sketch), readout
+    * +0.35. The audit folds all three stats (exact k-th, rank-≤,
+    * rank-<) in ONE conditional-aggregation pass against the broadcast
+    * 7-row probe frame — the first cut ran three separate inequality
+    * joins over the same cached frame.
+    */
+  /** q185's shard rows: exact cents plus the value-INDEPENDENT shard
+    * key (spec-visible so the mergeability pin builds sub-sketches from
+    * the identical frame).
+    */
+  private[graft] def rankRows(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d).select(
+      expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"),
+      expr("(l_orderkey + l_linenumber) % 32").as("shard"),
+      col("l_orderkey"), col("l_linenumber"))
+
+  /** q185's one-pass sketch build: per shard, sort, keep every t-th
+    * value (t = ⌈n_s/64⌉) plus the shard max, each with its exact
+    * in-shard rank. A deterministic function of each shard's MULTISET —
+    * no global state, no order sensitivity — which is what makes the
+    * per-shard sketches mergeable by plain union (both spec-pinned).
+    */
+  private[graft] def sketchOf(rows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wS = Window.partitionBy("shard")
+      .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
+    rows
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("shard")))
+      .withColumn("t", expr("(ns + 63) div 64"))
+      .filter(expr("rn % t = 0 OR rn = ns"))
+      .select(col("shard"), col("c"), col("rn").as("r"), col("t"))
+  }
+
+  private val q185 = Q(
+    "q185_rank_sketch",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rows = rankRows(s, d)
+      // the one corpus pass: shard-sorted decimation, exact ranks kept
+      val sk = graft.ops.CacheScope.persisted(sketchOf(rows))
+      val stats = sk.groupBy("shard").agg(max("r").as("ns"), max("t").as("t"))
+      val tot = stats.agg(sum("ns").as("n"),
+        sum(expr("t - 1")).as("bound"))
+      val wts = sk.withColumn("w",
+        col("r") - lag("r", 1, 0L).over(
+          Window.partitionBy("shard").orderBy("r")))
+      val cums = graft.ops.CacheScope.persisted(
+        wts.withColumn("cum", sum("w").over(
+          Window.orderBy(col("c"), col("shard"), col("r"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("c"), col("cum")))
+      val ks = tot.select(col("n"), col("bound"),
+        explode(expr("array(100, 500, 2500, 5000, 7500, 9500, 9900)"))
+          .as("p_bp"))
+        .withColumn("k", expr("(n * p_bp + 9999) div 10000"))
+      val est = cums.join(broadcast(ks), col("cum") >= col("k"))
+        .groupBy("p_bp", "n", "k", "bound").agg(min("c").as("est_c"))
+      // exact-audit branch (value-keyed; doesn't scale — q99's caveat).
+      // All three audit stats (exact k-th value, rank-≤ and rank-< of
+      // the estimate) fold in ONE conditional-aggregation pass over the
+      // cumulative value counts against the broadcast 7-row probe frame
+      // — the first cut ran three separate inequality joins over the
+      // same (cached) frame, 3× the audit's dominant cost for nothing.
+      val vcum = rows.groupBy("c").agg(count(lit(1)).as("cnt"))
+        .withColumn("vc", sum("cnt").over(
+          Window.orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("c"), col("vc"))
+      val probes = est.select(col("p_bp"), col("k"), col("est_c"))
+      val audit = vcum.crossJoin(broadcast(probes))
+        .groupBy("p_bp")
+        .agg(min(when(col("vc") >= col("k"), col("c"))).as("exact_c"),
+          coalesce(max(when(col("c") <= col("est_c"), col("vc"))), lit(0L))
+            .as("r_le"),
+          coalesce(max(when(col("c") < col("est_c"), col("vc"))), lit(0L))
+            .as("r_lt"))
+      est.join(broadcast(audit), "p_bp")
+        .select(col("p_bp"), col("n"), col("k"), col("est_c"),
+          col("exact_c"), col("bound"), col("r_le"), col("r_lt"),
+          (col("r_le") >= col("k") &&
+            col("r_lt") <= col("k") - 1 + col("bound")).as("ok"))
+        .orderBy("p_bp")
+    },
+    Some("""
+      WITH rows_ AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+               (l_orderkey + l_linenumber) % 32 AS shard,
+               l_orderkey, l_linenumber FROM lineitem),
+      rk AS (SELECT c, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY c, l_orderkey, l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY shard) AS ns
+             FROM rows_),
+      sk AS (SELECT shard, c, rn AS r, (ns + 63) // 64 AS t
+             FROM rk WHERE rn % ((ns + 63) // 64) = 0 OR rn = ns),
+      st AS (SELECT shard, max(r) AS ns, max(t) AS t FROM sk GROUP BY shard),
+      tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n, CAST(sum(t - 1) AS BIGINT) AS bound FROM st),
+      wt AS (SELECT shard, c, r, r - lag(r, 1, 0) OVER (PARTITION BY shard ORDER BY r) AS w FROM sk),
+      cums AS (SELECT c, CAST(sum(w) OVER (ORDER BY c, shard, r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM wt),
+      ks AS (SELECT n, bound, p_bp, (n * p_bp + 9999) // 10000 AS k
+             FROM tot CROSS JOIN (SELECT unnest([100, 500, 2500, 5000, 7500, 9500, 9900]) AS p_bp)),
+      est AS (SELECT p_bp, n, k, bound, min(c) AS est_c
+              FROM ks JOIN cums ON cum >= k GROUP BY p_bp, n, k, bound),
+      vals AS (SELECT c, count(*) AS cnt FROM rows_ GROUP BY c),
+      vcum AS (SELECT c, CAST(sum(cnt) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vc FROM vals),
+      tru AS (SELECT p_bp, min(c) AS exact_c FROM ks JOIN vcum ON vc >= k GROUP BY p_bp),
+      rle AS (SELECT p_bp, max(vc) AS r_le FROM est JOIN vcum ON vcum.c <= est.est_c GROUP BY p_bp),
+      rlt AS (SELECT est.p_bp, CAST(coalesce(max(vc), 0) AS BIGINT) AS r_lt FROM est LEFT JOIN vcum ON vcum.c < est.est_c GROUP BY est.p_bp)
+      SELECT est.p_bp AS p_bp, n, k, est_c, exact_c, bound, r_le, r_lt,
+             (r_le >= k AND r_lt <= k - 1 + bound) AS ok
+      FROM est JOIN tru USING (p_bp) JOIN rle USING (p_bp) JOIN rlt USING (p_bp)
+      ORDER BY p_bp
+    """),
+    doc = "one-pass mergeable rank sketch, unknown range: shard-sorted " +
+      "stride decimation with exact in-shard ranks, union-of-samples " +
+      "merge, sketch-cardinality readout; rank-error bound gated as " +
+      "data next to the exact-percentile audit")
+
+  val all: Seq[Q] =
+    Seq(q41, q42, q43, q44, q45, q46, q47, q93, q99, q106, q185)
 }

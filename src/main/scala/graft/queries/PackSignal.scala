@@ -538,12 +538,15 @@ object PackSignal {
     * Shard (source, tok) counts merge by addition, so the same fold
     * runs per-executor at 100 TB and merges in one reduce.
     */
-  private val q108 = Q(
-    "q108_source_divergence",
-    (s, d) => {
+  /** q108's body from a pre-tokenized frame carrying (source, ws) — the
+    * monitor batch ([[MonitorBatch]]) feeds the SHARED cached token
+    * frame here so four monitors pay one tokenize; the standalone query
+    * tokenizes inline. Result identical either way (spec-pinned).
+    */
+  private[graft] def q108From(tf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val st = graft.ops.CacheScope.persisted(
-        Tables.documents(s, d)
-          .select(col("source"), explode(toks).as("tok"))
+        tf.select(col("source"), explode(col("ws")).as("tok"))
           .groupBy("source", "tok").agg(count(lit(1)).as("cnt")))
       val glob = st.groupBy("tok").agg(sum("cnt").as("n_t"))
       val perSrc = st.groupBy("source").agg(sum("cnt").as("n_s"))
@@ -561,7 +564,12 @@ object PackSignal {
             " * 10000 div (2 * cast(n_s as decimal(38,0)) * nn)" +
             " as bigint)").as("tv_bp"))
         .orderBy("source")
-    },
+  }
+
+  private val q108 = Q(
+    "q108_source_divergence",
+    (s, d) => q108From(Tables.documents(s, d)
+      .select(col("source"), toks.as("ws"))),
     Some("""
       WITH t AS (SELECT source, unnest(list_filter(
                    string_split_regex(lower(text), '\W+'),

@@ -110,4 +110,82 @@ class PackRefreshSpec extends SparkSpec {
     // 4. naive column matches the per-doc bucket (audit parity with q60)
     got.foreach(r => assert(r._5 === bucket(r._1)))
   }
+
+  /** q48's blocking keys, replicated driver-side for the q184 recount. */
+  private def ccKeys(t: String): Seq[String] = {
+    val ws = words(t)
+    if (ws.length < 4) Nil
+    else Seq("p:" + ws.take(2).mkString(" "),
+      "s:" + ws.takeRight(2).mkString(" "))
+  }
+
+  /** min-label connected components over (doc_id, text) by shared key —
+    * a plain driver-side union-find, the third mechanism next to the
+    * engine's contract-then-solve and the oracle's recursive closure.
+    */
+  private def ccOf(ds: Seq[(Long, String)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    ds.flatMap { case (id, t) => ccKeys(t).map(k => (k, id)) }
+      .groupBy(_._1).values
+      .foreach(g => g.map(_._2).reduceLeft { (a, b) => union(a, b); a })
+    ds.map { case (id, _) => id -> find(id) }.toMap
+  }
+
+  test("q184: merged labels equal a from-scratch union-find rebuild on " +
+    "the grown graph; planted bridges really merge distinct clusters") {
+    val base = docs.filter(_._1 % 10 != 7)
+    val xs = docs.filter(_._1 % 100 == 11).map(d => (d._1 / 100, d)).toMap
+    val ys = docs.filter(_._1 % 100 == 12).map(d => (d._1 / 100, d)).toMap
+    val plants = xs.keySet.intersect(ys.keySet).toSeq.sorted.map { g =>
+      (xs(g)._1 + 800000L, xs(g)._2 + " " + ys(g)._2)
+    }
+    assert(plants.nonEmpty, "no planted bridges at this sf")
+    val inc = docs.filter(_._1 % 10 == 7) ++ plants
+    val grown = base ++ inc
+    val full = ccOf(grown) // from-scratch on the grown graph
+    val baseCc = ccOf(base) // from-scratch on the base graph
+    try {
+      val got = run("q184_cc_increment")
+        .as[(Long, Long, Long)].collect()
+      assert(got.length === grown.size)
+      // the merge result IS the from-scratch fixpoint, doc for doc
+      got.foreach { case (id, comp, bc) =>
+        assert(comp === full(id), s"doc $id merged label")
+        if (id % 10 == 7 || id >= 800000L) assert(bc === -1L, s"doc $id")
+        else assert(bc === baseCc(id), s"doc $id base label")
+      }
+      // the increment must genuinely relabel standing base clusters
+      val relabeled = got.filter(r => r._3 >= 0 && r._2 != r._3)
+      assert(relabeled.nonEmpty, "no base doc relabeled - merge inert")
+      // and at least one plant bridges two DISTINCT base clusters whose
+      // union carries the smaller label onto the larger one
+      val bridged = plants.exists { case (pid, _) =>
+        val (x, y) = (pid - 800000L, pid - 800000L + 1)
+        baseCc.contains(x) && baseCc.contains(y) &&
+          baseCc(x) != baseCc(y) && full(x) == full(y)
+      }
+      assert(bridged, "no plant bridged two distinct clusters")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q184: the merge plan touches no parquet — the base corpus is " +
+    "never rescanned outside the cached state build") {
+    try {
+      val df = run("q184_cc_increment")
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.isEmpty,
+        s"merge plan must read only cached state + checkpointed delta " +
+          s"labels, found scans of: ${scans.map(_.relation.location).mkString(", ")}")
+    } finally graft.ops.CacheScope.drain()
+  }
 }

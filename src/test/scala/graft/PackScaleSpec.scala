@@ -170,4 +170,54 @@ class PackScaleSpec extends SparkSpec {
         s"group $g: shard sketches do not merge")
     }
   }
+
+  test("q185: rank windows verified against a driver-side exact sort; " +
+    "every probe's bound holds with slack visible") {
+    // independent third mechanism (the oracle replicates the sketch in
+    // SQL; this recount never builds the sketch at all): exact ranks
+    // from a full driver-side sort of the cents column
+    val cs = graft.queries.PackScale.rankRows(spark, sf)
+      .select("c").as[Long].collect().sorted
+    val n = cs.length.toLong
+    try {
+      val got = run("q185_rank_sketch")
+        .as[(Int, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+        .collect()
+      assert(got.length === 7)
+      got.foreach { case (p, gn, k, est, exact, bound, rle, rlt, ok) =>
+        assert(gn === n)
+        assert(k === (n * p + 9999) / 10000)
+        assert(exact === cs((k - 1).toInt), s"p=$p exact")
+        assert(rle === cs.count(_ <= est).toLong, s"p=$p r_le")
+        assert(rlt === cs.count(_ < est).toLong, s"p=$p r_lt")
+        assert(ok, s"p=$p bound violated: r_le=$rle r_lt=$rlt k=$k b=$bound")
+        // the bound is the CLAIM; the recount shows the real slack too
+        assert(rle >= k && rlt <= k - 1 + bound)
+      }
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q185: the sketch is a function of each shard's multiset — " +
+    "input order and partitioning cannot change it — and per-shard " +
+    "sketches merge by plain union") {
+    val rows = graft.queries.PackScale.rankRows(spark, sf)
+    def collectSk(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.PackScale.sketchOf(df)
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val full = collectSk(rows)
+    assert(full.nonEmpty && full.size <= 32 * 65,
+      s"sketch must stay sketch-cardinality: ${full.size}")
+    // order/partitioning invariance: a scrambled layout of the same
+    // multiset yields the identical sample set
+    assert(collectSk(rows.repartition(7)) === full)
+    assert(collectSk(rows.orderBy(col("l_linenumber").desc,
+      col("c").desc)) === full)
+    // shard-mergeability: sketches built over disjoint shard subsets in
+    // SEPARATE jobs union to exactly the full build — nothing global
+    // leaks into a shard's sketch (the property that lets a 1000-node
+    // cluster build per-partition sketches and merge them anywhere)
+    val lo = collectSk(rows.filter(col("shard") < 16))
+    val hi = collectSk(rows.filter(col("shard") >= 16))
+    assert((lo ++ hi).sorted === full, "union of sub-sketches != full sketch")
+  }
 }
