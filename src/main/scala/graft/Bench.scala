@@ -74,6 +74,24 @@ object Bench {
         if (f.length > 8) f(8).toLong * 10 else -1L
       } catch { case _: Throwable => -1L }
     val stealMs0 = stealMs
+    // Spill telemetry (VERDICT r16 item 2's instrument): accumulated
+    // memory+disk bytes spilled across all tasks, snapshotted around
+    // each query's timed runs, so a constrained-heap sweep (-Xmx4g —
+    // the per-executor headroom a real cluster grants) records WHICH
+    // queries lean on the hash-agg fallback / external sort paths and
+    // by how much. Listener posts are async; materialize() blocks on
+    // job completion so the attribution skew is at most the bus lag of
+    // the final tasks — negligible against per-query totals.
+    val spilledBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            spilledBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      })
     var errors = List.empty[String]
     // Per-query steal on the PRIMARY measurement (VERDICT r16 item 3):
     // the rerun entries have carried steal_ms since late r16, but the
@@ -85,6 +103,7 @@ object Bench {
     // number) and emit it as a parallel `query_steal_ms` map — the
     // printed `queries` map stays plain seconds, the driver contract.
     var firstSteal = Map.empty[String, Long]
+    var firstSpill = Map.empty[String, Long]
     val firstPass = names.map { name =>
       // Per-query untimed warmup: the first materialization of a plan shape
       // pays janino codegen + JIT (~3s even on 500 rows — measured), which
@@ -93,8 +112,10 @@ object Bench {
       // and scheduling noise.
       val ok = materialize(name)
       val s0 = stealMs
+      val sp0 = spilledBytes.get()
       val t = if (ok) timedMedian3(name) else None
       firstSteal += name -> (if (s0 < 0) -1L else stealMs - s0)
+      firstSpill += name -> ((spilledBytes.get() - sp0) / (1024 * 1024))
       if (t.isEmpty) { errors ::= name; name -> -1.0 }
       else name -> t.get
     }
@@ -155,6 +176,10 @@ object Bench {
     val qsteal = names.map(n =>
       "\"" + n + "\":" + firstSteal.getOrElse(n, -1L))
       .mkString("{", ",", "}")
+    val qspill = names.map(n =>
+      "\"" + n + "\":" + firstSpill.getOrElse(n, -1L))
+      .mkString("{", ",", "}")
+    val heapMax = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val rr = reruns.sortBy(_._1).map { case (k, a, b, h, g, st) =>
       "\"" + k + "\":{\"first_s\":" + a + ",\"rerun_s\":" + b +
         ",\"heap_mb\":" + h + ",\"gc_ms\":" + g + ",\"steal_ms\":" + st + "}"
@@ -163,7 +188,7 @@ object Bench {
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stealTotal = if (stealMs < 0) -1L else stealMs - stealMs0
     val blob =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"rerun":$rr,"query_steal_ms":$qsteal,"steal_ms_total":$stealTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"rerun":$rr,"query_steal_ms":$qsteal,"query_spill_mb":$qspill,"heap_max_mb":$heapMax,"steal_ms_total":$stealTotal,"sf":"$sfDir"}"""
     println(blob)
     // The driver's tail capture keeps only the last ~2000 chars of
     // stdout, which truncated 148 of 167 per-query timings out of

@@ -219,13 +219,41 @@ object PackRefresh {
     * 2-token prefix/suffix kernel (parity with the DuckDB replica proven
     * by q48's gate since r5).
     */
-  private def keysOf(df: org.apache.spark.sql.DataFrame) = df
+  private[graft] def keysOf(df: org.apache.spark.sql.DataFrame) = df
     .select(col("doc_id"), toks.as("ws"))
     .filter(size(col("ws")) >= 4)
     .select(col("doc_id").as("id"), explode(array(
       concat(lit("p:"), concat_ws(" ", slice(col("ws"), 1, 2))),
       concat(lit("s:"), concat_ws(" ", slice(col("ws"), -2, 2)))))
       .as("key"))
+
+  /** One incremental-CC merge kernel over EXPLICIT state frames: probe
+    * the key index with the broadcast increment key set, solve the
+    * delta graph (new ids ∪ touched comps as supernodes), and return
+    * (delta labels, (old comp → new comp) remap). This is q184's gated
+    * merge, shared verbatim by the streaming maintainer
+    * ([[graft.store.LabelStore]]) so batch and stream labels cannot
+    * diverge by construction.
+    */
+  private[graft] def ccDelta(keyIdx: org.apache.spark.sql.DataFrame,
+      keyedN: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // state-side probe: ONE pass over the key index against the
+    // broadcast increment key set (increment-bounded output)
+    val touched = keyIdx
+      .join(broadcast(keyedN.select("key").distinct()),
+        Seq("key"), "left_semi")
+      .select(col("comp").as("id"), col("key"))
+    val (dLbl, _) = graft.ops.GraphOps.connectedComponentsByKey(
+      keyedN.unionByName(touched))
+    // (old comp → new comp), touched-component cardinality; identity
+    // remaps drop so unaffected clusters never even join
+    val remap = touched.select(col("id")).distinct()
+      .join(dLbl, "id")
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as("oldc"), col("comp").as("newc"))
+    (dLbl, remap)
+  }
 
   /** q184 — INCREMENTAL connected-components label maintenance (VERDICT
     * r16 item 4): the recurring-dedup gap between q88 (exact/span
@@ -314,20 +342,7 @@ object PackRefresh {
               concat(col("xt"), lit(" "), col("yt")).as("text"))))
       // ---- the merge: delta graph only; base never rescans ----
       val keyedN = keysOf(inc)
-      // state-side probe: ONE pass over the cached key index against the
-      // broadcast increment key set (increment-bounded output)
-      val touched = keyIdx
-        .join(broadcast(keyedN.select("key").distinct()),
-          Seq("key"), "left_semi")
-        .select(col("comp").as("id"), col("key"))
-      val (dLbl, _) = graft.ops.GraphOps.connectedComponentsByKey(
-        keyedN.unionByName(touched))
-      // (old comp → new comp), touched-component cardinality; identity
-      // remaps drop so unaffected clusters never even join
-      val remap = touched.select(col("id")).distinct()
-        .join(dLbl, "id")
-        .filter(col("comp") =!= col("id"))
-        .select(col("id").as("oldc"), col("comp").as("newc"))
+      val (dLbl, remap) = ccDelta(keyIdx, keyedN)
       val baseOut = labels
         .join(broadcast(remap), col("comp") === col("oldc"), "left")
         .select(col("doc_id"),

@@ -1,0 +1,162 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read CC label store + STREAMING maintainer — q184's nightly
+  * merge run continuously: document batches arrive on a stream, and
+  * each micro-batch folds into the standing connected-component labels
+  * through exactly q184's delta-solve kernel
+  * ([[graft.queries.PackRefresh.ccDelta]] — shared code, so batch and
+  * stream labels cannot diverge), writing DELTAS, never rewriting the
+  * corpus-sized label table.
+  *
+  * Layout (the Delta/Hudi merge-on-read shape, on the same generation
+  * idea as [[PartitionedStore.compactManifest]]):
+  *
+  *   path/labels/gen=<g>/  (doc_id, comp) — gen -1 is the bootstrap
+  *                         FULL table; each stream batch g ≥ 0 appends
+  *                         only its new docs + the base docs its merge
+  *                         relabeled (delta-cardinality)
+  *   path/keyidx/gen=<g>/  (key, comp) — same scheme: bootstrap full,
+  *                         then per-batch new keys + keys of remapped
+  *                         components
+  *
+  * Readers fold `max_by(comp, gen)` per key — the newest generation
+  * wins. Exactly-once: each batch writes `gen=<batchId>` by overwrite
+  * and reads its pre-state as `gen < batchId`, so a replayed batch
+  * (crash between the writes and the checkpoint commit) recomputes
+  * from the SAME pre-state and overwrites the same two directories —
+  * deterministic, idempotent, restart-tested. The reader's fold is
+  * corpus-cardinality per read; a long-running stream bounds the
+  * generation count the same way the manifest does — fold generations
+  * ≤ N into a fresh full gen on a cadence ([[compact]], the
+  * compactManifest move applied to labels).
+  */
+object LabelStore {
+
+  /** Bootstrap: full CC over the initial corpus → gen -1 of both
+    * tables. `docs` carries (doc_id, text).
+    */
+  def init(docs: DataFrame, path: String): Unit = {
+    val keyed = graft.ops.CacheScope.persisted(
+      graft.queries.PackRefresh.keysOf(docs))
+    val (lbl, _) = graft.ops.GraphOps.connectedComponentsByKey(keyed)
+    val labels = graft.ops.CacheScope.persisted(
+      docs.select(col("doc_id"))
+        .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp")))
+    labels.write.mode("overwrite").parquet(s"$path/labels/gen=-1")
+    keyed.withColumnRenamed("id", "doc_id")
+      .join(labels, "doc_id")
+      .groupBy("key").agg(min("comp").as("comp"))
+      .write.mode("overwrite").parquet(s"$path/keyidx/gen=-1")
+  }
+
+  /** Newest-generation-wins fold of a (keyCol, comp) generation table,
+    * optionally bounded to generations strictly below `before` (the
+    * replayed-batch pre-state read; `gen` is a partition column, so the
+    * bound prunes directories at planning).
+    */
+  private def latest(spark: SparkSession, dir: String, keyCol: String,
+      before: Option[Long]): DataFrame = {
+    val raw = spark.read.parquet(dir)
+    val bounded = before.fold(raw)(b => raw.filter(col("gen") < b))
+    bounded.groupBy(keyCol).agg(expr("max_by(comp, gen)").as("comp"))
+  }
+
+  /** Current labels (doc_id, comp) — every doc ever ingested. */
+  def readLabels(spark: SparkSession, path: String): DataFrame =
+    latest(spark, s"$path/labels", "doc_id", None)
+
+  /** Current key index (key, comp). */
+  def readKeyIdx(spark: SparkSession, path: String): DataFrame =
+    latest(spark, s"$path/keyidx", "key", None)
+
+  /** Continuous maintenance: each micro-batch of (doc_id, text) rows
+    * merges into the standing labels via q184's kernel and appends its
+    * generation. See the object scaladoc for the exactly-once argument.
+    */
+  def maintainStream(docs: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val inc = graft.ops.CacheScope.persisted(
+            batch.select(col("doc_id"), col("text")))
+          // pre-state at gen < id: a replayed batch re-reads the same
+          // state however far the stream had advanced before the crash
+          val keyIdx = graft.ops.CacheScope.persisted(
+            latest(sp, s"$path/keyidx", "key", Some(id)))
+          val keyedN = graft.ops.CacheScope.persisted(
+            graft.queries.PackRefresh.keysOf(inc))
+          val (dLbl0, remap0) =
+            graft.queries.PackRefresh.ccDelta(keyIdx, keyedN)
+          val dLbl = graft.ops.CacheScope.persisted(dLbl0)
+          val remap = graft.ops.CacheScope.persisted(remap0)
+          // label deltas: the batch's docs + the base docs its merge
+          // relabeled (comp ∈ remap.oldc — delta-cardinality via the
+          // broadcast remap; the label table never rewrites)
+          val newRows = inc.select(col("doc_id"))
+            .join(dLbl.withColumnRenamed("id", "doc_id"),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("comp"), col("doc_id")).as("comp"))
+          val changedBase = latest(sp, s"$path/labels", "doc_id", Some(id))
+            .join(broadcast(remap), col("comp") === col("oldc"))
+            .select(col("doc_id"), col("newc").as("comp"))
+          newRows.unionByName(changedBase)
+            .write.mode("overwrite").parquet(s"$path/labels/gen=$id")
+          // key-index deltas: the batch's keys at their merged labels,
+          // plus EVERY key of a remapped component (a touched cluster
+          // relabels all its keys, probed or not). A key in both sets
+          // lands at the same label — its delta-graph component and its
+          // old comp's remap target are the same node — so the min-fold
+          // is a dedup, not a choice.
+          val newKeys = keyedN
+            .join(dLbl, "id")
+            .groupBy("key").agg(min("comp").as("comp"))
+          val movedKeys = keyIdx
+            .join(broadcast(remap), col("comp") === col("oldc"))
+            .select(col("key"), col("newc").as("comp"))
+          newKeys.unionByName(movedKeys)
+            .groupBy("key").agg(min("comp").as("comp"))
+            .write.mode("overwrite").parquet(s"$path/keyidx/gen=$id")
+          graft.ops.CacheScope.drain()
+        }
+        ()
+      }
+      .start()
+
+  /** Fold all generations into a fresh bootstrap pair — the
+    * compactManifest move applied to labels: readers see identical
+    * state before and after; the generation count resets. Crash-safe
+    * the same way: the folded state lands in hidden staging, publishes
+    * by rename DOWN-generation, then retires old generations
+    * individually (duplicates in the retire window are absorbed by the
+    * readers' max_by fold).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(("labels", "doc_id"), ("keyidx", "key")).foreach {
+      case (sub, keyCol) =>
+        val dir = s"$path/$sub"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        val parts = fs.listStatus(p).toSeq.filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("gen="))
+        if (parts.nonEmpty) {
+          val gen = math.min(parts.map(
+            _.getPath.getName.stripPrefix("gen=").toLong).min, -1L) - 1
+          latest(spark, dir, keyCol, None)
+            .write.mode("overwrite").parquet(s"$dir/.compacting")
+          fs.rename(new org.apache.hadoop.fs.Path(s"$dir/.compacting"),
+            new org.apache.hadoop.fs.Path(s"$dir/gen=$gen"))
+          parts.foreach(st => fs.delete(st.getPath, true))
+        }
+    }
+  }
+}

@@ -176,6 +176,70 @@ class PackRefreshSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("LabelStore.maintainStream: streamed batches reproduce the " +
+    "from-scratch rebuild, survive a mid-stream restart, and compaction " +
+    "preserves every label") {
+    import java.nio.file.Files
+    import graft.store.LabelStore
+    val in = Files.createTempDirectory("ccm-in").toString
+    val store = Files.createTempDirectory("ccm-store").toString
+    val ckpt = Files.createTempDirectory("ccm-ckpt").toString
+    val base = docs.filter(_._1 % 10 != 7)
+    val xs = docs.filter(_._1 % 100 == 11).map(d => (d._1 / 100, d)).toMap
+    val ys = docs.filter(_._1 % 100 == 12).map(d => (d._1 / 100, d)).toMap
+    val plants = xs.keySet.intersect(ys.keySet).toSeq.sorted.map { g =>
+      (xs(g)._1 + 800000L, xs(g)._2 + " " + ys(g)._2)
+    }
+    val b1 = docs.filter(_._1 % 10 == 7)
+    try {
+      LabelStore.init(base.toDF("doc_id", "text"), store)
+      graft.ops.CacheScope.drain()
+      def addFile(name: String, rows: Seq[(Long, String)]): Unit =
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/$name")
+      def start() = LabelStore.maintainStream(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("recursiveFileLookup", "true").parquet(in),
+        store, ckpt)
+      // batch 0: the natural new docs; then STOP — the bridge batch
+      // arrives after a restart from the same checkpoint
+      addFile("b1", b1)
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      addFile("b2", plants)
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      // final labels ≡ the from-scratch union-find on the grown corpus
+      val grown = base ++ b1 ++ plants
+      val want = ccOf(grown)
+      val got = LabelStore.readLabels(spark, store)
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, "streamed labels != from-scratch rebuild")
+      // the stream really relabeled standing base docs (bridges bit)
+      val baseCc = ccOf(base)
+      assert(base.exists(d => got(d._1) != baseCc(d._1)),
+        "no base doc relabeled across the stream")
+      // generation layout: bootstrap + one delta per non-empty batch
+      val gens = new java.io.File(s"$store/labels").list()
+        .filter(_.startsWith("gen=")).sorted.toSeq
+      assert(gens === Seq("gen=-1", "gen=0", "gen=1"), gens.toString)
+      // key index agrees with the labels: every key's comp is its
+      // members' merged label
+      val idx = LabelStore.readKeyIdx(spark, store)
+        .as[(String, Long)].collect().toMap
+      grown.foreach { case (id, t) =>
+        ccKeys(t).foreach { k =>
+          assert(idx(k) === want(id), s"key $k of doc $id")
+        }
+      }
+      // compaction folds generations without changing a single label
+      LabelStore.compact(spark, store)
+      val gens2 = new java.io.File(s"$store/labels").list()
+        .filter(_.startsWith("gen=")).toSeq
+      assert(gens2 === Seq("gen=-2"), gens2.toString)
+      val folded = LabelStore.readLabels(spark, store)
+        .as[(Long, Long)].collect().toMap
+      assert(folded === want, "compaction changed labels")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q184: the merge plan touches no parquet — the base corpus is " +
     "never rescanned outside the cached state build") {
     try {
