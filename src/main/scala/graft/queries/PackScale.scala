@@ -622,6 +622,37 @@ object PackScale {
       .select(col("shard"), col("c"), col("rn").as("r"), col("t"))
   }
 
+  /** q185's readout over ANY sketch frame carrying (cell, c, r, t) —
+    * `cell` is whatever unit the decimation ran within: q185 passes its
+    * shard; the streaming store ([[graft.store.SketchStore]]) passes
+    * (generation × shard), because the union of per-batch per-shard
+    * sketches is ITSELF a valid sketch with the bound summed over all
+    * cells (the same telescoping argument, cell-wise). Returns one row
+    * per probe: (p_bp, n, k, bound, est_c).
+    */
+  private[graft] def rankEstimates(sk: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = sk.groupBy("cell").agg(max("r").as("ns"), max("t").as("t"))
+    val tot = stats.agg(sum("ns").as("n"),
+      sum(expr("t - 1")).as("bound"))
+    val wts = sk.withColumn("w",
+      col("r") - lag("r", 1, 0L).over(
+        Window.partitionBy("cell").orderBy("r")))
+    // sketch-cardinality single-partition window — bounded by
+    // construction (≤ cells × 65 rows)
+    val cums = wts.withColumn("cum", sum("w").over(
+      Window.orderBy(col("c"), col("cell"), col("r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("c"), col("cum"))
+    val ks = tot.select(col("n"), col("bound"),
+      explode(expr("array(100, 500, 2500, 5000, 7500, 9500, 9900)"))
+        .as("p_bp"))
+      .withColumn("k", expr("(n * p_bp + 9999) div 10000"))
+    cums.join(broadcast(ks), col("cum") >= col("k"))
+      .groupBy("p_bp", "n", "k", "bound").agg(min("c").as("est_c"))
+  }
+
   private val q185 = Q(
     "q185_rank_sketch",
     (s, d) => {
@@ -629,23 +660,7 @@ object PackScale {
       val rows = rankRows(s, d)
       // the one corpus pass: shard-sorted decimation, exact ranks kept
       val sk = graft.ops.CacheScope.persisted(sketchOf(rows))
-      val stats = sk.groupBy("shard").agg(max("r").as("ns"), max("t").as("t"))
-      val tot = stats.agg(sum("ns").as("n"),
-        sum(expr("t - 1")).as("bound"))
-      val wts = sk.withColumn("w",
-        col("r") - lag("r", 1, 0L).over(
-          Window.partitionBy("shard").orderBy("r")))
-      val cums = graft.ops.CacheScope.persisted(
-        wts.withColumn("cum", sum("w").over(
-          Window.orderBy(col("c"), col("shard"), col("r"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .select(col("c"), col("cum")))
-      val ks = tot.select(col("n"), col("bound"),
-        explode(expr("array(100, 500, 2500, 5000, 7500, 9500, 9900)"))
-          .as("p_bp"))
-        .withColumn("k", expr("(n * p_bp + 9999) div 10000"))
-      val est = cums.join(broadcast(ks), col("cum") >= col("k"))
-        .groupBy("p_bp", "n", "k", "bound").agg(min("c").as("est_c"))
+      val est = rankEstimates(sk.withColumnRenamed("shard", "cell"))
       // exact-audit branch (value-keyed; doesn't scale — q99's caveat).
       // All three audit stats (exact k-th value, rank-≤ and rank-< of
       // the estimate) fold in ONE conditional-aggregation pass over the

@@ -220,4 +220,43 @@ class PackScaleSpec extends SparkSpec {
     val hi = collectSk(rows.filter(col("shard") >= 16))
     assert((lo ++ hi).sorted === full, "union of sub-sketches != full sketch")
   }
+
+  test("SketchStore: streamed per-batch sketches union to a valid " +
+    "sketch — rank windows hold vs a driver-side exact sort, across a " +
+    "mid-stream restart") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("sks-in").toString
+    val store = Files.createTempDirectory("sks-store").toString
+    val ckpt = Files.createTempDirectory("sks-ckpt").toString
+    val rows = graft.queries.PackScale.rankRows(spark, sf)
+    def start() = graft.store.SketchStore.appendStream(
+      spark.readStream.schema(rows.schema)
+        .option("recursiveFileLookup", "true").parquet(in),
+      store, ckpt)
+    // two arrival batches split by order parity — arbitrary on purpose:
+    // the union bound must hold for ANY batching — with a full stream
+    // RESTART between them
+    rows.filter(col("l_orderkey") % 2 === 0)
+      .coalesce(1).write.parquet(s"$in/b1")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    rows.filter(col("l_orderkey") % 2 === 1)
+      .coalesce(1).write.parquet(s"$in/b2")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val gens = new java.io.File(store).list()
+      .filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gens === Seq("gen=0", "gen=1"), gens.toString)
+    val est = graft.store.SketchStore.estimates(spark, store)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val cs = rows.select("c").as[Long].collect().sorted
+    assert(est.length === 7)
+    est.foreach { case (p, n, k, bound, e) =>
+      assert(n === cs.length.toLong, s"p=$p n")
+      assert(k === (n * p + 9999) / 10000, s"p=$p k")
+      val rle = cs.count(_ <= e).toLong
+      val rlt = cs.count(_ < e).toLong
+      assert(rle >= k && rlt <= k - 1 + bound,
+        s"p=$p rank window: r_le=$rle r_lt=$rlt k=$k bound=$bound")
+    }
+  }
 }
