@@ -58,4 +58,57 @@ object SketchStore {
         col("c"), col("r"), col("t"))
     graft.queries.PackScale.rankEstimates(sk)
   }
+
+  /** Fold all generations into ONE compacted cell — the
+    * accuracy-for-size trade the object scaladoc promises, made
+    * explicit: the union's running cums are exact sums of cell-local
+    * ranks (error ≤ B_old = Σ_cells (t−1)); keeping every second sample
+    * (plus the last, so n survives) leaves consecutive kept-cum gaps
+    * ≤ g, so the compacted sketch's true window is B_old + g — written
+    * into its single `t` as t_new = B_old + g + 1, which is exactly
+    * what [[graft.queries.PackScale.rankEstimates]] will report as the
+    * new `bound`. Estimates may move WITHIN the widened window, never
+    * outside it (spec-gated against the exact sort). Store size halves;
+    * the generation count resets; crash-safety is the
+    * [[PartitionedStore.compactManifest]] staged-rename protocol
+    * (compacted generations count DOWN from -1, batch ids are ≥ 0).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val parts = fs.listStatus(p).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("gen="))
+    if (parts.isEmpty) return
+    val sk = spark.read.parquet(path)
+      .select((col("gen") * 32 + col("shard")).as("cell"),
+        col("c"), col("r"), col("t"))
+    val bOld = sk.groupBy("cell").agg(max("t").as("t"))
+      .agg(coalesce(sum(expr("t - 1")), lit(0L)).as("b"))
+      .head().getLong(0) // 1-row bounded aggregate
+    val wc = Window.partitionBy("cell").orderBy("r")
+    val w = Window.orderBy(col("c"), col("cell"), col("r"))
+    val cums = sk
+      .withColumn("wt", col("r") - lag("r", 1, 0L).over(wc))
+      .withColumn("cum", sum("wt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val nRows = cums.count() // sketch-cardinality
+    val kept = cums.filter(col("rn") % 2 === 0 || col("rn") === nRows)
+      .select(col("c"), col("cum"))
+    val gap = kept
+      .withColumn("g", col("cum") - lag("cum", 1, 0L).over(
+        Window.orderBy("cum")))
+      .agg(max("g").as("g")).head().getLong(0)
+    val tNew = bOld + gap + 1
+    kept.select(lit(0L).as("shard"), col("c"), col("cum").as("r"),
+      lit(tNew).as("t"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/.compacting")
+    val gen = math.min(parts.map(
+      _.getPath.getName.stripPrefix("gen=").toLong).min, 0L) - 1
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/.compacting"),
+      new org.apache.hadoop.fs.Path(s"$path/gen=$gen"))
+    parts.foreach(st => fs.delete(st.getPath, true))
+  }
 }

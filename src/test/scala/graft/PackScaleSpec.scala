@@ -258,5 +258,24 @@ class PackScaleSpec extends SparkSpec {
       assert(rle >= k && rlt <= k - 1 + bound,
         s"p=$p rank window: r_le=$rle r_lt=$rlt k=$k bound=$bound")
     }
+
+    // compaction halves the store into ONE cell with an explicitly
+    // widened bound; n is preserved and every window still holds
+    graft.store.SketchStore.compact(spark, store)
+    val gens2 = new java.io.File(store).list()
+      .filter(_.startsWith("gen=")).toSeq
+    assert(gens2 === Seq("gen=-1"), gens2.toString)
+    val est2 = graft.store.SketchStore.estimates(spark, store)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val oldBound = est.head._4
+    est2.foreach { case (p, n, k, bound, e) =>
+      assert(n === cs.length.toLong, s"p=$p n after compact")
+      assert(bound > oldBound,
+        "compaction must widen the bound — the documented trade")
+      val rle = cs.count(_ <= e).toLong
+      val rlt = cs.count(_ < e).toLong
+      assert(rle >= k && rlt <= k - 1 + bound,
+        s"p=$p post-compact window: r_le=$rle r_lt=$rlt k=$k bound=$bound")
+    }
   }
 }
