@@ -54,6 +54,35 @@ object LabelStore {
       .write.mode("overwrite").parquet(s"$path/keyidx/gen=-1")
   }
 
+  /** The generation ids present under `dir` (cheap directory listing,
+    * no Spark job).
+    */
+  private def genIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+  }
+
+  /** The live generations of `dir`, with the compaction HORIZON applied:
+    * a negative generation encodes the batch id it folded through
+    * (gen = −(foldedThrough + 2); the gen −1 bootstrap is the degenerate
+    * fold-through-nothing), and the most negative one present wins —
+    * readers keep it plus the positive generations ABOVE its horizon and
+    * drop everything else. This is what makes a crashed compaction
+    * retire loop invisible: any leftover generation (older negative, or
+    * positive ≤ horizon) is already-folded content the filter discards,
+    * so newest-wins can never resurrect a stale row however the crash
+    * interleaved the deletes.
+    */
+  private def live(spark: SparkSession, dir: String): DataFrame = {
+    val gmin = genIds(spark, dir).min
+    val raw = spark.read.parquet(dir)
+    if (gmin >= 0) raw
+    else raw.filter(col("gen") === gmin || col("gen") > -gmin - 2)
+  }
+
   /** Newest-generation-wins fold of a (keyCol, comp) generation table,
     * optionally bounded to generations strictly below `before` (the
     * replayed-batch pre-state read; `gen` is a partition column, so the
@@ -61,7 +90,7 @@ object LabelStore {
     */
   private def latest(spark: SparkSession, dir: String, keyCol: String,
       before: Option[Long]): DataFrame = {
-    val raw = spark.read.parquet(dir)
+    val raw = live(spark, dir)
     val bounded = before.fold(raw)(b => raw.filter(col("gen") < b))
     bounded.groupBy(keyCol).agg(expr("max_by(comp, gen)").as("comp"))
   }
@@ -77,8 +106,17 @@ object LabelStore {
   /** Continuous maintenance: each micro-batch of (doc_id, text) rows
     * merges into the standing labels via q184's kernel and appends its
     * generation. See the object scaladoc for the exactly-once argument.
+    * `compactEvery > 0` folds the generations every N committed batches
+    * (the manifest writer's cadence device) so a long-running stream's
+    * generation count — and with it the reader's fold width — stays
+    * bounded; a replay straddling a compaction is safe because the
+    * horizon rule ([[live]]) hides the retire window, and a replayed
+    * batch merging against the post-fold state re-derives its own
+    * generation unchanged (min-label CC merges are idempotent: the
+    * already-merged labels make every remap an identity).
     */
-  def maintainStream(docs: DataFrame, path: String, checkpoint: String)
+  def maintainStream(docs: DataFrame, path: String, checkpoint: String,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -126,6 +164,8 @@ object LabelStore {
             .groupBy("key").agg(min("comp").as("comp"))
             .write.mode("overwrite").parquet(s"$path/keyidx/gen=$id")
           graft.ops.CacheScope.drain()
+          if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+            compact(sp, path)
         }
         ()
       }
@@ -134,28 +174,32 @@ object LabelStore {
   /** Fold all generations into a fresh bootstrap pair — the
     * compactManifest move applied to labels: readers see identical
     * state before and after; the generation count resets. Crash-safe
-    * the same way: the folded state lands in hidden staging, publishes
-    * by rename DOWN-generation, then retires old generations
-    * individually (duplicates in the retire window are absorbed by the
-    * readers' max_by fold).
+    * via the horizon encoding (see [[live]]): the folded state lands in
+    * hidden staging, publishes by ONE rename to gen = −(maxBatch + 2)
+    * — strictly more negative than any prior fold, so it wins the
+    * readers' horizon rule from that instant — then retires the
+    * superseded generations individually; a crash anywhere in the
+    * retire loop leaves only generations the horizon filter already
+    * ignores, and the next compaction removes them.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     Seq(("labels", "doc_id"), ("keyidx", "key")).foreach {
       case (sub, keyCol) =>
         val dir = s"$path/$sub"
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(conf)
-        val parts = fs.listStatus(p).toSeq.filter(st =>
-          st.isDirectory && st.getPath.getName.startsWith("gen="))
-        if (parts.nonEmpty) {
-          val gen = math.min(parts.map(
-            _.getPath.getName.stripPrefix("gen=").toLong).min, -1L) - 1
+        val ids = genIds(spark, dir)
+        val maxPos = ids.filter(_ >= 0)
+        if (maxPos.nonEmpty) { // nothing but the fold itself → no-op
+          val gen = -(maxPos.max + 2)
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(conf)
           latest(spark, dir, keyCol, None)
+            .coalesce(1)
             .write.mode("overwrite").parquet(s"$dir/.compacting")
           fs.rename(new org.apache.hadoop.fs.Path(s"$dir/.compacting"),
             new org.apache.hadoop.fs.Path(s"$dir/gen=$gen"))
-          parts.foreach(st => fs.delete(st.getPath, true))
+          ids.foreach(g => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
         }
     }
   }

@@ -52,11 +52,34 @@ object SketchStore {
     * (cell max-ranks sum exactly), `bound` the rank-error window all
     * generations together guarantee.
     */
-  def estimates(spark: SparkSession, path: String): DataFrame = {
-    val sk = spark.read.parquet(path) // (shard, c, r, t) + gen partition
+  def estimates(spark: SparkSession, path: String): DataFrame =
+    graft.queries.PackScale.rankEstimates(live(spark, path)
       .select((col("gen") * 32 + col("shard")).as("cell"),
-        col("c"), col("r"), col("t"))
-    graft.queries.PackScale.rankEstimates(sk)
+        col("c"), col("r"), col("t")))
+
+  /** The generation ids present (cheap directory listing, no job). */
+  private def genIds(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+  }
+
+  /** Live generations with the compaction HORIZON applied: a negative
+    * generation encodes the batch id it folded through
+    * (gen = −(foldedThrough + 2)); readers keep the most negative one
+    * plus the positive generations above its horizon and drop the rest
+    * — a sketch cell must count EXACTLY once, so a crashed retire loop's
+    * leftovers (already inside the fold) must be invisible, not merely
+    * tolerated (this is stricter than [[LabelStore]]'s newest-wins fold,
+    * which only needs consistency, not uniqueness).
+    */
+  private def live(spark: SparkSession, path: String): DataFrame = {
+    val gmin = genIds(spark, path).min
+    val raw = spark.read.parquet(path)
+    if (gmin >= 0) raw
+    else raw.filter(col("gen") === gmin || col("gen") > -gmin - 2)
   }
 
   /** Fold all generations into ONE compacted cell — the
@@ -70,18 +93,19 @@ object SketchStore {
     * new `bound`. Estimates may move WITHIN the widened window, never
     * outside it (spec-gated against the exact sort). Store size halves;
     * the generation count resets; crash-safety is the
-    * [[PartitionedStore.compactManifest]] staged-rename protocol
-    * (compacted generations count DOWN from -1, batch ids are ≥ 0).
+    * [[PartitionedStore.compactManifest]] staged-rename protocol with
+    * the horizon encoding of [[live]] (the compacted generation id
+    * names what it folded, so a crashed retire loop's leftovers are
+    * filtered out rather than double-counted).
     */
   def compact(spark: SparkSession, path: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val parts = fs.listStatus(p).toSeq.filter(st =>
-      st.isDirectory && st.getPath.getName.startsWith("gen="))
-    if (parts.isEmpty) return
-    val sk = spark.read.parquet(path)
+    val ids = genIds(spark, path)
+    if (ids.forall(_ < 0)) return // nothing beyond the fold itself
+    val sk = live(spark, path)
       .select((col("gen") * 32 + col("shard")).as("cell"),
         col("c"), col("r"), col("t"))
     val bOld = sk.groupBy("cell").agg(max("t").as("t"))
@@ -105,10 +129,13 @@ object SketchStore {
     kept.select(lit(0L).as("shard"), col("c"), col("cum").as("r"),
       lit(tNew).as("t"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/.compacting")
-    val gen = math.min(parts.map(
-      _.getPath.getName.stripPrefix("gen=").toLong).min, 0L) - 1
+    // horizon encoding (see [[live]]): more negative than any prior
+    // fold, so it wins the readers' rule the instant the rename lands;
+    // leftovers of a crashed retire loop are invisible, not tolerated
+    val gen = -(ids.max + 2)
     fs.rename(new org.apache.hadoop.fs.Path(s"$path/.compacting"),
       new org.apache.hadoop.fs.Path(s"$path/gen=$gen"))
-    parts.foreach(st => fs.delete(st.getPath, true))
+    ids.foreach(g => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$path/gen=$g"), true))
   }
 }

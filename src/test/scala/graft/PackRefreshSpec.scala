@@ -191,6 +191,12 @@ class PackRefreshSpec extends SparkSpec {
       (xs(g)._1 + 800000L, xs(g)._2 + " " + ys(g)._2)
     }
     val b1 = docs.filter(_._1 % 10 == 7)
+    // batch 3: exact re-ingests of a few base docs under fresh ids —
+    // they share every key with their originals, so they must join the
+    // originals' clusters; arrives AFTER the in-stream compaction
+    // cadence fires, proving merges read the folded state correctly
+    val b3 = docs.filter(_._1 % 100 == 99)
+      .map { case (id, t) => (id + 900000L, t) }
     try {
       LabelStore.init(base.toDF("doc_id", "text"), store)
       graft.ops.CacheScope.drain()
@@ -199,27 +205,39 @@ class PackRefreshSpec extends SparkSpec {
       def start() = LabelStore.maintainStream(
         spark.readStream.schema("doc_id LONG, text STRING")
           .option("recursiveFileLookup", "true").parquet(in),
-        store, ckpt)
+        store, ckpt, compactEvery = 2)
       // batch 0: the natural new docs; then STOP — the bridge batch
       // arrives after a restart from the same checkpoint
       addFile("b1", b1)
       val q1 = start(); q1.processAllAvailable(); q1.stop()
       addFile("b2", plants)
       val q2 = start(); q2.processAllAvailable(); q2.stop()
-      // final labels ≡ the from-scratch union-find on the grown corpus
-      val grown = base ++ b1 ++ plants
-      val want = ccOf(grown)
-      val got = LabelStore.readLabels(spark, store)
-        .as[(Long, Long)].collect().toMap
-      assert(got === want, "streamed labels != from-scratch rebuild")
-      // the stream really relabeled standing base docs (bridges bit)
-      val baseCc = ccOf(base)
-      assert(base.exists(d => got(d._1) != baseCc(d._1)),
-        "no base doc relabeled across the stream")
-      // generation layout: bootstrap + one delta per non-empty batch
+      // generation layout before the cadence fires: bootstrap + one
+      // delta per non-empty batch
       val gens = new java.io.File(s"$store/labels").list()
         .filter(_.startsWith("gen=")).sorted.toSeq
       assert(gens === Seq("gen=-1", "gen=0", "gen=1"), gens.toString)
+      val midWant = ccOf(base ++ b1 ++ plants)
+      val midGot = LabelStore.readLabels(spark, store)
+        .as[(Long, Long)].collect().toMap
+      assert(midGot === midWant, "streamed labels != from-scratch rebuild")
+      // the stream really relabeled standing base docs (bridges bit)
+      val baseCc = ccOf(base)
+      assert(base.exists(d => midGot(d._1) != baseCc(d._1)),
+        "no base doc relabeled across the stream")
+      // batch 2 merges, then fires the compactEvery=2 cadence:
+      // generations fold to the horizon-encoded gen=-(2+2)=-4, and
+      // every read below goes through the folded state alone
+      addFile("b3", b3)
+      val q3 = start(); q3.processAllAvailable(); q3.stop()
+      val gens2 = new java.io.File(s"$store/labels").list()
+        .filter(_.startsWith("gen=")).toSeq
+      assert(gens2 === Seq("gen=-4"), gens2.toString)
+      val grown = base ++ b1 ++ plants ++ b3
+      val want = ccOf(grown)
+      val got = LabelStore.readLabels(spark, store)
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, "post-cadence labels != from-scratch rebuild")
       // key index agrees with the labels: every key's comp is its
       // members' merged label
       val idx = LabelStore.readKeyIdx(spark, store)
@@ -229,14 +247,13 @@ class PackRefreshSpec extends SparkSpec {
           assert(idx(k) === want(id), s"key $k of doc $id")
         }
       }
-      // compaction folds generations without changing a single label
+      // a manual compact with no positive generations is a no-op
       LabelStore.compact(spark, store)
-      val gens2 = new java.io.File(s"$store/labels").list()
-        .filter(_.startsWith("gen=")).toSeq
-      assert(gens2 === Seq("gen=-2"), gens2.toString)
+      assert(new java.io.File(s"$store/labels").list()
+        .filter(_.startsWith("gen=")).toSeq === Seq("gen=-4"))
       val folded = LabelStore.readLabels(spark, store)
         .as[(Long, Long)].collect().toMap
-      assert(folded === want, "compaction changed labels")
+      assert(folded === want, "no-op compaction changed labels")
     } finally graft.ops.CacheScope.drain()
   }
 

@@ -260,11 +260,24 @@ class PackScaleSpec extends SparkSpec {
     }
 
     // compaction halves the store into ONE cell with an explicitly
-    // widened bound; n is preserved and every window still holds
+    // widened bound; n is preserved and every window still holds. The
+    // compacted generation ENCODES its horizon (−(foldedThrough+2), so
+    // folding through batch 1 lands at gen=-3): a crashed retire loop's
+    // leftovers are filtered, never double-counted.
     graft.store.SketchStore.compact(spark, store)
     val gens2 = new java.io.File(store).list()
       .filter(_.startsWith("gen=")).toSeq
-    assert(gens2 === Seq("gen=-1"), gens2.toString)
+    assert(gens2 === Seq("gen=-3"), gens2.toString)
+    // the horizon rule in action: resurrect a stale already-folded
+    // generation (exactly what a crash mid-retire leaves) — estimates
+    // must not change, because gen 1 ≤ foldedThrough(=1) is invisible
+    spark.read.parquet(s"$store/gen=-3").limit(3)
+      .write.parquet(s"$store/gen=1")
+    assert(graft.store.SketchStore.estimates(spark, store)
+      .agg(org.apache.spark.sql.functions.max("n")).as[Long].head() ===
+      cs.length.toLong, "leftover folded generation double-counted")
+    new java.io.File(s"$store/gen=1").listFiles().foreach(_.delete())
+    new java.io.File(s"$store/gen=1").delete()
     val est2 = graft.store.SketchStore.estimates(spark, store)
       .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
     val oldBound = est.head._4
