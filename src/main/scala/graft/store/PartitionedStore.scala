@@ -161,6 +161,13 @@ object PartitionedStore {
     * At no instant is the manifest absent or partial. Single-writer by
     * design; a multi-writer table would put the generation pointer in
     * a commit log, out of scope for the storage layer here.
+    *
+    * Why by-file dedupe suffices HERE but not for the label store: a
+    * file's stats row is IMMUTABLE (replay rewrites identical bytes),
+    * so any surviving duplicate equals any other and dedupe is safe
+    * under every crash interleaving. [[LabelStore]] rows are MUTABLE
+    * (a doc's comp changes across generations), so it needs the
+    * stronger horizon-encoded generation id instead.
     */
   def compactManifest(spark: SparkSession, path: String): Unit = {
     val man = s"$path/_manifest"
