@@ -578,19 +578,26 @@ object PackScale {
     * rank window r_le ≥ k and r_lt ≤ k − 1 + Σ_s (t_s − 1) — proven by
     * the telescoping argument above, and emitted as columns next to
     * the EXACT φ-quantile so the oracle hash-gates the bound itself,
-    * not just the readout. The exact branch is the AUDIT, not the
-    * sketch (q99's caveat verbatim): its value-keyed fold doesn't scale
-    * past a sorted-group materialization — at 100 TB only the shard
-    * pass and the sketch readout run.
+    * not just the readout.
     *
-    * Measured (`tools/ProfileQ185`, steady-state medians, sf0.1, 600k
-    * rows / 581k distinct cents): sketch build 0.90 s, sample cums
-    * +0.09, exact-audit vcum 1.15 (the documented non-scaling branch —
-    * 46% of the 2.49 s total is the audit, not the sketch), readout
-    * +0.35. The audit folds all three stats (exact k-th, rank-≤,
-    * rank-<) in ONE conditional-aggregation pass against the broadcast
-    * 7-row probe frame — the first cut ran three separate inequality
-    * joins over the same cached frame.
+    * The exact audit is SKETCH-GUIDED (late r17 — the first cut ran a
+    * single-partition cumulative window over 581k distinct values, a
+    * documented non-scaling branch; it is gone): for any sample value
+    * v, r_le(v) ≤ cum(v) + bound — per cell at most t−1 unsampled rows
+    * ≤ v trail its last sample ≤ v — so the true k-th value lies in
+    * (v_lo, est_c] where v_lo = max sample with cum < k − bound. The
+    * audit is two embarrassingly-parallel corpus scans driven by the
+    * 7-row collected probe seed: one pass folds all 21 rank counts as
+    * conditional sums; one pass extracts the ≤ ~2·bound-row band per
+    * probe whose tiny per-probe rank sort yields the exact k-th. Every
+    * stage now survives 100 TB — and the ORACLE keeps its global
+    * cumulative-count mechanism, so the gate compares two independent
+    * exact-quantile computations.
+    *
+    * Measured (Bench protocol, sf0.1, 600k rows / 581k distinct
+    * cents): 2.04 s quiet — faster than the 2.49 s the non-scaling
+    * audit form read, with the sketch build (0.90 s shard sort) now
+    * the dominant stage, as it should be.
     */
   /** q185's shard rows: exact cents plus the value-INDEPENDENT shard
     * key (spec-visible so the mergeability pin builds sub-sketches from
@@ -628,7 +635,10 @@ object PackScale {
     * (generation × shard), because the union of per-batch per-shard
     * sketches is ITSELF a valid sketch with the bound summed over all
     * cells (the same telescoping argument, cell-wise). Returns one row
-    * per probe: (p_bp, n, k, bound, est_c).
+    * per probe: (p_bp, n, k, bound, est_c, v_lo) — v_lo is the largest
+    * sample value whose cum < k − bound, the LOWER band edge q185's
+    * exact refinement needs (true k-th value ∈ (v_lo, est_c], proven
+    * there); it rides the same conditional aggregate for free.
     */
   private[graft] def rankEstimates(sk: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -649,8 +659,11 @@ object PackScale {
       explode(expr("array(100, 500, 2500, 5000, 7500, 9500, 9900)"))
         .as("p_bp"))
       .withColumn("k", expr("(n * p_bp + 9999) div 10000"))
-    cums.join(broadcast(ks), col("cum") >= col("k"))
-      .groupBy("p_bp", "n", "k", "bound").agg(min("c").as("est_c"))
+    cums.crossJoin(broadcast(ks))
+      .groupBy("p_bp", "n", "k", "bound")
+      .agg(min(when(col("cum") >= col("k"), col("c"))).as("est_c"),
+        coalesce(max(when(col("cum") < col("k") - col("bound"),
+          col("c"))), lit(Long.MinValue)).as("v_lo"))
   }
 
   private val q185 = Q(
@@ -659,28 +672,61 @@ object PackScale {
       import org.apache.spark.sql.expressions.Window
       val rows = rankRows(s, d)
       // the one corpus pass: shard-sorted decimation, exact ranks kept
+      // (persisted: the readout reads it for stats AND cums)
       val sk = graft.ops.CacheScope.persisted(sketchOf(rows))
       val est = rankEstimates(sk.withColumnRenamed("shard", "cell"))
-      // exact-audit branch (value-keyed; doesn't scale — q99's caveat).
-      // All three audit stats (exact k-th value, rank-≤ and rank-< of
-      // the estimate) fold in ONE conditional-aggregation pass over the
-      // cumulative value counts against the broadcast 7-row probe frame
-      // — the first cut ran three separate inequality joins over the
-      // same (cached) frame, 3× the audit's dominant cost for nothing.
-      val vcum = rows.groupBy("c").agg(count(lit(1)).as("cnt"))
-        .withColumn("vc", sum("cnt").over(
-          Window.orderBy("c")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("c"), col("vc"))
-      val probes = est.select(col("p_bp"), col("k"), col("est_c"))
-      val audit = vcum.crossJoin(broadcast(probes))
-        .groupBy("p_bp")
-        .agg(min(when(col("vc") >= col("k"), col("c"))).as("exact_c"),
-          coalesce(max(when(col("c") <= col("est_c"), col("vc"))), lit(0L))
-            .as("r_le"),
-          coalesce(max(when(col("c") < col("est_c"), col("vc"))), lit(0L))
-            .as("r_lt"))
-      est.join(broadcast(audit), "p_bp")
+      // ---- sketch-guided EXACT audit (r17 final form). The first cut
+      // folded per-value counts and ran a single-partition cumulative
+      // window over the distinct values (581k at sf0.1) — a documented
+      // non-scaling branch. It is gone: the sketch itself bounds where
+      // the true k-th value lives. For any SAMPLE value v,
+      // r_le(v) ≤ cum(v) + bound (per cell, at most t−1 unsampled rows
+      // ≤ v trail its last sample ≤ v), so the k-th smallest is
+      // > v_lo = max sample value with cum < k − bound, and ≤ est_c
+      // (whose r_le ≥ cum ≥ k). The audit is then two plain corpus
+      // scans: one conditional aggregation for the three rank counts,
+      // and one BAND extraction of ≤ ~2·bound rows per probe whose
+      // tiny per-probe sort yields the exact k-th — nothing
+      // value-keyed, nothing single-partition at corpus cardinality.
+      // The oracle keeps its global cumulative-count mechanism, so the
+      // gate now compares two INDEPENDENT exact-quantile computations.
+      //
+      // the PROBE SEED: 7 rows by construction (one per declared
+      // quantile; v_lo rides the shared readout) — a documented bounded
+      // collect (q58/PackLayout's seed precedent), which turns the two
+      // audit scans into literal-predicate passes with no join
+      // machinery at all
+      val pr = est
+        .select("p_bp", "n", "k", "bound", "est_c", "v_lo")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sortBy(_._1)
+      // audit scan 1: all 21 rank counts as conditional sums in ONE
+      // pass (no row expansion — the r17 first cut cross-joined the
+      // corpus against the probe frame, 7× the rows through the agg)
+      val aggCols = pr.flatMap { case (p, _, _, _, e, v) => Seq(
+        sum(when(col("c") <= v, 1L).otherwise(0L)).as(s"n_lo_$p"),
+        sum(when(col("c") <= e, 1L).otherwise(0L)).as(s"r_le_$p"),
+        sum(when(col("c") < e, 1L).otherwise(0L)).as(s"r_lt_$p"))
+      }
+      val aggRow = rows.agg(aggCols.head, aggCols.tail: _*).head()
+      import s.implicits._
+      val probeLit = pr.map { case (p, n, k, b, e, v) =>
+        (p, n, k, b, e, v, aggRow.getAs[Long](s"n_lo_$p"),
+          aggRow.getAs[Long](s"r_le_$p"), aggRow.getAs[Long](s"r_lt_$p"))
+      }.toSeq.toDF("p_bp", "n", "k", "bound", "est_c", "v_lo",
+        "n_lo", "r_le", "r_lt")
+      // audit scan 2: band extraction — ≤ ~2·bound rows per probe by
+      // the window proof above, so the per-probe rank sort is tiny
+      val exact = rows
+        .join(broadcast(probeLit.select("p_bp", "k", "v_lo", "est_c",
+          "n_lo")), col("c") > col("v_lo") && col("c") <= col("est_c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("p_bp").orderBy("c")).cast("long"))
+        .filter(col("rn") === col("k") - col("n_lo"))
+        .select(col("p_bp"), col("c").as("exact_c"))
+      probeLit.join(broadcast(exact), "p_bp")
         .select(col("p_bp"), col("n"), col("k"), col("est_c"),
           col("exact_c"), col("bound"), col("r_le"), col("r_lt"),
           (col("r_le") >= col("k") &&

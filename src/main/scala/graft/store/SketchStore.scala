@@ -56,6 +56,7 @@ object SketchStore {
     graft.queries.PackScale.rankEstimates(live(spark, path)
       .select((col("gen") * 32 + col("shard")).as("cell"),
         col("c"), col("r"), col("t")))
+      .drop("v_lo") // q185's band edge; not part of the monitor surface
 
   /** The generation ids present (cheap directory listing, no job). */
   private def genIds(spark: SparkSession, path: String): Seq[Long] = {

@@ -29,19 +29,21 @@ object ProfileQ185 {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .select(col("c"), col("cum")))
     }
-    def vcum(s: SparkSession): DataFrame =
-      rows(s).groupBy("c").agg(count(lit(1)).as("cnt"))
-        .withColumn("vc", sum("cnt").over(
-          Window.orderBy("c")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("c"), col("vc"))
+    // the rank-count scan of the sketch-guided audit (late r17 — the
+    // old single-partition vcum stage no longer exists in the query);
+    // probes are irrelevant to its cost, so a fixed literal stands in
+    def auditScan(s: SparkSession): DataFrame =
+      rows(s).agg(
+        sum(when(col("c") <= 500000L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("c") <= 5000000L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("c") < 9000000L, 1L).otherwise(0L)).as("e"))
     def full(s: SparkSession): DataFrame =
       graft.queries.Catalog.queries("q185_rank_sketch")(s, d)
 
     val prefixes: Seq[(String, SparkSession => DataFrame)] = Seq(
       "sketch build (shard sort)" -> (s => sk(s)),
       "+ sample cums" -> (s => cums(s)),
-      "exact audit vcum" -> (s => vcum(s)),
+      "audit rank-count scan" -> (s => auditScan(s)),
       "full q185" -> (s => full(s)))
 
     def once(f: SparkSession => DataFrame): Double = {
