@@ -335,12 +335,24 @@ object GraphOps {
     *              of the oracle agree by construction)
     * @param nodes one column `id` — the rank universe; endpoints must
     *              appear here
+    * @param ranks0 optional WARM START (r17, q186's device): an
+    *               (id, rank) frame the iterations resume from instead
+    *               of the uniform init — the standing ranks a live
+    *               graph maintains incrementally. Nodes absent from it
+    *               (an increment can add nodes) enter at the uniform
+    *               share. `None` is bit-identical to the historical
+    *               cold start, and warm start COMPOSES exactly:
+    *               resuming from a k-iteration run for j more
+    *               iterations equals one (k+j)-iteration run
+    *               (spec-pinned — same edges, same arithmetic, the
+    *               init is the only difference).
     * @return columns `id`, `rank` (long, sums ≈ `scale` up to integer
     *         truncation — dangling mass included via redistribution)
     */
   def pageRank(
       edges: DataFrame, nodes: DataFrame, iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      ranks0: Option[DataFrame] = None): DataFrame = {
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     // Loop-invariant structure, computed ONCE and materialized (CC-loop
     // idiom) so no iteration re-runs the out-degree aggregation or the
@@ -360,7 +372,15 @@ object GraphOps {
         col("has_out").isNull.as("is_sink"))
       .localCheckpoint()
     val ckpt = iters > GraphOps.CkptAfter
-    var r = base.select(col("id"), col("is_sink"), col("r0").as("rank"))
+    var r = ranks0 match {
+      case None =>
+        base.select(col("id"), col("is_sink"), col("r0").as("rank"))
+      case Some(rs) =>
+        base.join(rs.withColumnRenamed("rank", "rank_in"),
+            Seq("id"), "left")
+          .select(col("id"), col("is_sink"),
+            coalesce(col("rank_in"), col("r0")).as("rank"))
+    }
     for (_ <- 1 to iters) {
       // sink-held rank this iteration: a filter+sum on the rank frame
       // (1-row frame, broadcast back into the damped term below)

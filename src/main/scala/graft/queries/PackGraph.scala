@@ -355,5 +355,125 @@ object PackGraph {
       "oracle counts via the orientation-invariant id-ordered 3-way " +
       "join")
 
-  val all: Seq[Q] = Seq(q61, q62, q160)
+  /** q186 — INCREMENTAL PageRank maintenance (SURVEY §7.5 r18 item 2,
+    * pulled forward): q184's never-recompute-from-scratch posture
+    * applied to the second graph operator a live corpus maintains —
+    * an edge batch arrives and the standing ranks UPDATE by resuming
+    * power iteration from the stored rank state on the grown graph,
+    * instead of re-running the full iteration history from the uniform
+    * init. Warm-start power iteration is the standard incremental-PR
+    * device: the stored ranks are a far better starting point than
+    * uniform, so a fixed small iteration budget lands far closer to
+    * the grown graph's fixpoint (measured in the spec against a
+    * 20-iteration reference).
+    *
+    * The increment has teeth by construction: the docs that gain
+    * out-links (id%7=0, via a second LCG) are exactly q61's SINKS —
+    * the grown graph has no dangling nodes at all, so the warm
+    * iterations also gate that the loop-invariant sink flags are
+    * re-derived from the GROWN edge frame, not carried over (a stale
+    * is_sink would redistribute phantom mass; the oracle's exact
+    * integer arithmetic would catch one rank unit of drift).
+    *
+    * Plan shape: the warm start is [[GraphOps.pageRank]]'s `ranks0`
+    * hook — the stored state enters as ONE left join onto the node
+    * base (absent nodes start uniform — increments can add nodes);
+    * everything else is the proven iterate (edges⋈ranks on src,
+    * map-side-combined contributions, broadcast dangling sum). The
+    * oracle unrolls BOTH phases as CTEs — q61's two base iterations,
+    * then two warm iterations over the unioned edge set with its
+    * grown out-degrees — bit-exact in integer rank units.
+    */
+  private val q186 = Q(
+    "q186_pagerank_increment",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val ids = docs.select(col("doc_id").as("id"))
+      // q61's base graph, verbatim (id%7=0 docs are sinks)
+      val baseEdges = docs.filter(col("doc_id") % 7 =!= 0)
+        .crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("n_docs"),
+          explode(expr("sequence(1, 1 + cast(doc_id % 3 as int))")).as("j"))
+        .select(col("src"),
+          expr("((src % 2147483648) * 22695477 + j * 7919) % n_docs")
+            .as("dst"))
+      // stored state: the standing ranks (built here; read from the
+      // label-store-shaped table in production)
+      val ranksBase = graft.ops.CacheScope.persisted(
+        GraphOps.pageRank(baseEdges, ids, iters = 2))
+      // the edge increment: yesterday's sinks publish links
+      val newEdges = docs.filter(col("doc_id") % 7 === 0)
+        .crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("n_docs"),
+          explode(expr("sequence(1, 1 + cast(doc_id % 2 as int))")).as("j"))
+        .select(col("src"),
+          expr("((src % 2147483648) * 48271 + j * 104729) % n_docs")
+            .as("dst"))
+      val warm = GraphOps.pageRank(baseEdges.unionByName(newEdges), ids,
+        iters = 2, ranks0 = Some(ranksBase))
+      ranksBase.select(col("id").as("doc_id"),
+          col("rank").as("rank_base"))
+        .join(warm.select(col("id").as("doc_id"), col("rank")), "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      deg AS (SELECT doc_id, 1 + doc_id % 3 AS od FROM documents WHERE doc_id % 7 <> 0),
+      e AS (
+        SELECT d.doc_id AS src, d.od,
+               ((d.doc_id % 2147483648) * 22695477 + j.j * 7919) % n.n_docs AS dst
+        FROM deg d CROSS JOIN n CROSS JOIN (SELECT unnest([1,2,3]) AS j) j
+        WHERE j.j <= d.od),
+      r0 AS (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
+             FROM documents CROSS JOIN n),
+      d1 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+             FROM r0 WHERE id % 7 = 0),
+      c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank // e.od) AS BIGINT) AS c
+             FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst),
+      r1 AS (SELECT r0.id,
+               CAST((1000000000000 // n.n_docs) * 15 // 100
+                    + (coalesce(c1.c, 0) + d1.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r0 CROSS JOIN n CROSS JOIN d1 LEFT JOIN c1 ON r0.id = c1.id),
+      d2 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+             FROM r1 WHERE id % 7 = 0),
+      c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank // e.od) AS BIGINT) AS c
+             FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+      r2 AS (SELECT r1.id,
+               CAST((1000000000000 // n.n_docs) * 15 // 100
+                    + (coalesce(c2.c, 0) + d2.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r1 CROSS JOIN n CROSS JOIN d2 LEFT JOIN c2 ON r1.id = c2.id),
+      ndeg AS (SELECT doc_id, 1 + doc_id % 2 AS od FROM documents WHERE doc_id % 7 = 0),
+      en AS (
+        SELECT d.doc_id AS src, d.od,
+               ((d.doc_id % 2147483648) * 48271 + j.j * 104729) % n.n_docs AS dst
+        FROM ndeg d CROSS JOIN n CROSS JOIN (SELECT unnest([1,2]) AS j) j
+        WHERE j.j <= d.od),
+      e2 AS (SELECT src, od, dst FROM e UNION ALL SELECT src, od, dst FROM en),
+      d3 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+             FROM r2 WHERE id NOT IN (SELECT src FROM e2)),
+      c3 AS (SELECT e2.dst AS id, CAST(sum(r2.rank // e2.od) AS BIGINT) AS c
+             FROM e2 JOIN r2 ON e2.src = r2.id GROUP BY e2.dst),
+      r3 AS (SELECT r2.id,
+               CAST((1000000000000 // n.n_docs) * 15 // 100
+                    + (coalesce(c3.c, 0) + d3.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r2 CROSS JOIN n CROSS JOIN d3 LEFT JOIN c3 ON r2.id = c3.id),
+      d4 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+             FROM r3 WHERE id NOT IN (SELECT src FROM e2)),
+      c4 AS (SELECT e2.dst AS id, CAST(sum(r3.rank // e2.od) AS BIGINT) AS c
+             FROM e2 JOIN r3 ON e2.src = r3.id GROUP BY e2.dst),
+      r4 AS (SELECT r3.id,
+               CAST((1000000000000 // n.n_docs) * 15 // 100
+                    + (coalesce(c4.c, 0) + d4.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r3 CROSS JOIN n CROSS JOIN d4 LEFT JOIN c4 ON r3.id = c4.id)
+      SELECT r2.id AS doc_id, r2.rank AS rank_base, r4.rank AS rank
+      FROM r2 JOIN r4 ON r2.id = r4.id
+      ORDER BY doc_id
+    """),
+    doc = "incremental PageRank: warm-start power iteration from the " +
+      "stored rank state over the grown edge set — previously-dangling " +
+      "sources gain links, sink flags re-derive from the grown graph; " +
+      "oracle unrolls both phases as exact integer CTEs")
+
+  val all: Seq[Q] = Seq(q61, q62, q160, q186)
 }

@@ -171,6 +171,65 @@ class PackGraphSpec extends SparkSpec {
     assert(six.map(_._2).sum <= scale)
   }
 
+  test("pageRank warm start: resuming from a k-iteration run composes " +
+    "exactly — ranks0 after 2+2 equals a cold 4-iteration run") {
+    // the init is the ONLY thing ranks0 changes, so warm(cold(2), 2)
+    // must be bit-identical to cold(4) on the same graph — the pin
+    // that makes q186's incremental semantics trustworthy
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L),
+      (4L, 0L), (4L, 3L)).toDF("src", "dst")
+    val nodes = (0L to 5L).toDF("id") // 5 is a sink
+    val cold4 = GraphOps.pageRank(edges, nodes, iters = 4)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val warm = GraphOps.pageRank(edges, nodes, iters = 2,
+      ranks0 = Some(GraphOps.pageRank(edges, nodes, iters = 2)))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(warm.sameElements(cold4))
+  }
+
+  test("q186: warm-start lands closer to the grown-graph fixpoint than " +
+    "a cold start with the same budget; mass conserved; sink flags " +
+    "re-derive from the grown graph") {
+    try {
+      val got = run("q186_pagerank_increment")
+        .as[(Long, Long, Long)].collect()
+      val scale = 1000000000000L
+      val warmMass = got.map(_._3).sum
+      assert(warmMass <= scale && warmMass > scale / 100 * 99,
+        s"mass off after the increment: $warmMass")
+      // rebuild the grown graph exactly as the query does, in Spark,
+      // and compare AGAINST A 20-ITERATION REFERENCE: the warm 2-iter
+      // ranks must sit strictly closer (L1) than cold 2-iter ranks —
+      // the whole point of maintaining state instead of restarting
+      val docs = Tables.documents(spark, sf)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val ids = docs.select(col("doc_id").as("id"))
+      def lcgEdges(residue: Int, fanMod: Int, a: Long, c: Long) =
+        docs.filter(
+            if (residue == 0) col("doc_id") % 7 === 0
+            else col("doc_id") % 7 =!= 0)
+          .crossJoin(broadcast(n))
+          .select(col("doc_id").as("src"), col("n_docs"),
+            explode(expr(s"sequence(1, 1 + cast(doc_id % $fanMod as int))"))
+              .as("j"))
+          .select(col("src"),
+            expr(s"((src % 2147483648) * $a + j * $c) % n_docs").as("dst"))
+      val grown = lcgEdges(1, 3, 22695477L, 7919L)
+        .unionByName(lcgEdges(0, 2, 48271L, 104729L))
+      val ref = GraphOps.pageRank(grown, ids, iters = 20)
+        .as[(Long, Long)].collect().toMap
+      val cold = GraphOps.pageRank(grown, ids, iters = 2)
+        .as[(Long, Long)].collect().toMap
+      val warmDist = got.map(r => math.abs(r._3 - ref(r._1))).sum
+      val coldDist = got.map(r => math.abs(cold(r._1) - ref(r._1))).sum
+      assert(warmDist < coldDist,
+        s"warm start must beat cold restart: warm=$warmDist cold=$coldDist")
+      // every rank moved: the increment touched the whole graph (the
+      // sinks' new links reroute the dangling redistribution globally)
+      assert(got.forall(r => r._2 != r._3), "increment left ranks inert")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q61: rank mass is conserved up to integer truncation") {
     // every synthesized dst is a valid doc (mod n_docs) and sink-held
     // rank redistributes, so no rank leaks: sum(rank) after 2
