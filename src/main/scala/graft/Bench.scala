@@ -102,8 +102,19 @@ object Bench {
     // is untimed, so its steal is not evidence about the reported
     // number) and emit it as a parallel `query_steal_ms` map — the
     // printed `queries` map stays plain seconds, the driver contract.
+    // the telemetry triple on every PRIMARY measurement: steal (host),
+    // gc (heap), spill (execution memory) — each delta brackets the
+    // three timed runs, so any slow first-pass number arrives with its
+    // own diagnosis attached (r17; reruns have carried gc/steal since
+    // r14/r16)
+    def gcMsNow: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     var firstSteal = Map.empty[String, Long]
     var firstSpill = Map.empty[String, Long]
+    var firstGc = Map.empty[String, Long]
     val firstPass = names.map { name =>
       // Per-query untimed warmup: the first materialization of a plan shape
       // pays janino codegen + JIT (~3s even on 500 rows — measured), which
@@ -113,9 +124,11 @@ object Bench {
       val ok = materialize(name)
       val s0 = stealMs
       val sp0 = spilledBytes.get()
+      val g0 = gcMsNow
       val t = if (ok) timedMedian3(name) else None
       firstSteal += name -> (if (s0 < 0) -1L else stealMs - s0)
       firstSpill += name -> ((spilledBytes.get() - sp0) / (1024 * 1024))
+      firstGc += name -> (gcMsNow - g0)
       if (t.isEmpty) { errors ::= name; name -> -1.0 }
       else name -> t.get
     }
@@ -140,11 +153,7 @@ object Bench {
     // end-of-life heap — and each rerun entry records the post-GC heap
     // and the GC time spent inside its timed runs, so a residually-slow
     // rerun is self-diagnosing (high gc_ms = heap pressure, not plan).
-    def gcMs: Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
-    }
+    def gcMs: Long = gcMsNow
     def heapMb: Long = {
       val r = Runtime.getRuntime
       (r.totalMemory - r.freeMemory) / (1024 * 1024)
@@ -179,6 +188,9 @@ object Bench {
     val qspill = names.map(n =>
       "\"" + n + "\":" + firstSpill.getOrElse(n, -1L))
       .mkString("{", ",", "}")
+    val qgc = names.map(n =>
+      "\"" + n + "\":" + firstGc.getOrElse(n, -1L))
+      .mkString("{", ",", "}")
     val heapMax = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val rr = reruns.sortBy(_._1).map { case (k, a, b, h, g, st) =>
       "\"" + k + "\":{\"first_s\":" + a + ",\"rerun_s\":" + b +
@@ -188,7 +200,7 @@ object Bench {
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stealTotal = if (stealMs < 0) -1L else stealMs - stealMs0
     val blob =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"rerun":$rr,"query_steal_ms":$qsteal,"query_spill_mb":$qspill,"heap_max_mb":$heapMax,"steal_ms_total":$stealTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"rerun":$rr,"query_steal_ms":$qsteal,"query_spill_mb":$qspill,"query_gc_ms":$qgc,"heap_max_mb":$heapMax,"steal_ms_total":$stealTotal,"sf":"$sfDir"}"""
     println(blob)
     // The driver's tail capture keeps only the last ~2000 chars of
     // stdout, which truncated 148 of 167 per-query timings out of
