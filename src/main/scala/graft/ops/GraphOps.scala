@@ -405,4 +405,58 @@ object GraphOps {
     * per-round doubling of the uncheckpointed plan would dominate.
     */
   val CkptAfter = 6
+
+  /** [[pageRank]] with the PER-ITERATION rank frames returned — the
+    * residual-gated maintenance form (q187) needs every consecutive
+    * pair to measure convergence, so each round checkpoints
+    * unconditionally (every intermediate is a consumed output here,
+    * not lineage). Arithmetic is [[pageRank]]'s verbatim: element (i)
+    * of the result is bit-identical to `pageRank(..., iters = i+1,
+    * ranks0)` (spec-pinned via the warm-start composability chain).
+    * Invariant structure (out-degrees, sink flags) builds ONCE — the
+    * naive alternative of i separate pageRank calls rebuilds it per
+    * round.
+    */
+  def pageRankTrace(
+      edges: DataFrame, nodes: DataFrame, iters: Int,
+      scale: Long = 1000000000000L,
+      ranks0: Option[DataFrame] = None): Seq[DataFrame] = {
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    val e = edges.join(
+      edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .localCheckpoint()
+    val srcs = edges.select(col("src").as("id")).distinct()
+    val base = nodes.crossJoin(broadcast(n))
+      .join(srcs.withColumn("has_out", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("n_nodes"),
+        expr(s"($scale div n_nodes) * 15 div 100").as("base"),
+        expr(s"$scale div n_nodes").as("r0"),
+        col("has_out").isNull.as("is_sink"))
+      .localCheckpoint()
+    var r = ranks0 match {
+      case None =>
+        base.select(col("id"), col("is_sink"), col("r0").as("rank"))
+      case Some(rs) =>
+        base.join(rs.withColumnRenamed("rank", "rank_in"),
+            Seq("id"), "left")
+          .select(col("id"), col("is_sink"),
+            coalesce(col("rank_in"), col("r0")).as("rank"))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to iters) {
+      val dang = r.filter(col("is_sink"))
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+      val contrib = e.join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank div od").as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      r = base.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"), col("is_sink"),
+          expr("base + (coalesce(c, cast(0 as bigint)) + dang div n_nodes)" +
+            " * 85 div 100").as("rank"))
+        .localCheckpoint()
+      out += r.select("id", "rank")
+    }
+    out.toSeq
+  }
 }

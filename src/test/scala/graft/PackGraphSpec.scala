@@ -230,6 +230,38 @@ class PackGraphSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q187: residuals decay monotonically, the selection is the first " +
+    "below-threshold iteration, and the trace composes with pageRank " +
+    "bit-exactly") {
+    try {
+      val got = run("q187_pagerank_residual")
+        .as[(Int, Long, Boolean, Boolean)].collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq === Seq(1, 2, 3, 4))
+      // geometric decay: each warm round strictly shrinks the residual
+      got.sliding(2).foreach { case Array(a, b) =>
+        assert(b._2 < a._2, s"residual rose: $a -> $b")
+      }
+      // the stop rule, replicated driver-side
+      val selWant = got.find(_._3).map(_._1).getOrElse(4)
+      got.foreach(r => assert(r._4 === (r._1 == selWant), r.toString))
+      assert(got.count(_._4) === 1)
+      // trace ≡ iterate: element i of pageRankTrace is bit-identical
+      // to a pageRank run of i iterations from the same warm start
+      val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L))
+        .toDF("src", "dst")
+      val nodes = (0L to 4L).toDF("id")
+      val warm0 = GraphOps.pageRank(edges, nodes, iters = 1)
+      val tr = GraphOps.pageRankTrace(edges, nodes, iters = 3,
+        ranks0 = Some(warm0))
+      (1 to 3).foreach { i =>
+        val direct = GraphOps.pageRank(edges, nodes, iters = i,
+          ranks0 = Some(warm0)).as[(Long, Long)].collect().sortBy(_._1)
+        val traced = tr(i - 1).as[(Long, Long)].collect().sortBy(_._1)
+        assert(traced.sameElements(direct), s"trace step $i diverges")
+      }
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q61: rank mass is conserved up to integer truncation") {
     // every synthesized dst is a valid doc (mod n_docs) and sink-held
     // rank redistributes, so no rank leaks: sum(rank) after 2
