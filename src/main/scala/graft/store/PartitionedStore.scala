@@ -181,9 +181,43 @@ object PartitionedStore {
       parts.map(_.getPath.getName.stripPrefix("batch=").toLong).min, 0L) - 1
     spark.read.parquet(man).drop("batch").dropDuplicates("file")
       .coalesce(1).write.mode("overwrite").parquet(s"$man/.compacting")
-    fs.rename(new org.apache.hadoop.fs.Path(s"$man/.compacting"),
-      new org.apache.hadoop.fs.Path(s"$man/batch=$gen"))
+    publish(fs, s"$man/.compacting", s"$man/batch=$gen", "compactManifest")
     parts.foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** The one publish step every generation store shares: move the staged
+    * fold onto its target generation with ONE rename, and ABORT — before
+    * any retire loop runs — if the rename fails (cross-FS move,
+    * permission, transient HDFS error, or a concurrent compactor that
+    * won the race to the same target). A failed publish leaves the old
+    * generations intact and the staging dir in place for the next
+    * attempt to overwrite; the CALLER's ordering contract is that
+    * nothing is deleted until this returns (ADVICE r17/r18: the
+    * unchecked rename fed the retire loop the only live data). This is
+    * the minimal two-writer safety story: the rename IS the commit
+    * point, the filesystem arbitrates, and the loser observably aborts
+    * — see SURVEY §7.6 for the full multi-writer design note.
+    */
+  private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
+      staging: String, target: String, what: String): Unit = {
+    val st = new org.apache.hadoop.fs.Path(staging)
+    val tg = new org.apache.hadoop.fs.Path(target)
+    def abort(why: String): Nothing = throw new IllegalStateException(
+      s"$what: publish to $target aborted ($why) " +
+        "before retiring any generation")
+    if (fs.exists(tg)) abort("target already exists — lost the race")
+    if (!fs.rename(st, tg)) abort("rename failed")
+    // TOCTOU seam: FileSystem.rename onto a directory that appeared
+    // between the exists-check and the rename does not fail — it NESTS
+    // the staging dir inside the target (HDFS and local FS both).
+    // Detect the nest, undo it, and abort: the winner's generation is
+    // restored byte-identical (the nested dir is dot-prefixed, so even
+    // mid-undo it was invisible to readers).
+    val nested = new org.apache.hadoop.fs.Path(tg, st.getName)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
+      abort("target appeared concurrently; nested staging removed")
+    }
   }
 
   /** Read only the files whose manifest [min_`statCol`, max_`statCol`]

@@ -62,7 +62,8 @@ object SketchStore {
   private def genIds(spark: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
       .map(_.getPath.getName.stripPrefix("gen=").toLong)
   }
@@ -77,7 +78,11 @@ object SketchStore {
     * which only needs consistency, not uniqueness).
     */
   private def live(spark: SparkSession, path: String): DataFrame = {
-    val gmin = genIds(spark, path).min
+    val ids = genIds(spark, path)
+    require(ids.nonEmpty,
+      s"SketchStore not initialized: no gen= directories under $path " +
+        "(stream at least one non-empty batch first)")
+    val gmin = ids.min
     val raw = spark.read.parquet(path)
     if (gmin >= 0) raw
     else raw.filter(col("gen") === gmin || col("gen") > -gmin - 2)
@@ -105,7 +110,21 @@ object SketchStore {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val ids = genIds(spark, path)
-    if (ids.forall(_ < 0)) return // nothing beyond the fold itself
+    if (ids.isEmpty) return
+    val gmin = ids.min
+    val horizon = if (gmin < 0) -gmin - 2 else -1L
+    // only generations ABOVE the horizon are live; allocating the fold
+    // id from ALL positives could recompute an id that already exists
+    // when a replayed batch re-appends below the horizon (the r17 crash
+    // ADVICE: the failed rename then fed the retire loop the only live
+    // fold). With no live positives there is nothing to fold — just GC
+    // the horizon-hidden leftovers a crashed retire loop left behind.
+    val livePos = ids.filter(g => g > horizon && g >= 0)
+    if (livePos.isEmpty) {
+      ids.filter(_ != gmin).foreach(g => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/gen=$g"), true))
+      return
+    }
     val sk = live(spark, path)
       .select((col("gen") * 32 + col("shard")).as("cell"),
         col("c"), col("r"), col("t"))
@@ -130,12 +149,15 @@ object SketchStore {
     kept.select(lit(0L).as("shard"), col("c"), col("cum").as("r"),
       lit(tNew).as("t"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/.compacting")
-    // horizon encoding (see [[live]]): more negative than any prior
-    // fold, so it wins the readers' rule the instant the rename lands;
-    // leftovers of a crashed retire loop are invisible, not tolerated
-    val gen = -(ids.max + 2)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/.compacting"),
-      new org.apache.hadoop.fs.Path(s"$path/gen=$gen"))
+    // horizon encoding (see [[live]]): livePos.max > horizon = −gmin−2
+    // ⟹ gen < gmin — strictly more negative than any prior fold, so it
+    // wins the readers' rule the instant the rename lands AND the
+    // target cannot already exist; leftovers of a crashed retire loop
+    // are invisible, not tolerated. A failed publish aborts before the
+    // retire loop touches anything.
+    val gen = -(livePos.max + 2)
+    PartitionedStore.publish(fs, s"$path/.compacting",
+      s"$path/gen=$gen", "SketchStore.compact")
     ids.foreach(g => fs.delete(
       new org.apache.hadoop.fs.Path(s"$path/gen=$g"), true))
   }

@@ -290,5 +290,44 @@ class PackScaleSpec extends SparkSpec {
       assert(rle >= k && rlt <= k - 1 + bound,
         s"p=$p post-compact window: r_le=$rle r_lt=$rlt k=$k bound=$bound")
     }
+
+    // ADVICE r18 (high): a foreachBatch replay that re-appends an
+    // already-folded batch and re-triggers compact must not destroy the
+    // store — the r17 allocation recomputed the existing gen=-3, ignored
+    // the failed rename, and the retire loop deleted the only live fold.
+    // Now: no live generation sits above the horizon, so the re-compact
+    // only garbage-collects the invisible leftover.
+    spark.read.parquet(s"$store/gen=-3").limit(3)
+      .write.parquet(s"$store/gen=1")
+    graft.store.SketchStore.compact(spark, store)
+    val gens3 = new java.io.File(store).list()
+      .filter(_.startsWith("gen=")).toSeq
+    assert(gens3 === Seq("gen=-3"),
+      s"replayed-batch re-compact must GC, not destroy: $gens3")
+    assert(graft.store.SketchStore.estimates(spark, store)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1) === est2,
+      "estimates changed across a replayed compaction")
+
+    // a genuinely NEW batch after the fold compacts to the next
+    // generation DOWN (monotone ids — never a collision)
+    graft.queries.PackScale.sketchOf(
+      rows.filter(col("l_orderkey") % 5 === 2))
+      .coalesce(1).write.parquet(s"$store/gen=2")
+    graft.store.SketchStore.compact(spark, store)
+    assert(new java.io.File(store).list()
+      .filter(_.startsWith("gen=")).toSeq === Seq("gen=-4"))
+    val extra = rows.filter(col("l_orderkey") % 5 === 2)
+      .select("c").as[Long].collect()
+    assert(graft.store.SketchStore.estimates(spark, store)
+      .agg(org.apache.spark.sql.functions.max("n")).as[Long].head() ===
+      cs.length.toLong + extra.length,
+      "post-replay fold must count old + new exactly once each")
+
+    // an uninitialized store reads as a descriptive error (ADVICE r18)
+    val fresh = Files.createTempDirectory("sks-none").toString
+    val err = intercept[IllegalArgumentException] {
+      graft.store.SketchStore.estimates(spark, fresh).collect()
+    }
+    assert(err.getMessage.contains("not initialized"))
   }
 }

@@ -266,6 +266,49 @@ class PartitionedStoreSpec extends SparkSpec {
       (60L to 70L).toSeq)
   }
 
+  test("interleaved compactors cannot lose a generation: a publish whose " +
+    "target already exists aborts BEFORE retiring anything (ADVICE r18)") {
+    // Two concurrent compactors race to the same target generation; the
+    // rename is the commit point and the filesystem arbitrates. The r17
+    // code ignored the loser's failed rename and ran the retire loop
+    // anyway — erasing the whole store. The loser must now abort with
+    // the staged fold and every live generation untouched.
+    val dir = Files.createTempDirectory("mrace").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the loser's staged fold, and the target the winner already owns
+    Seq(("f0", 1L)).toDF("file", "n_rows")
+      .write.parquet(s"$dir/.compacting")
+    Seq(("f1", 1L)).toDF("file", "n_rows")
+      .write.parquet(s"$dir/batch=-1")
+    val e = intercept[IllegalStateException] {
+      PartitionedStore.publish(fs, s"$dir/.compacting", s"$dir/batch=-1",
+        "test")
+    }
+    assert(e.getMessage.contains("lost the race"))
+    // the winner's generation is untouched and the loser's staging is
+    // still there for the next attempt to overwrite
+    assert(spark.read.parquet(s"$dir/batch=-1")
+      .select("file").as[String].head() === "f1")
+    assert(new java.io.File(s"$dir/.compacting").exists())
+
+    // end-to-end: back-to-back compactions (the sequential limit of the
+    // interleave) never lose a row — the second folds the first's
+    // generation one further DOWN rather than colliding with it
+    val store = Files.createTempDirectory("mrace2").toString
+    Seq(("f0", 10L, 0L, 9L)).toDF("file", "n_rows", "min_k", "max_k")
+      .write.parquet(s"$store/_manifest/batch=0")
+    Seq(("f1", 10L, 10L, 19L)).toDF("file", "n_rows", "min_k", "max_k")
+      .write.parquet(s"$store/_manifest/batch=1")
+    PartitionedStore.compactManifest(spark, store)
+    PartitionedStore.compactManifest(spark, store)
+    val parts = new java.io.File(s"$store/_manifest").list()
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(parts === Seq("batch=-2"), parts.toString)
+    assert(spark.read.parquet(s"$store/_manifest")
+      .select("file").as[String].collect().sorted.toSeq === Seq("f0", "f1"))
+  }
+
   test("min/max manifest pruning: a point lookup on the z-order layout " +
     "touches ~sqrt(F) files and returns exactly the full-scan rows") {
     import graft.queries.PackLayout
