@@ -307,6 +307,183 @@ object PackRefresh {
     * shortcut (the delta graph is increment-bounded but can still be
     * millions of rows in production).
     */
+  /** One decremental-CC kernel over EXPLICIT state frames — q188's
+    * gated merge, shared verbatim by the streaming maintainer
+    * ([[graft.store.LabelStore.maintainCdcStream]]) so batch and stream
+    * labels cannot diverge. The hard part deletions add over q184's
+    * additions: removing a doc can SPLIT its component (min-labels
+    * don't decompose), so the affected components re-solve from the
+    * stored bucketing — component-bounded work, never the corpus:
+    *
+    *  1. touched comps = the deleted docs' labels — ONE pass over the
+    *     standing label table against the BROADCAST deletion list
+    *     (delete-batch-bounded output);
+    *  2. survivors = members of touched comps minus the deletions —
+    *     one more pass over the same table against the broadcast
+    *     touched set;
+    *  3. the survivors' key graph re-solves with the SAME
+    *     contract-then-solve CC as everything else: one pass over the
+    *     stored (doc, key) bucketing semi-joined by the survivor set
+    *     (declared plainly — AQE broadcasts it while it is small; a
+    *     takedown inside a genuinely giant cluster legitimately
+    *     becomes a shuffle join, because re-labeling that cluster IS
+    *     cluster-sized work);
+    *  4. keys leak nowhere: two docs sharing a key were in one
+    *     component of the old fixpoint by CC's definition, so a
+    *     touched comp's survivors can only connect among themselves —
+    *     the re-solve is exact without reading any other component.
+    *
+    * @param labels  standing (doc_id, comp)
+    * @param dockeys stored bucketing (id, key) — [[keysOf]] of every
+    *                live doc (the state a production label store
+    *                persists precisely so takedowns never re-tokenize
+    *                the corpus)
+    * @param dels    (doc_id) the takedown batch — tiny, broadcast
+    * @return (resolved (doc_id, comp) for SURVIVING members of touched
+    *         comps — new labels are each new component's min surviving
+    *         id, exactly the from-scratch labels on the shrunk corpus;
+    *         touched (comp); newKeys (key, comp) — the touched comps'
+    *         surviving key-index rows)
+    */
+  private[graft] def ccDecrement(labels: org.apache.spark.sql.DataFrame,
+      dockeys: org.apache.spark.sql.DataFrame,
+      dels: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val delIds = dels.select(col("doc_id")).distinct()
+    val touched = labels
+      .join(broadcast(delIds), Seq("doc_id"), "left_semi")
+      .select("comp").distinct()
+    val survivors = labels
+      .join(broadcast(touched), Seq("comp"), "left_semi")
+      .join(broadcast(delIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("id"))
+    val keyedS = dockeys.join(survivors, Seq("id"), "left_semi")
+    val (lbl, _) = graft.ops.GraphOps.connectedComponentsByKey(keyedS)
+    // keyless survivors (< 4 tokens) isolate to their own id, the same
+    // coalesce every label build applies
+    val resolved = survivors.select(col("id").as("doc_id"))
+      .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+    val newKeys = keyedS.join(lbl, "id")
+      .groupBy("key").agg(min("comp").as("comp"))
+    (resolved, touched, newKeys)
+  }
+
+  /** q188 — DECREMENTAL connected-components label maintenance (VERDICT
+    * r17 item 1, its own top candidate): q184 folds additions into
+    * standing labels; this is the other half a live corpus needs — a
+    * TAKEDOWN batch (GDPR erasure, the unlearning workflow q115's
+    * chunk-attribution map exists to serve) removes documents, and the
+    * labels must react without re-running global CC. Deletion is the
+    * genuinely hard direction because removing a BRIDGE doc splits a
+    * cluster, and min-labels carry no information about how to
+    * decompose; the kernel ([[ccDecrement]]) therefore re-solves ONLY
+    * the affected components' key graphs from the stored bucketing.
+    *
+    * The synthesis plants every deletion class at any sf: the standing
+    * corpus is q184's grown graph (all documents plus the 800000+
+    * bridge docs, each fusing an id%100=11 doc's cluster with its
+    * id%100=12 partner's), and the takedown removes (a) the
+    * even-group bridges — forced SPLITS: the two sides must fall back
+    * apart unless some other key connects them, exactly what the
+    * from-scratch oracle adjudicates — and (b) every doc_id%25=3 doc,
+    * a garden-variety takedown batch that hits cluster minima and
+    * forces relabels (the new label is the min SURVIVING id).
+    *
+    * Output: every surviving doc with its post-delete label and its
+    * pre-delete label. The oracle has no incremental path at all — it
+    * recomputes BOTH fixpoints from scratch as recursive closures
+    * (q184's device: the grown graph for old_comp, the SHRUNK doc set
+    * for comp), so the gate proves the decrement ≡ a from-scratch
+    * rebuild on the post-delete corpus at both SFs. PackRefreshSpec
+    * adds the driver-side union-find third mechanism, the planted-split
+    * observability assertion, and the zero-parquet merge-subtree pin.
+    */
+  private val q188 = Q(
+    "q188_cc_decrement",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val xs = docs.filter(col("doc_id") % 100 === 11)
+        .select(expr("doc_id div 100").as("g"), col("doc_id").as("xid"),
+          col("text").as("xt"))
+      val ys = docs.filter(col("doc_id") % 100 === 12)
+        .select(expr("doc_id div 100").as("g"), col("text").as("yt"))
+      val corpus0 = docs.select(col("doc_id"), col("text"))
+        .unionByName(xs.join(ys, "g")
+          .select((col("xid") + 800000L).as("doc_id"),
+            concat(col("xt"), lit(" "), col("yt")).as("text")))
+      // ---- stored state: labels + bucketing (the production store
+      // reads these from disk; built once here and cached) ----
+      val dockeys = graft.ops.CacheScope.persisted(keysOf(corpus0))
+      val (lbl0, _) = graft.ops.GraphOps.connectedComponentsByKey(dockeys)
+      val labels = graft.ops.CacheScope.persisted(
+        corpus0.select(col("doc_id"))
+          .join(lbl0.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("comp")))
+      // ---- the takedown batch (synthesis harness-only; tiny) ----
+      val dels = graft.ops.CacheScope.persisted(
+        corpus0.select("doc_id").filter(
+          (col("doc_id") >= 800000L &&
+            expr("(doc_id - 800000) div 100 % 2") === 0) ||
+          (col("doc_id") < 800000L && col("doc_id") % 25 === 3)))
+      // ---- the decrement: component-bounded re-solve; the corpus
+      // text is NEVER re-read (zero-parquet pin in the spec) ----
+      val (resolved, touched, _) = ccDecrement(labels, dockeys, dels)
+      val untouched = labels
+        .join(broadcast(touched), Seq("comp"), "left_anti")
+        .select(col("doc_id"), col("comp"))
+      untouched.unionByName(resolved)
+        .join(labels.withColumnRenamed("comp", "old_comp"), "doc_id")
+        .select(col("doc_id"), col("comp"), col("old_comp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      docs0 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT x.doc_id + 800000, x.text || ' ' || y.text
+        FROM (SELECT doc_id, doc_id // 100 AS g, text FROM documents WHERE doc_id % 100 = 11) x
+        JOIN (SELECT doc_id // 100 AS g, text FROM documents WHERE doc_id % 100 = 12) y USING (g)),
+      dels AS (SELECT doc_id FROM docs0
+               WHERE (doc_id >= 800000 AND ((doc_id - 800000) // 100) % 2 = 0)
+                  OR (doc_id < 800000 AND doc_id % 25 = 3)),
+      kept AS (SELECT * FROM docs0 WHERE doc_id NOT IN (SELECT doc_id FROM dels)),
+      t0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM docs0),
+      k0 AS (SELECT doc_id, 'p:' || array_to_string(ws[1:2], ' ') AS key FROM t0 WHERE len(ws) >= 4
+             UNION ALL
+             SELECT doc_id, 's:' || array_to_string(ws[-2:], ' ') AS key FROM t0 WHERE len(ws) >= 4),
+      s0 AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS b FROM k0),
+      e00 AS (SELECT doc_id AS a, b FROM s0 WHERE doc_id <> b),
+      e0 AS (SELECT a, b FROM e00 UNION SELECT b, a FROM e00),
+      r0(src, dst) AS (SELECT doc_id, doc_id FROM docs0
+                       UNION
+                       SELECT r0.src, e0.b FROM r0 JOIN e0 ON r0.dst = e0.a),
+      c0 AS (SELECT src AS doc_id, min(dst) AS old_comp FROM r0 GROUP BY src),
+      t1 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM kept),
+      k1 AS (SELECT doc_id, 'p:' || array_to_string(ws[1:2], ' ') AS key FROM t1 WHERE len(ws) >= 4
+             UNION ALL
+             SELECT doc_id, 's:' || array_to_string(ws[-2:], ' ') AS key FROM t1 WHERE len(ws) >= 4),
+      s1 AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS b FROM k1),
+      e10 AS (SELECT doc_id AS a, b FROM s1 WHERE doc_id <> b),
+      e1 AS (SELECT a, b FROM e10 UNION SELECT b, a FROM e10),
+      r1(src, dst) AS (SELECT doc_id, doc_id FROM kept
+                       UNION
+                       SELECT r1.src, e1.b FROM r1 JOIN e1 ON r1.dst = e1.a),
+      c1 AS (SELECT src AS doc_id, min(dst) AS comp FROM r1 GROUP BY src)
+      SELECT kept.doc_id, c1.comp, c0.old_comp
+      FROM kept JOIN c1 USING (doc_id) JOIN c0 USING (doc_id)
+      ORDER BY kept.doc_id
+    """),
+    doc = "decremental CC label maintenance: takedown batch removes docs, " +
+      "affected components re-solve from the stored bucketing " +
+      "(component-bounded, corpus never re-read), splits and relabels " +
+      "exact; oracle rebuilds both fixpoints from scratch on the grown " +
+      "and the shrunk doc sets")
+
   private val q184 = Q(
     "q184_cc_increment",
     (s, d) => {
@@ -399,5 +576,5 @@ object PackRefresh {
       "standing labels, base corpus never rescanned; oracle rebuilds " +
       "both fixpoints from scratch via recursive closure")
 
-  val all: Seq[Q] = Seq(q88, q90, q184)
+  val all: Seq[Q] = Seq(q88, q90, q184, q188)
 }

@@ -4,38 +4,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Merge-on-read CC label store + STREAMING maintainer — q184's nightly
-  * merge run continuously: document batches arrive on a stream, and
-  * each micro-batch folds into the standing connected-component labels
-  * through exactly q184's delta-solve kernel
-  * ([[graft.queries.PackRefresh.ccDelta]] — shared code, so batch and
-  * stream labels cannot diverge), writing DELTAS, never rewriting the
-  * corpus-sized label table.
+  * merge and q188's takedown handling run continuously: document CDC
+  * batches arrive on a stream (adds and deletes), and each micro-batch
+  * folds into the standing connected-component labels through exactly
+  * q184's delta-solve kernel and q188's component-bounded decrement
+  * kernel ([[graft.queries.PackRefresh.ccDelta]] /
+  * [[graft.queries.PackRefresh.ccDecrement]] — shared code, so batch
+  * and stream labels cannot diverge), writing DELTAS plus TOMBSTONES,
+  * never rewriting the corpus-sized label table.
   *
   * Layout (the Delta/Hudi merge-on-read shape, on the same generation
   * idea as [[PartitionedStore.compactManifest]]):
   *
   *   path/labels/gen=<g>/  (doc_id, comp) — gen -1 is the bootstrap
   *                         FULL table; each stream batch g ≥ 0 appends
-  *                         only its new docs + the base docs its merge
-  *                         relabeled (delta-cardinality)
+  *                         its new docs + the base docs its merge
+  *                         relabeled + comp = −1 TOMBSTONES for deleted
+  *                         docs (delta-cardinality)
   *   path/keyidx/gen=<g>/  (key, comp) — same scheme: bootstrap full,
-  *                         then per-batch new keys + keys of remapped
-  *                         components
+  *                         then per-batch new keys, keys of remapped or
+  *                         re-solved components, and tombstones for
+  *                         keys whose last holder was deleted
+  *   path/dockeys/gen=<g>/ (doc_id, key) — the stored BUCKETING
+  *                         ([[graft.queries.PackRefresh.keysOf]] of
+  *                         every ingested doc), append-only: the state
+  *                         q188's decrement re-solves from, persisted
+  *                         precisely so a takedown never re-tokenizes
+  *                         the corpus. Dead docs' rows stay until
+  *                         compaction (inert: the decrement semi-joins
+  *                         by surviving doc ids).
   *
-  * Readers fold `max_by(comp, gen)` per key — the newest generation
-  * wins. Exactly-once: each batch writes `gen=<batchId>` by overwrite
-  * and reads its pre-state as `gen < batchId`, so a replayed batch
-  * (crash between the writes and the checkpoint commit) recomputes
-  * from the SAME pre-state and overwrites the same two directories —
-  * deterministic, idempotent, restart-tested. The reader's fold is
-  * corpus-cardinality per read; a long-running stream bounds the
-  * generation count the same way the manifest does — fold generations
-  * ≤ N into a fresh full gen on a cadence ([[compact]], the
-  * compactManifest move applied to labels).
+  * Readers fold `max_by(comp, gen)` per key and DROP tombstones — the
+  * newest generation wins, so a delete hides every older label and a
+  * later re-ingest resurrects the doc at its new label. Exactly-once:
+  * each batch writes `gen=<batchId>` by overwrite and reads its
+  * pre-state as `gen < batchId`, so a replayed batch (crash between the
+  * writes and the checkpoint commit) recomputes from the SAME pre-state
+  * and overwrites the same directories — deterministic, idempotent,
+  * restart-tested. The reader's fold is corpus-cardinality per read; a
+  * long-running stream bounds the generation count the same way the
+  * manifest does — fold generations into a fresh full gen on a cadence
+  * ([[compact]], which also drops tombstoned rows and dead dockeys).
   */
 object LabelStore {
 
-  /** Bootstrap: full CC over the initial corpus → gen -1 of both
+  /** The tombstone label: no real comp is negative (labels are min doc
+    * ids), so −1 unambiguously marks "deleted as of this generation".
+    */
+  private val Tomb = -1L
+
+  /** Bootstrap: full CC over the initial corpus → gen -1 of all three
     * tables. `docs` carries (doc_id, text).
     */
   def init(docs: DataFrame, path: String): Unit = {
@@ -52,6 +70,8 @@ object LabelStore {
       .join(labels, "doc_id")
       .groupBy("key").agg(min("comp").as("comp"))
       .write.mode("overwrite").parquet(s"$path/keyidx/gen=-1")
+    keyed.select(col("id").as("doc_id"), col("key"))
+      .write.mode("overwrite").parquet(s"$path/dockeys/gen=-1")
   }
 
   /** The generation ids present under `dir` (cheap directory listing,
@@ -67,15 +87,15 @@ object LabelStore {
   }
 
   /** The live generations of `dir`, with the compaction HORIZON applied:
-    * a negative generation encodes the batch id it folded through
-    * (gen = −(foldedThrough + 2); the gen −1 bootstrap is the degenerate
-    * fold-through-nothing), and the most negative one present wins —
-    * readers keep it plus the positive generations ABOVE its horizon and
-    * drop everything else. This is what makes a crashed compaction
-    * retire loop invisible: any leftover generation (older negative, or
-    * positive ≤ horizon) is already-folded content the filter discards,
-    * so newest-wins can never resurrect a stale row however the crash
-    * interleaved the deletes.
+    * a negative generation below the bootstrap encodes the batch id it
+    * folded through (gen = −(foldedThrough + 2); the gen −1 bootstrap is
+    * the degenerate fold-through-nothing), and the most negative one
+    * present wins — readers keep it plus the positive generations ABOVE
+    * its horizon and drop everything else. This is what makes a crashed
+    * compaction retire loop invisible: any leftover generation (older
+    * negative, or positive ≤ horizon) is already-folded content the
+    * filter discards, so newest-wins can never resurrect a stale row
+    * however the crash interleaved the deletes.
     */
   private def live(spark: SparkSession, dir: String): DataFrame = {
     val ids = genIds(spark, dir)
@@ -88,151 +108,258 @@ object LabelStore {
     else raw.filter(col("gen") === gmin || col("gen") > -gmin - 2)
   }
 
-  /** Newest-generation-wins fold of a (keyCol, comp) generation table,
-    * optionally bounded to generations strictly below `before` (the
-    * replayed-batch pre-state read; `gen` is a partition column, so the
-    * bound prunes directories at planning).
+  /** Newest-generation-wins fold of a (keyCol, comp) generation table
+    * with TOMBSTONES dropped after the fold (a deleted key is absent,
+    * not −1-labeled, in every read), optionally bounded to generations
+    * strictly below `before` (the replayed-batch pre-state read; `gen`
+    * is a partition column, so the bound prunes directories at
+    * planning).
     */
   private def latest(spark: SparkSession, dir: String, keyCol: String,
       before: Option[Long]): DataFrame = {
     val raw = live(spark, dir)
     val bounded = before.fold(raw)(b => raw.filter(col("gen") < b))
     bounded.groupBy(keyCol).agg(expr("max_by(comp, gen)").as("comp"))
+      .filter(col("comp") =!= Tomb)
   }
 
-  /** Current labels (doc_id, comp) — every doc ever ingested. */
+  /** The stored bucketing (doc_id, key), optionally bounded below
+    * `before`. Append-only — no fold needed; a re-ingested doc's keys
+    * may appear in two generations, which the kernels tolerate
+    * (duplicate edges are free in a min-CC solve) and compaction
+    * collapses.
+    */
+  private def liveDockeys(spark: SparkSession, path: String,
+      before: Option[Long]): DataFrame = {
+    val raw = live(spark, s"$path/dockeys")
+    before.fold(raw)(b => raw.filter(col("gen") < b))
+      .select(col("doc_id"), col("key"))
+  }
+
+  /** Current labels (doc_id, comp) — every LIVE doc (tombstoned docs are
+    * absent until a later re-ingest resurrects them).
+    */
   def readLabels(spark: SparkSession, path: String): DataFrame =
     latest(spark, s"$path/labels", "doc_id", None)
 
-  /** Current key index (key, comp). */
+  /** Current key index (key, comp) — live keys only. */
   def readKeyIdx(spark: SparkSession, path: String): DataFrame =
     latest(spark, s"$path/keyidx", "key", None)
 
-  /** Continuous maintenance: each micro-batch of (doc_id, text) rows
-    * merges into the standing labels via q184's kernel and appends its
-    * generation. See the object scaladoc for the exactly-once argument.
-    * `compactEvery > 0` folds the generations every N committed batches
-    * (the manifest writer's cadence device) so a long-running stream's
-    * generation count — and with it the reader's fold width — stays
-    * bounded; a replay straddling a compaction is safe because the
-    * horizon rule ([[live]]) hides the retire window, and a replayed
-    * batch merging against the post-fold state re-derives its own
-    * generation unchanged (min-label CC merges are idempotent: the
-    * already-merged labels make every remap an identity).
+  /** Continuous ADD-ONLY maintenance — the r17 surface, now a thin
+    * wrapper over the CDC form: each micro-batch of (doc_id, text) rows
+    * merges via q184's kernel. See [[maintainCdcStream]].
     */
   def maintainStream(docs: DataFrame, path: String, checkpoint: String,
       compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    maintainCdcStream(docs.withColumn("op", lit("add")), path,
+      checkpoint, compactEvery)
+
+  /** Continuous CDC maintenance: each micro-batch carries
+    * (doc_id, text, op) rows with op ∈ {add, del} (text is ignored for
+    * deletes). Within a batch, adds apply first (q184's delta-solve)
+    * and deletes second against the composed post-add state (q188's
+    * component-bounded decrement) — the CDC contract a takedown feed
+    * needs: a doc added and deleted in one batch ends deleted. Each
+    * batch writes ONE generation per table: label deltas + remapped
+    * base rows + re-solved survivors + tombstones; key-index deltas +
+    * dead-key tombstones; the batch's bucketing rows. Exactly-once is
+    * the object-scaladoc argument: pre-state reads at gen < id make a
+    * replayed batch rewrite identical content (min-label merges are
+    * idempotent against post-merge state; the decrement is a
+    * deterministic function of pre-state + batch).
+    *
+    * Scale posture per batch: the corpus-sized tables are read as
+    * folds, never cached — the add phase scans labels once (remap) and
+    * the key index once (probe); the delete phase scans labels twice
+    * (touched comps, survivors — both against broadcast delete-bounded
+    * sets), the bucketing once (survivor semi-join; AQE broadcasts the
+    * survivor side while it is small), and the key index once (dead-key
+    * probe). Everything else is increment/component-bounded.
+    */
+  def maintainCdcStream(events: DataFrame, path: String,
+      checkpoint: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
-          val sp = batch.sparkSession
-          val inc = graft.ops.CacheScope.persisted(
-            batch.select(col("doc_id"), col("text")))
-          // pre-state at gen < id: a replayed batch re-reads the same
-          // state however far the stream had advanced before the crash
-          val keyIdx = graft.ops.CacheScope.persisted(
-            latest(sp, s"$path/keyidx", "key", Some(id)))
-          val keyedN = graft.ops.CacheScope.persisted(
-            graft.queries.PackRefresh.keysOf(inc))
-          val (dLbl0, remap0) =
-            graft.queries.PackRefresh.ccDelta(keyIdx, keyedN)
-          val dLbl = graft.ops.CacheScope.persisted(dLbl0)
-          val remap = graft.ops.CacheScope.persisted(remap0)
-          // label deltas: the batch's docs + the base docs its merge
-          // relabeled (comp ∈ remap.oldc — delta-cardinality via the
-          // broadcast remap; the label table never rewrites)
-          val newRows = inc.select(col("doc_id"))
-            .join(dLbl.withColumnRenamed("id", "doc_id"),
-              Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("comp"), col("doc_id")).as("comp"))
-          val changedBase = latest(sp, s"$path/labels", "doc_id", Some(id))
-            .join(broadcast(remap), col("comp") === col("oldc"))
-            .select(col("doc_id"), col("newc").as("comp"))
-          newRows.unionByName(changedBase)
-            .write.mode("overwrite").parquet(s"$path/labels/gen=$id")
-          // key-index deltas: the batch's keys at their merged labels,
-          // plus EVERY key of a remapped component (a touched cluster
-          // relabels all its keys, probed or not). A key in both sets
-          // lands at the same label — its delta-graph component and its
-          // old comp's remap target are the same node — so the min-fold
-          // is a dedup, not a choice.
-          val newKeys = keyedN
-            .join(dLbl, "id")
-            .groupBy("key").agg(min("comp").as("comp"))
-          val movedKeys = keyIdx
-            .join(broadcast(remap), col("comp") === col("oldc"))
-            .select(col("key"), col("newc").as("comp"))
-          newKeys.unionByName(movedKeys)
-            .groupBy("key").agg(min("comp").as("comp"))
-            .write.mode("overwrite").parquet(s"$path/keyidx/gen=$id")
+          applyCdcBatch(batch, id, path)
           graft.ops.CacheScope.drain()
           if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
-            compact(sp, path)
+            compact(batch.sparkSession, path)
         }
         ()
       }
       .start()
 
-  /** Fold all generations into a fresh bootstrap pair — the
+  /** One CDC batch against the on-disk state — the foreachBatch body,
+    * factored for the restart/crash tests.
+    */
+  private def applyCdcBatch(batch: DataFrame, id: Long,
+      path: String): Unit = {
+    import graft.queries.PackRefresh.{keysOf, ccDelta, ccDecrement}
+    val sp = batch.sparkSession
+    val adds = graft.ops.CacheScope.persisted(
+      batch.filter(col("op") === "add").select(col("doc_id"), col("text")))
+    val dels = graft.ops.CacheScope.persisted(
+      batch.filter(col("op") === "del").select(col("doc_id")).distinct())
+    val hasAdds = !adds.isEmpty
+    val hasDels = !dels.isEmpty
+    // pre-state at gen < id: a replayed batch re-reads the same state
+    // however far the stream had advanced before the crash
+    def labels0 = latest(sp, s"$path/labels", "doc_id", Some(id))
+    val keyIdx0 = graft.ops.CacheScope.persisted(
+      latest(sp, s"$path/keyidx", "key", Some(id)))
+
+    // ---- add phase: q184's kernel (delta labels + broadcast remap) ----
+    val keyedN = graft.ops.CacheScope.persisted(keysOf(adds))
+    val (addRows, movedBase, addKeys, remapOpt) =
+      if (hasAdds) {
+        val (dLbl0, remap0) = ccDelta(keyIdx0, keyedN)
+        val dLbl = graft.ops.CacheScope.persisted(dLbl0)
+        val remap = graft.ops.CacheScope.persisted(remap0)
+        val aRows = adds.select(col("doc_id"))
+          .join(dLbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("comp"))
+        val mBase = labels0
+          .join(broadcast(remap), col("comp") === col("oldc"))
+          .select(col("doc_id"), col("newc").as("comp"))
+        // a key in both sets lands at the same label — its delta-graph
+        // component and its old comp's remap target are the same node —
+        // so the min-fold is a dedup, not a choice
+        val aKeys = keyedN.join(dLbl, "id")
+          .groupBy("key").agg(min("comp").as("comp"))
+          .unionByName(keyIdx0
+            .join(broadcast(remap), col("comp") === col("oldc"))
+            .select(col("key"), col("newc").as("comp")))
+          .groupBy("key").agg(min("comp").as("comp"))
+        (aRows, mBase, aKeys, Some(remap))
+      } else
+        (labels0.limit(0), labels0.limit(0), keyIdx0.limit(0), None)
+
+    // ---- delete phase: q188's kernel over the composed post-add state
+    // (frames, not writes — the generation lands once, below) ----
+    val (lblRows, keyRows) =
+      if (hasDels) {
+        def labels1 = remapOpt match {
+          case Some(remap) => labels0
+            .join(broadcast(remap), col("comp") === col("oldc"), "left")
+            .select(col("doc_id"),
+              coalesce(col("newc"), col("comp")).as("comp"))
+            .unionByName(addRows)
+          case None => labels0
+        }
+        val keyIdx1 = remapOpt match {
+          case Some(remap) => keyIdx0
+            .join(broadcast(remap), col("comp") === col("oldc"), "left")
+            .select(col("key"), coalesce(col("newc"), col("comp")).as("comp"))
+            .unionByName(addKeys)
+            .groupBy("key").agg(min("comp").as("comp"))
+          case None => keyIdx0
+        }
+        val dockeys1 = liveDockeys(sp, path, Some(id))
+          .unionByName(keyedN.select(col("id").as("doc_id"), col("key")))
+          .select(col("doc_id").as("id"), col("key"))
+        val (resolved0, touched0, newKeys) =
+          ccDecrement(labels1, dockeys1, dels)
+        val resolved = graft.ops.CacheScope.persisted(resolved0)
+        val touched = graft.ops.CacheScope.persisted(touched0)
+        // dead keys: held only by deleted docs — their index rows
+        // tombstone so future merges treat them as fresh
+        val deadKeys = keyIdx1
+          .join(broadcast(touched), Seq("comp"), "left_semi")
+          .select("key")
+          .join(newKeys.select("key"), Seq("key"), "left_anti")
+        val lbl = addRows.unionByName(movedBase)
+          .join(broadcast(dels), Seq("doc_id"), "left_anti")
+          .join(resolved.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(resolved)
+          .unionByName(dels.select(col("doc_id"), lit(Tomb).as("comp")))
+        val keys = addKeys
+          .join(newKeys.select("key"), Seq("key"), "left_anti")
+          .join(deadKeys, Seq("key"), "left_anti")
+          .unionByName(newKeys)
+          .unionByName(deadKeys.select(col("key"), lit(Tomb).as("comp")))
+        (lbl, keys)
+      } else (addRows.unionByName(movedBase), addKeys)
+
+    lblRows.write.mode("overwrite").parquet(s"$path/labels/gen=$id")
+    keyRows.write.mode("overwrite").parquet(s"$path/keyidx/gen=$id")
+    if (hasAdds)
+      keyedN.select(col("id").as("doc_id"), col("key"))
+        .write.mode("overwrite").parquet(s"$path/dockeys/gen=$id")
+  }
+
+  /** Fold all generations into a fresh bootstrap triple — the
     * compactManifest move applied to labels: readers see identical
-    * state before and after; the generation count resets. Crash-safe
-    * via the horizon encoding (see [[live]]): the folded state lands in
-    * hidden staging, publishes by ONE rename to gen = −(maxLive + 2)
-    * where maxLive is the largest LIVE positive generation (strictly
-    * above the current horizon, so the new id is strictly more negative
-    * than any prior fold — collision-free even when a foreachBatch
-    * REPLAY re-appends an already-folded batch and re-triggers the
-    * cadence, the r17 crash ADVICE found: allocating from ALL positives
-    * could recompute an id that already exists, whose failed rename then
-    * fed the retire loop the only live fold). The rename result is
-    * checked — a failed publish aborts BEFORE anything retires — and
+    * state before and after (tombstoned docs/keys are simply ABSENT
+    * from the fold, and the dockeys fold keeps live docs' rows only);
+    * the generation count resets. Crash-safe via the horizon encoding
+    * (see [[live]]): the folded state lands in hidden staging,
+    * publishes by ONE rename to gen = −(maxLive + 2) where maxLive is
+    * the largest LIVE positive generation (strictly above the current
+    * horizon, so the new id is strictly more negative than any prior
+    * fold — collision-free even when a foreachBatch REPLAY re-appends
+    * an already-folded batch and re-triggers the cadence, the r17
+    * crash ADVICE: allocating from ALL positives could recompute an id
+    * that already exists, whose failed rename then fed the retire loop
+    * the only live fold). The publish guard
+    * ([[PartitionedStore.publish]]) aborts BEFORE anything retires, and
     * then the superseded generations retire individually; a crash
     * anywhere in the retire loop leaves only generations the horizon
     * filter already ignores. When nothing live sits above the horizon
     * (the replay-after-fold case) there is nothing to fold: the call
     * only garbage-collects those invisible leftovers.
     *
-    * The fold is corpus-cardinality (one row per doc ever ingested), so
-    * it range-partitions into `foldFiles` files on the key — never a
-    * single task (VERDICT r17 "what's wrong" #2); readers list the
-    * generation DIRECTORY, so multi-file generations need no reader
-    * change.
+    * The folds are corpus-cardinality, so they range-partition into
+    * `foldFiles` files on the key — never a single task (VERDICT r17
+    * "what's wrong" #2); readers list the generation DIRECTORY, so
+    * multi-file generations need no reader change.
     */
   def compact(spark: SparkSession, path: String,
       foldFiles: Int = 8): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(("labels", "doc_id"), ("keyidx", "key")).foreach {
-      case (sub, keyCol) =>
-        val dir = s"$path/$sub"
-        val ids = genIds(spark, dir)
-        if (ids.nonEmpty) {
-          val gmin = ids.min
-          val horizon = if (gmin < 0) -gmin - 2 else -1L
-          val livePos = ids.filter(g => g > horizon && g >= 0)
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(conf)
-          if (livePos.isEmpty) {
-            // nothing new since the last fold — GC the horizon-hidden
-            // leftovers a crashed retire loop (or a replayed batch)
-            // left behind; readers never see them either way
-            ids.filter(_ != gmin).foreach(g => fs.delete(
-              new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
-          } else {
-            // livePos.max > horizon = −gmin−2 ⟹ gen < gmin: strictly
-            // below every existing id, so the rename target cannot exist
-            val gen = -(livePos.max + 2)
-            latest(spark, dir, keyCol, None)
-              .repartitionByRange(foldFiles, col(keyCol))
-              .write.mode("overwrite").parquet(s"$dir/.compacting")
-            PartitionedStore.publish(fs, s"$dir/.compacting",
-              s"$dir/gen=$gen", "LabelStore.compact")
-            ids.foreach(g => fs.delete(
-              new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
+    Seq("labels", "keyidx", "dockeys").foreach { sub =>
+      val dir = s"$path/$sub"
+      val ids = genIds(spark, dir)
+      if (ids.nonEmpty) {
+        val gmin = ids.min
+        val horizon = if (gmin < 0) -gmin - 2 else -1L
+        val livePos = ids.filter(g => g > horizon && g >= 0)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (livePos.isEmpty) {
+          // nothing new since the last fold — GC the horizon-hidden
+          // leftovers a crashed retire loop (or a replayed batch)
+          // left behind; readers never see them either way
+          ids.filter(_ != gmin).foreach(g => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
+        } else {
+          // livePos.max > horizon = −gmin−2 ⟹ gen < gmin: strictly
+          // below every existing id, so the rename target cannot exist
+          val gen = -(livePos.max + 2)
+          val (fold, keyCol) = sub match {
+            case "labels" =>
+              (latest(spark, dir, "doc_id", None), "doc_id")
+            case "keyidx" =>
+              (latest(spark, dir, "key", None), "key")
+            case _ => // dockeys: live docs' rows, one copy each
+              (liveDockeys(spark, path, None).distinct()
+                .join(latest(spark, s"$path/labels", "doc_id", None)
+                  .select("doc_id"), Seq("doc_id"), "left_semi"),
+                "doc_id")
           }
+          fold.repartitionByRange(foldFiles, col(keyCol))
+            .write.mode("overwrite").parquet(s"$dir/.compacting")
+          PartitionedStore.publish(fs, s"$dir/.compacting",
+            s"$dir/gen=$gen", s"LabelStore.compact($sub)")
+          ids.foreach(g => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
         }
+      }
     }
   }
 }

@@ -290,6 +290,147 @@ class PackRefreshSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  /** q188's planted topology, driver-side: the grown corpus (all docs +
+    * bridges) and the takedown set (even-group bridges + doc_id%25=3).
+    */
+  private def q188World: (Seq[(Long, String)], Set[Long]) = {
+    val xs = docs.filter(_._1 % 100 == 11).map(d => (d._1 / 100, d)).toMap
+    val ys = docs.filter(_._1 % 100 == 12).map(d => (d._1 / 100, d)).toMap
+    val bridges = xs.keySet.intersect(ys.keySet).toSeq.sorted.map { g =>
+      (xs(g)._1 + 800000L, xs(g)._2 + " " + ys(g)._2)
+    }
+    val corpus0 = docs ++ bridges
+    val dels = corpus0.map(_._1).filter(id =>
+      (id >= 800000L && (id - 800000L) / 100 % 2 == 0) ||
+        (id < 800000L && id % 25 == 3)).toSet
+    (corpus0, dels)
+  }
+
+  test("q188: decremented labels equal a from-scratch union-find rebuild " +
+    "on the SHRUNK corpus; removing a bridge really splits its cluster " +
+    "and deleting a cluster minimum really relabels the survivors") {
+    val (corpus0, dels) = q188World
+    val kept = corpus0.filterNot(d => dels.contains(d._1))
+    val oldCc = ccOf(corpus0)
+    val newCc = ccOf(kept)
+    try {
+      val got = run("q188_cc_decrement")
+        .as[(Long, Long, Long)].collect()
+      assert(got.length === kept.size)
+      got.foreach { case (id, comp, oc) =>
+        assert(comp === newCc(id), s"doc $id post-delete label")
+        assert(oc === oldCc(id), s"doc $id pre-delete label")
+      }
+      // the planted split is observable: some deleted bridge's two sides
+      // were fused before and are apart after
+      val comp = got.map(r => r._1 -> r._2).toMap
+      val split = dels.exists { pid =>
+        pid >= 800000L && {
+          val (x, y) = (pid - 800000L, pid - 800000L + 1)
+          comp.contains(x) && comp.contains(y) &&
+            oldCc(x) == oldCc(y) && comp(x) != comp(y)
+        }
+      }
+      assert(split, "no deleted bridge split its cluster — plant inert")
+      // and some surviving doc was relabeled because its cluster's
+      // minimum id was deleted (the new label is the min SURVIVOR)
+      val relabeled = got.filter(r => r._2 != r._3)
+      assert(relabeled.nonEmpty, "no survivor relabeled — decrement inert")
+      assert(relabeled.exists(r => dels.contains(r._3)),
+        "no cluster lost its minimum — the relabel case was not exercised")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q188: the decrement plan touches no parquet — the corpus is " +
+    "never re-read outside the cached state build") {
+    try {
+      val df = run("q188_cc_decrement")
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.isEmpty,
+        s"decrement plan must read only cached state + checkpointed " +
+          s"solve output, found: ${scans.map(_.relation.location).mkString(", ")}")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("LabelStore.maintainCdcStream: add and delete batches reproduce " +
+    "the from-scratch rebuild across a restart; tombstones hide deleted " +
+    "docs, a re-ingest resurrects, and compaction drops the dead rows") {
+    import java.nio.file.Files
+    import graft.store.LabelStore
+    val in = Files.createTempDirectory("cdc-in").toString
+    val store = Files.createTempDirectory("cdc-store").toString
+    val ckpt = Files.createTempDirectory("cdc-ckpt").toString
+    val (corpus0, delSet) = q188World
+    val base = docs.filter(_._1 % 10 != 7)
+    val b1add = corpus0.filter(d => d._1 % 10 == 7 || d._1 >= 800000L)
+    // batch 2: the takedown — even-group bridges (splits) + %25=3 docs
+    val b2del = delSet.toSeq.sorted
+    // batch 3 (after restart + post-cadence): re-ingest one deleted doc
+    // and delete one more — a mixed CDC batch
+    val resurrect = b2del.filter(_ < 800000L)
+      .flatMap(id => corpus0.find(_._1 == id)).take(2)
+    val lateDel = corpus0.map(_._1)
+      .filter(id => id < 800000L && !delSet.contains(id) && id % 40 == 1)
+      .take(3)
+    try {
+      LabelStore.init(base.toDF("doc_id", "text"), store)
+      graft.ops.CacheScope.drain()
+      def addFile(name: String, rows: Seq[(Long, String, String)]): Unit =
+        rows.toDF("doc_id", "text", "op")
+          .coalesce(1).write.parquet(s"$in/$name")
+      def start() = LabelStore.maintainCdcStream(
+        spark.readStream.schema("doc_id LONG, text STRING, op STRING")
+          .option("recursiveFileLookup", "true").parquet(in),
+        store, ckpt, compactEvery = 2)
+      addFile("b1", b1add.map(d => (d._1, d._2, "add")))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // restart from the same checkpoint; the takedown arrives next
+      addFile("b2", b2del.map(id => (id, "", "del")))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val kept1 = corpus0.filterNot(d => delSet.contains(d._1))
+      val want1 = ccOf(kept1)
+      val got1 = LabelStore.readLabels(spark, store)
+        .as[(Long, Long)].collect().toMap
+      assert(got1 === want1, "post-takedown labels != from-scratch rebuild")
+      // the split really happened through the store path too
+      val oldCc = ccOf(corpus0)
+      assert(delSet.exists { pid =>
+        pid >= 800000L && {
+          val (x, y) = (pid - 800000L, pid - 800000L + 1)
+          got1.contains(x) && got1.contains(y) &&
+            oldCc(x) == oldCc(y) && got1(x) != got1(y)
+        }
+      }, "no split observable through the store")
+      // batch 3: mixed adds (resurrections) + dels; fires the
+      // compactEvery=2 cadence, so every read below goes through the
+      // folded state alone — tombstones must NOT resurface
+      addFile("b3", resurrect.map(d => (d._1, d._2, "add")) ++
+        lateDel.map(id => (id, "", "del")))
+      val q3 = start(); q3.processAllAvailable(); q3.stop()
+      val kept2 = kept1.filterNot(d => lateDel.contains(d._1)) ++ resurrect
+      val want2 = ccOf(kept2)
+      val gens = new java.io.File(s"$store/labels").list()
+        .filter(_.startsWith("gen=")).toSeq
+      assert(gens === Seq("gen=-4"), s"cadence must fold: $gens")
+      val got2 = LabelStore.readLabels(spark, store)
+        .as[(Long, Long)].collect().toMap
+      assert(got2 === want2,
+        "post-resurrection/compaction labels != from-scratch rebuild")
+      // key index agrees with the labels on every live doc's keys
+      val idx = LabelStore.readKeyIdx(spark, store)
+        .as[(String, Long)].collect().toMap
+      kept2.foreach { case (id, t) =>
+        ccKeys(t).foreach { k =>
+          assert(idx(k) === want2(id), s"key $k of doc $id")
+        }
+      }
+      // no tombstone ever reaches a reader
+      assert(!got2.values.exists(_ < 0) && !idx.values.exists(_ < 0))
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q184: the merge plan touches no parquet — the base corpus is " +
     "never rescanned outside the cached state build") {
     try {
