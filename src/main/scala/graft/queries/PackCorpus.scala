@@ -644,6 +644,81 @@ object PackCorpus {
       "offsets — the unlearning lookup, linear fan-out from the " +
       "offsets frame, no extra corpus pass")
 
+  /** q189 — TAKEDOWN IMPACT report (r18, the consumer side of q188):
+    * once a takedown batch is known, the training-data question is not
+    * just "which labels move" (q188) but "which ALREADY-PACKED training
+    * windows are poisoned and how badly" — the artifact an unlearning
+    * run reads to decide which shards to drop, repack, or surgically
+    * mask. This is q115's inverse chunk map folded per chunk against
+    * the deletion set: for every AFFECTED 1024-token window, how many
+    * contributing docs are deleted, how many of its tokens they own,
+    * and whether the window is fully poisoned (drop it outright) or
+    * partial (repack/mask). The planted takedown includes a CONTIGUOUS
+    * doc run (doc_id div 64 = 1) precisely because chunks are
+    * contiguous in doc order — a long-enough run fully owns interior
+    * windows, making the fully_poisoned verdict observable at every sf
+    * (2 such chunks at each of the three SFs, measured) — plus the
+    * scattered doc_id%25=3 singles that poison partially.
+    *
+    * Plan shape: q96's two-level offset frame (one corpus tokenize),
+    * q115's linear chunk fan-out (≈ tokens/1024 + n_docs rows), the
+    * deletion flag as a pure integer predicate on the fanned rows, ONE
+    * map-side-combined groupBy(chunk_id), affected-only filter on the
+    * aggregate. Nothing beyond q115's proven shapes; the oracle runs
+    * the identical expansion off the naive global-window offsets.
+    */
+  private val q189 = Q(
+    "q189_takedown_impact",
+    (s, d) => {
+      val C = 1024L
+      concatOffsets(s, d)
+        .select(col("doc_id"), col("n"), col("start"),
+          explode(expr(s"sequence(start div $C, (start + n - 1) div $C)"))
+            .as("chunk_id"))
+        .select(col("chunk_id"), col("doc_id"),
+          (least(col("start") + col("n") - 1, col("chunk_id") * C + C - 1)
+            - greatest(col("start"), col("chunk_id") * C) + 1).as("n_tok"),
+          (col("doc_id") % 25 === 3 ||
+            expr("doc_id div 64") === 1).as("del"))
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tok"),
+          sum(when(col("del"), 1L).otherwise(0L)).as("n_del_docs"),
+          sum(when(col("del"), col("n_tok")).otherwise(0L)).as("n_del_tok"))
+        .filter(col("n_del_docs") > 0)
+        .select(col("chunk_id"), col("n_docs"), col("n_tok"),
+          col("n_del_docs"), col("n_del_tok"),
+          (col("n_del_tok") === col("n_tok")).as("fully_poisoned"))
+        .orderBy("chunk_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) AS BIGINT) AS n
+                 FROM documents),
+      p AS (SELECT doc_id, n,
+              CAST(COALESCE(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+            FROM t WHERE n > 0),
+      e AS (SELECT doc_id, n, start,
+              unnest(range(start // 1024, (start + n - 1) // 1024 + 1)) AS chunk_id
+            FROM p),
+      a AS (SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+              least(start + n - 1, chunk_id * 1024 + 1023)
+                - greatest(start, chunk_id * 1024) + 1 AS n_tok,
+              (doc_id % 25 = 3 OR doc_id // 64 = 1) AS del
+            FROM e)
+      SELECT chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+             CAST(count(*) FILTER (del) AS BIGINT) AS n_del_docs,
+             CAST(COALESCE(sum(n_tok) FILTER (del), 0) AS BIGINT) AS n_del_tok,
+             COALESCE(sum(n_tok) FILTER (del), 0) = sum(n_tok) AS fully_poisoned
+      FROM a GROUP BY chunk_id
+      HAVING count(*) FILTER (del) > 0
+      ORDER BY chunk_id
+    """),
+    doc = "takedown impact: per affected 1024-token training window, " +
+      "deleted-doc count, poisoned-token count, and the fully-poisoned " +
+      "verdict — q115's inverse chunk map folded against the deletion " +
+      "set; contiguous planted run makes full poisoning observable")
+
   /** q114 — INTERLEAVED multimodal record assembly (the MM1/Flamingo
     * input layout): each document becomes an ordered list of segments —
     * text spans cut at image anchor positions, interleaved with image
@@ -788,5 +863,5 @@ object PackCorpus {
       "distributed prefix sum")
 
   val all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q58, q96,
-    q114, q115)
+    q114, q115, q189)
 }

@@ -362,6 +362,35 @@ class PackCorpusSpec extends SparkSpec {
     }
   }
 
+  test("q189 takedown impact: agrees with a recount over q115's map, " +
+    "both poisoning regimes are observable, and every affected window " +
+    "really holds a deleted doc") {
+    def deleted(id: Long) = id % 25 == 3 || id / 64 == 1
+    val att = run("q115_chunk_attribution")
+      .select("chunk_id", "doc_id", "n_tok")
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    // independent recount: fold q115's (gated) inverse map per chunk
+    val expect = att.groupBy(_._1).toSeq.flatMap { case (c, rs) =>
+      val del = rs.filter(r => deleted(r._2))
+      if (del.isEmpty) None
+      else Some((c, rs.size.toLong, rs.map(_._3).sum,
+        del.size.toLong, del.map(_._3).sum,
+        del.map(_._3).sum == rs.map(_._3).sum))
+    }.sortBy(_._1)
+    val got = run("q189_takedown_impact")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    graft.ops.CacheScope.drain()
+    assert(got === expect)
+    // the planted contiguous run fully owns interior windows; the
+    // scattered %25 singles poison partially — both verdicts fire
+    assert(got.exists(_._6), "no fully-poisoned window — run plant inert")
+    assert(got.exists(!_._6), "no partial window — scatter plant inert")
+    got.foreach { r =>
+      assert(r._4 > 0 && r._5 > 0 && r._5 <= r._3, s"chunk ${r._1} counts")
+    }
+  }
+
   // ---- interleave ---------------------------------------------------------
 
   test("q55 interleave is a permutation, balanced across sources") {
