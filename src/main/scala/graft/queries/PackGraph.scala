@@ -620,5 +620,116 @@ object PackGraph {
       "maintenance job's stop rule reads; oracle unrolls the same " +
       "integers")
 
-  val all: Seq[Q] = Seq(q61, q62, q160, q186, q187)
+  /** q190 — DECREMENTAL PageRank maintenance (r18; SURVEY §7.7 item 2
+    * pulled forward — q188's takedown posture applied to the rank job):
+    * an edge-REMOVAL batch arrives (a takedown drops documents' links)
+    * and the standing ranks update by warm-start power iteration over
+    * the SHRUNK edge set. Removal is the direction with new teeth, the
+    * mirror image of q186's: (a) docs losing ALL their out-links
+    * (src%11=5) become NEW SINKS — the loop-invariant sink flags must
+    * re-derive from the shrunk frame or their held mass silently
+    * drains instead of redistributing (the integer oracle catches one
+    * rank unit of drift); (b) docs losing ONE of several links
+    * (src%13=2 loses its j=1 edge) change OUT-DEGREE — every surviving
+    * contribution re-weights (rank div od), so stale cached degrees
+    * are equally fatal. [[GraphOps.pageRank]] needs no new code for
+    * either: the invariants are derived from whatever edge frame is
+    * passed, which is precisely the design the warm-start hook pinned
+    * in r17 — this query gates that the derivation really happens per
+    * call rather than riding a stale cache.
+    *
+    * Output: per doc, the stored base rank, the post-removal warm
+    * rank, and the became_sink audit flag. The oracle unrolls both
+    * phases as exact integer CTEs (q186's doubled-unroll device, with
+    * the second phase's out-degrees recomputed over the kept edges).
+    */
+  private val q190 = Q(
+    "q190_pagerank_decrement",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val ids = docs.select(col("doc_id").as("id"))
+      // q61's base graph with the edge index j kept visible — the
+      // removal predicate needs it (partial-removal class drops j=1)
+      val baseEJ = docs.filter(col("doc_id") % 7 =!= 0)
+        .crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("n_docs"),
+          explode(expr("sequence(1, 1 + cast(doc_id % 3 as int))")).as("j"))
+        .select(col("src"), col("j"),
+          expr("((src % 2147483648) * 22695477 + j * 7919) % n_docs")
+            .as("dst"))
+      val ranksBase = graft.ops.CacheScope.persisted(
+        GraphOps.pageRank(baseEJ.select("src", "dst"), ids, iters = 2))
+      // the takedown: full-removal srcs become sinks; partial-removal
+      // srcs lose one edge and re-weight
+      val shrunk = baseEJ
+        .filter(!(col("src") % 11 === 5) &&
+          !(col("src") % 13 === 2 && col("j") === 1))
+        .select("src", "dst")
+      val warm = GraphOps.pageRank(shrunk, ids, iters = 2,
+        ranks0 = Some(ranksBase))
+      ranksBase.select(col("id").as("doc_id"),
+          col("rank").as("rank_base"))
+        .join(warm.select(col("id").as("doc_id"), col("rank")), "doc_id")
+        .withColumn("became_sink",
+          col("doc_id") % 7 =!= 0 && col("doc_id") % 11 === 5)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      deg AS (SELECT doc_id, 1 + doc_id % 3 AS od FROM documents WHERE doc_id % 7 <> 0),
+      e AS (
+        SELECT d.doc_id AS src, j.j AS j, d.od,
+               ((d.doc_id % 2147483648) * 22695477 + j.j * 7919) % n.n_docs AS dst
+        FROM deg d CROSS JOIN n CROSS JOIN (SELECT unnest([1,2,3]) AS j) j
+        WHERE j.j <= d.od),
+      r0 AS (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
+             FROM documents CROSS JOIN n),
+      d1 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+             FROM r0 WHERE id % 7 = 0),
+      c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank // e.od) AS BIGINT) AS c
+             FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst),
+      r1 AS (SELECT r0.id,
+               CAST((1000000000000 // n.n_docs) * 15 // 100
+                    + (coalesce(c1.c, 0) + d1.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r0 CROSS JOIN n CROSS JOIN d1 LEFT JOIN c1 ON r0.id = c1.id),
+      d2 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+             FROM r1 WHERE id % 7 = 0),
+      c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank // e.od) AS BIGINT) AS c
+             FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+      r2 AS (SELECT r1.id,
+               CAST((1000000000000 // n.n_docs) * 15 // 100
+                    + (coalesce(c2.c, 0) + d2.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r1 CROSS JOIN n CROSS JOIN d2 LEFT JOIN c2 ON r1.id = c2.id),
+      ek AS (SELECT src, dst FROM e
+             WHERE NOT (src % 11 = 5) AND NOT (src % 13 = 2 AND j = 1)),
+      e2 AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS od FROM ek),
+      d3 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+             FROM r2 WHERE id NOT IN (SELECT src FROM e2)),
+      c3 AS (SELECT e2.dst AS id, CAST(sum(r2.rank // e2.od) AS BIGINT) AS c
+             FROM e2 JOIN r2 ON e2.src = r2.id GROUP BY e2.dst),
+      r3 AS (SELECT r2.id,
+               CAST((1000000000000 // n.n_docs) * 15 // 100
+                    + (coalesce(c3.c, 0) + d3.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r2 CROSS JOIN n CROSS JOIN d3 LEFT JOIN c3 ON r2.id = c3.id),
+      d4 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+             FROM r3 WHERE id NOT IN (SELECT src FROM e2)),
+      c4 AS (SELECT e2.dst AS id, CAST(sum(r3.rank // e2.od) AS BIGINT) AS c
+             FROM e2 JOIN r3 ON e2.src = r3.id GROUP BY e2.dst),
+      r4 AS (SELECT r3.id,
+               CAST((1000000000000 // n.n_docs) * 15 // 100
+                    + (coalesce(c4.c, 0) + d4.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r3 CROSS JOIN n CROSS JOIN d4 LEFT JOIN c4 ON r3.id = c4.id)
+      SELECT r2.id AS doc_id, r2.rank AS rank_base, r4.rank AS rank,
+             (r2.id % 7 <> 0 AND r2.id % 11 = 5) AS became_sink
+      FROM r2 JOIN r4 ON r2.id = r4.id
+      ORDER BY doc_id
+    """),
+    doc = "decremental PageRank: warm-start power iteration over the " +
+      "SHRUNK edge set after a takedown — full-removal sources become " +
+      "new sinks (flags re-derive or mass drains), partial removals " +
+      "re-weight surviving contributions; oracle unrolls both phases " +
+      "with the second phase's out-degrees recomputed over kept edges")
+
+  val all: Seq[Q] = Seq(q61, q62, q160, q186, q187, q190)
 }

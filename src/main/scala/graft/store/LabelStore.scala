@@ -146,6 +146,23 @@ object LabelStore {
   def readKeyIdx(spark: SparkSession, path: String): DataFrame =
     latest(spark, s"$path/keyidx", "key", None)
 
+  /** POINT lookup: the labels of `ids` only — the serving read path
+    * (billions of standing rows, a handful probed). The doc_id
+    * predicate sits BELOW the fold, so it reaches the parquet scan as
+    * a pushed filter over every generation file (plan-pinned via scan
+    * metadata in the spec); compacted generations are range-partitioned
+    * on doc_id ([[compact]]), so row-group statistics prune everything
+    * but the matching slice of each fold file, and the merge-on-read
+    * fold then runs over id-cardinality survivors — never the corpus.
+    * Tombstone semantics match [[readLabels]]: a deleted id is absent.
+    */
+  def lookupLabels(spark: SparkSession, path: String,
+      ids: Seq[Long]): DataFrame =
+    live(spark, s"$path/labels")
+      .filter(col("doc_id").isin(ids: _*))
+      .groupBy("doc_id").agg(expr("max_by(comp, gen)").as("comp"))
+      .filter(col("comp") =!= Tomb)
+
   /** Continuous ADD-ONLY maintenance — the r17 surface, now a thin
     * wrapper over the CDC form: each micro-batch of (doc_id, text) rows
     * merges via q184's kernel. See [[maintainCdcStream]].

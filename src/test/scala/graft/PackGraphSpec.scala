@@ -230,6 +230,49 @@ class PackGraphSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q190: removal warm-start lands closer to the shrunk-graph " +
+    "fixpoint than a cold restart; new sinks really hold and " +
+    "redistribute mass; mass conserved") {
+    try {
+      val got = run("q190_pagerank_decrement")
+        .as[(Long, Long, Long, Boolean)].collect()
+      val scale = 1000000000000L
+      val mass = got.map(_._3).sum
+      assert(mass <= scale && mass > scale / 100 * 99,
+        s"mass off after the removal: $mass")
+      // both removal classes are planted and observable
+      val sinks = got.filter(_._4)
+      assert(sinks.nonEmpty, "no full-removal source — plant inert")
+      assert(sinks.forall(r => r._1 % 7 != 0 && r._1 % 11 == 5))
+      // rebuild the shrunk graph exactly as the query does and compare
+      // against a 20-iteration reference: warm-2 must beat cold-2 (L1)
+      val docs = Tables.documents(spark, sf)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val ids = docs.select(col("doc_id").as("id"))
+      val shrunk = docs.filter(col("doc_id") % 7 =!= 0)
+        .crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("n_docs"),
+          explode(expr("sequence(1, 1 + cast(doc_id % 3 as int))")).as("j"))
+        .select(col("src"), col("j"),
+          expr("((src % 2147483648) * 22695477 + j * 7919) % n_docs")
+            .as("dst"))
+        .filter(!(col("src") % 11 === 5) &&
+          !(col("src") % 13 === 2 && col("j") === 1))
+        .select("src", "dst")
+      val ref = GraphOps.pageRank(shrunk, ids, iters = 20)
+        .as[(Long, Long)].collect().toMap
+      val cold = GraphOps.pageRank(shrunk, ids, iters = 2)
+        .as[(Long, Long)].collect().toMap
+      val warmDist = got.map(r => math.abs(r._3 - ref(r._1))).sum
+      val coldDist = got.map(r => math.abs(cold(r._1) - ref(r._1))).sum
+      assert(warmDist < coldDist,
+        s"warm start must beat cold restart: warm=$warmDist cold=$coldDist")
+      // the removal moved ranks globally (dangling rerouting is global)
+      assert(got.count(r => r._2 != r._3) > got.length / 2,
+        "removal left most ranks inert — teeth missing")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q187: residuals decay monotonically, the selection is the first " +
     "below-threshold iteration, and the trace composes with pageRank " +
     "bit-exactly") {

@@ -428,6 +428,21 @@ class PackRefreshSpec extends SparkSpec {
       }
       // no tombstone ever reaches a reader
       assert(!got2.values.exists(_ < 0) && !idx.values.exists(_ < 0))
+      // point lookup (the serving path): correct values, the probe
+      // pushed into the scan (id-cardinality fold, never the corpus),
+      // and a tombstoned id absent
+      val probes = kept2.take(3).map(_._1) ++ lateDel.take(1)
+      val lk = LabelStore.lookupLabels(spark, store, probes)
+      val scans = lk.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty &&
+        scans.forall(_.metadata("PushedFilters").contains("In(doc_id")),
+        s"lookup probe must push into the scan: " +
+          scans.map(_.metadata("PushedFilters")).mkString(" | "))
+      assert(lk.as[(Long, Long)].collect().toMap ===
+        kept2.take(3).map(d => d._1 -> want2(d._1)).toMap,
+        "lookup values wrong or tombstoned id resurfaced")
     } finally graft.ops.CacheScope.drain()
   }
 
