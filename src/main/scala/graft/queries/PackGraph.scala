@@ -59,18 +59,18 @@ object PackGraph {
     Some("""
       WITH n AS (SELECT count(*) AS n_docs FROM documents),
       deg AS (SELECT doc_id, 1 + doc_id % 3 AS od FROM documents WHERE doc_id % 7 <> 0),
-      e AS (
+      e AS MATERIALIZED (
         SELECT d.doc_id AS src, d.od,
                ((d.doc_id % 2147483648) * 22695477 + j.j * 7919) % n.n_docs AS dst
         FROM deg d CROSS JOIN n CROSS JOIN (SELECT unnest([1,2,3]) AS j) j
         WHERE j.j <= d.od),
-      r0 AS (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
+      r0 AS MATERIALIZED (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
              FROM documents CROSS JOIN n),
       d1 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
              FROM r0 WHERE id % 7 = 0),
       c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank // e.od) AS BIGINT) AS c
              FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst),
-      r1 AS (SELECT r0.id,
+      r1 AS MATERIALIZED (SELECT r0.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
                     + (coalesce(c1.c, 0) + d1.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r0 CROSS JOIN n CROSS JOIN d1 LEFT JOIN c1 ON r0.id = c1.id),
@@ -78,7 +78,7 @@ object PackGraph {
              FROM r1 WHERE id % 7 = 0),
       c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank // e.od) AS BIGINT) AS c
              FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst),
-      r2 AS (SELECT r1.id,
+      r2 AS MATERIALIZED (SELECT r1.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
                     + (coalesce(c2.c, 0) + d2.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r1 CROSS JOIN n CROSS JOIN d2 LEFT JOIN c2 ON r1.id = c2.id)
@@ -420,18 +420,18 @@ object PackGraph {
     Some("""
       WITH n AS (SELECT count(*) AS n_docs FROM documents),
       deg AS (SELECT doc_id, 1 + doc_id % 3 AS od FROM documents WHERE doc_id % 7 <> 0),
-      e AS (
+      e AS MATERIALIZED (
         SELECT d.doc_id AS src, d.od,
                ((d.doc_id % 2147483648) * 22695477 + j.j * 7919) % n.n_docs AS dst
         FROM deg d CROSS JOIN n CROSS JOIN (SELECT unnest([1,2,3]) AS j) j
         WHERE j.j <= d.od),
-      r0 AS (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
+      r0 AS MATERIALIZED (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
              FROM documents CROSS JOIN n),
       d1 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
              FROM r0 WHERE id % 7 = 0),
       c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank // e.od) AS BIGINT) AS c
              FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst),
-      r1 AS (SELECT r0.id,
+      r1 AS MATERIALIZED (SELECT r0.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
                     + (coalesce(c1.c, 0) + d1.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r0 CROSS JOIN n CROSS JOIN d1 LEFT JOIN c1 ON r0.id = c1.id),
@@ -439,7 +439,7 @@ object PackGraph {
              FROM r1 WHERE id % 7 = 0),
       c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank // e.od) AS BIGINT) AS c
              FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst),
-      r2 AS (SELECT r1.id,
+      r2 AS MATERIALIZED (SELECT r1.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
                     + (coalesce(c2.c, 0) + d2.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r1 CROSS JOIN n CROSS JOIN d2 LEFT JOIN c2 ON r1.id = c2.id),
@@ -449,12 +449,12 @@ object PackGraph {
                ((d.doc_id % 2147483648) * 48271 + j.j * 104729) % n.n_docs AS dst
         FROM ndeg d CROSS JOIN n CROSS JOIN (SELECT unnest([1,2]) AS j) j
         WHERE j.j <= d.od),
-      e2 AS (SELECT src, od, dst FROM e UNION ALL SELECT src, od, dst FROM en),
+      e2 AS MATERIALIZED (SELECT src, od, dst FROM e UNION ALL SELECT src, od, dst FROM en),
       d3 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
              FROM r2 WHERE id NOT IN (SELECT src FROM e2)),
       c3 AS (SELECT e2.dst AS id, CAST(sum(r2.rank // e2.od) AS BIGINT) AS c
              FROM e2 JOIN r2 ON e2.src = r2.id GROUP BY e2.dst),
-      r3 AS (SELECT r2.id,
+      r3 AS MATERIALIZED (SELECT r2.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
                     + (coalesce(c3.c, 0) + d3.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r2 CROSS JOIN n CROSS JOIN d3 LEFT JOIN c3 ON r2.id = c3.id),
@@ -462,7 +462,7 @@ object PackGraph {
              FROM r3 WHERE id NOT IN (SELECT src FROM e2)),
       c4 AS (SELECT e2.dst AS id, CAST(sum(r3.rank // e2.od) AS BIGINT) AS c
              FROM e2 JOIN r3 ON e2.src = r3.id GROUP BY e2.dst),
-      r4 AS (SELECT r3.id,
+      r4 AS MATERIALIZED (SELECT r3.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
                     + (coalesce(c4.c, 0) + d4.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r3 CROSS JOIN n CROSS JOIN d4 LEFT JOIN c4 ON r3.id = c4.id)
@@ -554,22 +554,22 @@ object PackGraph {
     Some("""
       WITH n AS (SELECT count(*) AS n_docs FROM documents),
       deg AS (SELECT doc_id, 1 + doc_id % 3 AS od FROM documents WHERE doc_id % 7 <> 0),
-      e AS (SELECT d.doc_id AS src, d.od,
+      e AS MATERIALIZED (SELECT d.doc_id AS src, d.od,
               ((d.doc_id % 2147483648) * 22695477 + j.j * 7919) % n.n_docs AS dst
             FROM deg d CROSS JOIN n CROSS JOIN (SELECT unnest([1,2,3]) AS j) j
             WHERE j.j <= d.od),
-      r0 AS (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
+      r0 AS MATERIALIZED (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
              FROM documents CROSS JOIN n),
       d1 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang FROM r0 WHERE id % 7 = 0),
       c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank // e.od) AS BIGINT) AS c
              FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst),
-      r1 AS (SELECT r0.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+      r1 AS MATERIALIZED (SELECT r0.id, CAST((1000000000000 // n.n_docs) * 15 // 100
                   + (coalesce(c1.c, 0) + d1.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r0 CROSS JOIN n CROSS JOIN d1 LEFT JOIN c1 ON r0.id = c1.id),
       d2 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang FROM r1 WHERE id % 7 = 0),
       c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank // e.od) AS BIGINT) AS c
              FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst),
-      r2 AS (SELECT r1.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+      r2 AS MATERIALIZED (SELECT r1.id, CAST((1000000000000 // n.n_docs) * 15 // 100
                   + (coalesce(c2.c, 0) + d2.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r1 CROSS JOIN n CROSS JOIN d2 LEFT JOIN c2 ON r1.id = c2.id),
       ndeg AS (SELECT doc_id, 1 + doc_id % 2 AS od FROM documents WHERE doc_id % 7 = 0),
@@ -577,25 +577,25 @@ object PackGraph {
                ((d.doc_id % 2147483648) * 48271 + j.j * 104729) % n.n_docs AS dst
              FROM ndeg d CROSS JOIN n CROSS JOIN (SELECT unnest([1,2]) AS j) j
              WHERE j.j <= d.od),
-      e2 AS (SELECT src, od, dst FROM e UNION ALL SELECT src, od, dst FROM en),
+      e2 AS MATERIALIZED (SELECT src, od, dst FROM e UNION ALL SELECT src, od, dst FROM en),
       w1c AS (SELECT e2.dst AS id, CAST(sum(r2.rank // e2.od) AS BIGINT) AS c
               FROM e2 JOIN r2 ON e2.src = r2.id GROUP BY e2.dst),
-      w1 AS (SELECT r2.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+      w1 AS MATERIALIZED (SELECT r2.id, CAST((1000000000000 // n.n_docs) * 15 // 100
                   + coalesce(w1c.c, 0) * 85 // 100 AS BIGINT) AS rank
              FROM r2 CROSS JOIN n LEFT JOIN w1c ON r2.id = w1c.id),
       w2c AS (SELECT e2.dst AS id, CAST(sum(w1.rank // e2.od) AS BIGINT) AS c
               FROM e2 JOIN w1 ON e2.src = w1.id GROUP BY e2.dst),
-      w2 AS (SELECT w1.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+      w2 AS MATERIALIZED (SELECT w1.id, CAST((1000000000000 // n.n_docs) * 15 // 100
                   + coalesce(w2c.c, 0) * 85 // 100 AS BIGINT) AS rank
              FROM w1 CROSS JOIN n LEFT JOIN w2c ON w1.id = w2c.id),
       w3c AS (SELECT e2.dst AS id, CAST(sum(w2.rank // e2.od) AS BIGINT) AS c
               FROM e2 JOIN w2 ON e2.src = w2.id GROUP BY e2.dst),
-      w3 AS (SELECT w2.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+      w3 AS MATERIALIZED (SELECT w2.id, CAST((1000000000000 // n.n_docs) * 15 // 100
                   + coalesce(w3c.c, 0) * 85 // 100 AS BIGINT) AS rank
              FROM w2 CROSS JOIN n LEFT JOIN w3c ON w2.id = w3c.id),
       w4c AS (SELECT e2.dst AS id, CAST(sum(w3.rank // e2.od) AS BIGINT) AS c
               FROM e2 JOIN w3 ON e2.src = w3.id GROUP BY e2.dst),
-      w4 AS (SELECT w3.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+      w4 AS MATERIALIZED (SELECT w3.id, CAST((1000000000000 // n.n_docs) * 15 // 100
                   + coalesce(w4c.c, 0) * 85 // 100 AS BIGINT) AS rank
              FROM w3 CROSS JOIN n LEFT JOIN w4c ON w3.id = w4c.id),
       curve AS (
@@ -678,18 +678,18 @@ object PackGraph {
     Some("""
       WITH n AS (SELECT count(*) AS n_docs FROM documents),
       deg AS (SELECT doc_id, 1 + doc_id % 3 AS od FROM documents WHERE doc_id % 7 <> 0),
-      e AS (
+      e AS MATERIALIZED (
         SELECT d.doc_id AS src, j.j AS j, d.od,
                ((d.doc_id % 2147483648) * 22695477 + j.j * 7919) % n.n_docs AS dst
         FROM deg d CROSS JOIN n CROSS JOIN (SELECT unnest([1,2,3]) AS j) j
         WHERE j.j <= d.od),
-      r0 AS (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
+      r0 AS MATERIALIZED (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
              FROM documents CROSS JOIN n),
       d1 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
              FROM r0 WHERE id % 7 = 0),
       c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank // e.od) AS BIGINT) AS c
              FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst),
-      r1 AS (SELECT r0.id,
+      r1 AS MATERIALIZED (SELECT r0.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
                     + (coalesce(c1.c, 0) + d1.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r0 CROSS JOIN n CROSS JOIN d1 LEFT JOIN c1 ON r0.id = c1.id),
@@ -697,18 +697,18 @@ object PackGraph {
              FROM r1 WHERE id % 7 = 0),
       c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank // e.od) AS BIGINT) AS c
              FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst),
-      r2 AS (SELECT r1.id,
+      r2 AS MATERIALIZED (SELECT r1.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
                     + (coalesce(c2.c, 0) + d2.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r1 CROSS JOIN n CROSS JOIN d2 LEFT JOIN c2 ON r1.id = c2.id),
-      ek AS (SELECT src, dst FROM e
+      ek AS MATERIALIZED (SELECT src, dst FROM e
              WHERE NOT (src % 11 = 5) AND NOT (src % 13 = 2 AND j = 1)),
-      e2 AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS od FROM ek),
+      e2 AS MATERIALIZED (SELECT src, dst, count(*) OVER (PARTITION BY src) AS od FROM ek),
       d3 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
              FROM r2 WHERE id NOT IN (SELECT src FROM e2)),
       c3 AS (SELECT e2.dst AS id, CAST(sum(r2.rank // e2.od) AS BIGINT) AS c
              FROM e2 JOIN r2 ON e2.src = r2.id GROUP BY e2.dst),
-      r3 AS (SELECT r2.id,
+      r3 AS MATERIALIZED (SELECT r2.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
                     + (coalesce(c3.c, 0) + d3.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r2 CROSS JOIN n CROSS JOIN d3 LEFT JOIN c3 ON r2.id = c3.id),
@@ -716,7 +716,7 @@ object PackGraph {
              FROM r3 WHERE id NOT IN (SELECT src FROM e2)),
       c4 AS (SELECT e2.dst AS id, CAST(sum(r3.rank // e2.od) AS BIGINT) AS c
              FROM e2 JOIN r3 ON e2.src = r3.id GROUP BY e2.dst),
-      r4 AS (SELECT r3.id,
+      r4 AS MATERIALIZED (SELECT r3.id,
                CAST((1000000000000 // n.n_docs) * 15 // 100
                     + (coalesce(c4.c, 0) + d4.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r3 CROSS JOIN n CROSS JOIN d4 LEFT JOIN c4 ON r3.id = c4.id)
@@ -731,5 +731,136 @@ object PackGraph {
       "re-weight surviving contributions; oracle unrolls both phases " +
       "with the second phase's out-degrees recomputed over kept edges")
 
-  val all: Seq[Q] = Seq(q61, q62, q160, q186, q187, q190)
+  /** q191 — residual-gated DECREMENTAL maintenance (r18; §7.7 item 4
+    * pulled forward — q187's convergence evidence over q190's takedown):
+    * the removal job's stop rule needs the same per-iteration exact L1
+    * residual curve as the incremental one, but over the SHRUNK graph,
+    * where the warm unroll carries live dangling terms every round (the
+    * takedown minted new sinks — q187's grown graph had none, so its
+    * warm phases could omit the term entirely; here the redistribution
+    * runs all four rounds and the oracle gates its exact integers).
+    * Same fixed-unroll device: 4 traced warm iterations, threshold
+    * scale/10 (bites at iteration 3 at every SF — measured before
+    * wiring), first-below selection.
+    *
+    * Oracle note (hard-won): DuckDB INLINES multi-referenced CTEs, and
+    * an iterative unroll references each rank frame 3× (contribution,
+    * dangling, residual) — the inlined tree grows ~3^depth and a
+    * 500-doc oracle took 230 s. `AS MATERIALIZED` on the rank frames
+    * restores linear evaluation (0.06 s, identical values).
+    */
+  private val q191 = Q(
+    "q191_pagerank_decrement_residual",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val ids = docs.select(col("doc_id").as("id"))
+      val baseEJ = docs.filter(col("doc_id") % 7 =!= 0)
+        .crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("n_docs"),
+          explode(expr("sequence(1, 1 + cast(doc_id % 3 as int))")).as("j"))
+        .select(col("src"), col("j"),
+          expr("((src % 2147483648) * 22695477 + j * 7919) % n_docs")
+            .as("dst"))
+      val ranksBase = graft.ops.CacheScope.persisted(
+        GraphOps.pageRank(baseEJ.select("src", "dst"), ids, iters = 2))
+      val shrunk = baseEJ
+        .filter(!(col("src") % 11 === 5) &&
+          !(col("src") % 13 === 2 && col("j") === 1))
+        .select("src", "dst")
+      val trace = GraphOps.pageRankTrace(shrunk, ids, iters = 4,
+        ranks0 = Some(ranksBase))
+      val steps = ranksBase +: trace
+      val curve = (1 to 4).map { i =>
+        steps(i)
+          .join(steps(i - 1).withColumnRenamed("rank", "prev_rank"), "id")
+          .agg(sum(abs(col("rank") - col("prev_rank")))
+            .as("residual_l1"))
+          .select(lit(i).as("iter"), col("residual_l1"))
+      }.reduce(_ unionByName _)
+      val T = 100000000000L
+      val flagged = curve.withColumn("below", col("residual_l1") <= T)
+      val sel = flagged.agg(coalesce(min(when(col("below"), col("iter"))),
+        lit(4)).as("sel_iter"))
+      flagged.crossJoin(broadcast(sel))
+        .select(col("iter"), col("residual_l1"), col("below"),
+          (col("iter") === col("sel_iter")).as("is_selected"))
+        .orderBy("iter")
+    },
+    Some("""
+      WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      deg AS (SELECT doc_id, 1 + doc_id % 3 AS od FROM documents WHERE doc_id % 7 <> 0),
+      e AS MATERIALIZED (SELECT d.doc_id AS src, j.j AS j, d.od,
+              ((d.doc_id % 2147483648) * 22695477 + j.j * 7919) % n.n_docs AS dst
+            FROM deg d CROSS JOIN n CROSS JOIN (SELECT unnest([1,2,3]) AS j) j
+            WHERE j.j <= d.od),
+      r0 AS MATERIALIZED (SELECT doc_id AS id, CAST(1000000000000 // n.n_docs AS BIGINT) AS rank
+             FROM documents CROSS JOIN n),
+      d1 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang FROM r0 WHERE id % 7 = 0),
+      c1 AS (SELECT e.dst AS id, CAST(sum(r0.rank // e.od) AS BIGINT) AS c
+             FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst),
+      r1 AS MATERIALIZED (SELECT r0.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+                  + (coalesce(c1.c, 0) + d1.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r0 CROSS JOIN n CROSS JOIN d1 LEFT JOIN c1 ON r0.id = c1.id),
+      d2 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang FROM r1 WHERE id % 7 = 0),
+      c2 AS (SELECT e.dst AS id, CAST(sum(r1.rank // e.od) AS BIGINT) AS c
+             FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+      r2 AS MATERIALIZED (SELECT r1.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+                  + (coalesce(c2.c, 0) + d2.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r1 CROSS JOIN n CROSS JOIN d2 LEFT JOIN c2 ON r1.id = c2.id),
+      ek AS MATERIALIZED (SELECT src, dst FROM e
+             WHERE NOT (src % 11 = 5) AND NOT (src % 13 = 2 AND j = 1)),
+      kdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM ek GROUP BY src),
+      e2 AS MATERIALIZED (SELECT ek.src, ek.dst, kdeg.od FROM ek JOIN kdeg USING (src)),
+      wd1 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+              FROM r2 WHERE id NOT IN (SELECT src FROM e2)),
+      wc1 AS (SELECT e2.dst AS id, CAST(sum(r2.rank // e2.od) AS BIGINT) AS c
+              FROM e2 JOIN r2 ON e2.src = r2.id GROUP BY e2.dst),
+      w1 AS MATERIALIZED (SELECT r2.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+                  + (coalesce(wc1.c, 0) + wd1.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM r2 CROSS JOIN n CROSS JOIN wd1 LEFT JOIN wc1 ON r2.id = wc1.id),
+      wd2 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+              FROM w1 WHERE id NOT IN (SELECT src FROM e2)),
+      wc2 AS (SELECT e2.dst AS id, CAST(sum(w1.rank // e2.od) AS BIGINT) AS c
+              FROM e2 JOIN w1 ON e2.src = w1.id GROUP BY e2.dst),
+      w2 AS MATERIALIZED (SELECT w1.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+                  + (coalesce(wc2.c, 0) + wd2.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM w1 CROSS JOIN n CROSS JOIN wd2 LEFT JOIN wc2 ON w1.id = wc2.id),
+      wd3 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+              FROM w2 WHERE id NOT IN (SELECT src FROM e2)),
+      wc3 AS (SELECT e2.dst AS id, CAST(sum(w2.rank // e2.od) AS BIGINT) AS c
+              FROM e2 JOIN w2 ON e2.src = w2.id GROUP BY e2.dst),
+      w3 AS MATERIALIZED (SELECT w2.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+                  + (coalesce(wc3.c, 0) + wd3.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM w2 CROSS JOIN n CROSS JOIN wd3 LEFT JOIN wc3 ON w2.id = wc3.id),
+      wd4 AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+              FROM w3 WHERE id NOT IN (SELECT src FROM e2)),
+      wc4 AS (SELECT e2.dst AS id, CAST(sum(w3.rank // e2.od) AS BIGINT) AS c
+              FROM e2 JOIN w3 ON e2.src = w3.id GROUP BY e2.dst),
+      w4 AS MATERIALIZED (SELECT w3.id, CAST((1000000000000 // n.n_docs) * 15 // 100
+                  + (coalesce(wc4.c, 0) + wd4.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
+             FROM w3 CROSS JOIN n CROSS JOIN wd4 LEFT JOIN wc4 ON w3.id = wc4.id),
+      curve AS (
+        SELECT 1 AS iter, CAST(sum(abs(w1.rank - r2.rank)) AS BIGINT) AS residual_l1
+        FROM w1 JOIN r2 USING (id)
+        UNION ALL
+        SELECT 2, CAST(sum(abs(w2.rank - w1.rank)) AS BIGINT) FROM w2 JOIN w1 USING (id)
+        UNION ALL
+        SELECT 3, CAST(sum(abs(w3.rank - w2.rank)) AS BIGINT) FROM w3 JOIN w2 USING (id)
+        UNION ALL
+        SELECT 4, CAST(sum(abs(w4.rank - w3.rank)) AS BIGINT) FROM w4 JOIN w3 USING (id)),
+      sel AS (SELECT coalesce(min(CASE WHEN residual_l1 <= 100000000000 THEN iter END), 4) AS si
+              FROM curve)
+      SELECT iter, residual_l1, residual_l1 <= 100000000000 AS below,
+             iter = sel.si AS is_selected
+      FROM curve CROSS JOIN sel
+      ORDER BY iter
+    """),
+    doc = "residual-gated decremental maintenance: exact integer L1 " +
+      "residual curve of a 4-iteration warm unroll over the takedown's " +
+      "shrunk graph (live dangling term every round — the removal " +
+      "minted new sinks), threshold flag + first-below selection; " +
+      "oracle unrolls the same integers with materialized CTEs")
+
+  val all: Seq[Q] = Seq(q61, q62, q160, q186, q187, q190, q191)
 }

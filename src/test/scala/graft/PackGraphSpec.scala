@@ -305,6 +305,27 @@ class PackGraphSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q191: decremental residuals decay monotonically under the live " +
+    "dangling term and the selection is the first below-threshold " +
+    "iteration") {
+    try {
+      val got = run("q191_pagerank_decrement_residual")
+        .as[(Int, Long, Boolean, Boolean)].collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq === Seq(1, 2, 3, 4))
+      got.sliding(2).foreach { case Array(a, b) =>
+        assert(b._2 < a._2, s"residual rose: $a -> $b")
+      }
+      val T = 100000000000L
+      got.foreach(r => assert(r._3 === (r._2 <= T), r.toString))
+      val selWant = got.find(_._3).map(_._1).getOrElse(4)
+      got.foreach(r => assert(r._4 === (r._1 == selWant), r.toString))
+      assert(got.count(_._4) === 1)
+      // the takedown really perturbs: round-1 residual is far above the
+      // bar (the new sinks and re-weighted degrees move real mass)
+      assert(got.head._2 > T, "removal left the ranks converged already")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q61: rank mass is conserved up to integer truncation") {
     // every synthesized dst is a valid doc (mod n_docs) and sink-held
     // rank redistributes, so no rank leaks: sum(rank) after 2
