@@ -53,6 +53,22 @@ object LabelStore {
     */
   private val Tomb = -1L
 
+  /** Label-table bucket fan-out: every labels generation is written
+    * `PARTITION BY bkt` with bkt = doc_id mod Buckets, so a point
+    * lookup prunes to ONE bucket directory per generation at PLANNING
+    * time (file-level, before any footer is opened) — the §7.7 r19
+    * layout item. Generation deltas are large in production (a batch's
+    * worth of docs), so the fan-out costs nothing there; readers that
+    * want the whole table ignore the column.
+    */
+  private val Buckets = 16
+
+  /** A labels frame with its bucket column attached (the write-side
+    * helper every labels write shares).
+    */
+  private def bucketed(df: DataFrame): DataFrame =
+    df.withColumn("bkt", pmod(col("doc_id"), lit(Buckets)))
+
   /** Bootstrap: full CC over the initial corpus → gen -1 of all three
     * tables. `docs` carries (doc_id, text).
     */
@@ -65,7 +81,8 @@ object LabelStore {
         .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("comp")))
-    labels.write.mode("overwrite").parquet(s"$path/labels/gen=-1")
+    bucketed(labels).write.partitionBy("bkt")
+      .mode("overwrite").parquet(s"$path/labels/gen=-1")
     keyed.withColumnRenamed("id", "doc_id")
       .join(labels, "doc_id")
       .groupBy("key").agg(min("comp").as("comp"))
@@ -147,19 +164,27 @@ object LabelStore {
     latest(spark, s"$path/keyidx", "key", None)
 
   /** POINT lookup: the labels of `ids` only — the serving read path
-    * (billions of standing rows, a handful probed). The doc_id
-    * predicate sits BELOW the fold, so it reaches the parquet scan as
-    * a pushed filter over every generation file (plan-pinned via scan
-    * metadata in the spec); compacted generations are range-partitioned
-    * on doc_id ([[compact]]), so row-group statistics prune everything
-    * but the matching slice of each fold file, and the merge-on-read
-    * fold then runs over id-cardinality survivors — never the corpus.
-    * Tombstone semantics match [[readLabels]]: a deleted id is absent.
+    * (billions of standing rows, a handful probed). Pruning happens at
+    * THREE levels, outermost first: the bucket predicate is a PARTITION
+    * filter, so planning selects one `bkt=` directory per generation
+    * and never even lists the other files (file-level — spec-pinned on
+    * `inputFiles`); the doc_id predicate sits BELOW the fold, so it
+    * reaches the surviving files as a pushed parquet filter (plan-pinned
+    * via scan metadata); and compacted generations are range-partitioned
+    * on (bkt, doc_id) ([[compact]]), so row-group statistics prune
+    * everything but the matching slice of each fold file. The
+    * merge-on-read fold then runs over id-cardinality survivors — never
+    * the corpus. Tombstone semantics match [[readLabels]]: a deleted id
+    * is absent.
     */
   def lookupLabels(spark: SparkSession, path: String,
       ids: Seq[Long]): DataFrame =
     live(spark, s"$path/labels")
-      .filter(col("doc_id").isin(ids: _*))
+      // Int literals on purpose: the partition column is discovered as
+      // IntegerType, and a Long comparison would wrap it in a cast that
+      // defeats partition pruning (observed — all 16 buckets planned)
+      .filter(col("bkt").isin(ids.map(i => (i % Buckets).toInt).distinct: _*)
+        && col("doc_id").isin(ids: _*))
       .groupBy("doc_id").agg(expr("max_by(comp, gen)").as("comp"))
       .filter(col("comp") =!= Tomb)
 
@@ -303,7 +328,8 @@ object LabelStore {
         (lbl, keys)
       } else (addRows.unionByName(movedBase), addKeys)
 
-    lblRows.write.mode("overwrite").parquet(s"$path/labels/gen=$id")
+    bucketed(lblRows).write.partitionBy("bkt")
+      .mode("overwrite").parquet(s"$path/labels/gen=$id")
     keyRows.write.mode("overwrite").parquet(s"$path/keyidx/gen=$id")
     if (hasAdds)
       keyedN.select(col("id").as("doc_id"), col("key"))
@@ -358,19 +384,23 @@ object LabelStore {
           // livePos.max > horizon = −gmin−2 ⟹ gen < gmin: strictly
           // below every existing id, so the rename target cannot exist
           val gen = -(livePos.max + 2)
-          val (fold, keyCol) = sub match {
-            case "labels" =>
-              (latest(spark, dir, "doc_id", None), "doc_id")
+          val (fold, partCols) = sub match {
+            case "labels" => // bucketed layout: lookups prune files
+              (bucketed(latest(spark, dir, "doc_id", None))
+                .repartitionByRange(foldFiles, col("bkt"), col("doc_id")),
+                Seq("bkt"))
             case "keyidx" =>
-              (latest(spark, dir, "key", None), "key")
+              (latest(spark, dir, "key", None)
+                .repartitionByRange(foldFiles, col("key")), Nil)
             case _ => // dockeys: live docs' rows, one copy each
               (liveDockeys(spark, path, None).distinct()
                 .join(latest(spark, s"$path/labels", "doc_id", None)
-                  .select("doc_id"), Seq("doc_id"), "left_semi"),
-                "doc_id")
+                  .select("doc_id"), Seq("doc_id"), "left_semi")
+                .repartitionByRange(foldFiles, col("doc_id")), Nil)
           }
-          fold.repartitionByRange(foldFiles, col(keyCol))
-            .write.mode("overwrite").parquet(s"$dir/.compacting")
+          val w = fold.write.mode("overwrite")
+          (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+            .parquet(s"$dir/.compacting")
           PartitionedStore.publish(fs, s"$dir/.compacting",
             s"$dir/gen=$gen", s"LabelStore.compact($sub)")
           ids.foreach(g => fs.delete(
