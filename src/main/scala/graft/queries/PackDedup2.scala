@@ -41,13 +41,13 @@ object PackDedup2 {
         .orderBy("doc_id")
     },
     Some(s"""
-      WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
-      th AS (SELECT doc_id,
+      WITH tok AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0) AS ws FROM documents),
+      th AS MATERIALIZED (SELECT doc_id,
                list_transform(ws, tok ->
                  CAST(list_sum(list_transform(range(1, least(length(tok), 8) + 1),
                    i -> ascii(substr(tok, i, 1)) * ${PolyHash.sqlPow31}[i])) % ${PolyHash.CharMod} AS BIGINT)) AS th
              FROM tok),
-      sig AS (SELECT doc_id,
+      sig AS MATERIALIZED (SELECT doc_id,
                 CAST(coalesce(list_sum(list_transform(range(0, 48), b ->
                   CASE WHEN 2 * len(list_filter(th, h ->
                          ((${PolyHash.sqlA(PolyHash.SimHashOff, 48)}[b + 1] * h
@@ -108,7 +108,7 @@ object PackDedup2 {
         .orderBy("vec_id", "vec_id2")
     },
     Some(s"""
-      WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      WITH e0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       corpus AS (
         SELECT vec_id, e FROM e0
         UNION ALL
@@ -116,7 +116,7 @@ object PackDedup2 {
       q AS (SELECT vec_id, e,
               list_transform(e, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
             FROM corpus),
-      sig AS (SELECT vec_id, e,
+      sig AS MATERIALIZED (SELECT vec_id, e,
                 CAST(list_sum(list_transform(range(0, 32), j ->
                   CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), k ->
                          qv[k] * (CASE WHEN (${PolyHash.sqlA(PolyHash.PlaneOff, 32)}[j + 1] * k
@@ -124,7 +124,7 @@ object PackDedup2 {
                                   THEN 1 ELSE -1 END))) > 0
                   THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS sig
               FROM q),
-      band AS (SELECT vec_id, sig, unnest(list_transform(range(0, 4), b ->
+      band AS MATERIALIZED (SELECT vec_id, sig, unnest(list_transform(range(0, 4), b ->
                  b * 256 + ((sig >> (b * 8)) & 255))) AS band
                FROM sig),
       pairs AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS vec_id2
