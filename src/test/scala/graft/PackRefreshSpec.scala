@@ -480,6 +480,46 @@ class PackRefreshSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("CDC edge: keyless docs (too short for blocking keys) add, " +
+    "isolate to their own label, and delete cleanly") {
+    import java.nio.file.Files
+    import graft.store.LabelStore
+    val in = Files.createTempDirectory("kless-in").toString
+    val store = Files.createTempDirectory("kless-store").toString
+    val ckpt = Files.createTempDirectory("kless-ckpt").toString
+    val base = docs.filter(_._1 % 10 != 7).take(20)
+    try {
+      LabelStore.init(base.toDF("doc_id", "text"), store)
+      graft.ops.CacheScope.drain()
+      def addFile(name: String, rows: Seq[(Long, String, String)]): Unit =
+        rows.toDF("doc_id", "text", "op")
+          .coalesce(1).write.parquet(s"$in/$name")
+      def start() = LabelStore.maintainCdcStream(
+        spark.readStream.schema("doc_id LONG, text STRING, op STRING")
+          .option("recursiveFileLookup", "true").parquet(in),
+        store, ckpt)
+      // a 2-token doc yields NO blocking keys: the delta solve runs
+      // over an empty increment key set and the doc must isolate
+      addFile("b1", Seq((900001L, "a b", "add"),
+        (900002L, base.head._2, "add")))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      val got = LabelStore.readLabels(spark, store)
+        .as[(Long, Long)].collect().toMap
+      assert(got(900001L) === 900001L, "keyless doc must isolate")
+      assert(got(900002L) === ccOf(base :+ (900002L, base.head._2))(900002L),
+        "the keyed companion must still merge with its source")
+      // deleting the keyless doc: its component is itself; no survivor
+      // re-solve, just a tombstone the readers fold away
+      addFile("b2", Seq((900001L, "", "del")))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val after = LabelStore.readLabels(spark, store)
+        .as[(Long, Long)].collect().toMap
+      assert(!after.contains(900001L), "tombstoned keyless doc resurfaced")
+      assert(after(900002L) === got(900002L),
+        "an unrelated deletion moved a standing label")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q184: the merge plan touches no parquet — the base corpus is " +
     "never rescanned outside the cached state build") {
     try {
