@@ -96,6 +96,11 @@ object Bench {
       }
     }
     spark.sparkContext.addSparkListener(spillListener)
+    // ADVICE r18 (low): any exception escaping the measurement body used
+    // to skip the straight-line removal at the end and leave the listener
+    // attached to a host JVM reusing the session — the finally below
+    // makes removal unconditional.
+    try {
     var errors = List.empty[String]
     // Per-query steal on the PRIMARY measurement (VERDICT r16 item 3):
     // the rerun entries have carried steal_ms since late r16, but the
@@ -238,7 +243,6 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Throwable =>
       System.err.println(s"bench_history append failed: $e") }
-    spark.sparkContext.removeSparkListener(spillListener)
     // Compact trailer AFTER the full blob: the driver's fixed-size tail
     // capture truncated BENCH_r10 mid-JSON and lost q01–q14 plus the total
     // (VERDICT r10 "What's wrong" #1). A short final line keeps the
@@ -248,6 +252,7 @@ object Bench {
       if (timed.isEmpty) ("none", -1.0) else timed.maxBy(_._2)
     println(
       s"""{"total":$total,"n":${timed.size},"worst":"$worstName","worst_s":$worstS,"n_err":${errors.size}}""")
+    } finally spark.sparkContext.removeSparkListener(spillListener)
     spark.stop()
   }
 }

@@ -668,11 +668,20 @@ object PackGraph {
         .select("src", "dst")
       val warm = GraphOps.pageRank(shrunk, ids, iters = 2,
         ranks0 = Some(ranksBase))
+      // became_sink derives from EDGE PRESENCE — had out-edges in the
+      // base set and none in the shrunk set (ADVICE r18 low: re-encoding
+      // the removal predicates under-reported a partial-removal source
+      // whose ONLY edge was the removed one; the anti-join cannot)
+      val newSinks = baseEJ.select(col("src").as("doc_id")).distinct()
+        .join(shrunk.select(col("src").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .withColumn("bs", lit(true))
       ranksBase.select(col("id").as("doc_id"),
           col("rank").as("rank_base"))
         .join(warm.select(col("id").as("doc_id"), col("rank")), "doc_id")
-        .withColumn("became_sink",
-          col("doc_id") % 7 =!= 0 && col("doc_id") % 11 === 5)
+        .join(newSinks, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("rank_base"), col("rank"),
+          coalesce(col("bs"), lit(false)).as("became_sink"))
         .orderBy("doc_id")
     },
     Some("""
@@ -721,7 +730,8 @@ object PackGraph {
                     + (coalesce(c4.c, 0) + d4.dang // n.n_docs) * 85 // 100 AS BIGINT) AS rank
              FROM r3 CROSS JOIN n CROSS JOIN d4 LEFT JOIN c4 ON r3.id = c4.id)
       SELECT r2.id AS doc_id, r2.rank AS rank_base, r4.rank AS rank,
-             (r2.id % 7 <> 0 AND r2.id % 11 = 5) AS became_sink
+             (r2.id IN (SELECT src FROM e)
+              AND r2.id NOT IN (SELECT src FROM ek)) AS became_sink
       FROM r2 JOIN r4 ON r2.id = r4.id
       ORDER BY doc_id
     """),

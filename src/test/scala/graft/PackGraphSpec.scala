@@ -108,6 +108,38 @@ class PackGraphSpec extends SparkSpec {
       3L -> 37500L))
   }
 
+  test("reliable checkpointing: with spark.graft.checkpointDir set, the " +
+    "iterative ops truncate lineage to durable storage (VERDICT r18 #2) " +
+    "and produce bit-identical results") {
+    // at cluster scale localCheckpoint blocks die with an executor; the
+    // knob reroutes every truncation through checkpoint() to a reliable
+    // path — same arithmetic, so results must be identical either way
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+      .toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val keyed = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("id", "key")
+    val local = GraphOps.pageRank(edges, nodes, iters = 8, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val ccLocal = GraphOps.connectedComponentsByKey(keyed)._1
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("gckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val durable = GraphOps.pageRank(edges, nodes, iters = 8,
+        scale = 1000000L).as[(Long, Long)].collect().toMap
+      val ccDurable = GraphOps.connectedComponentsByKey(keyed)._1
+        .as[(Long, Long)].collect().toMap
+      assert(durable === local, "checkpoint mode changed pageRank output")
+      assert(ccDurable === ccLocal, "checkpoint mode changed CC output")
+      // the reliable path was really taken: checkpoint data landed
+      def files(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(files).sum else 1
+      assert(files(new java.io.File(dir)) > 0,
+        "no checkpoint data written to the reliable dir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("pageRank: a d-regular cycle stays uniform") {
     // every node has in-degree = out-degree = 1 → rank is a fixpoint up
     // to integer truncation: all nodes identical at every iteration
@@ -240,10 +272,19 @@ class PackGraphSpec extends SparkSpec {
       val mass = got.map(_._3).sum
       assert(mass <= scale && mass > scale / 100 * 99,
         s"mass off after the removal: $mass")
-      // both removal classes are planted and observable
+      // both removal classes are planted and observable. became_sink is
+      // edge-derived (ADVICE r18 low): a source is flagged iff it had
+      // base out-edges and lost ALL of them — the full-removal class
+      // (%11=5) plus the od-1 partial-removal class (%3=0 ∧ %13=2,
+      // whose ONLY edge was the removed j=1) the predicate re-encoding
+      // used to miss
       val sinks = got.filter(_._4)
       assert(sinks.nonEmpty, "no full-removal source — plant inert")
-      assert(sinks.forall(r => r._1 % 7 != 0 && r._1 % 11 == 5))
+      val wantSinks = got.map(_._1).filter(id => id % 7 != 0 &&
+        (id % 11 == 5 || (id % 3 == 0 && id % 13 == 2))).toSet
+      assert(sinks.map(_._1).toSet === wantSinks)
+      assert(sinks.exists(r => r._1 % 11 != 5),
+        "the od-1 partial-removal sink class must be observable")
       // rebuild the shrunk graph exactly as the query does and compare
       // against a 20-iteration reference: warm-2 must beat cold-2 (L1)
       val docs = Tables.documents(spark, sf)
