@@ -559,11 +559,12 @@ object LabelStore {
                   .select("doc_id"), Seq("doc_id"), "left_semi")
                 .repartitionByRange(foldFiles, col("doc_id")), Nil)
           }
-          val w = fold.write.mode("overwrite")
-          (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
-            .parquet(s"$dir/.compacting")
-          PartitionedStore.publish(fs, s"$dir/.compacting",
-            s"$dir/gen=$gen", s"LabelStore.compact($sub)")
+          PartitionedStore.stagePublish(fs, dir,
+            s"$dir/gen=$gen", s"LabelStore.compact($sub)") { st =>
+            val w = fold.write.mode("overwrite")
+            (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+              .parquet(st)
+          }
           ids.foreach(g => fs.delete(
             new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
         }

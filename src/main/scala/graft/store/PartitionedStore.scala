@@ -179,9 +179,10 @@ object PartitionedStore {
     if (parts.isEmpty) return // nothing partitioned to fold
     val gen = math.min(
       parts.map(_.getPath.getName.stripPrefix("batch=").toLong).min, 0L) - 1
-    spark.read.parquet(man).drop("batch").dropDuplicates("file")
-      .coalesce(1).write.mode("overwrite").parquet(s"$man/.compacting")
-    publish(fs, s"$man/.compacting", s"$man/batch=$gen", "compactManifest")
+    val fold = spark.read.parquet(man).drop("batch").dropDuplicates("file")
+    stagePublish(fs, man, s"$man/batch=$gen", "compactManifest") { st =>
+      fold.coalesce(1).write.mode("overwrite").parquet(st)
+    }
     parts.foreach(st => fs.delete(st.getPath, true))
   }
 
@@ -217,6 +218,30 @@ object PartitionedStore {
     if (fs.exists(nested)) {
       fs.delete(nested, true)
       abort("target appeared concurrently; nested staging removed")
+    }
+  }
+
+  /** Stage a fold into a UNIQUE hidden directory, then [[publish]] it —
+    * deleting the staging on a lost race so aborted attempts leave no
+    * litter. The r19 hardening behind the two-session race test: a
+    * FIXED staging path (`.compacting`) had a hole the single-process
+    * race test could not see — concurrent compactor B's
+    * `mode("overwrite")` write DELETES compactor A's completed staging
+    * between A's write and A's rename, so A could publish B's
+    * half-written fold and then retire every live generation. A
+    * per-attempt UUID staging dir removes the shared mutable path
+    * entirely; the rename to the target generation remains the only
+    * commit point and the filesystem still arbitrates winners.
+    */
+  private[graft] def stagePublish(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, target: String, what: String)
+      (write: String => Unit): Unit = {
+    val staging = s"$dir/.compacting-${java.util.UUID.randomUUID}"
+    write(staging)
+    try publish(fs, staging, target, what)
+    catch { case e: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw e
     }
   }
 

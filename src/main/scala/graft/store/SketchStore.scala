@@ -146,9 +146,6 @@ object SketchStore {
         Window.orderBy("cum")))
       .agg(max("g").as("g")).head().getLong(0)
     val tNew = bOld + gap + 1
-    kept.select(lit(0L).as("shard"), col("c"), col("cum").as("r"),
-      lit(tNew).as("t"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/.compacting")
     // horizon encoding (see [[live]]): livePos.max > horizon = −gmin−2
     // ⟹ gen < gmin — strictly more negative than any prior fold, so it
     // wins the readers' rule the instant the rename lands AND the
@@ -156,8 +153,12 @@ object SketchStore {
     // are invisible, not tolerated. A failed publish aborts before the
     // retire loop touches anything.
     val gen = -(livePos.max + 2)
-    PartitionedStore.publish(fs, s"$path/.compacting",
-      s"$path/gen=$gen", "SketchStore.compact")
+    PartitionedStore.stagePublish(fs, path,
+      s"$path/gen=$gen", "SketchStore.compact") { st =>
+      kept.select(lit(0L).as("shard"), col("c"), col("cum").as("r"),
+        lit(tNew).as("t"))
+        .coalesce(1).write.mode("overwrite").parquet(st)
+    }
     ids.foreach(g => fs.delete(
       new org.apache.hadoop.fs.Path(s"$path/gen=$g"), true))
   }
