@@ -31,6 +31,20 @@ object PackCluster {
 
   private val K = 8
 
+  /** Probe-cell count for the SEMDEDUP family (q83/q179): corpus size
+    * div 250 cells, floored at the historical 8 — cells hold a few
+    * hundred vectors at ANY scale, so the within-cell exact all-pairs
+    * check stays linear in N. The r19 sf1 scaling checkpoint caught the
+    * fixed K=8 making it N²/4: 78 s and 64 s of GC at 20k vectors,
+    * a plan that would not survive 100×. At every driver SF the formula
+    * evaluates to exactly 8, so gate hashes are unchanged; kmeans (q56)
+    * keeps the fixed K — N·K is already linear there, and growing K
+    * would be the quadratic. The count job is one pass over the
+    * (row-bounded) embeddings table.
+    */
+  private def semK(base: DataFrame): Long =
+    math.max(K.toLong, base.count() / 250)
+
   /** Integer milli-unit embeddings: exact arithmetic from here on. */
   private def quantized(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).select(col("vec_id"),
@@ -433,7 +447,7 @@ object PackCluster {
           expr("transform(v, (x, i) -> x + pmod(vec_id + i, 7) - 3)").as("v"))
         .select((col("vec_id") + 100000).as("vec_id"), col("v"))
       val corpus = graft.ops.CacheScope.persisted(base.unionByName(planted))
-      val c0 = base.filter(col("vec_id") < K)
+      val c0 = base.filter(col("vec_id") < semK(base))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val probes = corpus.crossJoin(broadcast(c0))
         .select(col("vec_id"), col("cid"),
@@ -488,7 +502,8 @@ object PackCluster {
                list_transform(range(1, len(v) + 1),
                  i -> v[i] + (vec_id + i - 1) % 7 - 3) AS v
         FROM q WHERE vec_id % 25 = 0),
-      c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $K),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM q
+             WHERE vec_id < greatest($K, (SELECT count(*) FROM embeddings) // 250)),
       dist AS (
         SELECT t.vec_id, c.cid,
                sum((t.v[g.i] - c.cv[g.i]) * (t.v[g.i] - c.cv[g.i])) AS d
@@ -806,7 +821,7 @@ object PackCluster {
             .as("v"))
         .select((col("vec_id") + 100000).as("vec_id"), col("v"))
       val corpus = graft.ops.CacheScope.persisted(base.unionByName(planted))
-      val c0 = base.filter(col("vec_id") < K)
+      val c0 = base.filter(col("vec_id") < semK(base))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val probes = corpus.crossJoin(broadcast(c0))
         .select(col("vec_id"), col("cid"),
@@ -864,7 +879,8 @@ object PackCluster {
                  i -> v[i] + (vec_id + i - 1) % (2 * amp + 1) - amp) AS v
         FROM (SELECT vec_id, v, 3 + 22 * ((vec_id // 25) % 6) AS amp
               FROM q WHERE vec_id % 25 = 0)),
-      c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $K),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM q
+             WHERE vec_id < greatest($K, (SELECT count(*) FROM embeddings) // 250)),
       dist AS (
         SELECT t.vec_id, c.cid,
                sum((t.v[g.i] - c.cv[g.i]) * (t.v[g.i] - c.cv[g.i])) AS d

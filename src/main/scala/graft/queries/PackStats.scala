@@ -509,16 +509,23 @@ object PackStats {
         .groupBy(col("n_name").as("nation"), col("o_custkey"))
         .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2))) * 100 " +
           "as bigint)").as("cents"))
+      // the rank formula's cross terms overflow BIGINT long before
+      // 100 TB (caught by the r19 sf1 scaling checkpoint under ANSI
+      // mode: 2·swx·10⁴ ≈ 1.1e19 at 6k customers/nation) — the swx
+      // aggregation and the numerator run in decimal(38,0); gini_bp
+      // itself is ≤ 10⁴ so the readout stays BIGINT
       per
         .withColumn("i", row_number().over(Window.partitionBy("nation")
           .orderBy(col("cents"), col("o_custkey"))).cast("long"))
         .groupBy("nation")
         .agg(count(lit(1)).as("n_cust"),
           sum("cents").as("total_cents"),
-          sum(expr("i * cents")).as("swx"))
+          sum(expr("cast(i as decimal(38,0)) * cents")).as("swx"))
         .select(col("nation"), col("n_cust"), col("total_cents"),
-          expr("(2 * swx - (n_cust + 1) * total_cents) * 10000 " +
-            "div (n_cust * total_cents)").as("gini_bp"))
+          expr("cast((2 * swx - (cast(n_cust as decimal(38,0)) + 1) " +
+            "* total_cents) * 10000 " +
+            "div (cast(n_cust as decimal(38,0)) * total_cents) " +
+            "as bigint)").as("gini_bp"))
         .orderBy("nation")
     },
     Some("""
@@ -534,11 +541,12 @@ object PackStats {
              FROM per),
       f AS (SELECT nation, count(*) AS n_cust,
               CAST(sum(cents) AS BIGINT) AS total_cents,
-              CAST(sum(i * cents) AS BIGINT) AS swx
+              sum(CAST(i AS HUGEINT) * cents) AS swx
             FROM rk GROUP BY nation)
       SELECT nation, n_cust, total_cents,
-             (2 * swx - (n_cust + 1) * total_cents) * 10000
-               // (n_cust * total_cents) AS gini_bp
+             CAST((2 * swx - (CAST(n_cust AS HUGEINT) + 1) * total_cents)
+               * 10000 // (CAST(n_cust AS HUGEINT) * total_cents)
+               AS BIGINT) AS gini_bp
       FROM f ORDER BY nation
     """),
     doc = "exact Gini per nation by the rank formula in integer cents: " +
