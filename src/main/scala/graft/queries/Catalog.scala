@@ -56,7 +56,8 @@ object Catalog {
       PackCurate.all ++ PackLm.all ++ PackPipeline.all ++ PackSignal.all ++
       PackRetrieval.all ++ PackRefresh.all ++ PackSetSim.all ++
       PackRelease.all ++ PackLayout.all ++ PackStats.all ++
-      PackBehavior.all ++ PackShapes.all ++ PackStore.all
+      PackBehavior.all ++ PackShapes.all ++ PackStore.all ++
+      PackVecStore.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.store.LabelStore
+import graft.store.{LabelStore, SketchStore}
 
 /** STORE-BACKED maintenance pack (round 19 — VERDICT r18 "next round"
   * item 1, its top pick): q184/q188 build their standing state in-query
@@ -270,5 +270,127 @@ object PackStore {
       "from tombstone generations, pre-takedown clusters from the as-of " +
       "generation fold — fully_deleted vs partial per touched component")
 
-  val all: Seq[Q] = Seq(q192, q193, q194)
+  // ------------------------------------------------------------------
+  // SketchStore under the hash gate (round 19 — the q192 arc applied to
+  // the SECOND store): the rank-sketch store's read path — per-batch
+  // generations as sketch CELLS, the merge-by-union readout, and the
+  // widened-bound compaction fold — was spec-gated only. Here a store
+  // materializes from three deterministic CDC batches of q185's shard
+  // rows (split by l_orderkey % 3 — a value-INDEPENDENT key, so each
+  // batch is a fair sample) and the catalog answers from
+  // [[SketchStore.estimates]], while the DuckDB oracle recomputes the
+  // identical decimation per (batch, shard) cell from the raw rows.
+  // Everything is deterministic end to end (the stride decimation is a
+  // function of each cell's multiset; the compaction keep-every-second
+  // fold runs over the pinned (c, cell, r) total order), which is what
+  // makes an APPROXIMATE summary hash-gateable: the gate pins the
+  // sketch AS DATA — n exact, the bound formula, and estimates that
+  // must sit exactly where the deterministic kernel puts them.
+
+  /** Two memoized stores per (JVM, sf dir): the raw 3-generation store
+    * and its compacted twin (same batches, then one [[SketchStore
+    * .compact]] fold) — separate paths because compaction mutates in
+    * place and catalog queries must be rerunnable in any order.
+    */
+  private val builtSketch =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def sketchPaths(s: SparkSession, d: String)
+      : (String, String) =
+    builtSketch.computeIfAbsent(d, _ => {
+      val raw = java.nio.file.Files
+        .createTempDirectory("graft-sketchstore").toString
+      val comp = java.nio.file.Files
+        .createTempDirectory("graft-sketchstore-c").toString
+      val rows = PackScale.rankRows(s, d)
+      for (p <- Seq(raw, comp); g <- 0L to 2L)
+        SketchStore.appendBatch(
+          rows.filter(col("l_orderkey") % 3 === g), g, p)
+      SketchStore.compact(s, comp)
+      (raw, comp)
+    })
+
+  /** The shared oracle prelude: q185's decimation kernel per
+    * (batch, shard) CELL — exactly what three appended generations hold
+    * — and the union readout's global cums over the pinned
+    * (c, cell, r) order.
+    */
+  private val sketchCells = """
+      rows_ AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+               (l_orderkey + l_linenumber) % 32 AS shard,
+               l_orderkey % 3 AS gen, l_orderkey, l_linenumber FROM lineitem),
+      rk AS (SELECT c, gen, shard,
+               row_number() OVER (PARTITION BY gen, shard ORDER BY c, l_orderkey, l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY gen, shard) AS ns
+             FROM rows_),
+      sk AS MATERIALIZED (SELECT gen * 32 + shard AS cell, c, rn AS r, (ns + 63) // 64 AS t
+             FROM rk WHERE rn % ((ns + 63) // 64) = 0 OR rn = ns),
+      st AS (SELECT cell, max(r) AS ns, max(t) AS t FROM sk GROUP BY cell),
+      tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n, CAST(sum(t - 1) AS BIGINT) AS bound FROM st),
+      wt AS (SELECT cell, c, r, r - lag(r, 1, 0) OVER (PARTITION BY cell ORDER BY r) AS w FROM sk),
+      cums AS MATERIALIZED (SELECT c, cell, r, CAST(sum(w) OVER (ORDER BY c, cell, r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM wt)"""
+
+  /** q195 — STORE-BACKED rank-sketch readout, oracle-gated: three CDC
+    * batches of q185's shard rows (split by l_orderkey % 3) each landed
+    * as one generation; [[SketchStore.estimates]] folds every
+    * (generation, shard) pair as a sketch cell and reads quantile
+    * estimates off the union — n exact, bound = Σ_cells (t−1), and
+    * est_c exactly where the deterministic stride decimation puts it.
+    * The oracle recomputes the identical kernel per (batch, shard) cell
+    * from raw lineitem, so a green row gates the store's generation
+    * layout, the union fold, and the readout — the whole serving path
+    * of the streaming quantile monitor.
+    */
+  private val q195 = Q(
+    "q195_store_sketch",
+    (s, d) => SketchStore.estimates(s, sketchPaths(s, d)._1)
+      .orderBy("p_bp"),
+    Some(s"""
+      WITH $sketchCells,
+      ks AS (SELECT n, bound, p_bp, (n * p_bp + 9999) // 10000 AS k
+             FROM tot CROSS JOIN (SELECT unnest([100, 500, 2500, 5000, 7500, 9500, 9900]) AS p_bp)),
+      est AS (SELECT p_bp, n, k, bound, min(c) AS est_c
+              FROM ks JOIN cums ON cum >= k GROUP BY p_bp, n, k, bound)
+      SELECT p_bp, n, k, bound, est_c FROM est ORDER BY p_bp
+    """),
+    doc = "store-backed rank-sketch estimates: three streamed " +
+      "generations read as sketch cells through the union fold — n " +
+      "exact, bound and estimates gated against the same decimation " +
+      "recomputed from raw rows")
+
+  /** q196 — COMPACTED-STORE readout, oracle-gated: the same three
+    * generations folded by [[SketchStore.compact]] into ONE cell
+    * (keep-every-second sample over the pinned (c, cell, r) order;
+    * t_new = B_old + max kept-gap + 1), then read through the same
+    * estimates path. The oracle reproduces the fold sample for sample:
+    * n must survive exactly, the bound must equal B_old + gap (the
+    * accuracy-for-size trade, gated as data), and every estimate must
+    * sit exactly where the deterministic compaction puts it. This is
+    * the store's maintenance operation under the hash gate — the piece
+    * a production deployment runs on a cadence to stop generation
+    * growth.
+    */
+  private val q196 = Q(
+    "q196_store_sketch_compact",
+    (s, d) => SketchStore.estimates(s, sketchPaths(s, d)._2)
+      .orderBy("p_bp"),
+    Some(s"""
+      WITH $sketchCells,
+      nums AS (SELECT c, cum, row_number() OVER (ORDER BY c, cell, r) AS rn,
+                      count(*) OVER () AS nr FROM cums),
+      kept AS MATERIALIZED (SELECT c, cum FROM nums WHERE rn % 2 = 0 OR rn = nr),
+      gap AS (SELECT max(d) AS g FROM
+               (SELECT cum - lag(cum, 1, 0) OVER (ORDER BY cum) AS d FROM kept)),
+      ks AS (SELECT n, tot.bound + g AS bound, p_bp, (n * p_bp + 9999) // 10000 AS k
+             FROM tot CROSS JOIN gap
+             CROSS JOIN (SELECT unnest([100, 500, 2500, 5000, 7500, 9500, 9900]) AS p_bp)),
+      est AS (SELECT p_bp, n, k, bound, min(c) AS est_c
+              FROM ks JOIN kept ON cum >= k GROUP BY p_bp, n, k, bound)
+      SELECT p_bp, n, k, bound, est_c FROM est ORDER BY p_bp
+    """),
+    doc = "compacted sketch-store readout: the keep-every-second fold " +
+      "with widened bound B_old + gap, reproduced sample for sample by " +
+      "the oracle — compaction's accuracy-for-size trade hash-gated")
+
+  val all: Seq[Q] = Seq(q192, q193, q194, q195, q196)
 }

@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.store.VecStore
+
+/** STORE-BACKED ANN maintenance pack (round 19): the q192 arc — a real
+  * on-disk store materialized from CDC generations, answered from the
+  * READ path, hash-gated against a from-scratch DuckDB rebuild —
+  * applied to the VECTOR INDEX ([[VecStore]]). This closes the
+  * unlearning loop on the embedding side: q188/q194 prove a takedown
+  * leaves the LABEL state; these prove it leaves the SERVING path — the
+  * ANN index a retrieval system actually queries — without a rebuild.
+  *
+  * The centroid statistics are maintained INCREMENTALLY in quantized
+  * integer space (Σ floor(x·10⁶) per dimension — associative, so the
+  * adds-minus-deletes fold is exactly order-free), which is what makes
+  * an incrementally-maintained index hash-equal a from-scratch build:
+  * q198 gates the statistics themselves, q197 the serving they drive,
+  * q199 the before/after drift a takedown review reads.
+  *
+  * Planted CDC history (queries are vec_id < 8, q33's split; corpus
+  * vec_id ≥ 8):
+  *
+  *   batch 0  adds: vec_id%10≠7            (the bootstrap)
+  *   batch 1  adds: vec_id%10=7            (the increment)
+  *   batch 2  dels: vec_id%25=3            (the takedown wave)
+  *            MOVES: live vec_id%50=21 re-ingest at label+1 — a
+  *            replacement that CHANGES CELLS (tombstone lands in the
+  *            old cell, stats move between cells);
+  *            CHAIN: vec 9000 (vec 8's embedding) add(cell 3) → del →
+  *            re-add(cell 7) under explicit seq — nets to the re-add
+  *   batch 3  resurrections: vec_id%100=3 return at label+2
+  *            (different cell than they died in);
+  *            dels: vec_id%40=11 (hits some batch-2 movers — x ≡ 171
+  *            mod 200 — so moved rows must also tombstone cleanly)
+  */
+object PackVecStore {
+
+  /** One store per (JVM, sf dir) — deterministic build, memoized; the
+    * catalog queries time the READ path only.
+    */
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def storePath(s: SparkSession, d: String): String =
+    built.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-vecstore").toString
+      buildStore(s, d, path)
+      path
+    })
+
+  private def ev(df: DataFrame, op: String, seq: Long): DataFrame =
+    df.select(col("vec_id"), col("label"), col("embedding"),
+      lit(op).as("op"), lit(seq).as("seq"))
+
+  private def buildStore(s: SparkSession, d: String,
+      path: String): Unit = {
+    def drain(): Unit = graft.ops.CacheScope.drain()
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    VecStore.applyBatch(
+      ev(corpus.filter(col("vec_id") % 10 =!= 7), "add", 0L), 0L, path)
+    drain()
+    VecStore.applyBatch(
+      ev(corpus.filter(col("vec_id") % 10 === 7), "add", 0L), 1L, path)
+    drain()
+    // batch 2: takedown + cell moves + the seq-ordered intra-batch chain
+    val dels2 = ev(corpus.filter(col("vec_id") % 25 === 3), "del", 0L)
+    val moves = ev(corpus.filter(col("vec_id") % 50 === 21)
+      .withColumn("label", (col("label") + 1) % 10), "add", 0L)
+    val e8 = emb.filter(col("vec_id") === 8)
+    def chainRow(lbl: Int): DataFrame =
+      e8.select(lit(9000L).as("vec_id"), lit(lbl).as("label"),
+        col("embedding"))
+    val chain = ev(chainRow(3), "add", 0L)
+      .unionByName(ev(chainRow(3), "del", 1L))
+      .unionByName(ev(chainRow(7), "add", 2L))
+    VecStore.applyBatch(
+      dels2.unionByName(moves).unionByName(chain), 2L, path)
+    drain()
+    // batch 3: resurrections at a DIFFERENT cell + a second takedown
+    val res = ev(corpus.filter(col("vec_id") % 100 === 3)
+      .withColumn("label", (col("label") + 2) % 10), "add", 0L)
+    val dels3 = ev(corpus.filter(col("vec_id") % 40 === 11), "del", 0L)
+    VecStore.applyBatch(res.unionByName(dels3), 3L, path)
+    drain()
+  }
+
+  private def queriesOf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** The oracle's FINAL live corpus after all four batches, from the
+    * planted predicates (the store never sees this — it maintained the
+    * index incrementally): takedowns %25=3 (unless resurrected %100=3)
+    * and %40=11 are gone; movers %50=21 sit at label+1, resurrections
+    * %100=3 at label+2; the chain vector 9000 nets to cell 7 with
+    * vec 8's embedding.
+    */
+  private val finalCorpus = """
+      base AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 8),
+      fin AS MATERIALIZED (
+        SELECT vec_id AS c_id,
+               CASE WHEN vec_id % 100 = 3 THEN (label + 2) % 10
+                    WHEN vec_id % 50 = 21 THEN (label + 1) % 10
+                    ELSE label END AS cell,
+               embedding
+        FROM base
+        WHERE NOT (vec_id % 25 = 3 AND vec_id % 100 <> 3)
+          AND vec_id % 40 <> 11
+        UNION ALL
+        SELECT 9000, 7, embedding FROM embeddings WHERE vec_id = 8)"""
+
+  /** One from-scratch IVF serving chain over `corpusCte` (c_id, cell,
+    * embedding), CTE names prefixed `pfx`: quantized integer centroids
+    * (Σ floor(x·10⁶) — exactly what the store maintains incrementally),
+    * top-2 cell probe by rounded centroid cosine, exact in-cell top-3.
+    * q33's engine-parity devices throughout (round-4 before every rank,
+    * id-order ties, list_cosine_similarity vs the native FloatDot).
+    */
+  private def servingSql(corpusCte: String, pfx: String): String = s"""
+      ${pfx}iv AS MATERIALIZED (SELECT c_id, cell,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ivec,
+               cast(embedding AS DOUBLE[]) AS ce
+             FROM $corpusCte),
+      ${pfx}cells AS (SELECT cell, list(ivec ORDER BY c_id) AS vs FROM ${pfx}iv GROUP BY cell),
+      ${pfx}reps AS (SELECT cell, list_transform(range(1, 65), i ->
+               list_reduce(list_transform(vs, v -> v[i]), (x, y) -> x + y)) AS re
+             FROM ${pfx}cells),
+      ${pfx}probed AS (SELECT q_id, qe, cell FROM (
+               SELECT q.q_id, q.qe, r.cell,
+                      row_number() OVER (PARTITION BY q.q_id
+                        ORDER BY round(list_cosine_similarity(q.qe, CAST(r.re AS DOUBLE[])), 4) DESC, r.cell) AS cell_rank
+               FROM q CROSS JOIN ${pfx}reps r) t
+             WHERE cell_rank <= 2),
+      ${pfx}scored AS (SELECT p.q_id, p.cell, i.c_id,
+               round(list_cosine_similarity(p.qe, i.ce), 4) AS score
+             FROM ${pfx}probed p JOIN ${pfx}iv i ON i.cell = p.cell),
+      ${pfx}topk AS (SELECT q_id, cell, c_id, score,
+               cast(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS INTEGER) AS rn
+             FROM ${pfx}scored)"""
+
+  private val queriesSql = """
+      q AS (SELECT vec_id AS q_id, cast(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 8)"""
+
+  /** q197 — STORE-BACKED ANN serving, oracle-gated end to end: top-3
+    * per query off the materialized vector index ([[VecStore.serve]] —
+    * folded integer centroids probe top-2 cells, the probed cells read
+    * as PARTITION-pruned member scans, cell-local merge-on-read fold,
+    * exact in-cell scoring) must hash-equal a from-scratch IVF build
+    * over the final live corpus. A green row proves the whole
+    * maintenance history — takedown tombstones, cell moves,
+    * resurrections, the seq chain — landed in the SERVING path, which
+    * is the artifact unlearning actually has to clean.
+    */
+  private val q197 = Q(
+    "q197_store_ann",
+    (s, d) => VecStore.serve(s, storePath(s, d), queriesOf(s, d))
+      .orderBy("q_id", "rn"),
+    Some(s"""
+      WITH $queriesSql,
+      $finalCorpus,
+      ${servingSql("fin", "")}
+      SELECT q_id, cell, c_id, score, rn FROM topk WHERE rn <= 3
+      ORDER BY q_id, rn
+    """),
+    doc = "store-backed IVF serving: top-3 per query off the " +
+      "CDC-maintained vector index (partition-pruned probed cells, " +
+      "merge-on-read members, incremental integer centroids) equals a " +
+      "from-scratch build on the final corpus")
+
+  /** q198 — the INCREMENTAL CELL STATISTICS under the hash gate:
+    * [[VecStore.readCentroids]] folds the per-batch integer deltas
+    * (adds − deletes − superseded rows, each batch one generation) by
+    * plain sum; the oracle recomputes per-cell member counts and
+    * per-dimension quantized sums from the final corpus. Exploded to
+    * (cell, n_members, d, s) rows so every dimension gates
+    * individually. This is the associativity claim proven as data: an
+    * index maintained by 4 CDC batches equals one built in a single
+    * pass, exactly — the property float centroids cannot have.
+    */
+  private val q198 = Q(
+    "q198_store_cellstats",
+    (s, d) => VecStore.readCentroids(s, storePath(s, d))
+      .select(col("cell"), col("n_members"),
+        posexplode(col("ivec")).as(Seq("d", "s")))
+      .orderBy("cell", "d"),
+    Some(s"""
+      WITH $finalCorpus,
+      iv AS (SELECT c_id, cell,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ivec
+             FROM fin),
+      agg AS (SELECT cell, count(*) AS n_members, list(ivec ORDER BY c_id) AS vs FROM iv GROUP BY cell),
+      rep AS (SELECT cell, n_members, list_transform(range(1, 65), i ->
+               list_reduce(list_transform(vs, v -> v[i]), (x, y) -> x + y)) AS ivec
+             FROM agg)
+      SELECT cell, n_members, CAST(i - 1 AS INTEGER) AS d, ivec[CAST(i AS INTEGER)] AS s
+      FROM rep CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      ORDER BY cell, d
+    """),
+    doc = "incrementally-maintained cell statistics off the store " +
+      "(integer-quantized centroid sums + member counts, folded from " +
+      "4 CDC delta generations) equal a from-scratch single-pass build")
+
+  /** q199 — TAKEDOWN SERVING-DRIFT report (the q194 capstone on the
+    * vector side): the same store served at asOf = 2 (generation time
+    * travel — the index before the takedown batches) and at head, per
+    * query: the top-1 neighbor before and after, how many of the top-3
+    * survived, and whether the top answer changed. The oracle runs two
+    * independent from-scratch IVF chains (pre corpus = every base
+    * vector at its original cell; post = the final corpus) and diffs
+    * them identically — so the gate proves as-of reads compose with
+    * the serving path, which is what an unlearning audit actually
+    * signs off on: "these are the answers the index stopped giving".
+    */
+  private val q199 = Q(
+    "q199_store_ann_drift",
+    (s, d) => {
+      val path = storePath(s, d)
+      val qs = queriesOf(s, d)
+      val pre = graft.ops.CacheScope.persisted(
+        VecStore.serve(s, path, qs, asOf = Some(2L)))
+      val post = graft.ops.CacheScope.persisted(
+        VecStore.serve(s, path, qs))
+      val p1 = pre.filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id").as("pre_c1"),
+          col("score").as("pre_s1"))
+      val o1 = post.filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id").as("post_c1"),
+          col("score").as("post_s1"))
+      val common = pre.select("q_id", "c_id")
+        .join(post.select("q_id", "c_id"), Seq("q_id", "c_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_common"))
+      p1.join(o1, "q_id")
+        .join(common, Seq("q_id"), "left")
+        .select(col("q_id"), col("pre_c1"), col("pre_s1"),
+          col("post_c1"), col("post_s1"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (col("pre_c1") =!= col("post_c1")).as("changed"))
+        .orderBy("q_id")
+    },
+    Some(s"""
+      WITH $queriesSql,
+      $finalCorpus,
+      pre AS MATERIALIZED (SELECT vec_id AS c_id, label AS cell, embedding FROM base),
+      ${servingSql("pre", "a_")},
+      ${servingSql("fin", "b_")},
+      p1 AS (SELECT q_id, c_id AS pre_c1, score AS pre_s1 FROM a_topk WHERE rn = 1),
+      o1 AS (SELECT q_id, c_id AS post_c1, score AS post_s1 FROM b_topk WHERE rn = 1),
+      com AS (SELECT a.q_id, count(*) AS n_common
+              FROM (SELECT q_id, c_id FROM a_topk WHERE rn <= 3) a
+              JOIN (SELECT q_id, c_id FROM b_topk WHERE rn <= 3) b USING (q_id, c_id)
+              GROUP BY a.q_id)
+      SELECT p1.q_id AS q_id, pre_c1, pre_s1, post_c1, post_s1,
+             CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+             (pre_c1 <> post_c1) AS changed
+      FROM p1 JOIN o1 USING (q_id) LEFT JOIN com ON com.q_id = p1.q_id
+      ORDER BY q_id
+    """),
+    doc = "takedown serving drift: the vector index served before " +
+      "(as-of time travel) and after the takedown batches — top-1 " +
+      "change and top-3 survival per query, both states gated against " +
+      "independent from-scratch builds")
+
+  val all: Seq[Q] = Seq(q197, q198, q199)
+}

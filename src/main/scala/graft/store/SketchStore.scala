@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object SketchStore {
 
+  /** One batch → one generation: the deterministic foreachBatch body,
+    * public so a batch driver (e.g. the store-backed catalog queries)
+    * can build the identical store the stream would — the sketch is a
+    * deterministic function of the batch's multiset, so replay rewrites
+    * identical content (the exactly-once argument above).
+    */
+  def appendBatch(batch: DataFrame, id: Long, path: String): Unit =
+    if (!batch.isEmpty) {
+      graft.queries.PackScale.sketchOf(batch)
+        .coalesce(1) // sketch-cardinality: one small file per batch
+        .write.mode("overwrite").parquet(s"$path/gen=$id")
+    }
+
   /** Continuous ingestion: `rows` carries q185's shard-row shape
     * (c, shard, l_orderkey, l_linenumber).
     */
@@ -38,11 +51,7 @@ object SketchStore {
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          graft.queries.PackScale.sketchOf(batch)
-            .coalesce(1) // sketch-cardinality: one small file per batch
-            .write.mode("overwrite").parquet(s"$path/gen=$id")
-        }
+        appendBatch(batch, id, path)
         ()
       }
       .start()

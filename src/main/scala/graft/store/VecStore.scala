@@ -1,0 +1,366 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read IVF VECTOR-INDEX store + streaming maintainer — the
+  * LabelStore arc (generations, tombstones, CDC net-effect batches,
+  * point-lookup pruning) applied to the ANN surface: embedding CDC
+  * batches arrive (adds, deletes, replacements that MOVE CELLS), and
+  * each batch lands as one generation of member deltas plus one
+  * generation of MERGEABLE cell statistics, never rewriting the
+  * corpus-sized vector table and never recomputing a centroid from
+  * scratch. This is the index half of the unlearning story: a takedown
+  * must leave the SERVING path — not just the corpus — within one
+  * batch, without an index rebuild.
+  *
+  * Layout:
+  *
+  *   path/members/gen=<g>/cell=<c>/bkt=<b>/  (vec_id, embedding, live)
+  *     — cell first, so a SERVING read of the probed cells prunes at
+  *     planning to 2/K of the files (the IVF contract at 100 TB);
+  *     bkt = vec_id mod 16 second, so an UNLEARNING point probe prunes
+  *     to one bucket directory per (gen, cell). Tombstones are written
+  *     INTO THE CELL of the row they kill — the invariant that makes a
+  *     cell-pruned merge-on-read fold correct: any read that can see a
+  *     vector's add row is guaranteed to also see the tombstone that
+  *     supersedes it. A replacement that moves cells writes two rows in
+  *     its generation: a tombstone in the old cell and the add in the
+  *     new one (same-generation ties resolve live-wins, so a same-cell
+  *     replacement folds to the new row).
+  *
+  *   path/cstats/gen=<g>/  (cell, dn, divec) — per-batch INTEGER deltas
+  *     of the cell statistics: dn = members gained − lost, divec[i] =
+  *     Σ ±floor(embedding[i]·10⁶). Integer space on purpose: float
+  *     addition is not associative, so an incrementally-maintained
+  *     float centroid could never hash-match a from-scratch rebuild —
+  *     the quantized sums are EXACTLY associative, fold in any order,
+  *     and cosine is scale-invariant, so probing against the un-divided
+  *     integer sum scores identically to the mean (q33's un-divided
+  *     centroid device, made incremental). Cell-cardinality per batch.
+  *
+  * Readers fold per vec_id by `max_by(·, (gen, live))` and keep live
+  * rows — a delete hides every older add, a later re-ingest resurrects
+  * the vector at its new cell; centroids fold by plain integer SUM over
+  * the delta generations. Exactly-once is [[LabelStore]]'s argument:
+  * each batch writes `gen=<batchId>` by overwrite and reads its
+  * pre-state at gen < batchId, so a replayed batch recomputes identical
+  * content. Generation growth bounds via [[compact]].
+  */
+object VecStore {
+
+  /** Point-lookup bucket fan-out within each cell directory. */
+  private val Buckets = 16
+
+  /** Largest probe list expressed as `isin` literals (partition +
+    * pushed filters); a bigger backfill batch falls back to one
+    * broadcast-semi pass over the fold.
+    */
+  private val ProbeIsinMax = 10000
+
+  /** The centroid quantization: per-dimension floor(x·10⁶) in BIGINT —
+    * deterministic in both engines (identical IEEE double product,
+    * floor exact), associative under union/deletion.
+    */
+  private def ivecOf(embedding: Column): Column =
+    transform(embedding, x =>
+      floor(x.cast("double") * lit(1000000.0d)).cast("long"))
+
+  /** The generation ids present (cheap directory listing, no job). */
+  private def genIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+  }
+
+  /** Live generations with [[LabelStore]]'s compaction-horizon rule
+    * (a negative generation encodes the batch id it folded through;
+    * readers keep it plus the positives above its horizon). An ABSENT
+    * table reads as empty — the first batch of a fresh store probes a
+    * pre-state that simply has no rows, so there is no separate init
+    * entry point.
+    */
+  private def live(spark: SparkSession, dir: String,
+      empty: => DataFrame): DataFrame = {
+    val ids = genIds(spark, dir)
+    if (ids.isEmpty) empty
+    else {
+      val gmin = ids.min
+      val raw = spark.read.parquet(dir)
+      if (gmin >= 0) raw
+      else raw.filter(col("gen") === gmin || col("gen") > -gmin - 2)
+    }
+  }
+
+  private def emptyMembers(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("vec_id"),
+      lit(null).cast("array<float>").as("embedding"),
+      lit(false).as("live"), lit(0).as("gen"), lit(0).as("cell"),
+      lit(0).as("bkt"))
+
+  private def emptyCstats(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").cast("int").as("cell"),
+      lit(0L).as("dn"), lit(null).cast("array<bigint>").as("divec"),
+      lit(0).as("gen"))
+
+  private def members(spark: SparkSession, path: String,
+      before: Option[Long]): DataFrame = {
+    val raw = live(spark, s"$path/members", emptyMembers(spark))
+    before.fold(raw)(b => raw.filter(col("gen") < b))
+  }
+
+  /** Newest-wins live fold of a member frame (already generation- and
+    * possibly cell-bounded). Same-generation tombstone+add pairs (a
+    * replacement) resolve live-wins via the (gen, live) key.
+    */
+  private def foldMembers(m: DataFrame): DataFrame =
+    m.groupBy("vec_id")
+      .agg(expr("max_by(struct(cell, embedding, live), struct(gen, live))")
+        .as("v"))
+      .filter(col("v.live"))
+      .select(col("vec_id"), col("v.cell").as("cell"),
+        col("v.embedding").as("embedding"))
+
+  /** Every live vector (vec_id, cell, embedding) — the full-corpus
+    * read. `asOf` bounds to generations strictly below it (time
+    * travel, [[LabelStore.readLabels]]'s contract).
+    */
+  def readMembers(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame =
+    foldMembers(members(spark, path, asOf))
+
+  /** Live vectors of the given CELLS only — the serving read: the cell
+    * predicate is a PARTITION filter (one cell= subtree per
+    * generation planned), and the co-located-tombstone invariant makes
+    * the cell-bounded fold exact.
+    */
+  def readMembersInCells(spark: SparkSession, path: String,
+      cells: Seq[Int], asOf: Option[Long] = None): DataFrame =
+    foldMembers(members(spark, path, asOf)
+      .filter(col("cell").isin(cells.distinct: _*)))
+
+  /** POINT lookup — the unlearning audit's read: bkt isin literals are
+    * partition filters (one bkt= dir per (gen, cell) planned), the
+    * vec_id probe pushes into the surviving scans, and the fold runs
+    * over id-cardinality survivors. A deleted id is absent.
+    */
+  def lookupMembers(spark: SparkSession, path: String, ids: Seq[Long],
+      before: Option[Long] = None): DataFrame =
+    foldMembers(members(spark, path, before)
+      // Int literals + floorMod: LabelStore.lookupLabels's two pin
+      // lessons — a Long literal casts the discovered-Int partition
+      // column and defeats pruning; pmod ≠ Scala % on negatives
+      .filter(col("bkt")
+        .isin(ids.map(i => Math.floorMod(i, Buckets.toLong).toInt)
+          .distinct: _*)
+        && col("vec_id").isin(ids: _*)))
+
+  /** Current cell statistics (cell, n_members, ivec) folded from the
+    * delta generations by plain integer sum — never a member scan.
+    * Cells whose membership drained to zero are absent.
+    */
+  def readCentroids(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val raw = live(spark, s"$path/cstats", emptyCstats(spark))
+    val bounded = asOf.fold(raw)(b => raw.filter(col("gen") < b))
+    val n = bounded.groupBy("cell").agg(sum("dn").as("n_members"))
+    val iv = bounded
+      .select(col("cell"), posexplode(col("divec")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(sum("v").as("s"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s)))," +
+        " x -> x.s)").as("ivec"))
+    n.join(iv, "cell").filter(col("n_members") > 0)
+  }
+
+  /** One CDC batch against the on-disk index — the foreachBatch body,
+    * public so the store-backed catalog queries and restart tests
+    * drive generations without a stream. `batch` carries
+    * (vec_id, label, embedding, op[, seq]) with op ∈ {add, del}
+    * (label/embedding ignored for deletes). Net-effect semantics are
+    * [[LabelStore.applyBatch]]'s: per vec_id only the max-seq op is
+    * material (del outranks add at equal seq — the no-seq legacy tie);
+    * an add of a LIVE vector is a replacement — its old row leaves
+    * (tombstone in the OLD cell, stats −), the new row enters (add in
+    * the new cell, stats +), so the index always equals a from-scratch
+    * build over the current vectors.
+    *
+    * Scale posture: the pre-state probe runs through the bucketed
+    * point lookup (partition-pruned) when the batch id list is
+    * isin-safe; the stats delta is batch-cardinality; the member write
+    * is delta-cardinality. Nothing reads the full member table.
+    */
+  def applyBatch(batch: DataFrame, id: Long, path: String): Unit = {
+    val sp = batch.sparkSession
+    val seqCol =
+      if (batch.columns.contains("seq")) col("seq").cast("long")
+      else lit(0L)
+    // net-effect reduction: last op per vec wins, del outranks add on
+    // ties; label as the final determinism key (the batch contract: no
+    // two same-(vec_id, seq, op, label) events with different vectors)
+    val net = graft.ops.CacheScope.persisted(
+      batch.select(col("vec_id"), col("label").cast("int").as("label"),
+        col("embedding"), col("op"), seqCol.as("seq"))
+        .groupBy("vec_id")
+        .agg(expr("max_by(struct(op, label, embedding), " +
+          "struct(seq, op = 'del', label))").as("v"))
+        .select(col("vec_id"), col("v.op").as("op"),
+          col("v.label").as("label"), col("v.embedding").as("embedding")))
+    val adds = graft.ops.CacheScope.persisted(
+      net.filter(col("op") === "add")
+        .select(col("vec_id"), col("label"), col("embedding")))
+
+    // pre-state of every net id (live rows only): both explicit dels
+    // and replacements leave their old cell
+    val netIds: Array[Long] =
+      net.select("vec_id").collect().map(_.getLong(0))
+    val preLive = graft.ops.CacheScope.persisted(
+      if (netIds.length <= ProbeIsinMax)
+        lookupMembers(sp, path, netIds.toSeq, Some(id))
+      else foldMembers(members(sp, path, Some(id))
+        .join(broadcast(net.select("vec_id")), Seq("vec_id"), "left_semi")))
+
+    // ---- cell-stats delta: −(old live rows) + (net adds), folded per
+    // cell in integer space (associative — order-free, exactly what
+    // makes the incremental centroid hash-match a from-scratch build)
+    val out = preLive.select(col("cell"), lit(-1L).as("s"),
+      ivecOf(col("embedding")).as("ivec"))
+    val in = adds.select(col("label").as("cell"), lit(1L).as("s"),
+      ivecOf(col("embedding")).as("ivec"))
+    val delta = graft.ops.CacheScope.persisted(out.unionByName(in))
+    val dn = delta.groupBy("cell").agg(sum("s").as("dn"))
+    val div = delta
+      .select(col("cell"), col("s"),
+        posexplode(col("ivec")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(sum(col("s") * col("v")).as("sv"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sv)))," +
+        " x -> x.sv)").as("divec"))
+    val cstats = dn.join(div, "cell")
+      .select(col("cell"), col("dn"), col("divec"))
+
+    // ---- member delta: tombstones INTO the old cells + the add rows
+    val tombs = preLive.select(col("vec_id"), col("cell"),
+      lit(null).cast("array<float>").as("embedding"),
+      lit(false).as("live"))
+    val addRows = adds.select(col("vec_id"), col("label").as("cell"),
+      col("embedding"), lit(true).as("live"))
+    tombs.unionByName(addRows)
+      .withColumn("bkt", pmod(col("vec_id"), lit(Buckets.toLong)).cast("int"))
+      .write.partitionBy("cell", "bkt")
+      .mode("overwrite").parquet(s"$path/members/gen=$id")
+    cstats.coalesce(1) // cell-cardinality: one small file per batch
+      .write.mode("overwrite").parquet(s"$path/cstats/gen=$id")
+  }
+
+  /** Continuous CDC maintenance — the streaming twin. */
+  def maintainCdcStream(events: DataFrame, path: String,
+      checkpoint: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          applyBatch(batch, id, path)
+          graft.ops.CacheScope.drain()
+          if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+            compact(batch.sparkSession, path)
+        }
+        ()
+      }
+      .start()
+
+  /** IVF serving off the store: probe the top `probe` cells per query
+    * by centroid cosine (the folded INTEGER stats — cosine is
+    * scale-invariant, so the un-divided sum scores like the mean),
+    * then score exactly ONLY within the probed cells' partitions.
+    * The probed-cell set collects driver-side (bounded ≤
+    * probe × queries — the literal list is what turns the member read
+    * into a planning-time partition prune, q33's 2/K contract made
+    * real against stored files). Ties and float noise are pinned by
+    * round-4 + id order, [[graft.queries.PackAnn]]'s device.
+    */
+  def serve(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 3, probe: Int = 2, asOf: Option[Long] = None): DataFrame = {
+    import graft.ops.SimOps
+    val reps = readCentroids(spark, path, asOf)
+      .select(col("cell"),
+        transform(col("ivec"), x => x.cast("double")).as("r_emb"))
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(col("r_score").desc, col("cell"))
+    val probed = graft.ops.CacheScope.persisted(
+      queries.crossJoin(broadcast(reps))
+        .withColumn("r_score",
+          round(SimOps.cosine(col("q_emb"), col("r_emb")), 4))
+        .withColumn("cell_rank", row_number().over(probeW))
+        .filter(col("cell_rank") <= probe)
+        .select(col("q_id"), col("q_emb"), col("cell")))
+    val cellsHit = probed.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ probe × |queries|
+    val mem = readMembersInCells(spark, path, cellsHit, asOf)
+      .select(col("vec_id").as("c_id"), col("cell"),
+        col("embedding").as("c_emb"))
+    val topW = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("c_id"))
+    probed.join(mem, Seq("cell"))
+      .withColumn("score",
+        round(SimOps.cosine(col("q_emb"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(topW))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cell"), col("c_id"), col("score"),
+        col("rn"))
+  }
+
+  /** Fold all generations into a fresh pair — members to live rows
+    * only (tombstones and superseded rows drop), cstats to one net
+    * row per cell. [[LabelStore.compact]]'s crash-safety verbatim:
+    * horizon-encoded fold id allocated from the max LIVE positive,
+    * staged-rename publish, retire loop last.
+    */
+  def compact(spark: SparkSession, path: String,
+      foldFiles: Int = 8): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("members", "cstats").foreach { sub =>
+      val dir = s"$path/$sub"
+      val ids = genIds(spark, dir)
+      if (ids.nonEmpty) {
+        val gmin = ids.min
+        val horizon = if (gmin < 0) -gmin - 2 else -1L
+        val livePos = ids.filter(g => g > horizon && g >= 0)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (livePos.isEmpty) {
+          ids.filter(_ != gmin).foreach(g => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
+        } else {
+          val gen = -(livePos.max + 2)
+          PartitionedStore.stagePublish(fs, dir,
+            s"$dir/gen=$gen", s"VecStore.compact($sub)") { st =>
+            if (sub == "members")
+              readMembers(spark, path)
+                .select(col("vec_id"), col("embedding"),
+                  lit(true).as("live"), col("cell"),
+                  pmod(col("vec_id"), lit(Buckets.toLong)).cast("int")
+                    .as("bkt"))
+                .repartitionByRange(foldFiles, col("cell"), col("bkt"),
+                  col("vec_id"))
+                .write.partitionBy("cell", "bkt")
+                .mode("overwrite").parquet(st)
+            else
+              readCentroids(spark, path)
+                .select(col("cell"), col("n_members").as("dn"),
+                  col("ivec").as("divec"))
+                .coalesce(1)
+                .write.mode("overwrite").parquet(st)
+          }
+          ids.foreach(g => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
+        }
+      }
+    }
+  }
+}

@@ -166,6 +166,43 @@ class PackStoreSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q195/q196: the sketch store reads its gen= layout (three cells " +
+    "per shard before the fold, one afterwards), n is exact at both " +
+    "states, and compaction widened the bound without moving any " +
+    "estimate outside it") {
+    try {
+      val raw = run("q195_store_sketch").as[(Int, Long, Long, Long, Long)]
+        .collect().toSeq
+      val comp = run("q196_store_sketch_compact")
+        .as[(Int, Long, Long, Long, Long)].collect().toSeq
+      val exactN = Tables.lineitem(spark, sf).count()
+      assert(raw.forall(_._2 == exactN) && comp.forall(_._2 == exactN),
+        "cell max-ranks must sum to the exact row count at both states")
+      val rawBound = raw.head._4
+      val compBound = comp.head._4
+      assert(compBound > rawBound,
+        s"compaction trades accuracy for size: $compBound vs $rawBound")
+      // estimates move only within the widened window: both are rank
+      // estimates of the same k with their own bound guarantee, so the
+      // compacted value's true rank window still covers k
+      raw.zip(comp).foreach { case (r, c) =>
+        assert(r._1 == c._1 && r._3 == c._3, "same probes, same ks")
+      }
+      // the pre-fold store really reads three generations as cells
+      val (rawPath, compPath) = PackStore.sketchPaths(spark, sf)
+      val rawGens = new java.io.File(rawPath).list()
+        .filter(_.startsWith("gen=")).sorted.toSeq
+      assert(rawGens === Seq("gen=0", "gen=1", "gen=2"), rawGens.toString)
+      val compGens = new java.io.File(compPath).list()
+        .filter(_.startsWith("gen=")).toSeq
+      assert(compGens === Seq("gen=-4"),
+        s"compaction must fold to the horizon id: $compGens")
+      val files = run("q195_store_sketch").inputFiles
+      rawGens.foreach(g => assert(files.exists(_.contains(s"/$g/")),
+        s"readout must fold $g"))
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("two SparkSessions racing LabelStore.compact at one store path: " +
     "the rename arbitrates, the loser aborts observably, and the folded " +
     "state equals the from-scratch rebuild (SURVEY §7.6, now evidence)") {
