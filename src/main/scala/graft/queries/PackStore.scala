@@ -270,6 +270,32 @@ object PackStore {
       "from tombstone generations, pre-takedown clusters from the as-of " +
       "generation fold — fully_deleted vs partial per touched component")
 
+  /** q201 — the KEY INDEX under the hash gate (round 19 — the last
+    * store table still outside it): [[LabelStore.readKeyIdx]] folds the
+    * bucketed keyidx generations (bootstrap full index, per-batch
+    * deltas, dead-key tombstones, remap sweeps) newest-wins; the oracle
+    * recomputes (key, comp) from scratch on the final corpus — every
+    * key of a live doc at its component's label, keys whose last holder
+    * left ABSENT. Every holder of a key shares a component by
+    * construction (the key IS an edge), so min(comp) is exact on both
+    * sides. This gates the serving surface [[LabelStore.lookupKeys]]
+    * prunes into (the kbkt layout's fold), the piece q192/q193 left
+    * spec-only.
+    */
+  private val q201 = Q(
+    "q201_store_keyidx",
+    (s, d) => LabelStore.readKeyIdx(s, storePath(s, d))
+      .orderBy("key"),
+    Some(s"""
+      WITH RECURSIVE $finalCc
+      SELECT key, min(comp) AS comp
+      FROM k JOIN c1 USING (doc_id)
+      GROUP BY key ORDER BY key
+    """),
+    doc = "store-backed key index: the maintained (key, comp) fold — " +
+      "per-batch deltas, dead-key tombstones, remap sweeps — equals a " +
+      "from-scratch key map over the final corpus; dead keys absent")
+
   // ------------------------------------------------------------------
   // SketchStore under the hash gate (round 19 — the q192 arc applied to
   // the SECOND store): the rank-sketch store's read path — per-batch
@@ -392,5 +418,5 @@ object PackStore {
       "with widened bound B_old + gap, reproduced sample for sample by " +
       "the oracle — compaction's accuracy-for-size trade hash-gated")
 
-  val all: Seq[Q] = Seq(q192, q193, q194, q195, q196)
+  val all: Seq[Q] = Seq(q192, q193, q194, q195, q196, q201)
 }

@@ -51,6 +51,22 @@ object PackVecStore {
       path
     })
 
+  /** The compacted twin (same four batches, then one
+    * [[VecStore.compact]] fold) — separate path because compaction
+    * drops the generation history q199's time travel reads.
+    */
+  private val builtCompact =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def compactPath(s: SparkSession, d: String): String =
+    builtCompact.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-vecstore-c").toString
+      buildStore(s, d, path)
+      VecStore.compact(s, path)
+      path
+    })
+
   private def ev(df: DataFrame, op: String, seq: Long): DataFrame =
     df.select(col("vec_id"), col("label"), col("embedding"),
       lit(op).as("op"), lit(seq).as("seq"))
@@ -156,21 +172,38 @@ object PackVecStore {
     * resurrections, the seq chain — landed in the SERVING path, which
     * is the artifact unlearning actually has to clean.
     */
-  private val q197 = Q(
-    "q197_store_ann",
-    (s, d) => VecStore.serve(s, storePath(s, d), queriesOf(s, d))
-      .orderBy("q_id", "rn"),
-    Some(s"""
+  private val finalServingSql = s"""
       WITH $queriesSql,
       $finalCorpus,
       ${servingSql("fin", "")}
       SELECT q_id, cell, c_id, score, rn FROM topk WHERE rn <= 3
       ORDER BY q_id, rn
-    """),
+    """
+
+  private val q197 = Q(
+    "q197_store_ann",
+    (s, d) => VecStore.serve(s, storePath(s, d), queriesOf(s, d))
+      .orderBy("q_id", "rn"),
+    Some(finalServingSql),
     doc = "store-backed IVF serving: top-3 per query off the " +
       "CDC-maintained vector index (partition-pruned probed cells, " +
       "merge-on-read members, incremental integer centroids) equals a " +
       "from-scratch build on the final corpus")
+
+  /** q200 — serving off the COMPACTED index, same oracle as q197: the
+    * reader-equivalence contract of [[VecStore.compact]] (fold members
+    * to live rows, statistics to one net row per cell, horizon-encoded
+    * generation id) under the hash gate — the maintenance operation a
+    * deployment runs on a cadence must leave every answer bit-equal.
+    */
+  private val q200 = Q(
+    "q200_store_ann_compact",
+    (s, d) => VecStore.serve(s, compactPath(s, d), queriesOf(s, d))
+      .orderBy("q_id", "rn"),
+    Some(finalServingSql),
+    doc = "serving off the compacted vector index: the generation fold " +
+      "(live members only, net statistics) answers bit-equal to the " +
+      "multi-generation store and to the from-scratch oracle build")
 
   /** q198 — the INCREMENTAL CELL STATISTICS under the hash gate:
     * [[VecStore.readCentroids]] folds the per-batch integer deltas
@@ -265,5 +298,5 @@ object PackVecStore {
       "change and top-3 survival per query, both states gated against " +
       "independent from-scratch builds")
 
-  val all: Seq[Q] = Seq(q197, q198, q199)
+  val all: Seq[Q] = Seq(q197, q198, q199, q200)
 }

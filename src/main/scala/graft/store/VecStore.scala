@@ -215,7 +215,9 @@ object VecStore {
         .select(col("vec_id"), col("label"), col("embedding")))
 
     // pre-state of every net id (live rows only): both explicit dels
-    // and replacements leave their old cell
+    // and replacements leave their old cell. The collect is bounded by
+    // BATCH cardinality (one row per distinct vec_id in the micro-batch
+    // — the same list the isin probe would broadcast anyway)
     val netIds: Array[Long] =
       net.select("vec_id").collect().map(_.getLong(0))
     val preLive = graft.ops.CacheScope.persisted(

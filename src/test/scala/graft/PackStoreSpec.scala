@@ -166,6 +166,26 @@ class PackStoreSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q201: the maintained key index equals a driver-side from-scratch " +
+    "key map on the final corpus (keys of dead docs absent), folded off " +
+    "every generation") {
+    val (_, _, fin) = world
+    val cc = ccOf(fin)
+    val want = fin.flatMap { case (id, t) => ccKeys(t).map(k => (k, cc(id))) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).min }
+    try {
+      val df = run("q201_store_keyidx")
+      val got = df.as[(String, Long)].collect().toMap
+      assert(got === want,
+        "maintained key index diverges from the from-scratch key map")
+      val files = df.inputFiles
+      Seq("gen=-1", "gen=0", "gen=1", "gen=2").foreach { g =>
+        assert(files.exists(_.contains(s"/$g/")),
+          s"key-index fold must read $g")
+      }
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("q195/q196: the sketch store reads its gen= layout (three cells " +
     "per shard before the fold, one afterwards), n is exact at both " +
     "states, and compaction widened the bound without moving any " +

@@ -169,6 +169,23 @@ class PackVecStoreSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q200: the compacted index serves bit-equal to the " +
+    "multi-generation store, from exactly one folded generation per " +
+    "table") {
+    try {
+      val multi = run("q197_store_ann").collect().toSeq
+      val folded = run("q200_store_ann_compact").collect().toSeq
+      assert(folded === multi,
+        "compaction changed an answer — reader equivalence broken")
+      val cpath = PackVecStore.compactPath(spark, sf)
+      Seq("members", "cstats").foreach { sub =>
+        val gens = new java.io.File(s"$cpath/$sub").list()
+          .filter(_.startsWith("gen=")).toSeq
+        assert(gens === Seq("gen=-5"), s"$sub after compact: $gens")
+      }
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("replaying a CDC batch rewrites identical state (crash-replay " +
     "determinism), and a delete of a never-live id is a no-op") {
     import java.nio.file.Files
