@@ -129,14 +129,12 @@ object PackVecStore {
         UNION ALL
         SELECT 9000, 7, embedding FROM embeddings WHERE vec_id = 8)"""
 
-  /** One from-scratch IVF serving chain over `corpusCte` (c_id, cell,
-    * embedding), CTE names prefixed `pfx`: quantized integer centroids
-    * (Σ floor(x·10⁶) — exactly what the store maintains incrementally),
-    * top-2 cell probe by rounded centroid cosine, exact in-cell top-3.
-    * q33's engine-parity devices throughout (round-4 before every rank,
-    * id-order ties, list_cosine_similarity vs the native FloatDot).
+  /** The quantization + centroid half of the oracle's IVF chain over
+    * `corpusCte` (c_id, cell, embedding): integer ivec per member
+    * (Σ floor(x·10⁶) is exactly what the store maintains
+    * incrementally) and the un-divided integer centroid per cell.
     */
-  private def servingSql(corpusCte: String, pfx: String): String = s"""
+  private def quantSql(corpusCte: String, pfx: String): String = s"""
       ${pfx}iv AS MATERIALIZED (SELECT c_id, cell,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ivec,
                cast(embedding AS DOUBLE[]) AS ce
@@ -144,7 +142,14 @@ object PackVecStore {
       ${pfx}cells AS (SELECT cell, list(ivec ORDER BY c_id) AS vs FROM ${pfx}iv GROUP BY cell),
       ${pfx}reps AS (SELECT cell, list_transform(range(1, 65), i ->
                list_reduce(list_transform(vs, v -> v[i]), (x, y) -> x + y)) AS re
-             FROM ${pfx}cells),
+             FROM ${pfx}cells)"""
+
+  /** The search half: top-2 cell probe by rounded centroid cosine,
+    * exact in-cell top-3. q33's engine-parity devices throughout
+    * (round-4 before every rank, id-order ties,
+    * list_cosine_similarity vs the native FloatDot).
+    */
+  private def searchSql(pfx: String): String = s"""
       ${pfx}probed AS (SELECT q_id, qe, cell FROM (
                SELECT q.q_id, q.qe, r.cell,
                       row_number() OVER (PARTITION BY q.q_id
@@ -157,6 +162,22 @@ object PackVecStore {
       ${pfx}topk AS (SELECT q_id, cell, c_id, score,
                cast(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS INTEGER) AS rn
              FROM ${pfx}scored)"""
+
+  /** One from-scratch IVF serving chain: quantize + search. */
+  private def servingSql(corpusCte: String, pfx: String): String =
+    quantSql(corpusCte, pfx) + "," + searchSql(pfx)
+
+  /** The oracle's one-Lloyd-step reassignment over `fin`: every member
+    * re-scores against every CURRENT centroid (round-4, ties keep the
+    * lower cell) — [[graft.store.VecStore.rebalance]]'s exact rule.
+    */
+  private val rebalanceSql = s"""
+      asn AS (SELECT c_id, cell, n_cell FROM (
+               SELECT i.c_id, i.cell, r.cell AS n_cell,
+                      row_number() OVER (PARTITION BY i.c_id
+                        ORDER BY round(list_cosine_similarity(i.ce, CAST(r.re AS DOUBLE[])), 4) DESC, r.cell) AS arn
+               FROM f_iv i CROSS JOIN f_reps r) t
+             WHERE arn = 1)"""
 
   private val queriesSql = """
       q AS (SELECT vec_id AS q_id, cast(embedding AS DOUBLE[]) AS qe
@@ -298,5 +319,85 @@ object PackVecStore {
       "change and top-3 survival per query, both states gated against " +
       "independent from-scratch builds")
 
-  val all: Seq[Q] = Seq(q197, q198, q199, q200)
+  /** The rebalanced twin: the four CDC batches, then ONE Lloyd step
+    * ([[VecStore.rebalance]] at generation 4) — members re-score
+    * against the current folded centroids and movers land as
+    * tombstone+add pairs, the replacement shape the readers already
+    * fold.
+    */
+  private val builtReb =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def rebPath(s: SparkSession, d: String): String =
+    builtReb.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-vecstore-r").toString
+      buildStore(s, d, path)
+      VecStore.rebalance(s, path, 4L)
+      graft.ops.CacheScope.drain()
+      path
+    })
+
+  /** q202 — serving after ONE RE-CLUSTERING step, oracle-gated: heavy
+    * CDC (takedowns, cell moves) drifts members away from the centroid
+    * of the cell they were ingested into; [[VecStore.rebalance]]
+    * re-scores every live member against the current folded centroids
+    * and moves the strays as ordinary CDC deltas. The oracle reruns
+    * the identical Lloyd step from scratch on the final corpus
+    * (round-4 scores, lower-cell ties) and serves over the reassigned
+    * cells — so the gate proves the maintenance op AND that serving
+    * composes with it (post-rebalance centroids are the MOVED sums).
+    * The drift is real at every SF: 278/465 members move at sf0.001,
+    * 1466/1883 at sf0.1 (measured before wiring) — the planted labels
+    * are deliberately loose, this is the repair a production index
+    * schedules.
+    */
+  private val q202 = Q(
+    "q202_store_ann_rebalance",
+    (s, d) => VecStore.serve(s, rebPath(s, d), queriesOf(s, d))
+      .orderBy("q_id", "rn"),
+    Some(s"""
+      WITH $queriesSql,
+      $finalCorpus,
+      ${quantSql("fin", "f_")},
+      $rebalanceSql,
+      reb AS MATERIALIZED (SELECT a.c_id, a.n_cell AS cell, f.embedding
+             FROM asn a JOIN fin f USING (c_id)),
+      ${servingSql("reb", "")}
+      SELECT q_id, cell, c_id, score, rn FROM topk WHERE rn <= 3
+      ORDER BY q_id, rn
+    """),
+    doc = "serving after one Lloyd re-clustering step on the store: " +
+      "members re-assigned to their nearest current centroid as CDC " +
+      "deltas, the oracle reruns the identical step from scratch")
+
+  /** q203 — the MOVE REPORT off the store's own generation: the
+    * rebalance landed as tombstone+add pairs in gen 4, so the store
+    * itself records (vec_id, old_cell, new_cell) — read back from the
+    * generation's rows, gated against the oracle's from-scratch
+    * reassignment. The report a capacity review reads after a
+    * rebalance: which members moved where.
+    */
+  private val q203 = Q(
+    "q203_store_rebalance_moves",
+    (s, d) => {
+      val g = s.read.parquet(s"${rebPath(s, d)}/members")
+        .filter(col("gen") === 4)
+      g.filter(!col("live"))
+        .select(col("vec_id"), col("cell").as("old_cell"))
+        .join(g.filter(col("live"))
+          .select(col("vec_id"), col("cell").as("new_cell")), "vec_id")
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH $finalCorpus,
+      ${quantSql("fin", "f_")},
+      $rebalanceSql
+      SELECT c_id AS vec_id, cell AS old_cell, n_cell AS new_cell
+      FROM asn WHERE cell <> n_cell ORDER BY vec_id
+    """),
+    doc = "rebalance move report read from the store's own tombstone+" +
+      "add generation, gated against the from-scratch reassignment")
+
+  val all: Seq[Q] = Seq(q197, q198, q199, q200, q202, q203)
 }

@@ -226,9 +226,21 @@ object VecStore {
       else foldMembers(members(sp, path, Some(id))
         .join(broadcast(net.select("vec_id")), Seq("vec_id"), "left_semi")))
 
-    // ---- cell-stats delta: −(old live rows) + (net adds), folded per
-    // cell in integer space (associative — order-free, exactly what
-    // makes the incremental centroid hash-match a from-scratch build)
+    commitDelta(preLive, adds, id, path)
+  }
+
+  /** Land one generation: tombstones for the leaving rows (INTO their
+    * current cells — the co-location invariant), add rows for the
+    * entering ones, and the matching integer stats deltas. Shared by
+    * [[applyBatch]] (which probed `preLive` off the store) and
+    * [[rebalance]] (which already HOLDS the pre-state — no probe, no
+    * id collect, so a corpus-sized move set stays fully distributed).
+    */
+  private def commitDelta(preLive: DataFrame, adds: DataFrame,
+      id: Long, path: String): Unit = {
+    // cell-stats delta: −(old live rows) + (net adds), folded per cell
+    // in integer space (associative — order-free, exactly what makes
+    // the incremental centroid hash-match a from-scratch build)
     val out = preLive.select(col("cell"), lit(-1L).as("s"),
       ivecOf(col("embedding")).as("ivec"))
     val in = adds.select(col("label").as("cell"), lit(1L).as("s"),
@@ -245,7 +257,7 @@ object VecStore {
     val cstats = dn.join(div, "cell")
       .select(col("cell"), col("dn"), col("divec"))
 
-    // ---- member delta: tombstones INTO the old cells + the add rows
+    // member delta: tombstones INTO the old cells + the add rows
     val tombs = preLive.select(col("vec_id"), col("cell"),
       lit(null).cast("array<float>").as("embedding"),
       lit(false).as("live"))
@@ -315,6 +327,57 @@ object VecStore {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("cell"), col("c_id"), col("score"),
         col("rn"))
+  }
+
+  /** One Lloyd RE-CLUSTERING step as store maintenance (round 19 —
+    * the drift repair a vector index needs after heavy CDC: takedowns
+    * and replacements move mass, so members drift away from the
+    * centroid of the cell they were ingested into, and probe recall
+    * decays). Every live member re-scores against the CURRENT folded
+    * centroids (the un-divided integer sums — cosine is
+    * scale-invariant) and members whose nearest centroid is a
+    * DIFFERENT cell move there: the batch writes one generation of
+    * tombstone+add pairs (the replacement shape [[applyBatch]] already
+    * commits) plus the matching integer stats deltas — nothing
+    * rewrites in place, readers fold the move like any other CDC
+    * generation. Determinism: round-4 on the score, ties keep the
+    * lower cell id — the same pin discipline as [[serve]], which is
+    * what makes a rebalanced index oracle-gateable.
+    *
+    * Scale posture: one member-table pass (score against K broadcast
+    * centroids), delta-cardinality writes. At 100 TB this is the same
+    * shape as serving with probe = K — embarrassingly parallel, no
+    * shuffle beyond the per-cell stats fold.
+    *
+    * `id` must exceed every live generation (the CDC batch-id
+    * contract). Returns the number of members moved.
+    */
+  def rebalance(spark: SparkSession, path: String, id: Long): Long = {
+    import graft.ops.SimOps
+    val reps = readCentroids(spark, path)
+      .select(col("cell").as("n_cell"),
+        transform(col("ivec"), x => x.cast("double")).as("r_emb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("a_score").desc, col("n_cell"))
+    val assigned = graft.ops.CacheScope.persisted(
+      readMembers(spark, path)
+        .crossJoin(broadcast(reps))
+        .withColumn("a_score",
+          round(SimOps.cosine(col("embedding"), col("r_emb")), 4))
+        .withColumn("arn", row_number().over(w))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cell"), col("embedding"),
+          col("n_cell")))
+    val moves = graft.ops.CacheScope.persisted(
+      assigned.filter(col("cell") =!= col("n_cell")))
+    val nMoves = moves.count()
+    if (nMoves > 0)
+      commitDelta(
+        moves.select(col("vec_id"), col("cell"), col("embedding")),
+        moves.select(col("vec_id"), col("n_cell").as("label"),
+          col("embedding")),
+        id, path)
+    nMoves
   }
 
   /** Fold all generations into a fresh pair — members to live rows

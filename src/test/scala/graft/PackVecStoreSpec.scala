@@ -186,6 +186,49 @@ class PackVecStoreSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q202/q203: rebalance preserves membership (nobody lost or " +
+    "duplicated), keeps the integer stats recount-exact across the " +
+    "move generation, and records every move in the store itself") {
+    val path = PackVecStore.rebPath(spark, sf)
+    try {
+      val members = VecStore.readMembers(spark, path)
+        .select(col("vec_id"), col("cell"), col("embedding"))
+        .as[(Long, Int, Array[Float])].collect()
+      assert(members.map(_._1).distinct.length === members.length,
+        "a move duplicated a member")
+      assert(members.map(_._1).sorted.toSeq ===
+        finalWorld.map(_._1).sorted,
+        "rebalance changed WHO is in the index")
+      // integer stats stay recount-exact over the moved assignment
+      val want = members.groupBy(_._2).map { case (cell, ms) =>
+        val sums = ms.map(m => ivec(m._3))
+          .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+        cell -> ((ms.length.toLong, sums.toSeq))
+      }
+      val got = VecStore.readCentroids(spark, path)
+        .select(col("cell"), col("n_members"),
+          posexplode(col("ivec")).as(Seq("d", "s")))
+        .as[(Int, Long, Int, Long)].collect()
+        .groupBy(_._1).map { case (cell, rows) =>
+          cell -> ((rows.head._2, rows.sortBy(_._3).map(_._4).toSeq))
+        }
+      assert(got === want,
+        "stats diverged from the recount after the move generation")
+      // the move report reads off the store's own generation
+      val moves = run("q203_store_rebalance_moves")
+        .as[(Long, Int, Int)].collect()
+      assert(moves.nonEmpty && moves.forall(m => m._2 != m._3))
+      moves.foreach { case (id, _, nc) =>
+        assert(members.find(_._1 == id).get._2 === nc,
+          s"mover $id not serving from its new cell")
+      }
+      Seq("members", "cstats").foreach { sub =>
+        assert(new java.io.File(s"$path/$sub/gen=4").isDirectory,
+          s"$sub: the rebalance must land as one CDC generation")
+      }
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("replaying a CDC batch rewrites identical state (crash-replay " +
     "determinism), and a delete of a never-live id is a no-op") {
     import java.nio.file.Files
