@@ -399,5 +399,193 @@ object PackVecStore {
     doc = "rebalance move report read from the store's own tombstone+" +
       "add generation, gated against the from-scratch reassignment")
 
-  val all: Seq[Q] = Seq(q197, q198, q199, q200, q202, q203)
+  /** q204 — CROSS-STORE ERASURE CERTIFICATE (§7.8 candidate 1 pulled
+    * forward): the single artifact a data-governance review signs
+    * after an erasure wave, composed from BOTH maintained stores. The
+    * planted worlds were designed to agree on the shared id domain —
+    * for ids that exist in the embeddings table, the label store's
+    * takedowns and the vector store's takedowns are the same set
+    * ((%25=3 ∧ ¬%100=3) ∪ %40=11) — so the certificate reads the
+    * deletion roll from the LABEL store's own tombstones, keeps the
+    * ids that carry vectors, and proves PER ID, through the serving
+    * reads of each store: absent from the current labels
+    * (`erased_labels`) and absent from the current ANN members
+    * (`erased_vectors`), alongside the pre-takedown component
+    * (label-store time travel, asOf = 1) and the pre-takedown cell
+    * (vector-store time travel, asOf = 2) a reviewer cites. The
+    * booleans are ENGINE-PROVEN (left-join-null against both live
+    * folds); the oracle emits them as literals and recomputes the
+    * pre-states from scratch — a hash mismatch on any row means one
+    * store's erasure leaked.
+    */
+  private val q204 = Q(
+    "q204_erasure_certificate",
+    (s, d) => {
+      import graft.store.LabelStore
+      val lblStore = PackStore.storePath(s, d)
+      val vecStore = storePath(s, d)
+      val shared = LabelStore.readTombstones(s, lblStore)
+        .join(Tables.embeddings(s, d).filter(col("vec_id") >= 8)
+          .select(col("vec_id").as("doc_id")), "doc_id")
+      val lblNow = LabelStore.readLabels(s, lblStore)
+        .select(col("doc_id"), lit(true).as("in_lbl"))
+      val vecNow = VecStore.readMembers(s, vecStore)
+        .select(col("vec_id").as("doc_id"), lit(true).as("in_vec"))
+      val oldComp = LabelStore.readLabels(s, lblStore, asOf = Some(1L))
+        .withColumnRenamed("comp", "old_comp")
+      val oldCell = VecStore.readMembers(s, vecStore, asOf = Some(2L))
+        .select(col("vec_id").as("doc_id"), col("cell").as("old_cell"))
+      shared
+        .join(lblNow, Seq("doc_id"), "left")
+        .join(vecNow, Seq("doc_id"), "left")
+        .join(oldComp, "doc_id")
+        .join(oldCell, "doc_id")
+        .select(col("doc_id"), col("old_comp"), col("old_cell"),
+          col("in_lbl").isNull.as("erased_labels"),
+          col("in_vec").isNull.as("erased_vectors"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      docs0 AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT x.doc_id + 800000, x.text || ' ' || y.text
+        FROM (SELECT doc_id, doc_id // 100 AS g, text FROM documents WHERE doc_id % 100 = 11) x
+        JOIN (SELECT doc_id // 100 AS g, text FROM documents WHERE doc_id % 100 = 12) y USING (g)),
+      t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM docs0),
+      k AS (SELECT doc_id, 'p:' || array_to_string(ws[1:2], ' ') AS key FROM t WHERE len(ws) >= 4
+            UNION ALL
+            SELECT doc_id, 's:' || array_to_string(ws[-2:], ' ') AS key FROM t WHERE len(ws) >= 4),
+      sx AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS b FROM k),
+      e0 AS (SELECT doc_id AS a, b FROM sx WHERE doc_id <> b),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      r(src, dst) AS (SELECT doc_id, doc_id FROM docs0
+                      UNION
+                      SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a),
+      c0 AS (SELECT src AS doc_id, min(dst) AS old_comp FROM r GROUP BY src),
+      dead AS (SELECT vec_id AS doc_id, label AS old_cell FROM embeddings
+               WHERE vec_id >= 8
+                 AND ((vec_id % 25 = 3 AND vec_id % 100 <> 3) OR vec_id % 40 = 11))
+      SELECT d.doc_id, c0.old_comp, d.old_cell,
+             true AS erased_labels, true AS erased_vectors
+      FROM dead d JOIN c0 ON c0.doc_id = d.doc_id
+      ORDER BY d.doc_id
+    """),
+    doc = "cross-store erasure certificate: the label store's tombstone " +
+      "roll, proven absent from both live serving folds (labels + ANN " +
+      "members), with pre-takedown component and cell from each " +
+      "store's time travel")
+
+  /** q205 — PROBE-WIDTH / RECALL sweep on the stored index (§7.8
+    * candidate 3 pulled forward): serve at probe ∈ {1, 2, 4, 8} in ONE
+    * pass — cells rank once per query, every member of the width-8
+    * probe set scores once, and each narrower width's top-3 is a
+    * filter over the same scored frame (the q175–q183 sweep shape
+    * applied to ANN capacity planning). Recall@3 gates as data against
+    * the in-corpus EXACT top-3 (the brute-force audit side — the cost
+    * a recall measurement legitimately pays, q25's declared baseline).
+    * The curve is monotone and spread at every SF (mean hits 0.4 →
+    * 2.75 from width 1 to 8 at sf0.001, with zero-hit rows planted by
+    * the loose cells — measured before wiring): exactly the
+    * probe-vs-recall trade an ANN deployment tunes.
+    */
+  private val q205 = Q(
+    "q205_store_probe_sweep",
+    (s, d) => {
+      import graft.ops.SimOps
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val path = storePath(s, d)
+      val qs = graft.ops.CacheScope.persisted(queriesOf(s, d))
+      val reps = VecStore.readCentroids(s, path)
+        .select(col("cell"),
+          transform(col("ivec"), x => x.cast("double")).as("r_emb"))
+      val rankW = Window.partitionBy("q_id")
+        .orderBy(col("r_score").desc, col("cell"))
+      val ranked = graft.ops.CacheScope.persisted(
+        qs.crossJoin(broadcast(reps))
+          .withColumn("r_score",
+            round(SimOps.cosine(col("q_emb"), col("r_emb")), 4))
+          .withColumn("cell_rank", row_number().over(rankW))
+          .filter(col("cell_rank") <= 8)
+          .select(col("q_id"), col("q_emb"), col("cell"),
+            col("cell_rank")))
+      val cellsHit = ranked.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded: ≤ 8 × |queries|
+      val mem = VecStore.readMembersInCells(s, path, cellsHit)
+        .select(col("vec_id").as("c_id"), col("cell"),
+          col("embedding").as("c_emb"))
+      val scored = graft.ops.CacheScope.persisted(
+        ranked.join(mem, Seq("cell"))
+          .withColumn("score",
+            round(SimOps.cosine(col("q_emb"), col("c_emb")), 4))
+          .select(col("q_id"), col("cell_rank"), col("c_id"),
+            col("score")))
+      // the audit side: exact top-3 over EVERY live member — the one
+      // full sweep a recall measurement pays by definition
+      val exactW = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("c_id"))
+      val exact3 = VecStore.readMembers(s, path)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .crossJoin(qs)
+        .withColumn("score",
+          round(SimOps.cosine(col("q_emb"), col("c_emb")), 4))
+        .withColumn("rn", row_number().over(exactW))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("c_id"))
+      val wdf = Seq(1, 2, 4, 8).toDF("probe_w")
+      val sweepW = Window.partitionBy("q_id", "probe_w")
+        .orderBy(col("score").desc, col("c_id"))
+      val topw = scored.join(broadcast(wdf),
+          col("cell_rank") <= col("probe_w"))
+        .withColumn("rn", row_number().over(sweepW))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("probe_w"), col("c_id"))
+      val hits = topw.join(exact3, Seq("q_id", "c_id"))
+        .groupBy("q_id", "probe_w").agg(count(lit(1)).as("n_hit"))
+      qs.select("q_id").crossJoin(broadcast(wdf))
+        .join(hits, Seq("q_id", "probe_w"), "left")
+        .select(col("q_id"), col("probe_w"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .orderBy("q_id", "probe_w")
+    },
+    Some(s"""
+      WITH $queriesSql,
+      $finalCorpus,
+      ${quantSql("fin", "")},
+      ranked AS (SELECT q.q_id, q.qe, r.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.qe, CAST(r.re AS DOUBLE[])), 4) DESC, r.cell) AS cell_rank
+             FROM q CROSS JOIN reps r),
+      scored AS MATERIALIZED (SELECT p.q_id, p.cell_rank, i.c_id,
+               round(list_cosine_similarity(p.qe, i.ce), 4) AS score
+             FROM (SELECT * FROM ranked WHERE cell_rank <= 8) p
+             JOIN iv i ON i.cell = p.cell),
+      exact3 AS MATERIALIZED (SELECT q_id, c_id FROM (
+               SELECT q.q_id, i.c_id,
+                      row_number() OVER (PARTITION BY q.q_id
+                        ORDER BY round(list_cosine_similarity(q.qe, i.ce), 4) DESC, i.c_id) AS rn
+               FROM q CROSS JOIN iv i) t WHERE rn <= 3),
+      w AS (SELECT unnest([1, 2, 4, 8]) AS probe_w),
+      topw AS (SELECT q_id, probe_w, c_id FROM (
+               SELECT s.q_id, w.probe_w, s.c_id,
+                      row_number() OVER (PARTITION BY s.q_id, w.probe_w
+                        ORDER BY s.score DESC, s.c_id) AS rn
+               FROM scored s JOIN w ON s.cell_rank <= w.probe_w) t
+             WHERE rn <= 3),
+      hits AS (SELECT t.q_id, t.probe_w, count(*) AS n_hit
+               FROM topw t JOIN exact3 e ON e.q_id = t.q_id AND e.c_id = t.c_id
+               GROUP BY t.q_id, t.probe_w)
+      SELECT q.q_id AS q_id, w.probe_w AS probe_w,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+      FROM q CROSS JOIN w
+      LEFT JOIN hits h ON h.q_id = q.q_id AND h.probe_w = w.probe_w
+      ORDER BY q_id, probe_w
+    """),
+    doc = "one-pass probe-width sweep on the stored index: top-3 at " +
+      "probe 1/2/4/8 from a single scored frame, recall@3 vs the " +
+      "exact in-corpus top-3 gated as data — the ANN capacity curve")
+
+  val all: Seq[Q] = Seq(q197, q198, q199, q200, q202, q203, q204, q205)
 }

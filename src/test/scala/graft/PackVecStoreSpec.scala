@@ -229,6 +229,51 @@ class PackVecStoreSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q204: the erasure certificate consults BOTH stores (input " +
+    "files span the label and vector store paths), covers exactly the " +
+    "shared takedown set, and proves every boolean") {
+    val wantIds = embAll.map(_._1).filter(id => id >= 8 &&
+      ((id % 25 == 3 && id % 100 != 3) || id % 40 == 11)).sorted
+    try {
+      val df = run("q204_erasure_certificate")
+      val got = df.as[(Long, Long, Int, Boolean, Boolean)]
+        .collect().toSeq
+      assert(got.map(_._1) === wantIds,
+        "certificate roll must be exactly the shared takedown set")
+      assert(got.forall(r => r._4 && r._5),
+        "an erased id resurfaced through a serving fold")
+      // old_cell is the pre-takedown (original) label
+      val lbl = embAll.map(m => m._1 -> m._2).toMap
+      got.foreach(r => assert(r._3 === lbl(r._1)))
+      val files = df.inputFiles
+      val lblStore = graft.queries.PackStore.storePath(spark, sf)
+      val vecStore = PackVecStore.storePath(spark, sf)
+      assert(files.exists(_.contains(lblStore)) &&
+        files.exists(_.contains(vecStore)),
+        "the certificate must read both maintained stores")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("q205: recall@3 is monotone in probe width per query (superset " +
+    "candidates can only help under the shared tie rule), and both " +
+    "regimes are observable (a zero-hit narrow probe, a near-exact " +
+    "wide one)") {
+    try {
+      val rows = run("q205_store_probe_sweep")
+        .as[(Long, Int, Long)].collect().toSeq
+      assert(rows.length === 32, "8 queries x 4 widths")
+      rows.groupBy(_._1).values.foreach { g =>
+        val byW = g.sortBy(_._2).map(_._3)
+        assert(byW.zip(byW.tail).forall { case (a, b) => a <= b },
+          s"recall must be monotone in probe width: $g")
+      }
+      assert(rows.exists(r => r._2 <= 2 && r._3 == 0L),
+        "a narrow probe must miss somewhere (the curve's left edge)")
+      assert(rows.filter(_._2 == 8).exists(_._3 == 3L),
+        "the wide probe must hit exactly somewhere (the right edge)")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("replaying a CDC batch rewrites identical state (crash-replay " +
     "determinism), and a delete of a never-live id is a no-op") {
     import java.nio.file.Files
