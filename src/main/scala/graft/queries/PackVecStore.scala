@@ -516,12 +516,14 @@ object PackVecStore {
       val mem = VecStore.readMembersInCells(s, path, cellsHit)
         .select(col("vec_id").as("c_id"), col("cell"),
           col("embedding").as("c_emb"))
-      val scored = graft.ops.CacheScope.persisted(
-        ranked.join(mem, Seq("cell"))
-          .withColumn("score",
-            round(SimOps.cosine(col("q_emb"), col("c_emb")), 4))
-          .select(col("q_id"), col("cell_rank"), col("c_id"),
-            col("score")))
+      // NOT persisted: queries × probed-cell members is
+      // corpus-proportional — it streams through the one group-limit
+      // window that consumes it
+      val scored = ranked.join(mem, Seq("cell"))
+        .withColumn("score",
+          round(SimOps.cosine(col("q_emb"), col("c_emb")), 4))
+        .select(col("q_id"), col("cell_rank"), col("c_id"),
+          col("score"))
       // the audit side: exact top-3 over EVERY live member — the one
       // full sweep a recall measurement pays by definition
       val exactW = Window.partitionBy("q_id")
@@ -587,5 +589,102 @@ object PackVecStore {
       "probe 1/2/4/8 from a single scored frame, recall@3 vs the " +
       "exact in-corpus top-3 gated as data — the ANN capacity curve")
 
-  val all: Seq[Q] = Seq(q197, q198, q199, q200, q202, q203, q204, q205)
+  /** The converged twin: the four CDC batches, then THREE Lloyd steps
+    * (generations 4, 5, 6) — each re-scoring against the centroids the
+    * previous step moved.
+    */
+  private val builtConv =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def convPath(s: SparkSession, d: String): String =
+    builtConv.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-vecstore-l3").toString
+      buildStore(s, d, path)
+      (4L to 6L).foreach { g =>
+        VecStore.rebalance(s, path, g)
+        graft.ops.CacheScope.drain()
+      }
+      path
+    })
+
+  /** The oracle's 3-step Lloyd unroll over `fin`: each step recomputes
+    * integer centroids from the PREVIOUS step's assignment and
+    * reassigns (round-4, lower-cell ties) — [[VecStore.rebalance]]
+    * iterated, exactly.
+    */
+  private val lloyd3: String = {
+    def step(k: Int): String = s""",
+      cells_$k AS (SELECT cell, list(ivec ORDER BY c_id) AS vs FROM iv_${k - 1} GROUP BY cell),
+      reps_$k AS (SELECT cell, list_transform(range(1, 65), i ->
+               list_reduce(list_transform(vs, v -> v[i]), (x, y) -> x + y)) AS re
+             FROM cells_$k),
+      asn_$k AS MATERIALIZED (SELECT c_id, cell, n_cell, ce, ivec FROM (
+               SELECT i.c_id, i.cell, r.cell AS n_cell, i.ce, i.ivec,
+                      row_number() OVER (PARTITION BY i.c_id
+                        ORDER BY round(list_cosine_similarity(i.ce, CAST(r.re AS DOUBLE[])), 4) DESC, r.cell) AS arn
+               FROM iv_${k - 1} i CROSS JOIN reps_$k r) t WHERE arn = 1),
+      iv_$k AS MATERIALIZED (SELECT c_id, n_cell AS cell, ce, ivec FROM asn_$k)"""
+    s"""
+      iv_0 AS MATERIALIZED (SELECT c_id, cell, cast(embedding AS DOUBLE[]) AS ce,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ivec
+             FROM fin)""" + (1 to 3).map(step).mkString
+  }
+
+  /** q206 — MULTI-STEP REBALANCE CONVERGENCE, gated as data (§7.8
+    * candidate 2 pulled forward; q187's stop-rule-evidence shape
+    * applied to re-clustering): three Lloyd steps land as generations
+    * 4–6, and the per-step move counts read back FROM THE STORE'S OWN
+    * GENERATIONS (live rows of each rebalance generation = that step's
+    * movers). The oracle unrolls the identical three reassignments
+    * from scratch. The counts fall geometrically at every SF
+    * (278→60→25 at sf0.001, 1466→282→186 at sf0.1 — measured before
+    * wiring): the evidence a deployment's re-cluster cadence reads to
+    * decide when to stop.
+    */
+  private val q206 = Q(
+    "q206_store_rebalance_steps",
+    (s, d) => s.read.parquet(s"${convPath(s, d)}/members")
+      .filter(col("gen") >= 4 && col("live"))
+      .groupBy((col("gen") - 3).cast("int").as("step"))
+      .agg(count(lit(1)).as("n_moved"))
+      .orderBy("step"),
+    Some(s"""
+      WITH $finalCorpus,
+      $lloyd3
+      SELECT CAST(1 AS INTEGER) AS step, CAST(count(*) FILTER (cell <> n_cell) AS BIGINT) AS n_moved FROM asn_1
+      UNION ALL SELECT 2, CAST(count(*) FILTER (cell <> n_cell) AS BIGINT) FROM asn_2
+      UNION ALL SELECT 3, CAST(count(*) FILTER (cell <> n_cell) AS BIGINT) FROM asn_3
+      ORDER BY step
+    """),
+    doc = "three Lloyd steps as CDC generations, per-step move counts " +
+      "read from the store's own generation rows and gated against a " +
+      "from-scratch 3-level unroll — geometric convergence as data")
+
+  /** q207 — serving at the CONVERGED assignment: the composition gate
+    * over q206's three steps — the centroids that serve are the sums
+    * three generations of moves produced, and the members fold through
+    * six generations of tombstone+add pairs. The oracle serves over
+    * its own third unrolled assignment.
+    */
+  private val q207 = Q(
+    "q207_store_ann_converged",
+    (s, d) => VecStore.serve(s, convPath(s, d), queriesOf(s, d))
+      .orderBy("q_id", "rn"),
+    Some(s"""
+      WITH $queriesSql,
+      $finalCorpus,
+      $lloyd3,
+      reb3 AS MATERIALIZED (SELECT a.c_id, a.n_cell AS cell, f.embedding
+             FROM asn_3 a JOIN fin f ON f.c_id = a.c_id),
+      ${servingSql("reb3", "")}
+      SELECT q_id, cell, c_id, score, rn FROM topk WHERE rn <= 3
+      ORDER BY q_id, rn
+    """),
+    doc = "serving off the 3-step-converged index: centroids and " +
+      "members folded through six move generations equal a " +
+      "from-scratch triple-unrolled Lloyd build")
+
+  val all: Seq[Q] =
+    Seq(q197, q198, q199, q200, q202, q203, q204, q205, q206, q207)
 }

@@ -274,6 +274,37 @@ class PackVecStoreSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q206/q207: the three Lloyd steps converge geometrically, " +
+    "membership is preserved through six move generations, and the " +
+    "converged assignment is a fixpoint-in-progress (every recorded " +
+    "move really changed cell)") {
+    val path = PackVecStore.convPath(spark, sf)
+    try {
+      val steps = run("q206_store_rebalance_steps")
+        .as[(Int, Long)].collect().toSeq
+      assert(steps.map(_._1) === Seq(1, 2, 3))
+      val counts = steps.map(_._2)
+      assert(counts.zip(counts.tail).forall { case (a, b) => b < a },
+        s"move counts must fall strictly: $counts")
+      assert(VecStore.readMembers(spark, path).count() ===
+        finalWorld.size.toLong,
+        "rebalance steps must never change WHO is in the index")
+      // per-generation move records are real moves (old != new cell)
+      (4 to 6).foreach { g =>
+        val gen = spark.read.parquet(s"$path/members")
+          .filter(col("gen") === g)
+        val pairs = gen.filter(!col("live"))
+          .select(col("vec_id"), col("cell").as("o"))
+          .join(gen.filter(col("live"))
+            .select(col("vec_id"), col("cell").as("n")), "vec_id")
+          .as[(Long, Int, Int)].collect()
+        assert(pairs.nonEmpty && pairs.forall(p => p._2 != p._3),
+          s"generation $g carries a non-move")
+      }
+      assert(run("q207_store_ann_converged").count() === 24L)
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("replaying a CDC batch rewrites identical state (crash-replay " +
     "determinism), and a delete of a never-live id is a no-op") {
     import java.nio.file.Files
