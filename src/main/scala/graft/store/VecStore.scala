@@ -265,6 +265,13 @@ object VecStore {
       col("embedding"), lit(true).as("live"))
     tombs.unionByName(addRows)
       .withColumn("bkt", pmod(col("vec_id"), lit(Buckets.toLong)).cast("int"))
+      // one task per (cell, bkt) leaf → ONE file per leaf instead of
+      // one per shuffle task that touched it: a small CDC batch would
+      // otherwise scatter ~32× the files, and generation reads become
+      // file-listing-bound long before they are data-bound (observed
+      // as a spurious e≈0.5 on the generation-reading queries at the
+      // test SFs). Parallelism stays cells × buckets for big batches.
+      .repartition(col("cell"), col("bkt"))
       .write.partitionBy("cell", "bkt")
       .mode("overwrite").parquet(s"$path/members/gen=$id")
     cstats.coalesce(1) // cell-cardinality: one small file per batch
