@@ -132,26 +132,62 @@ object LabelStore {
       .map(_.getPath.getName.stripPrefix("gen=").toLong)
   }
 
-  /** The live generations of `dir`, with the compaction HORIZON applied:
-    * a negative generation below the bootstrap encodes the batch id it
-    * folded through (gen = −(foldedThrough + 2); the gen −1 bootstrap is
-    * the degenerate fold-through-nothing), and the most negative one
-    * present wins — readers keep it plus the positive generations ABOVE
-    * its horizon and drop everything else. This is what makes a crashed
-    * compaction retire loop invisible: any leftover generation (older
-    * negative, or positive ≤ horizon) is already-folded content the
-    * filter discards, so newest-wins can never resurrect a stale row
-    * however the crash interleaved the deletes.
+  /** READ-COMMITTED generation visibility (round 20 — [[VecStore]]'s
+    * marker scheme, identically): a batch's generation spans up to
+    * THREE table writes (labels, keyidx, dockeys), and a reader racing
+    * the maintainer between them — or inside one write's job-commit
+    * rename window — would fold a torn batch. [[applyBatch]] creates
+    * `path/_commits/<id>` after ALL of its writes; readers treat the
+    * newest marker as the positive-generation ceiling. Negative
+    * generations need no marker: compaction folds publish by one
+    * atomic rename, and the init bootstrap precedes any reader by
+    * contract. The documented residual gap is
+    * the crash REPLAY, which overwrites an already-marked generation
+    * with identical bytes — reads during that window keep the
+    * single-writer assumption, as before.
     */
-  private def live(spark: SparkSession, dir: String): DataFrame = {
+  private def committedMax(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).foldLeft(-1L)((m, st) =>
+      math.max(m, st.getPath.getName.toLong))
+  }
+
+  private def markCommitted(spark: SparkSession, path: String,
+      id: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_commits/$id")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  /** The live generations of `path/sub`, with the compaction HORIZON
+    * applied: a negative generation below the bootstrap encodes the
+    * batch id it folded through (gen = −(foldedThrough + 2); the gen −1
+    * bootstrap is the degenerate fold-through-nothing), and the most
+    * negative one present wins — readers keep it plus the positive
+    * generations ABOVE its horizon, AT OR BELOW the commit-marker
+    * ceiling (round 20 — in-flight batches are invisible), and drop
+    * everything else. This is what makes a crashed compaction retire
+    * loop invisible: any leftover generation (older negative, or
+    * positive ≤ horizon) is already-folded content the filter discards,
+    * so newest-wins can never resurrect a stale row however the crash
+    * interleaved the deletes.
+    */
+  private def live(spark: SparkSession, path: String,
+      sub: String): DataFrame = {
+    val dir = s"$path/$sub"
     val ids = genIds(spark, dir)
     require(ids.nonEmpty,
       s"LabelStore not initialized: no gen= directories under $dir " +
         "(run LabelStore.init first)")
+    val bound = committedMax(spark, path)
     val gmin = ids.min
     val raw = spark.read.parquet(dir)
-    if (gmin >= 0) raw
-    else raw.filter(col("gen") === gmin || col("gen") > -gmin - 2)
+    if (gmin >= 0) raw.filter(col("gen") <= bound)
+    else raw.filter(col("gen") === gmin ||
+      (col("gen") > -gmin - 2 && col("gen") <= bound))
   }
 
   /** Newest-generation-wins fold of a (keyCol, comp) generation table
@@ -161,9 +197,9 @@ object LabelStore {
     * is a partition column, so the bound prunes directories at
     * planning).
     */
-  private def latest(spark: SparkSession, dir: String, keyCol: String,
-      before: Option[Long]): DataFrame = {
-    val raw = live(spark, dir)
+  private def latest(spark: SparkSession, path: String, sub: String,
+      keyCol: String, before: Option[Long]): DataFrame = {
+    val raw = live(spark, path, sub)
     val bounded = before.fold(raw)(b => raw.filter(col("gen") < b))
     bounded.groupBy(keyCol).agg(expr("max_by(comp, gen)").as("comp"))
       .filter(col("comp") =!= Tomb)
@@ -183,7 +219,7 @@ object LabelStore {
     */
   private def liveDockeys(spark: SparkSession, path: String,
       before: Option[Long]): DataFrame = {
-    val raw = live(spark, s"$path/dockeys")
+    val raw = live(spark, path, "dockeys")
     before.fold(raw)(b => raw.filter(col("gen") < b))
       .groupBy("doc_id", "gen").agg(collect_set("key").as("ks"))
       .groupBy("doc_id").agg(expr("max_by(ks, gen)").as("ks"))
@@ -216,12 +252,12 @@ object LabelStore {
           s"$path/labels: the folded pre-horizon state is " +
           "unrecoverable; keep an uncompacted store for audit reads")
     }
-    latest(spark, s"$path/labels", "doc_id", asOf)
+    latest(spark, path, "labels", "doc_id", asOf)
   }
 
   /** Current key index (key, comp) — live keys only. */
   def readKeyIdx(spark: SparkSession, path: String): DataFrame =
-    latest(spark, s"$path/keyidx", "key", None)
+    latest(spark, path, "keyidx", "key", None)
 
   /** Doc ids currently TOMBSTONED (deleted and not since resurrected) —
     * the store's own record of what left, newest-generation-wins like
@@ -229,7 +265,7 @@ object LabelStore {
     * deletion list from here instead of a side channel.
     */
   def readTombstones(spark: SparkSession, path: String): DataFrame =
-    live(spark, s"$path/labels")
+    live(spark, path, "labels")
       .groupBy("doc_id").agg(expr("max_by(comp, gen)").as("comp"))
       .filter(col("comp") === Tomb)
       .select("doc_id")
@@ -251,7 +287,7 @@ object LabelStore {
     */
   def lookupLabels(spark: SparkSession, path: String,
       ids: Seq[Long], before: Option[Long] = None): DataFrame = {
-    val raw = live(spark, s"$path/labels")
+    val raw = live(spark, path, "labels")
     before.fold(raw)(b => raw.filter(col("gen") < b))
       // Int literals on purpose: the partition column is discovered as
       // IntegerType, and a Long comparison would wrap it in a cast that
@@ -282,7 +318,7 @@ object LabelStore {
       c.update(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       (c.getValue % KBuckets).toInt // CRC32 value is non-negative
     }
-    live(spark, s"$path/keyidx")
+    live(spark, path, "keyidx")
       .filter(col("kbkt").isin(keys.map(kb).distinct: _*)
         && col("key").isin(keys: _*))
       .groupBy("key").agg(expr("max_by(comp, gen)").as("comp"))
@@ -396,9 +432,9 @@ object LabelStore {
 
     // pre-state at gen < id: a replayed batch re-reads the same state
     // however far the stream had advanced before the crash
-    def labels0 = latest(sp, s"$path/labels", "doc_id", Some(id))
+    def labels0 = latest(sp, path, "labels", "doc_id", Some(id))
     val keyIdx0 = graft.ops.CacheScope.persisted(
-      latest(sp, s"$path/keyidx", "key", Some(id)))
+      latest(sp, path, "keyidx", "key", Some(id)))
 
     // the batch's LIVE pre-state rows — a live del leaves, a live add
     // is a replacement (leaves, then re-enters with its new text).
@@ -528,6 +564,9 @@ object LabelStore {
         .join(keyedN.select(col("id").as("doc_id"), col("key")),
           Seq("doc_id"), "left")
         .write.mode("overwrite").parquet(s"$path/dockeys/gen=$id")
+    // the generation exists for readers only now — one atomic marker
+    // AFTER every table write (read-committed visibility, round 20)
+    markCommitted(sp, path, id)
   }
 
   /** Fold all generations into a fresh bootstrap triple — the
@@ -559,20 +598,27 @@ object LabelStore {
   def compact(spark: SparkSession, path: String,
       foldFiles: Int = 8): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // fold COMMITTED generations only (round 20, [[VecStore.compact]]'s
+    // twin): an in-flight positive above the marker ceiling is invisible
+    // to the fold's readers, so folding through its id would lose its
+    // content when the replay lands it below the new horizon — it stays
+    // in place, unfolded and unretired, until its marker commits
+    val bound = committedMax(spark, path)
     Seq("labels", "keyidx", "dockeys").foreach { sub =>
       val dir = s"$path/$sub"
       val ids = genIds(spark, dir)
       if (ids.nonEmpty) {
         val gmin = ids.min
         val horizon = if (gmin < 0) -gmin - 2 else -1L
-        val livePos = ids.filter(g => g > horizon && g >= 0)
+        val livePos = ids.filter(g => g > horizon && g >= 0 && g <= bound)
+        val retired = ids.filter(g => g < 0 || g <= bound)
         val p = new org.apache.hadoop.fs.Path(dir)
         val fs = p.getFileSystem(conf)
         if (livePos.isEmpty) {
           // nothing new since the last fold — GC the horizon-hidden
           // leftovers a crashed retire loop (or a replayed batch)
           // left behind; readers never see them either way
-          ids.filter(_ != gmin).foreach(g => fs.delete(
+          retired.filter(_ != gmin).foreach(g => fs.delete(
             new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
         } else {
           // livePos.max > horizon = −gmin−2 ⟹ gen < gmin: strictly
@@ -580,16 +626,16 @@ object LabelStore {
           val gen = -(livePos.max + 2)
           val (fold, partCols) = sub match {
             case "labels" => // bucketed layout: lookups prune files
-              (bucketed(latest(spark, dir, "doc_id", None))
+              (bucketed(latest(spark, path, sub, "doc_id", None))
                 .repartitionByRange(foldFiles, col("bkt"), col("doc_id")),
                 Seq("bkt"))
             case "keyidx" => // bucketed layout (r19): key probes prune
-              (kbucketed(latest(spark, dir, "key", None))
+              (kbucketed(latest(spark, path, sub, "key", None))
                 .repartitionByRange(foldFiles, col("kbkt"), col("key")),
                 Seq("kbkt"))
             case _ => // dockeys: live docs' newest key rows, one each
               (liveDockeys(spark, path, None)
-                .join(latest(spark, s"$path/labels", "doc_id", None)
+                .join(latest(spark, path, "labels", "doc_id", None)
                   .select("doc_id"), Seq("doc_id"), "left_semi")
                 .repartitionByRange(foldFiles, col("doc_id")), Nil)
           }
@@ -599,10 +645,18 @@ object LabelStore {
             (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
               .parquet(st)
           }
-          ids.foreach(g => fs.delete(
+          retired.foreach(g => fs.delete(
             new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
         }
       }
     }
+    // folded generations' markers are spent — GC them; in-flight
+    // generations never had one, ids above the bound keep theirs
+    val mp = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    val mfs = mp.getFileSystem(conf)
+    if (mfs.exists(mp))
+      mfs.listStatus(mp).map(_.getPath)
+        .filter(_.getName.toLong <= bound)
+        .foreach(mfs.delete(_, false))
   }
 }

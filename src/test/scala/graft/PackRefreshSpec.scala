@@ -279,6 +279,10 @@ class PackRefreshSpec extends SparkSpec {
         .write.partitionBy("bkt").parquet(s"$store/labels/gen=2")
       spark.read.parquet(s"$store/keyidx/gen=-4").limit(2)
         .write.partitionBy("kbkt").parquet(s"$store/keyidx/gen=2")
+      // a real replay lands its commit marker too (round 20 — without
+      // it the leftover reads as IN-FLIGHT and compact leaves it alone)
+      new java.io.File(s"$store/_commits").mkdirs()
+      new java.io.File(s"$store/_commits/2").createNewFile()
       LabelStore.compact(spark, store)
       Seq("labels", "keyidx").foreach { sub =>
         assert(new java.io.File(s"$store/$sub").list()
