@@ -57,7 +57,7 @@ object Catalog {
       PackRetrieval.all ++ PackRefresh.all ++ PackSetSim.all ++
       PackRelease.all ++ PackLayout.all ++ PackStats.all ++
       PackBehavior.all ++ PackShapes.all ++ PackStore.all ++
-      PackVecStore.all
+      PackVecStore.all ++ PackFeed.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

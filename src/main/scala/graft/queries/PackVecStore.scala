@@ -608,12 +608,12 @@ object PackVecStore {
       path
     })
 
-  /** The oracle's 3-step Lloyd unroll over `fin`: each step recomputes
+  /** The oracle's N-step Lloyd unroll over `fin`: each step recomputes
     * integer centroids from the PREVIOUS step's assignment and
     * reassigns (round-4, lower-cell ties) — [[VecStore.rebalance]]
     * iterated, exactly.
     */
-  private val lloyd3: String = {
+  private def lloydN(n: Int): String = {
     def step(k: Int): String = s""",
       cells_$k AS (SELECT cell, list(ivec ORDER BY c_id) AS vs FROM iv_${k - 1} GROUP BY cell),
       reps_$k AS (SELECT cell, list_transform(range(1, 65), i ->
@@ -628,8 +628,10 @@ object PackVecStore {
     s"""
       iv_0 AS MATERIALIZED (SELECT c_id, cell, cast(embedding AS DOUBLE[]) AS ce,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ivec
-             FROM fin)""" + (1 to 3).map(step).mkString
+             FROM fin)""" + (1 to n).map(step).mkString
   }
+
+  private val lloyd3: String = lloydN(3)
 
   /** q206 — MULTI-STEP REBALANCE CONVERGENCE, gated as data (§7.8
     * candidate 2 pulled forward; q187's stop-rule-evidence shape
@@ -685,6 +687,83 @@ object PackVecStore {
       "members folded through six move generations equal a " +
       "from-scratch triple-unrolled Lloyd build")
 
+  /** The BUDGET twin (round 20 — VERDICT r19 item 4): the four CDC
+    * batches, then [[VecStore.rebalanceUntil]] from generation 4 with
+    * threshold = ⌊live members / 8⌋ and a 4-step cap — the stop rule
+    * runs INSIDE the engine (q206 fixed three steps and read the curve;
+    * here the engine itself decides when the index has converged
+    * enough). Memoizes (path, threshold, counts) so the query reads the
+    * store the loop actually produced.
+    */
+  private val builtBudget =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Int)]()
+
+  private[graft] def budgetStore(s: SparkSession, d: String)
+      : (String, Long, Int) =
+    builtBudget.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-vecstore-b").toString
+      buildStore(s, d, path)
+      val threshold = VecStore.readMembers(s, path).count() / 8
+      val counts =
+        VecStore.rebalanceUntil(s, path, 4L, threshold, maxSteps = 4)
+      (path, threshold, counts.length)
+    })
+
+  /** q208 — RESIDUAL-GATED rebalance budget, oracle-gated: the engine
+    * loops Lloyd steps until a step's move count falls to
+    * ⌊corpus/8⌋ (or 4 steps), and the emitted curve — each executed
+    * step's moves read back FROM THE STORE'S OWN GENERATIONS, with the
+    * threshold and the below-budget verdict — must equal the oracle's
+    * from-scratch 4-level unroll truncated at ITS first below-threshold
+    * step. A green row proves the stop rule itself: both engines ran
+    * the same number of steps and agree the last one is the first under
+    * budget (q191's residual-gated shape applied to re-clustering —
+    * the cadence's stopping decision as gated data, not a driver-side
+    * read of q206's curve).
+    */
+  private val q208 = Q(
+    "q208_store_rebalance_budget",
+    (s, d) => {
+      val (path, threshold, nSteps) = budgetStore(s, d)
+      // one row per EXECUTED step; moves read from the store's own
+      // generations (a zero-move stopping step writes no generation —
+      // the left join keeps its row at 0, so the emitted curve is the
+      // loop's complete record either way)
+      val steps = s.range(1, nSteps + 1)
+        .select(col("id").cast("int").as("step"))
+      val fromStore = s.read.parquet(s"$path/members")
+        .filter(col("gen") >= 4 && col("live"))
+        .groupBy((col("gen") - 3).cast("int").as("step"))
+        .agg(count(lit(1)).as("n_moved"))
+      steps.join(fromStore, Seq("step"), "left")
+        .select(col("step"),
+          coalesce(col("n_moved"), lit(0L)).as("n_moved"),
+          lit(threshold).as("threshold"),
+          (coalesce(col("n_moved"), lit(0L)) <= threshold).as("below"))
+        .orderBy("step")
+    },
+    Some(s"""
+      WITH $finalCorpus,
+      ${lloydN(4)},
+      counts AS (
+        SELECT 1 AS step, CAST(count(*) FILTER (cell <> n_cell) AS BIGINT) AS n_moved FROM asn_1
+        UNION ALL SELECT 2, CAST(count(*) FILTER (cell <> n_cell) AS BIGINT) FROM asn_2
+        UNION ALL SELECT 3, CAST(count(*) FILTER (cell <> n_cell) AS BIGINT) FROM asn_3
+        UNION ALL SELECT 4, CAST(count(*) FILTER (cell <> n_cell) AS BIGINT) FROM asn_4),
+      th AS (SELECT count(*) // 8 AS t FROM fin),
+      fb AS (SELECT coalesce(min(step), 4) AS s FROM counts, th WHERE n_moved <= t)
+      SELECT CAST(c.step AS INTEGER) AS step, c.n_moved,
+             CAST(th.t AS BIGINT) AS threshold,
+             (c.n_moved <= th.t) AS below
+      FROM counts c, th, fb WHERE c.step <= fb.s ORDER BY c.step
+    """),
+    doc = "residual-gated rebalance: the engine's Lloyd loop stops at " +
+      "the first step moving <= corpus/8 members; executed steps read " +
+      "from the store's generations, gated against a from-scratch " +
+      "unroll truncated at the oracle's own first-below step")
+
   val all: Seq[Q] =
-    Seq(q197, q198, q199, q200, q202, q203, q204, q205, q206, q207)
+    Seq(q197, q198, q199, q200, q202, q203, q204, q205, q206, q207,
+      q208)
 }

@@ -506,6 +506,34 @@ object VecStore {
     nMoves
   }
 
+  /** RESIDUAL-GATED re-clustering (round 20 — VERDICT r19 item 4,
+    * q191's stop-rule shape moved INSIDE the engine): run Lloyd steps
+    * ([[rebalance]], one CDC move generation each, ids firstId,
+    * firstId+1, …) until a step moves at most `threshold` members or
+    * `maxSteps` is exhausted — the re-cluster cadence a deployment runs
+    * reads exactly this: keep stepping while the index is still
+    * drifting, stop at the first step whose residual move count falls
+    * under budget. Returns the per-step move counts, INCLUDING the
+    * stopping step (q206 reads the same counts back from the store's
+    * own generations — a below-threshold step with zero moves writes no
+    * generation, so the returned list is the complete record either
+    * way).
+    */
+  def rebalanceUntil(spark: SparkSession, path: String, firstId: Long,
+      threshold: Long, maxSteps: Int): Seq[Long] = {
+    var steps = List.empty[Long]
+    var stop = false
+    var i = 0
+    while (!stop && i < maxSteps) {
+      val moved = rebalance(spark, path, firstId + i)
+      graft.ops.CacheScope.drain()
+      steps ::= moved
+      stop = moved <= threshold
+      i += 1
+    }
+    steps.reverse
+  }
+
   /** Fold all generations into a fresh pair — members to live rows
     * only (tombstones and superseded rows drop), cstats to one net
     * row per cell. [[LabelStore.compact]]'s crash-safety verbatim:

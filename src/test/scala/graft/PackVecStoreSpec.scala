@@ -305,6 +305,33 @@ class PackVecStoreSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q208: the residual-gated rebalance stops at the FIRST step " +
+    "under budget — counts fall strictly, exactly the last row is " +
+    "below, the threshold is corpus/8, and membership is preserved " +
+    "through every executed step") {
+    try {
+      val rows = run("q208_store_rebalance_budget")
+        .as[(Int, Long, Long, Boolean)].collect().toSeq
+      assert(rows.map(_._1) === (1 to rows.length),
+        "steps must be contiguous from 1")
+      val counts = rows.map(_._2)
+      assert(counts.zip(counts.tail).forall { case (a, b) => b < a },
+        s"move counts must fall strictly: $counts")
+      // the stop rule: every non-final step above budget, the final one
+      // at-or-under (or the 4-step cap hit — not the case at any SF)
+      assert(rows.init.forall(!_._4) && rows.last._4,
+        s"exactly the last step is below budget: $rows")
+      val (path, threshold, nSteps) =
+        graft.queries.PackVecStore.budgetStore(spark, sf)
+      assert(rows.head._3 === threshold && nSteps === rows.length)
+      assert(threshold === finalWorld.size.toLong / 8,
+        "the budget is an eighth of the live corpus")
+      assert(VecStore.readMembers(spark, path).count() ===
+        finalWorld.size.toLong,
+        "the budget loop must never change WHO is in the index")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("replaying a CDC batch rewrites identical state (crash-replay " +
     "determinism), and a delete of a never-live id is a no-op") {
     import java.nio.file.Files
