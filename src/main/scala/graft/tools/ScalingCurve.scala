@@ -16,9 +16,78 @@ import org.apache.spark.sql.SparkSession
   * between runs — Bench's exact measurement discipline.
   *
   * Run: sbt "runMain graft.tools.ScalingCurve [q1,q2,...]"
+  *
+  * SF1 REGRESSION GATE (round 20 — VERDICT r19 item 7): the sf1
+  * checkpoint is a standing end-of-round ritual now, and this tool also
+  * asserts it. `sbt "runMain graft.tools.ScalingCurve sf1check"` reads
+  * `bench_history.jsonl`, pairs the two newest sf1 entries with the
+  * sf0.1 entry nearest-before each (the same quiet-run protocol), and
+  * computes each query's top-decade exponent e = log10(t(sf1) /
+  * t(sf0.1)). Any common query whose exponent ROSE by more than 0.2
+  * between the two rounds AND now sits above 0.3 — the "no new
+  * super-linearity" bar — fails the gate (exit 1) with the offenders
+  * printed. The 0.3 floor keeps the delta rule from crying wolf on
+  * overhead-bound queries whose prior e was a NEGATIVE noise artifact
+  * (run-to-run jitter routinely moves those by ±0.2 while both numbers
+  * stay firmly sub-linear); 0.3 is where r19's honest
+  * corpus-cardinality folds sit, so anything rising past it is a real
+  * signal. Queries below 0.5 s at sf1 are exempt outright: they are
+  * scheduling-overhead-bound and their ratios are noise, not scaling
+  * evidence.
   */
 object ScalingCurve {
+
+  private def sf1check(): Unit = {
+    val lines = scala.io.Source.fromFile("bench_history.jsonl")
+      .getLines().toSeq
+    // minimal extraction without a JSON lib: the entries are one-line
+    // objects Bench itself emitted, so the "queries" map is a flat
+    // "name":number list and "sf" a flat string — regexes suffice
+    def sfOf(l: String): String =
+      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1))
+        .getOrElse("")
+    def queriesOf(l: String): Map[String, Double] = {
+      val body = l.substring(l.indexOf("\"queries\":{") + 11)
+      val m = "\"(q[^\"]+)\":(-?[0-9.]+)".r
+      m.findAllMatchIn(body.substring(0, body.indexOf("}")))
+        .map(g => g.group(1) -> g.group(2).toDouble)
+        .filter(_._2 >= 0).toMap
+    }
+    val idx = lines.zipWithIndex
+    val sf1s = idx.filter(x => sfOf(x._1).contains("sf1"))
+    require(sf1s.size >= 2,
+      s"sf1check needs two sf1 entries in bench_history.jsonl " +
+        s"(found ${sf1s.size}) — run the sf1 bench first")
+    val Seq(prev, cur) = sf1s.takeRight(2)
+    def baseBefore(i: Int): Map[String, Double] =
+      idx.take(i).reverse
+        .find(x => sfOf(x._1).endsWith("sf0.1")).map(x => queriesOf(x._1))
+        .getOrElse(sys.error("no sf0.1 entry before the sf1 entry"))
+    val (ePrev, eCur) = (
+      queriesOf(prev._1), queriesOf(cur._1)) match { case (p, c) =>
+      val bp = baseBefore(prev._2)
+      val bc = baseBefore(cur._2)
+      def exps(sf1: Map[String, Double], base: Map[String, Double]) =
+        sf1.collect { case (q, t) if base.contains(q) && t >= 0.5 =>
+          q -> math.log10(t / base(q)) }
+      (exps(p, bp), exps(c, bc))
+    }
+    val offenders = eCur.collect {
+      case (q, e) if ePrev.contains(q) && e - ePrev(q) > 0.2 && e > 0.3 =>
+        (q, ePrev(q), e)
+    }.toSeq.sortBy(-_._3)
+    val common = eCur.keySet.intersect(ePrev.keySet)
+    println(f"sf1 exponent gate: ${common.size} common queries " +
+      f"(>=0.5s at sf1), ${offenders.size} regressed (rise > 0.2 " +
+      f"into e > 0.3)")
+    offenders.foreach { case (q, a, b) =>
+      println(f"  REGRESSED $q%-28s e $a%6.2f -> $b%6.2f")
+    }
+    if (offenders.nonEmpty) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "sf1check") { sf1check(); return }
     val queries: Seq[String] =
       if (args.nonEmpty) args(0).split(",").map(_.trim).toSeq
       else Seq( // BENCH_r15's worst-of-first-pass tail
