@@ -763,7 +763,157 @@ object PackVecStore {
       "from the store's generations, gated against a from-scratch " +
       "unroll truncated at the oracle's own first-below step")
 
+  /** The K-DRIFT twins (round 20, §7.9 item 2 pulled forward): the four
+    * CDC batches, then ONE cell-count maintenance op at generation 4 —
+    * [[VecStore.splitCell]] on the hottest final cell (max members, tie
+    * lower cell; new cell id = max cell + 1), or
+    * [[VecStore.mergeCells]] on the most drained cell into its
+    * nearest-centroid neighbor (round-4 cosine of the un-divided
+    * integer sums, tie lower cell). Both pick their operands OFF THE
+    * STORE's own folded statistics — the policy read a capacity
+    * maintainer runs — and land as one ordinary tombstone+add
+    * generation.
+    */
+  private val builtSplit =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def splitPath(s: SparkSession, d: String): String =
+    builtSplit.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-vecstore-s").toString
+      buildStore(s, d, path)
+      val reps = graft.ops.CacheScope.persisted(
+        VecStore.readCentroids(s, path))
+      val hot = reps.orderBy(col("n_members").desc, col("cell"))
+        .limit(1).select("cell").collect().head.getInt(0)
+      val newCell = reps.agg(max("cell")).collect().head.getInt(0) + 1
+      VecStore.splitCell(s, path, hot, newCell, 4L)
+      graft.ops.CacheScope.drain()
+      path
+    })
+
+  private val builtMerge =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def mergePath(s: SparkSession, d: String): String =
+    builtMerge.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-vecstore-m").toString
+      buildStore(s, d, path)
+      import graft.ops.SimOps
+      val reps = graft.ops.CacheScope.persisted(
+        VecStore.readCentroids(s, path)
+          .select(col("cell"),
+            transform(col("ivec"), x => x.cast("double")).as("re")))
+      val drained = reps // join keeps determinism in one Spark job
+        .join(VecStore.readCentroids(s, path)
+          .select(col("cell"), col("n_members")), "cell")
+        .orderBy(col("n_members").asc, col("cell"))
+        .limit(1).select("cell", "re").collect().head
+      val (from, fromRe) = (drained.getInt(0), drained.getSeq[Double](1))
+      val into = reps.filter(col("cell") =!= from)
+        .withColumn("sim",
+          round(SimOps.cosine(col("re"), typedLit(fromRe)), 4))
+        .orderBy(col("sim").desc, col("cell"))
+        .limit(1).select("cell").collect().head.getInt(0)
+      VecStore.mergeCells(s, path, from, into, 4L)
+      graft.ops.CacheScope.drain()
+      path
+    })
+
+  /** q210 — SERVING AFTER A CELL SPLIT, oracle-gated: the hottest cell
+    * (CDC concentrates mass — at every SF one cell ends well above the
+    * mean, and serving scans the WHOLE cell for every probe that ranks
+    * it) splits by the deterministic 2-means rule: seed A = the cell's
+    * min-id member, seed B = the member least similar to A (round-4,
+    * min-id tie), members strictly closer to B move to cell max+1 as
+    * one tombstone+add generation. The oracle reruns the identical
+    * split from scratch and serves over the post-split corpus — so the
+    * gate proves the split rule AND that serving composes with it (the
+    * new cell's centroid is the moved integer sums; probes may now rank
+    * a cell that did not exist at ingest time).
+    */
+  private val q210 = Q(
+    "q210_store_cell_split",
+    (s, d) => VecStore.serve(s, splitPath(s, d), queriesOf(s, d))
+      .orderBy("q_id", "rn"),
+    Some(s"""
+      WITH $queriesSql,
+      $finalCorpus,
+      ${quantSql("fin", "f_")},
+      big AS (SELECT cell AS bcell FROM (
+               SELECT cell, count(*) AS n FROM f_iv GROUP BY cell
+               ORDER BY n DESC, cell LIMIT 1)),
+      ncell AS (SELECT max(cell) + 1 AS newc FROM f_iv),
+      cm AS MATERIALIZED (SELECT i.c_id, i.cell, i.ce, f.embedding
+             FROM f_iv i JOIN big ON i.cell = big.bcell
+             JOIN fin f ON f.c_id = i.c_id),
+      sa AS (SELECT ce AS a FROM cm ORDER BY c_id LIMIT 1),
+      sb AS (SELECT ce AS b FROM (
+               SELECT cm.c_id, cm.ce,
+                      round(list_cosine_similarity(cm.ce, sa.a), 4) AS s
+               FROM cm, sa) t ORDER BY s ASC, c_id LIMIT 1),
+      moved AS (SELECT cm.c_id,
+               CASE WHEN round(list_cosine_similarity(cm.ce, sb.b), 4)
+                         > round(list_cosine_similarity(cm.ce, sa.a), 4)
+                    THEN ncell.newc ELSE cm.cell END AS cell,
+               cm.embedding
+             FROM cm, sa, sb, ncell),
+      post AS MATERIALIZED (
+        SELECT c_id, cell, embedding FROM fin
+        WHERE cell <> (SELECT bcell FROM big)
+        UNION ALL SELECT c_id, cell, embedding FROM moved),
+      ${servingSql("post", "")}
+      SELECT q_id, cell, c_id, score, rn FROM topk WHERE rn <= 3
+      ORDER BY q_id, rn
+    """),
+    doc = "serving after splitting the hottest cell (deterministic " +
+      "2-means: min-id seed vs farthest member, strict round-4 " +
+      "movers) — the K-drift maintenance op as one CDC generation, " +
+      "gated against a from-scratch split + serve")
+
+  /** q211 — SERVING AFTER A CELL MERGE, oracle-gated: the most drained
+    * cell (takedowns empty cells; a near-empty cell wastes a probe slot
+    * every time its centroid ranks) merges into its nearest-centroid
+    * neighbor, picked off the store's OWN folded statistics. The merged
+    * cell's centroid is the sum of both cells' integer deltas; the
+    * drained cell drops out of the probe ranking entirely. Oracle:
+    * identical pick + move from scratch, then serve.
+    */
+  private val q211 = Q(
+    "q211_store_cell_merge",
+    (s, d) => VecStore.serve(s, mergePath(s, d), queriesOf(s, d))
+      .orderBy("q_id", "rn"),
+    Some(s"""
+      WITH $queriesSql,
+      $finalCorpus,
+      ${quantSql("fin", "f_")},
+      sm AS (SELECT cell AS scell FROM (
+               SELECT cell, count(*) AS n FROM f_iv GROUP BY cell
+               ORDER BY n ASC, cell LIMIT 1)),
+      tgt AS (SELECT cell AS tcell FROM (
+               SELECT r.cell,
+                      round(list_cosine_similarity(CAST(r.re AS DOUBLE[]),
+                        CAST(s.re AS DOUBLE[])), 4) AS sim
+               FROM f_reps r
+               CROSS JOIN (SELECT re FROM f_reps JOIN sm ON cell = scell) s
+               WHERE r.cell <> (SELECT scell FROM sm)
+               ORDER BY sim DESC, r.cell LIMIT 1)),
+      post AS MATERIALIZED (
+        SELECT c_id,
+               CASE WHEN cell = sm.scell THEN tgt.tcell ELSE cell END AS cell,
+               embedding
+        FROM fin, sm, tgt),
+      ${servingSql("post", "")}
+      SELECT q_id, cell, c_id, score, rn FROM topk WHERE rn <= 3
+      ORDER BY q_id, rn
+    """),
+    doc = "serving after merging the most drained cell into its " +
+      "nearest-centroid neighbor (picked off the store's own folded " +
+      "statistics) — the drain half of K-drift maintenance, gated " +
+      "against a from-scratch merge + serve")
+
   val all: Seq[Q] =
     Seq(q197, q198, q199, q200, q202, q203, q204, q205, q206, q207,
-      q208)
+      q208, q210, q211)
 }

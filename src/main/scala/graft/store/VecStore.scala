@@ -474,12 +474,7 @@ object VecStore {
     // rebalance reads its pre-state UNBOUNDED, so re-running an id whose
     // generation half-landed would fold the partial writes into the
     // pre-state and diverge.
-    val ids = genIds(spark, s"$path/members")
-    val maxLive = ids.filter(_ >= 0).foldLeft(-1L)(math.max)
-    val horizon = if (ids.nonEmpty && ids.min < 0) -ids.min - 2 else -1L
-    require(id > maxLive && id > horizon,
-      s"rebalance id $id must exceed every live generation " +
-        s"(max=$maxLive, compaction horizon=$horizon) of $path")
+    requireFreshId(spark, path, id, "rebalance")
     val reps = readCentroids(spark, path)
       .select(col("cell").as("n_cell"),
         transform(col("ivec"), x => x.cast("double")).as("r_emb"))
@@ -504,6 +499,94 @@ object VecStore {
           col("embedding")),
         id, path)
     nMoves
+  }
+
+  /** The shared id-freshness guard for the maintenance ops that read
+    * their pre-state unbounded (rebalance, split, merge): a duplicate
+    * or stale id would overwrite an existing generation from a fold
+    * that may already include its own partial writes.
+    */
+  private def requireFreshId(spark: SparkSession, path: String,
+      id: Long, op: String): Unit = {
+    val ids = genIds(spark, s"$path/members")
+    val maxLive = ids.filter(_ >= 0).foldLeft(-1L)(math.max)
+    val horizon = if (ids.nonEmpty && ids.min < 0) -ids.min - 2 else -1L
+    require(id > maxLive && id > horizon,
+      s"$op id $id must exceed every live generation " +
+        s"(max=$maxLive, compaction horizon=$horizon) of $path")
+  }
+
+  /** SPLIT one cell in two — the K-drift half of IVF maintenance
+    * (round 20, §7.9 item 2 pulled forward): CDC concentrates mass —
+    * a hot ingest topic lands thousands of vectors in one cell, serving
+    * scans the whole cell for every probe that ranks it, and the 2/K
+    * pruning contract decays. The split rule is deterministic and
+    * oracle-replicable: seed A = the cell's minimum-id member, seed B =
+    * the member LEAST similar to A (round-4 cosine, min-id tie — the
+    * farthest point, the classic 2-means seeding made exact), and every
+    * member strictly closer to B than to A (round-4; ties stay) moves
+    * to `newCell`. The movers land as one ordinary tombstone+add CDC
+    * generation via [[commitDelta]] — readers, serving, and the
+    * incremental integer statistics compose with the split like with
+    * any other batch, and the new cell's centroid IS the moved sums.
+    *
+    * Scale posture: the candidate read is partition-pruned to the one
+    * split cell; the two seed collects are one row each; the move set
+    * never reaches the driver. Returns the number of members moved.
+    */
+  def splitCell(spark: SparkSession, path: String, cell: Int,
+      newCell: Int, id: Long): Long = {
+    import graft.ops.SimOps
+    requireFreshId(spark, path, id, "splitCell")
+    val mem = graft.ops.CacheScope.persisted(
+      readMembersInCells(spark, path, Seq(cell)))
+    // seed A: the minimum-id member (1-row collect)
+    val seedA = mem.orderBy("vec_id").limit(1)
+      .select("embedding").collect()
+    require(seedA.nonEmpty, s"splitCell: cell $cell is empty")
+    val aEmb = seedA.head.getSeq[Float](0)
+    // seed B: least similar to A, min-id tie (1-row collect)
+    val aCol = typedLit(aEmb)
+    val bEmb = mem
+      .withColumn("s", round(SimOps.cosine(col("embedding"), aCol), 4))
+      .orderBy(col("s").asc, col("vec_id").asc).limit(1)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val bCol = typedLit(bEmb)
+    val movers = graft.ops.CacheScope.persisted(
+      mem.filter(round(SimOps.cosine(col("embedding"), bCol), 4) >
+        round(SimOps.cosine(col("embedding"), aCol), 4)))
+    val n = movers.count()
+    if (n > 0)
+      commitDelta(
+        movers.select(col("vec_id"), col("cell"), col("embedding")),
+        movers.select(col("vec_id"), lit(newCell).as("label"),
+          col("embedding")),
+        id, path)
+    n
+  }
+
+  /** MERGE one cell into another — the drain half of K-drift
+    * maintenance: takedown waves empty cells, and a near-empty cell
+    * wastes a probe slot every time its centroid ranks. Every live
+    * member of `from` re-ingests at `into` (one tombstone+add
+    * generation via [[commitDelta]]); `from`'s statistics drain to zero
+    * and it drops out of [[readCentroids]] — the serving path never
+    * ranks it again. Returns the number of members moved.
+    */
+  def mergeCells(spark: SparkSession, path: String, from: Int,
+      into: Int, id: Long): Long = {
+    require(from != into, s"mergeCells: from == into ($from)")
+    requireFreshId(spark, path, id, "mergeCells")
+    val mem = graft.ops.CacheScope.persisted(
+      readMembersInCells(spark, path, Seq(from)))
+    val n = mem.count()
+    if (n > 0)
+      commitDelta(
+        mem.select(col("vec_id"), col("cell"), col("embedding")),
+        mem.select(col("vec_id"), lit(into).as("label"),
+          col("embedding")),
+        id, path)
+    n
   }
 
   /** RESIDUAL-GATED re-clustering (round 20 — VERDICT r19 item 4,

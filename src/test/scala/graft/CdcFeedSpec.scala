@@ -194,6 +194,74 @@ class CdcFeedSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("serving freshness UNDER THE STREAMING FEED (§7.9 item 1): " +
+    "label reads and two-phase ANN serving racing the live maintainer " +
+    "only ever observe committed generations of the pair") {
+    import java.nio.file.Files
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val in = Files.createTempDirectory("feedf-in").toString
+    val lp = Files.createTempDirectory("feedf-l").toString
+    val vp = Files.createTempDirectory("feedf-v").toString
+    val ckpt = Files.createTempDirectory("feedf-ckpt").toString
+    val queries = Seq((9001L, Array(3f, 2f, 1f)), (9002L, Array(1f, 5f, 2f)))
+      .toDF("q_id", "q_emb")
+    def serveOf(p: String): Seq[(Long, Int, Long, Double, Int)] =
+      VecStore.serve(spark, p, queries)
+        .as[(Long, Int, Long, Double, Int)].collect().sorted.toSeq
+    try {
+      // committed snapshots from the sequential twin, per generation
+      val (tlp, tvp) = {
+        val l = Files.createTempDirectory("feedf-tl").toString
+        val v = Files.createTempDirectory("feedf-tv").toString
+        LabelStore.init(base, l)
+        graft.ops.CacheScope.drain()
+        (l, v)
+      }
+      var lblSnaps = Set(labelsOf(tlp))
+      var serveSnaps = Set(serveOf(tvp))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        CdcFeed.applyBatch(b, i.toLong, tlp, tvp)
+        graft.ops.CacheScope.drain()
+        lblSnaps += labelsOf(tlp)
+        serveSnaps += serveOf(tvp)
+      }
+      // the race: the STREAMING maintainer drains the feed while the
+      // main thread reads both serving surfaces continuously
+      LabelStore.init(base, lp)
+      graft.ops.CacheScope.drain()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.coalesce(1).write.parquet(s"$in/b$i")
+      }
+      val writer = Future {
+        val q = CdcFeed.maintain(
+          spark.readStream.schema(feedSchema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          lp, vp, ckpt)
+        q.processAllAvailable(); q.stop()
+      }
+      var seen = Set.empty[Int]
+      while (!writer.isCompleted) {
+        val l = labelsOf(lp)
+        assert(lblSnaps.contains(l),
+          s"torn label read under the live feed: ${l.size} rows " +
+            s"matches no committed generation")
+        val sv = serveOf(vp)
+        assert(serveSnaps.contains(sv),
+          s"torn serve read under the live feed: $sv")
+        seen += l.size
+        graft.ops.CacheScope.drain()
+      }
+      Await.result(writer, 180.seconds)
+      assert(labelsOf(lp) === labelsOf(tlp) && serveOf(vp) === serveOf(tvp),
+        "the streamed pair must land the twin's final state")
+      assert(seen.size >= 2,
+        s"the reader must observe the pair mid-feed (saw ${seen.size})")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("paired compaction cadence: both stores fold on the same batch " +
     "id, readers unchanged, and post-fold batches keep merging " +
     "(VERDICT item 8 — one horizon for the pair)") {

@@ -332,6 +332,65 @@ class PackVecStoreSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q210/q211: cell split and merge preserve membership and keep " +
+    "the integer statistics recount-exact; the split is real (movers " +
+    "on both sides of the seed pair), the merged cell drops out of " +
+    "the probe ranking") {
+    import graft.queries.PackVecStore
+    try {
+      // --- split ---
+      val sp = PackVecStore.splitPath(spark, sf)
+      val sMembers = VecStore.readMembers(spark, sp)
+        .select(col("vec_id"), col("cell"), col("embedding"))
+        .as[(Long, Int, Array[Float])].collect()
+      assert(sMembers.map(_._1).sorted.toSeq ===
+        finalWorld.map(_._1).sorted,
+        "a split must never change WHO is in the index")
+      val sCells = sMembers.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(sCells.contains(10) && sCells(10) > 0,
+        "the split must populate the new cell")
+      val hotOrig = finalWorld.groupBy(_._2).maxBy {
+        case (c, ms) => (ms.size, -c) }
+      assert(sCells(hotOrig._1) + sCells(10) === hotOrig._2.size,
+        "split cells must partition exactly the hot cell's members")
+      assert(sCells(hotOrig._1) > 0, "seed A's side must keep members")
+      // stats recount over the post-split assignment (third mechanism)
+      val wantS = sMembers.groupBy(_._2).map { case (cell, ms) =>
+        val sums = ms.map(m => ivec(m._3))
+          .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+        cell -> ((ms.length.toLong, sums.toSeq))
+      }
+      val gotS = VecStore.readCentroids(spark, sp)
+        .select(col("cell"), col("n_members"),
+          posexplode(col("ivec")).as(Seq("d", "s")))
+        .as[(Int, Long, Int, Long)].collect()
+        .groupBy(_._1).map { case (cell, rows) =>
+          cell -> ((rows.head._2, rows.sortBy(_._3).map(_._4).toSeq))
+        }
+      assert(gotS === wantS,
+        "post-split statistics diverge from the recount")
+      assert(run("q210_store_cell_split").count() === 24L)
+
+      // --- merge ---
+      val mp = PackVecStore.mergePath(spark, sf)
+      val mMembers = VecStore.readMembers(spark, mp)
+        .select(col("vec_id"), col("cell"))
+        .as[(Long, Int)].collect()
+      assert(mMembers.map(_._1).sorted.toSeq ===
+        finalWorld.map(_._1).sorted,
+        "a merge must never change WHO is in the index")
+      val drained = finalWorld.groupBy(_._2).minBy {
+        case (c, ms) => (ms.size, c) }._1
+      assert(!mMembers.exists(_._2 == drained),
+        s"merged cell $drained must be empty through the member fold")
+      val mCells = VecStore.readCentroids(spark, mp)
+        .select("cell").as[Int].collect().toSet
+      assert(!mCells.contains(drained),
+        s"merged cell $drained must drop out of the probe ranking")
+      assert(run("q211_store_cell_merge").count() === 24L)
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("replaying a CDC batch rewrites identical state (crash-replay " +
     "determinism), and a delete of a never-live id is a no-op") {
     import java.nio.file.Files
