@@ -82,6 +82,32 @@ object PackFeed {
     CdcFeed.applyBatch(b3, 3L, lp, vp); drain()
   }
 
+  /** The shared oracle prelude: the feed domain (embedding-carrying ids
+    * with their documents texts), the PRE-TAKEDOWN corpus (everything
+    * the two add batches ingested, original texts, plus the label-only
+    * bootstrap), and its from-scratch recursive CC fixpoint — the
+    * `old_comp` both certificates cite.
+    */
+  private val preTakedownCc = """
+      dom AS MATERIALIZED (
+        SELECT e.vec_id AS doc_id, d.text, e.label
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        WHERE e.vec_id >= 8),
+      pre AS (SELECT doc_id, text FROM dom
+              UNION ALL
+              SELECT doc_id, text FROM documents WHERE doc_id < 8),
+      t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM pre),
+      k AS (SELECT doc_id, 'p:' || array_to_string(ws[1:2], ' ') AS key FROM t WHERE len(ws) >= 4
+            UNION ALL
+            SELECT doc_id, 's:' || array_to_string(ws[-2:], ' ') AS key FROM t WHERE len(ws) >= 4),
+      sx AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS b FROM k),
+      e0 AS (SELECT doc_id AS a, b FROM sx WHERE doc_id <> b),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      r(src, dst) AS (SELECT doc_id, doc_id FROM pre
+                      UNION
+                      SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a),
+      c0 AS (SELECT src AS doc_id, min(dst) AS old_comp FROM r GROUP BY src)"""
+
   /** q209 — ERASURE CERTIFICATE OVER THE SHARED FEED: the deletion roll
     * comes from the tombstone generations the SINGLE feed's delete
     * events produced (one event per id — there is no second feed that
@@ -118,26 +144,8 @@ object PackFeed {
           col("in_vec").isNull.as("erased_vectors"))
         .orderBy("doc_id")
     },
-    Some("""
-      WITH RECURSIVE
-      dom AS MATERIALIZED (
-        SELECT e.vec_id AS doc_id, d.text, e.label
-        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
-        WHERE e.vec_id >= 8),
-      pre AS (SELECT doc_id, text FROM dom
-              UNION ALL
-              SELECT doc_id, text FROM documents WHERE doc_id < 8),
-      t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS ws FROM pre),
-      k AS (SELECT doc_id, 'p:' || array_to_string(ws[1:2], ' ') AS key FROM t WHERE len(ws) >= 4
-            UNION ALL
-            SELECT doc_id, 's:' || array_to_string(ws[-2:], ' ') AS key FROM t WHERE len(ws) >= 4),
-      sx AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS b FROM k),
-      e0 AS (SELECT doc_id AS a, b FROM sx WHERE doc_id <> b),
-      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-      r(src, dst) AS (SELECT doc_id, doc_id FROM pre
-                      UNION
-                      SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a),
-      c0 AS (SELECT src AS doc_id, min(dst) AS old_comp FROM r GROUP BY src),
+    Some(s"""
+      WITH RECURSIVE $preTakedownCc,
       dead AS (SELECT doc_id, label AS old_cell FROM dom
                WHERE (doc_id % 25 = 3 AND doc_id % 100 <> 3)
                   OR doc_id % 40 = 11)
@@ -151,5 +159,66 @@ object PackFeed {
       "serving folds, pre-takedown component and cell from each " +
       "store's time travel — the cascade itself under the hash gate")
 
-  val all: Seq[Q] = Seq(q209)
+  /** q212 — POINT-IN-TIME certificate (§7.9 item 3 pulled forward):
+    * the same artifact AS OF the first takedown boundary (asOf = 3 —
+    * after batch 2, before the resurrection batch), where the roll
+    * DIFFERS from head: every %25=3 id is on it, including the %100=3
+    * ids a later batch resurrects. Per rolled id: erased from both
+    * folds AT THAT TIME (labels asOf 3, members asOf 3 — engine-proven
+    * left-join-nulls), the pre-takedown component and cell, and a
+    * `resurrected` flag proven against BOTH head folds (present in the
+    * labels AND the index again). This is what generation time travel
+    * is FOR: the auditor asks "what had the pipeline erased when the
+    * takedown wave landed", not "what happens to be erased today" —
+    * and a flag that only goes true when both stores resurrected the
+    * id re-checks the cascade in the other direction.
+    */
+  private val q212 = Q(
+    "q212_feed_erasure_pit",
+    (s, d) => {
+      val (lp, vp) = feedPaths(s, d)
+      val roll = LabelStore.readTombstones(s, lp, asOf = Some(3L))
+      val l3 = LabelStore.readLabels(s, lp, asOf = Some(3L))
+        .select(col("doc_id"), lit(true).as("in_l3"))
+      val v3 = VecStore.readMembers(s, vp, asOf = Some(3L))
+        .select(col("vec_id").as("doc_id"), lit(true).as("in_v3"))
+      val hl = LabelStore.readLabels(s, lp)
+        .select(col("doc_id"), lit(true).as("in_hl"))
+      val hv = VecStore.readMembers(s, vp)
+        .select(col("vec_id").as("doc_id"), lit(true).as("in_hv"))
+      val oldComp = LabelStore.readLabels(s, lp, asOf = Some(2L))
+        .withColumnRenamed("comp", "old_comp")
+      val oldCell = VecStore.readMembers(s, vp, asOf = Some(2L))
+        .select(col("vec_id").as("doc_id"), col("cell").as("old_cell"))
+      roll
+        .join(l3, Seq("doc_id"), "left")
+        .join(v3, Seq("doc_id"), "left")
+        .join(hl, Seq("doc_id"), "left")
+        .join(hv, Seq("doc_id"), "left")
+        .join(oldComp, "doc_id")
+        .join(oldCell, "doc_id")
+        .select(col("doc_id"), col("old_comp"), col("old_cell"),
+          col("in_l3").isNull.as("erased_labels"),
+          col("in_v3").isNull.as("erased_vectors"),
+          (col("in_hl").isNotNull && col("in_hv").isNotNull)
+            .as("resurrected"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $preTakedownCc,
+      dead3 AS (SELECT doc_id, label AS old_cell FROM dom
+                WHERE doc_id % 25 = 3)
+      SELECT d.doc_id, c0.old_comp, CAST(d.old_cell AS INTEGER) AS old_cell,
+             true AS erased_labels, true AS erased_vectors,
+             (d.doc_id % 100 = 3) AS resurrected
+      FROM dead3 d JOIN c0 ON c0.doc_id = d.doc_id
+      ORDER BY d.doc_id
+    """),
+    doc = "point-in-time erasure certificate at the takedown boundary " +
+      "(asOf = 3): the roll includes ids a later batch resurrects, " +
+      "erasure proven against both folds AT that time, resurrection " +
+      "proven against both head folds — time travel composed with the " +
+      "cascade in both directions")
+
+  val all: Seq[Q] = Seq(q209, q212)
 }

@@ -231,18 +231,19 @@ object LabelStore {
     * read to generations strictly below it — generation time travel
     * (the pre-takedown state a takedown-impact report diffs against).
     */
-  def readLabels(spark: SparkSession, path: String,
-      asOf: Option[Long] = None): DataFrame = {
-    // Audit time travel below the compaction horizon fails fast (round
-    // 20 — [[VecStore]]'s ADVICE r19 medium applies identically here):
-    // the fold generation merged everything up to the horizon, and the
-    // `gen < asOf` filter would otherwise pass the negative fold id
-    // through and serve HEAD state labeled as history. The gen=-1
-    // bootstrap is the degenerate fold-through-nothing (horizon −1), so
-    // every asOf >= 0 stays valid on an uncompacted store. Internal
-    // replay bounds (`before` in [[applyBatch]]/[[lookupLabels]]) are
-    // exempt: a replayed batch below the horizon re-reads the fold and
-    // its rewrite is invisible to readers by the horizon filter.
+  /** Audit time travel below the compaction horizon fails fast (round
+    * 20 — [[VecStore]]'s ADVICE r19 medium applies identically here):
+    * the fold generation merged everything up to the horizon, and the
+    * `gen < asOf` filter would otherwise pass the negative fold id
+    * through and serve HEAD state labeled as history. The gen=-1
+    * bootstrap is the degenerate fold-through-nothing (horizon −1), so
+    * every asOf >= 0 stays valid on an uncompacted store. Internal
+    * replay bounds (`before` in [[applyBatch]]/[[lookupLabels]]) are
+    * exempt: a replayed batch below the horizon re-reads the fold and
+    * its rewrite is invisible to readers by the horizon filter.
+    */
+  private def checkAsOfAboveHorizon(spark: SparkSession, path: String,
+      asOf: Option[Long]): Unit =
     asOf.foreach { b =>
       val ids = genIds(spark, s"$path/labels")
       val horizon =
@@ -252,6 +253,10 @@ object LabelStore {
           s"$path/labels: the folded pre-horizon state is " +
           "unrecoverable; keep an uncompacted store for audit reads")
     }
+
+  def readLabels(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    checkAsOfAboveHorizon(spark, path, asOf)
     latest(spark, path, "labels", "doc_id", asOf)
   }
 
@@ -264,11 +269,19 @@ object LabelStore {
     * every other read. The takedown-impact path (q194) reads its
     * deletion list from here instead of a side channel.
     */
-  def readTombstones(spark: SparkSession, path: String): DataFrame =
-    live(spark, path, "labels")
+  def readTombstones(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    // asOf (round 20): the deletion roll AS OF a generation boundary —
+    // the point-in-time certificate's read (who was erased at t, which
+    // can differ from head when later batches resurrect). Same horizon
+    // fail-fast as [[readLabels]].
+    checkAsOfAboveHorizon(spark, path, asOf)
+    val raw = live(spark, path, "labels")
+    asOf.fold(raw)(b => raw.filter(col("gen") < b))
       .groupBy("doc_id").agg(expr("max_by(comp, gen)").as("comp"))
       .filter(col("comp") === Tomb)
       .select("doc_id")
+  }
 
   /** POINT lookup: the labels of `ids` only — the serving read path
     * (billions of standing rows, a handful probed). Pruning happens at

@@ -194,6 +194,31 @@ class CdcFeedSpec extends SparkSpec {
     } finally graft.ops.CacheScope.drain()
   }
 
+  test("q212: the point-in-time certificate rolls the FULL first " +
+    "takedown wave (including ids a later batch resurrects), proves " +
+    "erasure at that time, and flags resurrection against both head " +
+    "folds") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val got = graft.queries.Catalog
+        .queries("q212_feed_erasure_pit")(spark, sf)
+        .as[(Long, Long, Int, Boolean, Boolean, Boolean)]
+        .collect().toSeq
+      val domain = graft.queries.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") >= 8).select("vec_id")
+        .as[Long].collect().toSeq
+      assert(got.map(_._1) === domain.filter(_ % 25 == 3).sorted,
+        "the t=3 roll must be the complete first takedown wave")
+      assert(got.forall(r => r._4 && r._5),
+        "every rolled id must be erased from both folds at t=3")
+      assert(got.filter(_._6).map(_._1) ===
+        domain.filter(id => id % 25 == 3 && id % 100 == 3).sorted,
+        "resurrected must flag exactly the later re-adds")
+      assert(got.exists(_._6) && got.exists(!_._6),
+        "both verdict classes must be observable")
+    } finally graft.ops.CacheScope.drain()
+  }
+
   test("serving freshness UNDER THE STREAMING FEED (§7.9 item 1): " +
     "label reads and two-phase ANN serving racing the live maintainer " +
     "only ever observe committed generations of the pair") {
