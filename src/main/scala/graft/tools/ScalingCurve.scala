@@ -34,6 +34,16 @@ import org.apache.spark.sql.SparkSession
   * signal. Queries below 0.5 s at sf1 are exempt outright: they are
   * scheduling-overhead-bound and their ratios are noise, not scaling
   * evidence.
+  *
+  * Steal-aware adjudication (round 20, from the first live firing): a
+  * shared-host steal burst inflates whole measurement windows — the
+  * round's sf1 run recorded 10–21× each flagged query's OWN wall time
+  * in machine-wide steal bracketing its three timed runs
+  * (`query_steal_ms`, the telemetry Bench attaches for exactly this
+  * call). An offender whose bracketing steal exceeds 2× its measured
+  * time is reported as STOLEN (re-measure on a quiet host) instead of
+  * failing the gate; a regression measured under clean steal still
+  * exits 1.
   */
 object ScalingCurve {
 
@@ -72,14 +82,36 @@ object ScalingCurve {
           q -> math.log10(t / base(q)) }
       (exps(p, bp), exps(c, bc))
     }
-    val offenders = eCur.collect {
+    // per-query steal bracketing the CURRENT sf1 measurement — the
+    // environment evidence that separates "the host was stolen" from
+    // "the plan regressed"
+    val curTimes = queriesOf(cur._1)
+    val curSteal: Map[String, Long] = {
+      val i = cur._1.indexOf("\"query_steal_ms\":{")
+      if (i < 0) Map.empty
+      else {
+        val body = cur._1.substring(i + 18)
+        "\"(q[^\"]+)\":(-?[0-9]+)".r
+          .findAllMatchIn(body.substring(0, body.indexOf("}")))
+          .map(g => g.group(1) -> g.group(2).toLong).toMap
+      }
+    }
+    val flagged = eCur.collect {
       case (q, e) if ePrev.contains(q) && e - ePrev(q) > 0.2 && e > 0.3 =>
         (q, ePrev(q), e)
     }.toSeq.sortBy(-_._3)
+    val (stolen, offenders) = flagged.partition { case (q, _, _) =>
+      curSteal.getOrElse(q, 0L) > 2000 * curTimes.getOrElse(q, 0.0)
+    }
     val common = eCur.keySet.intersect(ePrev.keySet)
     println(f"sf1 exponent gate: ${common.size} common queries " +
       f"(>=0.5s at sf1), ${offenders.size} regressed (rise > 0.2 " +
-      f"into e > 0.3)")
+      f"into e > 0.3), ${stolen.size} stolen-window flags")
+    stolen.foreach { case (q, a, b) =>
+      println(f"  STOLEN    $q%-28s e $a%6.2f -> $b%6.2f " +
+        f"(steal ${curSteal(q)}ms vs ${(curTimes(q) * 1000).toLong}ms " +
+        "wall — re-measure on a quiet host)")
+    }
     offenders.foreach { case (q, a, b) =>
       println(f"  REGRESSED $q%-28s e $a%6.2f -> $b%6.2f")
     }
