@@ -22,6 +22,15 @@ object Bench {
     // deployment runs thousands of shuffle partitions, so the catalog
     // must not be tuned to partitions == cores.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // AQE partition coalescing keeps Spark's parallelismFirst default
+    // (round 21, measured): the docs recommend parallelismFirst=false in
+    // production (respect the advisory size), but the A/B on a 30-query
+    // slice read 65.2 s (true) vs 85.5 s (false) — at these SFs the
+    // post-shuffle work is CPU-bound on KB-sized exchanges, and
+    // coalescing to the 1 MB minPartitionSize serializes it onto 1-2
+    // cores (q17_smj 1.3→3.9 s). The knob stays env-settable so a real
+    // cluster submit can flip it with its own measurements.
+    val pFirst = sys.env.getOrElse("SPARK_GRAFT_COALESCE_PFIRST", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -29,6 +38,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.skewJoin.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        pFirst)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

