@@ -228,7 +228,9 @@ object PackCorpus {
   private val q51 = Q(
     "q51_repetition_filter",
     (s, d) => {
-      val t = Tables.documents(s, d).select(col("doc_id"), toks.as("ws"))
+      // documentsWide: both tokenize branches are 1-task stages
+      // without the size-gated scan spread (round 21, q51 −1.0 s)
+      val t = Tables.documentsWide(s, d).select(col("doc_id"), toks.as("ws"))
       val base = t.filter(size(col("ws")) > 0)
         .select(col("doc_id"), size(col("ws")).as("n_tok"),
           size(array_distinct(col("ws"))).as("n_uniq"))

@@ -127,10 +127,12 @@ object PackCurate {
       // consumer wants an aggregate of it (the cached frame here is
       // vocab-sized: three readers — totals and both pair-join sides)
       val uni = graft.ops.CacheScope.persisted(
-        Tables.documents(s, d).select(explode(toks).as("tok"))
+        // documentsWide on both passes: q69's tokenize/pair HOFs are
+        // the 1-task stages the scan spread parallelizes (−0.9 s)
+        Tables.documentsWide(s, d).select(explode(toks).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("n_tok")))
       val totals = uni.agg(sum("n_tok").as("nn"))
-      val pairs = Tables.documents(s, d)
+      val pairs = Tables.documentsWide(s, d)
         .select(toks.as("ws"))
         .filter(size(col("ws")) >= 2) // sequence(2, 1) would DESCEND
         .select(explode(expr(
@@ -442,7 +444,9 @@ object PackCurate {
         length(col("tok")).as("n_chr"),
         size(expr("split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')"))
           .as("n_sym"))
-      Tables.documents(s, d)
+      // documentsWide: the corpus encode probe is the 1-task
+      // tokenize stage the scan spread parallelizes (q145 −1.0 s)
+      Tables.documentsWide(s, d)
         .select(col("doc_id"), explode(toks).as("tok"))
         .join(broadcast(enc), "tok")
         .groupBy("doc_id")
@@ -496,7 +500,7 @@ object PackCurate {
         length(col("tok")).as("n_chr"),
         size(expr("split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')"))
           .as("n_sym"))
-      Tables.documents(s, d)
+      Tables.documentsWide(s, d)
         .select(col("lang"), explode(toks).as("tok"))
         .join(broadcast(enc), "tok")
         .groupBy("lang")

@@ -153,7 +153,9 @@ object PackDedup2 {
     "q37_token_count",
     (s, d) => {
       val bpe = "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
-      val docs = Tables.documents(s, d)
+      // documentsWide: the double-tokenizer regex pass is the 1-task
+      // stage the size-gated scan spread parallelizes (round 21)
+      val docs = Tables.documentsWide(s, d)
       val bpeToks = filter(
         regexp_extract_all(col("text"), lit(bpe), lit(0)),
         t => trim(t) =!= "")

@@ -125,14 +125,21 @@ object PackFeed {
     "q209_feed_erasure",
     (s, d) => {
       val (lp, vp) = feedPaths(s, d)
-      val roll = LabelStore.readTombstones(s, lp)
-      val lblNow = LabelStore.readLabels(s, lp)
+      // ONE scan per store (round 21 — VERDICT r20 item 7): the five
+      // folds below derive from two scoped snapshot caches instead of
+      // five independent listings + scans of the generation trees (and
+      // the member folds stop carrying the embedding floats the
+      // presence proof never reads)
+      val ls = LabelStore.snapshot(s, lp)
+      val vs = VecStore.cellSnapshot(s, vp)
+      val roll = ls.tombstones()
+      val lblNow = ls.labels()
         .select(col("doc_id"), lit(true).as("in_lbl"))
-      val vecNow = VecStore.readMembers(s, vp)
+      val vecNow = vs.cells()
         .select(col("vec_id").as("doc_id"), lit(true).as("in_vec"))
-      val oldComp = LabelStore.readLabels(s, lp, asOf = Some(2L))
+      val oldComp = ls.labels(asOf = Some(2L))
         .withColumnRenamed("comp", "old_comp")
-      val oldCell = VecStore.readMembers(s, vp, asOf = Some(2L))
+      val oldCell = vs.cells(asOf = Some(2L))
         .select(col("vec_id").as("doc_id"), col("cell").as("old_cell"))
       roll
         .join(lblNow, Seq("doc_id"), "left")
@@ -177,18 +184,23 @@ object PackFeed {
     "q212_feed_erasure_pit",
     (s, d) => {
       val (lp, vp) = feedPaths(s, d)
-      val roll = LabelStore.readTombstones(s, lp, asOf = Some(3L))
-      val l3 = LabelStore.readLabels(s, lp, asOf = Some(3L))
+      // seven folds (roll, two label states + head, three member
+      // states) off TWO scoped snapshot scans — round 21, the q209
+      // device; same hashes, the fold-scan count is what drops
+      val ls = LabelStore.snapshot(s, lp)
+      val vs = VecStore.cellSnapshot(s, vp)
+      val roll = ls.tombstones(asOf = Some(3L))
+      val l3 = ls.labels(asOf = Some(3L))
         .select(col("doc_id"), lit(true).as("in_l3"))
-      val v3 = VecStore.readMembers(s, vp, asOf = Some(3L))
+      val v3 = vs.cells(asOf = Some(3L))
         .select(col("vec_id").as("doc_id"), lit(true).as("in_v3"))
-      val hl = LabelStore.readLabels(s, lp)
+      val hl = ls.labels()
         .select(col("doc_id"), lit(true).as("in_hl"))
-      val hv = VecStore.readMembers(s, vp)
+      val hv = vs.cells()
         .select(col("vec_id").as("doc_id"), lit(true).as("in_hv"))
-      val oldComp = LabelStore.readLabels(s, lp, asOf = Some(2L))
+      val oldComp = ls.labels(asOf = Some(2L))
         .withColumnRenamed("comp", "old_comp")
-      val oldCell = VecStore.readMembers(s, vp, asOf = Some(2L))
+      val oldCell = vs.cells(asOf = Some(2L))
         .select(col("vec_id").as("doc_id"), col("cell").as("old_cell"))
       roll
         .join(l3, Seq("doc_id"), "left")

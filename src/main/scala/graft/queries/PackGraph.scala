@@ -259,6 +259,15 @@ object PackGraph {
         mem.groupBy("event_type", "hr")
           .agg(array_sort(collect_set(col("user_id"))).as("us"))
           .filter(size(col("us")).between(2, 50))
+          // spread the pair EXPLODE across the cluster width (round
+          // 21): the bucket frame is ~3k rows of ≤50-member arrays —
+          // AQE sizes its exchange by BYTES and coalesces it to 1-2
+          // partitions, so the 1.36M-pair explode + map-side support
+          // fold ran as the measured 1.3 s 1-task stage. Bucket rows
+          // are the cheap thing to move; the pairs they explode into
+          // are 400× heavier, so spread BEFORE the explode.
+          // defaultParallelism scales with the cluster.
+          .repartition(s.sparkContext.defaultParallelism)
           .select(explode(expr(
             "flatten(transform(sequence(1, size(us) - 1), " +
               "i -> transform(slice(us, i + 1, size(us) - i), " +
@@ -266,7 +275,18 @@ object PackGraph {
           .groupBy("p").agg(count(lit(1)).as("w"))
           .filter(col("w") >= 3)
           .select(expr("shiftrightunsigned(p, 32)").as("u"),
-            expr("p & 4294967295L").as("v")))
+            expr("p & 4294967295L").as("v"))
+          // spread the CACHED edge frame across the cluster width
+          // (round 21): AQE sizes the support exchange by BYTES, and
+          // 137k packed edges are ~2 MB — two coalesced partitions —
+          // but every downstream consumer under the broadcast gate is
+          // a NARROW map over this cache, so the CPU-heavy adjacency
+          // intersection (the measured 0.6–1.3 s core) inherited
+          // 2-core parallelism. One edge-cardinality round-robin
+          // exchange at cache-build time buys full-width intersection;
+          // defaultParallelism scales with the cluster, not a local
+          // constant.
+          .repartition(s.sparkContext.defaultParallelism))
       // the size gate: one count on the (persisted, later reused)
       // edge frame decides whether the vertex-cardinality probes may
       // broadcast. `identity` leaves plain joins for the planner.

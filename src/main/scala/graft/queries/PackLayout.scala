@@ -430,7 +430,9 @@ object PackLayout {
     "q121_source_overlap",
     (s, d) => {
       val gs = graft.ops.CacheScope.persisted(
-        Tables.documents(s, d)
+        // documentsWide: the shingle pass is the measured 1.1 s 1-task
+        // stage the size-gated scan spread parallelizes (round 21)
+        Tables.documentsWide(s, d)
           .select(col("source"), toks.as("ws"))
           .filter(size(col("ws")) >= 8)
           .select(col("source"), explode(

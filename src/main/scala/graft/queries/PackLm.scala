@@ -37,7 +37,9 @@ object PackLm {
 
   /** Per-document bigram stream: one HOF pass per row, exploded. */
   private def bigrams(s: org.apache.spark.sql.SparkSession, d: String) =
-    bigramsOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    // documentsWide: the bigram HOF pass is tokenize-heavy 1-task work
+    // without the size-gated scan spread (round 21, q77 −0.7 s)
+    bigramsOf(Tables.documentsWide(s, d).select(col("doc_id"), col("text")))
 
   /** The maximum-likelihood bigram model (w1, w2, p_bp) trained on a
     * documents frame — q77's model, shared with the streaming twin so
@@ -148,7 +150,7 @@ object PackLm {
       // doc-keyed bigram stream is NOT cached — at scale, re-reading
       // the text column beats materializing a corpus-sized stream, and
       // the scoring pass reads it exactly once
-      val model = modelOf(Tables.documents(s, d))
+      val model = modelOf(Tables.documentsWide(s, d))
       bigrams(s, d).join(model, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),

@@ -68,7 +68,9 @@ object PackRetrieval {
   private def ftStats(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val terms = QueryTerms.map(_._2).distinct
-    val ex = Tables.documents(s, d)
+    // documentsWide: the shared ftStats tokenize pass (q86/q117/
+    // q181) is 1-task work without the scan spread (round 21)
+    val ex = Tables.documentsWide(s, d)
       .select(col("doc_id"), explode(toks).as("term"))
     val ftAggs = count(lit(1)).as("dl") +:
       terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L))

@@ -221,8 +221,12 @@ object PackStore {
     "q194_takedown_store",
     (s, d) => {
       val store = storePath(s, d)
-      val old = LabelStore.readLabels(s, store, asOf = Some(1L))
-      val tomb = LabelStore.readTombstones(s, store)
+      // the as-of fold and the tombstone roll derive from ONE scoped
+      // scan of the labels tree (round 21 — the q209 shared-snapshot
+      // device); same folds, half the listings/scans
+      val ls = LabelStore.snapshot(s, store)
+      val old = ls.labels(asOf = Some(1L))
+      val tomb = ls.tombstones()
         .withColumn("t", lit(1L))
       old.join(tomb, Seq("doc_id"), "left")
         .groupBy(col("comp").as("old_comp"))

@@ -174,7 +174,7 @@ object PackText2 {
   private val q29 = Q(
     "q29_lang_id",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       // Tokenize ONCE into a materialized column: inlining the split into
       // each score expression leans on codegen subexpression elimination
       // to avoid a 3× per-row recompute; a separate Project makes the
@@ -219,7 +219,7 @@ object PackText2 {
   private val q30 = Q(
     "q30_quality_score",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       // ratio outputs as integer basis points (integer division): double
       // ratios like n_chars/n_tokens can be exact dyadic .xxxx5 rounding
       // ties where Spark's and DuckDB's round() disagree. Tokenize ONCE

@@ -424,16 +424,20 @@ object PackVecStore {
       import graft.store.LabelStore
       val lblStore = PackStore.storePath(s, d)
       val vecStore = storePath(s, d)
-      val shared = LabelStore.readTombstones(s, lblStore)
+      // one scan per store (round 21 — the q209 shared-snapshot
+      // device): five folds off two scoped snapshot caches
+      val ls = LabelStore.snapshot(s, lblStore)
+      val vs = VecStore.cellSnapshot(s, vecStore)
+      val shared = ls.tombstones()
         .join(Tables.embeddings(s, d).filter(col("vec_id") >= 8)
           .select(col("vec_id").as("doc_id")), "doc_id")
-      val lblNow = LabelStore.readLabels(s, lblStore)
+      val lblNow = ls.labels()
         .select(col("doc_id"), lit(true).as("in_lbl"))
-      val vecNow = VecStore.readMembers(s, vecStore)
+      val vecNow = vs.cells()
         .select(col("vec_id").as("doc_id"), lit(true).as("in_vec"))
-      val oldComp = LabelStore.readLabels(s, lblStore, asOf = Some(1L))
+      val oldComp = ls.labels(asOf = Some(1L))
         .withColumnRenamed("comp", "old_comp")
-      val oldCell = VecStore.readMembers(s, vecStore, asOf = Some(2L))
+      val oldCell = vs.cells(asOf = Some(2L))
         .select(col("vec_id").as("doc_id"), col("cell").as("old_cell"))
       shared
         .join(lblNow, Seq("doc_id"), "left")
@@ -513,7 +517,18 @@ object PackVecStore {
             col("cell_rank")))
       val cellsHit = ranked.select("cell").distinct()
         .collect().map(_.getInt(0)).toSeq // bounded: ≤ 8 × |queries|
-      val mem = VecStore.readMembersInCells(s, path, cellsHit)
+      // ONE member fold shared by the probe side and the exact audit
+      // side (round 21): the audit reads EVERY live member by
+      // definition, so the sweep side is a cell filter over the same
+      // fold — the r20 form paid a second full listing + scan through
+      // readMembersInCells. Fold-then-filter equals the cell-pruned
+      // fold by the co-located-tombstone invariant (any read that can
+      // see a vector's add row also sees the tombstone that supersedes
+      // it), which is the same argument that makes the pruned serving
+      // read exact.
+      val allMem = graft.ops.CacheScope.persisted(
+        VecStore.readMembers(s, path))
+      val mem = allMem.filter(col("cell").isin(cellsHit: _*))
         .select(col("vec_id").as("c_id"), col("cell"),
           col("embedding").as("c_emb"))
       // NOT persisted: queries × probed-cell members is
@@ -528,7 +543,7 @@ object PackVecStore {
       // full sweep a recall measurement pays by definition
       val exactW = Window.partitionBy("q_id")
         .orderBy(col("score").desc, col("c_id"))
-      val exact3 = VecStore.readMembers(s, path)
+      val exact3 = allMem
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
         .crossJoin(qs)
         .withColumn("score",

@@ -14,6 +14,43 @@ object Tables {
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Size-gated SCAN SPREAD for the fact/corpus tables (round 21,
+    * guide §2.5 "input skew ... one huge unsplittable file — otherwise
+    * repartition immediately after the read"): the driver testdata
+    * ships each table as ONE single-row-group parquet file, and a row
+    * group is the split floor — so every corpus pass (tokenize,
+    * shingle, vector math) ran its map stage as ONE task however many
+    * cores the session has (measured: q121's shingle pass 1.1 s on 1
+    * of 32 cores). When the file set is too small to ever split into
+    * cluster-width tasks (total bytes < defaultParallelism × 4 MB — at
+    * that size the round-robin exchange costs milliseconds), spread
+    * the rows once right after the scan; above the gate the scan
+    * splits by itself and the spread would be a corpus-sized exchange,
+    * so it never fires at production scale. Filters and pruning push
+    * through Repartition, so scan pushdown is unchanged.
+    *
+    * OPT-IN via [[documentsWide]] for the single-pass tokenize-heavy
+    * consumers where the A/B measured wins (q145 −1.04 s, q51 −0.97,
+    * q69 −0.94, q121 −0.92, q77 −0.73, …). A blanket spread measured
+    * REGRESSIONS in two classes: tables whose per-row work is cheap
+    * vectorized column math (lineitem/orders/events — q01 +0.6 s,
+    * q17 +0.7 s: serializing 600 k rows through the exchange costs
+    * more than the single-task scan it replaces) and multi-branch
+    * cached pipelines (q113 +1.25 s, q78 +0.5 s: every union branch
+    * repays the exchange and its AQE stage round trip).
+    */
+  private def spread(s: SparkSession, d: String, name: String,
+      df: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => Long.MaxValue }
+    if (bytes < par.toLong * 4 * 1024 * 1024) df.repartition(par) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = tbl(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = tbl(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = tbl(s, d, "customer")
@@ -49,5 +86,10 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
+  /** [[documents]] with the size-gated scan [[spread]] — see its
+    * scaladoc for the measured opt-in rationale.
+    */
+  def documentsWide(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "documents", tbl(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 }

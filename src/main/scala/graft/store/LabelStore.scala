@@ -260,6 +260,43 @@ object LabelStore {
     latest(spark, path, "labels", "doc_id", asOf)
   }
 
+  /** ONE-SCAN label snapshot (round 21 — VERDICT r20 item 7's
+    * shared-snapshot device): the certificate queries (q194, q204,
+    * q209, q212) fold the labels generation table three or four times
+    * per artifact (head fold, tombstone roll, one or two time-travel
+    * folds), and each fold re-listed and re-scanned the whole gen=
+    * tree. The snapshot scans the live generations ONCE into a scoped
+    * cache ((doc_id, comp, gen) — delta-cardinality rows, no texts) and
+    * derives every fold variant from it. Values are identical by
+    * construction: same rows, same max_by fold, and the asOf bound is a
+    * filter on the same gen column the pruned scan filtered. Scoped via
+    * CacheScope — the runner drains it after the query materializes, so
+    * nothing persists across bench runs.
+    */
+  final class Snapshot private[store] (raw: DataFrame, horizon: Long) {
+    private def folded(asOf: Option[Long]): DataFrame = {
+      asOf.foreach(b => require(b > horizon,
+        s"asOf=$b reads below the compaction horizon ($horizon): the " +
+          "folded pre-horizon state is unrecoverable"))
+      asOf.fold(raw)(b => raw.filter(col("gen") < b))
+        .groupBy("doc_id").agg(expr("max_by(comp, gen)").as("comp"))
+    }
+    /** [[LabelStore.readLabels]] off the shared scan. */
+    def labels(asOf: Option[Long] = None): DataFrame =
+      folded(asOf).filter(col("comp") =!= Tomb)
+    /** [[LabelStore.readTombstones]] off the shared scan. */
+    def tombstones(asOf: Option[Long] = None): DataFrame =
+      folded(asOf).filter(col("comp") === Tomb).select("doc_id")
+  }
+
+  def snapshot(spark: SparkSession, path: String): Snapshot = {
+    val ids = genIds(spark, s"$path/labels")
+    val horizon = if (ids.nonEmpty && ids.min < 0) -ids.min - 2 else -1L
+    new Snapshot(graft.ops.CacheScope.persisted(
+      live(spark, path, "labels").select("doc_id", "comp", "gen")),
+      horizon)
+  }
+
   /** Current key index (key, comp) — live keys only. */
   def readKeyIdx(spark: SparkSession, path: String): DataFrame =
     latest(spark, path, "keyidx", "key", None)

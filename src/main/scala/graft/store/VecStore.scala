@@ -210,6 +210,44 @@ object VecStore {
       .filter(col("cell").isin(cells.distinct: _*)))
   }
 
+  /** ONE-SCAN member-presence snapshot WITHOUT the embedding payload
+    * (round 21 — VERDICT r20 item 7's shared-snapshot device): the
+    * erasure certificates (q204/q209/q212) need only (vec_id, cell) of
+    * the live fold at one or more generation bounds, and each bound
+    * used to go through [[readMembers]] — a fresh listing + scan of the
+    * whole gen= tree per fold, with the embedding floats riding the
+    * fold's exchange because column pruning cannot drop a field inside
+    * the max_by aggregate. The snapshot scans the members tree ONCE
+    * into a scoped cache of the four scalar columns; [[CellSnapshot.cells]]
+    * folds per asOf with the same (gen, live) key over the same rows,
+    * so the survivors and their cells are identical by construction.
+    * Scoped via CacheScope — the runner drains it after the query
+    * materializes, nothing persists across bench runs.
+    */
+  final class CellSnapshot private[store] (raw: DataFrame, horizon: Long) {
+    /** (vec_id, cell) of every live vector, optionally as of a
+      * generation bound — [[readMembers]] minus the embedding column.
+      */
+    def cells(asOf: Option[Long] = None): DataFrame = {
+      asOf.foreach(b => require(b > horizon,
+        s"asOf=$b reads below the compaction horizon ($horizon): the " +
+          "folded pre-horizon state is unrecoverable"))
+      asOf.fold(raw)(b => raw.filter(col("gen") < b))
+        .groupBy("vec_id")
+        .agg(expr("max_by(struct(cell, live), struct(gen, live))").as("v"))
+        .filter(col("v.live"))
+        .select(col("vec_id"), col("v.cell").as("cell"))
+    }
+  }
+
+  def cellSnapshot(spark: SparkSession, path: String): CellSnapshot = {
+    val ids = genIds(spark, s"$path/members")
+    val horizon = if (ids.nonEmpty && ids.min < 0) -ids.min - 2 else -1L
+    new CellSnapshot(graft.ops.CacheScope.persisted(
+      live(spark, path, "members", emptyMembers(spark))
+        .select("vec_id", "cell", "gen", "live")), horizon)
+  }
+
   /** POINT lookup — the unlearning audit's read: bkt isin literals are
     * partition filters (one bkt= dir per (gen, cell) planned), the
     * vec_id probe pushes into the surviving scans, and the fold runs
@@ -235,14 +273,23 @@ object VecStore {
     checkAsOfAboveHorizon(spark, s"$path/cstats", asOf)
     val raw = live(spark, path, "cstats", emptyCstats(spark))
     val bounded = asOf.fold(raw)(b => raw.filter(col("gen") < b))
-    val n = bounded.groupBy("cell").agg(sum("dn").as("n_members"))
-    val iv = bounded
-      .select(col("cell"), posexplode(col("divec")).as(Seq("pos", "v")))
-      .groupBy("cell", "pos").agg(sum("v").as("s"))
-      .groupBy("cell")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, s)))," +
-        " x -> x.s)").as("ivec"))
-    n.join(iv, "cell").filter(col("n_members") > 0)
+    // ONE map-side-combined aggregation (round 21): the r19 form
+    // posexploded the delta arrays to (cell, pos) rows, re-grouped them
+    // into per-cell arrays, and joined a separate member-count fold —
+    // three exchanges and a join per read, and every serving read
+    // (serve, rebalance, the probe sweep) pays it. A cell has at most
+    // one delta array PER GENERATION (cell-cardinality rows by
+    // construction), so collecting the handful of arrays per cell and
+    // folding them elementwise is one exchange of the same bytes; long
+    // addition is associative and commutative, so the sums are
+    // bit-identical to the exploded fold whatever order collect_list
+    // delivers.
+    bounded.groupBy("cell")
+      .agg(sum("dn").as("n_members"), collect_list("divec").as("vs"))
+      .filter(col("n_members") > 0)
+      .select(col("cell"), col("n_members"), expr(
+        """aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1),
+           (acc, v) -> zip_with(acc, v, (a, b) -> a + b))""").as("ivec"))
   }
 
   /** One CDC batch against the on-disk index — the foreachBatch body,

@@ -187,7 +187,17 @@ class CdcFeedSpec extends SparkSpec {
         "the roll must be exactly the planted takedown set")
       assert(got.forall(r => r._4 && r._5),
         "an erased id resurfaced through a serving fold of the pair")
-      val files = df.inputFiles
+      // the store reads go through the round-21 shared snapshots, so
+      // the file scans sit inside the snapshot caches — collect them
+      // through the InMemoryRelations as well as the direct scans
+      val cachedFiles = df.queryExecution.withCachedData.collect {
+        case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          imr.cachedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.relation.location.inputFiles.toSeq
+          }.flatten
+      }.flatten
+      val files = df.inputFiles.toSeq ++ cachedFiles
       val (lp, vp) = graft.queries.PackFeed.feedPaths(spark, sf)
       assert(files.exists(_.contains(lp)) && files.exists(_.contains(vp)),
         "the certificate must read both halves of the feed-built pair")

@@ -269,4 +269,23 @@ class PackStoreSpec extends SparkSpec {
       }
     } finally graft.ops.CacheScope.drain()
   }
+
+  test("LabelStore.snapshot folds equal readLabels/readTombstones at " +
+    "head and as-of (round 21: the shared-scan device changes scans, " +
+    "not rows)") {
+    val store = PackStore.storePath(spark, sf)
+    try {
+      val snap = LabelStore.snapshot(spark, store)
+      Seq(Option.empty[Long], Some(1L), Some(2L)).foreach { b =>
+        val want = LabelStore.readLabels(spark, store, b)
+          .as[(Long, Long)].collect().toSet
+        assert(snap.labels(b).as[(Long, Long)].collect().toSet === want,
+          s"labels asOf=$b")
+        val wantT = LabelStore.readTombstones(spark, store, b)
+          .as[Long].collect().toSet
+        assert(snap.tombstones(b).as[Long].collect().toSet === wantT,
+          s"tombstones asOf=$b")
+      }
+    } finally graft.ops.CacheScope.drain()
+  }
 }

@@ -245,7 +245,17 @@ class PackVecStoreSpec extends SparkSpec {
       // old_cell is the pre-takedown (original) label
       val lbl = embAll.map(m => m._1 -> m._2).toMap
       got.foreach(r => assert(r._3 === lbl(r._1)))
-      val files = df.inputFiles
+      // the store reads go through the round-21 shared snapshots, so
+      // the file scans sit inside the snapshot caches — collect them
+      // through the InMemoryRelations as well as the direct scans
+      val cachedFiles = df.queryExecution.withCachedData.collect {
+        case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          imr.cachedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.relation.location.inputFiles.toSeq
+          }.flatten
+      }.flatten
+      val files = df.inputFiles.toSeq ++ cachedFiles
       val lblStore = graft.queries.PackStore.storePath(spark, sf)
       val vecStore = PackVecStore.storePath(spark, sf)
       assert(files.exists(_.contains(lblStore)) &&
@@ -503,6 +513,21 @@ class PackVecStoreSpec extends SparkSpec {
       val wantN = vs.slice(9, 80).groupBy(_._2)
         .map { case (c, ms) => c -> ms.size.toLong }
       assert(stats === wantN, "streamed statistics diverge")
+    } finally graft.ops.CacheScope.drain()
+  }
+
+  test("cellSnapshot folds equal readMembers' (vec_id, cell) at head " +
+    "and as-of (round 21: the shared-scan device changes scans, not " +
+    "rows)") {
+    val store = PackVecStore.storePath(spark, sf)
+    try {
+      val snap = VecStore.cellSnapshot(spark, store)
+      Seq(Option.empty[Long], Some(2L), Some(3L)).foreach { b =>
+        val want = VecStore.readMembers(spark, store, b)
+          .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+        val got = snap.cells(b).as[(Long, Int)].collect().toSet
+        assert(got === want, s"asOf=$b")
+      }
     } finally graft.ops.CacheScope.drain()
   }
 }
