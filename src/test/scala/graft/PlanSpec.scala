@@ -907,8 +907,8 @@ class PlanSpec extends SparkSpec {
       s"centroid reps must broadcast:\n$p")
     assert(p.contains("long_dot") && p.contains("sim_e8"),
       s"pair arithmetic must be the native codegen kernels:\n$p")
-    assert(p.contains("max_by"),
-      s"the per-vector argmax must be the max_by aggregate:\n$p")
+    assert(p.contains("max(pk"),
+      s"the per-vector argmax must be the packed-long max aggregate:\n$p")
     val sp = Catalog.queries("q110_hard_negatives")(spark, sf)
       .queryExecution.sparkPlan
     val wgl = sp.collect {
@@ -930,20 +930,24 @@ class PlanSpec extends SparkSpec {
     }
     assert(simSorts.isEmpty,
       s"a sort over the candidate pairs crept back in:\n$sp")
-    // partial (map-side, pre-exchange) + final max_by — the pair stream
-    // folds to one buffer per vector before anything shuffles
-    val maxByAggs = sp.collect {
-      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-        if a.aggregateExpressions.exists(
-          _.aggregateFunction.prettyName == "max_by") => a
+    // partial (map-side, pre-exchange) + final max over the PACKED
+    // long — and specifically fixed-width Tungsten HashAggregateExec:
+    // a struct-buffered max_by plans ObjectHashAggregate, whose
+    // 128-entry sort-based fallback re-sorts the whole pair stream
+    // (measured 10.5 GB of sf1 spill before the pack)
+    val pkAggs = sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(e =>
+          e.aggregateFunction.prettyName == "max" &&
+            e.aggregateFunction.references.exists(_.name == "pk")) => a
     }
-    assert(maxByAggs.size === 2,
-      s"expected partial+final max_by aggregates, got " +
-        s"${maxByAggs.size}:\n$sp")
+    assert(pkAggs.size === 2,
+      s"expected partial+final Tungsten max(pk) aggregates, got " +
+        s"${pkAggs.size}:\n$sp")
     // nothing above the partial aggregate carries the 64-long vectors:
-    // every exchange downstream of the pair join moves scalars/structs
-    // of scalars, one row per vector
-    maxByAggs.foreach { a =>
+    // every exchange downstream of the pair join moves scalars, one
+    // row per vector
+    pkAggs.foreach { a =>
       assert(!a.output.exists(
         _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
         s"a 64-long array leaked past the argmax aggregate:\n$a")
